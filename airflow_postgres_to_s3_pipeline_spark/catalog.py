@@ -1,0 +1,55 @@
+"""Table loader over the driver-generated parquet testdata.
+
+At 100 TB these reads are partitioned parquet scans; expressing every query
+against ``spark.read.parquet`` keeps predicate pushdown / column pruning /
+partition pruning in play (verify with ``df.explain('formatted')`` —
+``PushedFilters`` and ``ReadSchema`` must reflect the query).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from airflow_postgres_to_s3_pipeline_spark.session import tune_runtime
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table as a DataFrame (schema comes from parquet).
+
+    ``events.ts`` is TIMESTAMP(NANOS) on disk; Spark reads it as int64
+    nanoseconds (legacy conf) and we convert to a microsecond timestamp with
+    integer division — the same truncation DuckDB applies, so both engines
+    see identical timestamps.
+    """
+    tune_runtime(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for Spark SQL queries."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,37 @@
+"""Vector math over ``array<float>`` embedding columns, JVM-side.
+
+Everything here is built from higher-order functions (``transform`` /
+``zip_with`` / ``aggregate``) so the hot path stays inside whole-stage
+codegen — no Python UDF, no serialization.  Dot products fold left-to-right,
+which both matches DuckDB's sequential semantics for the oracle and is
+deterministic across partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def to_double_array(col: Column | str) -> Column:
+    """Cast array<float> -> array<double> so arithmetic runs in fp64."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _fold_sum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<double> columns."""
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(_fold_sum(F.transform(a, lambda x: x * x)))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns (fp64, deterministic)."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

@@ -1,0 +1,343 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2B E24-E25).
+
+Exact dedup is a hash group-by (one shuffle on the dedup key — at 100 TB,
+hash the text first so the shuffle key is 16 bytes, not the document).
+Near-dup detection is MinHash+LSH / SimHash: banding turns the quadratic
+all-pairs problem into an equi-join on band buckets, which Spark executes
+as an ordinary shuffle join — the scalable path.  Exact-verification of the
+candidate pairs happens only on the (tiny) candidate set.
+
+All functions take DataFrames (not table names) so tests can plant known
+duplicates; the __spark_entry__ wrappers bind them to the ``documents``
+table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_postgres_to_s3_pipeline_spark.catalog import table
+
+ORACLES: dict[str, str] = {}
+
+
+def _oracle(name: str, sql: str):
+    ORACLES[name] = sql
+
+
+# ---------------------------------------------------------------------------
+# E24: exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content: keep min doc_id per text, report copy count.
+
+    Grouping on md5(text) (16-byte key) instead of the raw document keeps
+    the 100 TB shuffle narrow; the md5 also serves as the content
+    fingerprint downstream.
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+_oracle(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_md5,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+
+
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT-ON semantics: full surviving row (lowest doc_id) per text."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text").orderBy(F.col("doc_id").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+_oracle(
+    "dedup_keep_first",
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# E25: MinHash + LSH near-dedup (composition of built-in DataFrame ops)
+# ---------------------------------------------------------------------------
+
+def shingle(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            k: int = 3) -> DataFrame:
+    """Distinct word k-shingles per document, computed JVM-side.
+
+    ``transform(sequence(...))`` builds the shingle array with higher-order
+    functions — no Python in the loop — then explode + distinct.
+    """
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), n - F.lit(k))
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + F.lit(j) + F.lit(1)).cast("int")) for j in range(k)]
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), shingles.alias("shingles"))
+        .filter(n >= k)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, n_hashes: int = 32) -> DataFrame:
+    """MinHash signature per doc: min over shingles of xxhash64(shingle, seed).
+
+    One aggregation produces all n_hashes signature slots (map-side partial
+    mins), so cost is one shuffle on doc_id regardless of n_hashes.
+    """
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(seed))).alias(f"h{seed}")
+        for seed in range(n_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 32,
+                        bands: int = 8) -> DataFrame:
+    """Band the signatures and self-join on (band, band_hash) buckets.
+
+    The banded equi-join is the LSH trick that makes near-dedup scale: only
+    docs agreeing on a full band collide, so the join output is ~linear in
+    the number of true near-dups rather than quadratic in corpus size.
+    """
+    rows = n_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
+                    "band_hash"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        "doc_id", F.explode(band_structs).alias("bh")
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def verify_jaccard(candidates: DataFrame, shingles: DataFrame,
+                   threshold: float = 0.6) -> DataFrame:
+    """Exact Jaccard on candidate pairs only (set sizes + intersection)."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                3,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n_hashes: int = 32,
+                      bands: int = 8, k: int = 3,
+                      threshold: float = 0.6) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band -> verify."""
+    sh = shingle(df, text_col, id_col, k)
+    sig = minhash_signatures(sh, n_hashes)
+    cand = lsh_candidate_pairs(sig, n_hashes, bands)
+    return verify_jaccard(cand, sh, threshold)
+
+
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over documents (rows-only check: LSH
+    recall is probabilistic, so no exact SQL oracle)."""
+    d = table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d)
+
+
+# ---------------------------------------------------------------------------
+# E25b: SimHash near-dedup
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document, fully JVM-side.
+
+    Each token votes +1/-1 per bit of its xxhash64; the signature sets bit i
+    when the vote sum is positive.  Implemented as 64 conditional-sum
+    aggregates over the exploded token table — one shuffle on doc_id.
+    """
+    tokens = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(F.split(text_col, " ")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .withColumn("th", F.xxhash64("tok"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = tokens.groupBy("doc_id").agg(*votes)
+    # Assemble the signature with shifts + bitwise OR (no arithmetic, so the
+    # sign bit at i=63 is safe under ANSI overflow checking).
+    sig = None
+    for i in range(bits):
+        term = F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, banded for scale.
+
+    Splits the 64-bit signature into 4 x 16-bit chunks; any pair within
+    hamming distance 3 must agree on >= 1 chunk (pigeonhole), so candidate
+    generation is 4 equi-joins on chunk value instead of an all-pairs scan.
+    """
+    sig = simhash_signatures(df, text_col, id_col)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", F.col("ch.chunk_id").alias("chunk_id"), F.col("ch.chunk").alias("chunk"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over documents (rows-only check)."""
+    d = table(spark, sf_dir, "documents")
+    return simhash_near_pairs(d)
+
+
+# ---------------------------------------------------------------------------
+# E25c: n-gram Jaccard similarity (exact, blocked by language)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard for same-language doc pairs above 0.5.
+
+    Blocking on lang bounds the pair space; the intersection is computed by
+    joining the exploded shingle tables (shuffle on shingle), never by a
+    cartesian product — the same shape scales to 100 TB with a
+    higher-selectivity blocking key.  Rows-only check (shingle+join chain is
+    not reasonably expressible in one portable SQL statement).
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = shingle(d, "text", "doc_id", k=3)
+    langs = d.select(F.col("doc_id"), F.col("lang"))
+    sh = sh.join(langs, "doc_id")
+    sizes = sh.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("set_size"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("lang"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("lang"), "shingle")
+    inter = (
+        sa.join(sb, ["lang", "shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                3,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )

@@ -1,0 +1,157 @@
+"""Multimodal column handling (SURVEY.md §2B E28).
+
+Media are opaque ``binary`` payload columns with a typed metadata struct —
+the lakehouse-native layout for image/audio/video at 100 TB (payload stays
+columnar-compressed; metadata prunes without touching bytes).
+
+The decode/feature step runs as ``mapInPandas`` (Arrow-batched, streaming
+per-partition — never materializes a partition in driver memory).  The
+actual codec is STUBBED (no image/audio libs in this container): the
+``fake_decoder`` computes deterministic features from the raw bytes so the
+Spark-side plumbing — schema, batch iteration, partition streaming — is
+real and oracle-checked end-to-end.  Swap ``fake_decoder`` for a PIL/ffmpeg
+call in production.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from airflow_postgres_to_s3_pipeline_spark.catalog import table
+
+ORACLES: dict[str, str] = {}
+
+
+def _oracle(name: str, sql: str):
+    ORACLES[name] = sql
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload_size", IntegerType()),
+        StructField("first_byte", IntegerType()),
+        StructField("last_byte", IntegerType()),
+    ]
+)
+
+
+def real_decoder(payload: bytes) -> dict:
+    """Placeholder for a real media decode (PIL / torchaudio / ffmpeg).
+
+    Deliberately not implemented in this container — see ``fake_decoder``
+    for the deterministic stand-in that exercises identical plumbing.
+    """
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "use fake_decoder (deterministic) or install PIL/ffmpeg in prod"
+    )
+
+
+def fake_decoder(payload: bytes) -> dict:
+    """Deterministic stand-in decode: byte-level features only."""
+    return {
+        "payload_size": len(payload),
+        "first_byte": payload[0] if payload else -1,
+        "last_byte": payload[-1] if payload else -1,
+    }
+
+
+def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Build the multimodal layout: binary payload + typed metadata struct."""
+    return df.select(
+        "doc_id",
+        F.col(text_col).cast("binary").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("lang").alias("lang"),
+            F.col("source").alias("source"),
+            F.col("n_chars").alias("n_chars"),
+        ).alias("meta"),
+    )
+
+
+def decode_features(payloads: DataFrame) -> DataFrame:
+    """Arrow-batched decode over the payload column via mapInPandas.
+
+    Batches stream through the Python worker partition-by-partition; each
+    output row carries the decoded features.  This is the exact shape a real
+    image-resize / audio-frame-sample job uses.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(fake_decoder)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["meta"].map(lambda m: m["mime"]),
+                    "payload_size": feats.map(lambda f: f["payload_size"]),
+                    "first_byte": feats.map(lambda f: f["first_byte"]),
+                    "last_byte": feats.map(lambda f: f["last_byte"]),
+                }
+            )
+
+    return payloads.mapInPandas(decode, DECODED_SCHEMA)
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> binary payload + metadata -> stubbed decode features.
+
+    Oracle-checked: the fake decode features are byte-exact SQL expressions
+    (ascii texts, so octet length == char length).
+    """
+    d = table(spark, sf_dir, "documents")
+    return decode_features(attach_payload(d))
+
+
+_oracle(
+    "multimodal_decode",
+    """
+    SELECT doc_id,
+           'text/plain' AS media_type,
+           CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS payload_size,
+           CAST(CASE WHEN LENGTH(text) > 0 THEN ascii(SUBSTRING(text, 1, 1)) ELSE -1 END AS INTEGER) AS first_byte,
+           CAST(CASE WHEN LENGTH(text) > 0
+                     THEN ascii(SUBSTRING(text, LENGTH(text), 1)) ELSE -1 END AS INTEGER) AS last_byte
+    FROM documents
+    """,
+)
+
+
+def multimodal_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate decoded features per media shard — the downstream shape
+    (decode once, aggregate metadata without re-touching payload bytes)."""
+    decoded = multimodal_decode(spark, sf_dir)
+    return decoded.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("payload_size").cast("long")).alias("total_bytes"),
+        F.min("payload_size").alias("min_bytes"),
+        F.max("payload_size").alias("max_bytes"),
+    )
+
+
+_oracle(
+    "multimodal_partition_stats",
+    """
+    SELECT 'text/plain' AS media_type,
+           COUNT(*) AS n_docs,
+           CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+           CAST(MIN(octet_length(CAST(text AS BLOB))) AS INTEGER) AS min_bytes,
+           CAST(MAX(octet_length(CAST(text AS BLOB))) AS INTEGER) AS max_bytes
+    FROM documents
+    """,
+)

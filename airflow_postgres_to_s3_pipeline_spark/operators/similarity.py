@@ -1,0 +1,268 @@
+"""Similarity search over embedding columns (SURVEY.md §2B E26).
+
+Three tiers, all over ``embeddings.embedding`` (array<float>):
+
+- ``knn_bruteforce``: exact top-k cosine for a small query set — broadcast
+  the queries against the corpus scan (no shuffle of the corpus), per-query
+  top-k via window.  The corpus side streams; this is the correct exact
+  baseline even at 100 TB when the query set is small.
+- ``embedding_near_dup``: exact all-pairs above a cosine threshold —
+  quadratic, only for modest corpus slices; the scale path is the LSH tier.
+- ``knn_ivf`` / ``embedding_lsh_near_dup``: sub-linear approximate variants
+  (IVF cluster probing, random-hyperplane LSH bucketing) whose candidate
+  generation is an equi-join on bucket ids — the 100 TB shape.
+
+All vector math is higher-order-function fp64 (functions/vector.py): no
+Python UDFs on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airflow_postgres_to_s3_pipeline_spark.catalog import table
+from airflow_postgres_to_s3_pipeline_spark.functions.vector import (
+    cosine_similarity,
+    dot,
+    l2_norm,
+    to_double_array,
+)
+
+ORACLES: dict[str, str] = {}
+
+
+def _oracle(name: str, sql: str):
+    ORACLES[name] = sql
+
+
+N_QUERIES = 10
+TOP_K = 5
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors (vec_id < 10).
+
+    Broadcast(queries) x corpus scan -> cosine -> per-query top-k window.
+    Ranking uses (rounded sim DESC, vec_id ASC) so ordering is deterministic
+    and engine-independent.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    sim = F.round(cosine_similarity(F.col("qv"), F.col("v")), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sim.alias("sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+_oracle(
+    "knn_bruteforce",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), pairs AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 4) AS sim
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, sim, rnk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rnk
+        FROM pairs
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-duplicate pairs: cosine >= 0.8 over all pairs.
+
+    The all-pairs join is intentionally exact (it is the oracle-checked
+    baseline); ``embedding_lsh_near_dup`` is the sub-quadratic variant.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 4)
+    return pairs.select("id_a", "id_b", sim.alias("sim")).filter(
+        F.col("sim") >= 0.8
+    )
+
+
+_oracle(
+    "embedding_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.8
+    """,
+)
+
+
+def _centroids(e: DataFrame, every: int = 50) -> DataFrame:
+    """Deterministic pseudo-centroids: every Nth vector is a centroid.
+
+    A real deployment would run k-means (pyspark.ml) once per corpus build;
+    the IVF *query* path below is identical either way, so the index shape
+    is what's exercised here.
+    """
+    return e.filter(F.col("vec_id") % every == 0).select(
+        (F.col("vec_id") / every).cast("long").alias("centroid_id"),
+        F.col("v").alias("cv"),
+    )
+
+
+def ivf_assign(e: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid (broadcast argmin)."""
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        e.join(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "v",
+            "centroid_id",
+            cosine_similarity(F.col("v"), F.col("cv")).alias("csim"),
+        )
+        .withColumn("crnk", F.row_number().over(w))
+        .filter(F.col("crnk") == 1)
+        .select("vec_id", "v", "centroid_id")
+    )
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str, n_probe: int = 2) -> DataFrame:
+    """Approximate top-5 neighbors via IVF: probe the n_probe nearest
+    centroid cells per query instead of the whole corpus (rows-only check —
+    recall is approximate by design).
+
+    Scale shape: cluster assignment is a broadcast argmin over the corpus
+    scan; the search join hits only matching cells via an equi-join on
+    centroid_id, so the per-query work drops from O(corpus) to
+    O(corpus / n_cells * n_probe).
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    cents = _centroids(e)
+    assigned = ivf_assign(e, cents)
+
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qcsim").desc(), F.col("centroid_id").asc()
+    )
+    probe = (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qv",
+            "centroid_id",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("qcsim"),
+        )
+        .withColumn("prnk", F.row_number().over(wq))
+        .filter(F.col("prnk") <= n_probe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    cand = probe.join(assigned, "centroid_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = F.round(cosine_similarity(F.col("qv"), F.col("v")), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str,
+                           n_planes: int = 16) -> DataFrame:
+    """Random-hyperplane LSH near-dup: bucket by sign pattern, verify exact
+    cosine only within buckets (rows-only check — probabilistic recall).
+
+    The hyperplanes are deterministic pseudo-random (hash of plane x dim),
+    so the result is stable across runs/partitionings.  Candidate
+    generation is an equi-join on the 16-bit bucket id.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    dim = 64
+    # plane p component j = hash(p, j) scaled to [-1, 1] — deterministic.
+    planes = [
+        F.array(
+            *[
+                (F.hash(F.lit(p * 1000 + j)).cast("double") / F.lit(2147483647.0))
+                for j in range(dim)
+            ]
+        )
+        for p in range(n_planes)
+    ]
+    bucket = None
+    for p, plane in enumerate(planes):
+        bit = F.when(dot(F.col("v"), plane) >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bit if bucket is None else bucket.bitwiseOR(bit)
+    hashed = e.select("vec_id", "v", bucket.alias("bucket"))
+    a = hashed.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = hashed.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 4)
+    return pairs.select("id_a", "id_b", sim.alias("sim")).filter(F.col("sim") >= 0.8)
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding stats: row counts and mean L2 norm (fp64 fold)."""
+    e = table(spark, sf_dir, "embeddings")
+    norm = l2_norm(to_double_array("embedding"))
+    return (
+        e.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (
+                F.sum(F.col("norm").cast("decimal(27,8)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_norm"),
+        )
+    )
+
+
+_oracle(
+    "embedding_norms",
+    """
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CAST(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                      x -> x * x))) AS DECIMAL(27,8))) AS DOUBLE)
+               / COUNT(*) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)

@@ -1,0 +1,205 @@
+"""Text analysis operators for LLM-data pipelines (SURVEY.md §2B E27).
+
+Everything runs as built-in expressions (regex, split, higher-order
+functions) — per-document work with no shuffle except the final statistics
+group-bys, so these scale linearly with corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_postgres_to_s3_pipeline_spark.catalog import table
+
+ORACLES: dict[str, str] = {}
+
+
+def _oracle(name: str, sql: str):
+    ORACLES[name] = sql
+
+
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: length, token stats, punctuation and
+    stopword ratios, and a composite quality score.
+
+    The score formula is deliberately SQL-expressible so the whole feature
+    pipe is oracle-checked; heuristics mirror common pretraining-data
+    filters (Gopher/C4-style length+symbol+stopword rules).
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tokens = F.size(words)
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    # Raw int/int divisions: identical IEEE doubles on both engines — no
+    # rounding (rounding rationals invites cross-engine tie divergence).
+    avg_token_len = (n_chars - (n_tokens - F.lit(1))) / n_tokens
+    punct_ratio = n_punct / n_chars
+    stop_ratio = n_stop / n_tokens
+    score = F.when(n_tokens < 5, 0.0).otherwise(
+        (F.lit(1.0) - punct_ratio) * (F.lit(0.5) + stop_ratio / 2)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_actual"),
+        avg_token_len.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+_oracle(
+    "doc_quality",
+    r"""
+    WITH feat AS (
+        SELECT doc_id, lang,
+               CAST(LEN(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               CAST(LENGTH(text) AS INTEGER) AS n_chars_actual,
+               CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^\w\s]', '', 'g')) AS INTEGER) AS n_punct,
+               CAST(LEN(list_filter(string_split(text, ' '),
+                    w -> w IN ('the','a','of','and','in','to','is'))) AS INTEGER) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tokens, n_chars_actual,
+           (n_chars_actual - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+           n_punct / CAST(n_chars_actual AS DOUBLE) AS punct_ratio,
+           n_stop / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+           CASE WHEN n_tokens < 5 THEN 0.0
+                ELSE (1.0 - n_punct / CAST(n_chars_actual AS DOUBLE))
+                     * (0.5 + (n_stop / CAST(n_tokens AS DOUBLE)) / 2)
+           END AS quality_score
+    FROM feat
+    """,
+)
+
+
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language tag."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    return (
+        d.select("lang", "source", "n_chars", n_tokens.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            (F.sum("n_chars").cast("double") / F.count("n_chars")).alias("avg_chars"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+_oracle(
+    "lang_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+           CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (word pieces + standalone punctuation) — the usual pretraining budget
+    estimators."""
+    d = table(spark, sf_dir, "documents")
+    ws_tokens = F.size(F.split("text", r"\s+"))
+    bpe_tokens = F.size(F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)"))
+    return d.select(
+        "doc_id",
+        ws_tokens.alias("ws_tokens"),
+        bpe_tokens.alias("bpe_tokens"),
+    )
+
+
+_oracle(
+    "token_count",
+    r"""
+    SELECT doc_id,
+           CAST(LEN(regexp_split_to_array(text, '\s+')) AS INTEGER) AS ws_tokens,
+           CAST(LEN(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS bpe_tokens
+    FROM documents
+    """,
+)
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 of normalized text + a shard bucket.
+
+    The 2-hex-char bucket (256-way) is the shuffle/partition key a 100 TB
+    dedup would shard on — uniform by construction.
+    """
+    d = table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    fp = F.md5(norm.cast("binary"))
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 2).alias("shard_bucket"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
+_oracle(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(LOWER(TRIM(text))) AS fingerprint,
+           SUBSTRING(md5(LOWER(TRIM(text))), 1, 2) AS shard_bucket,
+           CAST(LENGTH(LOWER(TRIM(text))) AS INTEGER) AS norm_len
+    FROM documents
+    """,
+)
+
+
+# Marker-word profiles per language for the n-gram/stopword language-ID
+# heuristic.  Deterministic and data-independent; a real system would load
+# fastText/CLD3 profiles — the *operator shape* (score per language ->
+# argmax, all JVM-side) is what matters at scale.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "und", "das", "ist"),
+    "fr": ("le", "et", "la", "est"),
+    "es": ("el", "y", "la", "es"),
+    "zh": ("de", "shi", "le", "he"),
+}
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: score = |tokens ∩ markers(lang)| / |tokens|,
+    predict the argmax (rows-only check: the heuristic profile table is
+    engine-internal)."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tokens = F.size(words)
+    scores = [
+        (
+            F.size(F.filter(words, lambda w: w.isin(*markers))) / n_tokens
+        ).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    scored = d.select("doc_id", "lang", n_tokens.alias("n_tokens"), *scores)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"score_{lg}") == best, F.lit(lg)) for lg in langs]
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        pred.alias("predicted_lang"),
+        F.round(best, 4).alias("confidence"),
+    )

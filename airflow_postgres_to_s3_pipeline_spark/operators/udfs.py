@@ -1,0 +1,129 @@
+"""Python UDF surface (SURVEY.md §2B E21, §2C).
+
+The reference's only "UDF" is a per-file pandas preprocess step
+(dags/airbnb_postgres_to_s3.py:41-47); here the same escape hatch is exposed
+the Spark-native way, in preference order:
+
+1. built-in functions (always first choice — see scalar_funcs.py),
+2. ``@pandas_udf`` — Arrow-batched, vectorized, ~10-100x faster than
+   row-at-a-time ``F.udf``,
+3. ``applyInPandas`` for grouped UDAF-style transforms,
+4. row-at-a-time ``F.udf`` kept only as a demonstration of the slow path.
+
+Each query still has a SQL oracle: the UDF bodies are chosen to be
+re-expressible in ANSI SQL so correctness is hash-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType, LongType, StringType
+
+from airflow_postgres_to_s3_pipeline_spark.catalog import table
+
+ORACLES: dict[str, str] = {}
+
+
+def _oracle(name: str, sql: str):
+    ORACLES[name] = sql
+
+
+@F.pandas_udf(DoubleType())
+def _sigmoid_score(totalprice: pd.Series) -> pd.Series:
+    """Vectorized logistic score of order price (numpy under the hood)."""
+    import numpy as np
+
+    return 1.0 / (1.0 + np.exp(-(totalprice - 100000.0) / 50000.0))
+
+
+def pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar pandas UDF over orders (the fast Python path)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round(_sigmoid_score("o_totalprice"), 6).alias("score"),
+    )
+
+
+_oracle(
+    "pandas_udf_score",
+    """
+    SELECT o_orderkey,
+           ROUND(1.0 / (1.0 + EXP(-(o_totalprice - 100000.0) / 50000.0)), 6) AS score
+    FROM orders
+    """,
+)
+
+
+def python_udf_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the slow path, kept for API parity).
+
+    Same result as a built-in expression; at scale prefer pandas_udf_score's
+    shape — this one serializes row-by-row through Python.
+    """
+    tier = F.udf(
+        lambda bal: "negative" if bal < 0 else ("gold" if bal > 7500 else "standard"),
+        StringType(),
+    )
+    c = table(spark, sf_dir, "customer")
+    return c.select("c_custkey", tier("c_acctbal").alias("tier"))
+
+
+_oracle(
+    "python_udf_rowwise",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal > 7500 THEN 'gold'
+                ELSE 'standard' END AS tier
+    FROM customer
+    """,
+)
+
+
+def apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInPandas: z-score of customer balance within segment.
+
+    The group key (mktsegment) is low-cardinality but each group fits
+    executor memory by construction at any SF (bounded customers/segment x
+    fixed row width); for unbounded groups use window functions instead
+    (see windows.py) — noted here because applyInPandas materializes each
+    group in one pandas frame.
+    """
+    schema = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_mktsegment", StringType()),
+            StructField("zscore", DoubleType()),
+        ]
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean = pdf["c_acctbal"].mean()
+        std = pdf["c_acctbal"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_mktsegment": pdf["c_mktsegment"],
+                "zscore": ((pdf["c_acctbal"] - mean) / std).round(4),
+            }
+        )
+
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").applyInPandas(zscore, schema)
+
+
+_oracle(
+    "apply_in_pandas_zscore",
+    """
+    SELECT c_custkey, c_mktsegment,
+           ROUND((c_acctbal - AVG(c_acctbal) OVER w) / STDDEV_SAMP(c_acctbal) OVER w, 4) AS zscore
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment)
+    """,
+)

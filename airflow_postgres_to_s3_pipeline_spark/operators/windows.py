@@ -1,0 +1,266 @@
+"""Window functions and time-window aggregation (SURVEY.md §2B E11-E12, E22).
+
+Ranking/analytic windows partition by a key and sort within the partition —
+one shuffle on the partition key, then a per-partition sort; at 100 TB the
+partition key (custkey/user_id) must be high-cardinality, which these are.
+Every ORDER BY carries a unique tie-break column so results are
+deterministic and hash-comparable.
+
+Time windows (tumbling/sliding/session) are expressed with the same
+``F.window``/``F.session_window`` operators Structured Streaming uses, so
+the batch queries here are the exact batch-equivalents of the streaming
+versions in ``streaming/``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airflow_postgres_to_s3_pipeline_spark.catalog import table
+from airflow_postgres_to_s3_pipeline_spark.functions.numeric import dsum
+
+ORACLES: dict[str, str] = {}
+
+
+def _oracle(name: str, sql: str):
+    ORACLES[name] = sql
+
+
+# ---------------------------------------------------------------------------
+# E11: ranking windows + top-k per group
+# ---------------------------------------------------------------------------
+
+def window_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (row_number + filter)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+_oracle(
+    "window_topk_per_customer",
+    """
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+               CAST(RANK() OVER w AS INTEGER) AS rnk,
+               CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    ) WHERE rn <= 3
+    """,
+)
+
+
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucket of each customer's balance within its segment."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+_oracle(
+    "window_ntile_quartiles",
+    """
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal ASC, c_custkey ASC) AS INTEGER) AS quartile
+    FROM customer
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# E12: analytic windows (lag/lead/first/last) + running frames
+# ---------------------------------------------------------------------------
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order timeline: running spend, lag/lead, first/last.
+
+    The running frame folds left-to-right over a deterministic sort order,
+    so the double additions are order-stable and match the oracle.
+    """
+    o = table(spark, sf_dir, "orders")
+    ws = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    wrun = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = ws.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(27,2)")).over(wrun)
+        .cast("double")
+        .alias("running_spend"),
+        F.lag("o_totalprice", 1).over(ws).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(ws).alias("next_price"),
+        F.first("o_totalprice").over(wall).alias("first_price"),
+        F.last("o_totalprice").over(wall).alias("last_price"),
+    )
+
+
+_oracle(
+    "window_running_total",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+           LAG(o_totalprice, 1) OVER w AS prev_price,
+           LEAD(o_totalprice, 1) OVER w AS next_price,
+           FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_price,
+           LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# E22 batch-equivalents: tumbling / sliding time windows over events
+# ---------------------------------------------------------------------------
+
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window event stats (same operator streaming uses)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_oracle(
+    "tumbling_window_agg",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+
+
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event in 2 windows)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+# DuckDB mirror: every event belongs to the 30-min-aligned window that starts
+# at floor(ts/30min) and the one 30 minutes earlier.
+_oracle(
+    "sliding_window_agg",
+    """
+    WITH buckets AS (
+        SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 * 1000000 AS BIGINT)) AS window_start
+        FROM events
+        UNION ALL
+        SELECT make_timestamp(CAST((floor(epoch(ts) / 1800) - 1) * 1800 * 1000000 AS BIGINT)) AS window_start
+        FROM events
+    )
+    SELECT window_start, COUNT(*) AS n_events
+    FROM buckets
+    GROUP BY window_start
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# E23 batch-equivalent: gap-based session windows
+# ---------------------------------------------------------------------------
+
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap.
+
+    Uses Spark's native ``session_window`` operator (the same one Structured
+    Streaming uses for stateful sessionization).  A session closes when the
+    next event is >= 30 minutes after the previous; session_end is
+    last_event + gap.
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_oracle(
+    "session_window_agg",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)

@@ -1,0 +1,190 @@
+"""Central query registry: every implemented operator from SURVEY.md §2 maps
+to a ``(spark, sf_dir) -> DataFrame`` callable, plus its DuckDB oracle SQL
+where the semantics are SQL-expressible (approx/LSH/heuristic ops are
+rows-only by design — the driver records the weaker check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_postgres_to_s3_pipeline_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    scalar_funcs,
+    similarity,
+    text,
+    udfs,
+    windows,
+)
+from airflow_postgres_to_s3_pipeline_spark.catalog import table
+from airflow_postgres_to_s3_pipeline_spark.streaming import windows as stream_windows
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+# ---------------------------------------------------------------------------
+# Streaming entries: genuine Structured Streaming executions materialized via
+# a memory sink so the result is batch-comparable (SURVEY.md §5 strategy).
+# ---------------------------------------------------------------------------
+
+def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = stream_windows.read_events_stream(spark, sf_dir)
+    stream = stream_windows.tumbling_counts(events)
+    return stream_windows.run_stream_to_memory(stream, spark, output_mode="complete")
+
+
+STREAMING_TUMBLING_ORACLE = """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2, 3
+"""
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = stream_windows.read_events_stream(spark, sf_dir)
+    deduped = stream_windows.dedup_stream(events).select(
+        "event_id", "user_id", "event_type"
+    )
+    return stream_windows.run_stream_to_memory(deduped, spark, output_mode="append")
+
+
+STREAMING_DEDUP_ORACLE = """
+    SELECT event_id, user_id, event_type FROM events
+"""
+
+
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = stream_windows.read_events_stream(spark, sf_dir)
+    stream = stream_windows.session_counts(events)
+    return stream_windows.run_stream_to_memory(stream, spark, output_mode="complete")
+
+
+STREAMING_SESSION_ORACLE = """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry assembly
+# ---------------------------------------------------------------------------
+
+_MODULES = (relational, windows, scalar_funcs, udfs, dedup, similarity, text, multimodal)
+
+QUERIES: dict[str, QueryFn] = {
+    # §2A reference parity (projection+filter export query)
+    "export_projection_filter": relational.export_projection_filter,
+    # E2-E3
+    "computed_projection": relational.computed_projection,
+    "filter_compound": relational.filter_compound,
+    # E8 flagship
+    "pricing_summary": relational.pricing_summary,
+    # E4-E7 joins
+    "join_broadcast_dims": relational.join_broadcast_dims,
+    "join_shuffle_multiway": relational.join_shuffle_multiway,
+    "join_left_outer": relational.join_left_outer,
+    "join_full_outer": relational.join_full_outer,
+    "join_semi": relational.join_semi,
+    "join_anti": relational.join_anti,
+    "join_range": relational.join_range,
+    # E8-E10 aggregates
+    "agg_stats": relational.agg_stats,
+    "distinct_pairs": relational.distinct_pairs,
+    "count_distinct_agg": relational.count_distinct_agg,
+    "approx_count_distinct_users": relational.approx_count_distinct_users,
+    "rollup_acctbal": relational.rollup_acctbal,
+    "cube_status_priority": relational.cube_status_priority,
+    "grouping_sets_agg": relational.grouping_sets_agg,
+    # E13-E14
+    "global_topk": relational.global_topk,
+    "set_operations": relational.set_operations,
+    # E11-E12 windows
+    "window_topk_per_customer": windows.window_topk_per_customer,
+    "window_ntile_quartiles": windows.window_ntile_quartiles,
+    "window_running_total": windows.window_running_total,
+    # E22-E23 batch equivalents
+    "tumbling_window_agg": windows.tumbling_window_agg,
+    "sliding_window_agg": windows.sliding_window_agg,
+    "session_window_agg": windows.session_window_agg,
+    # E15-E20 scalar functions
+    "string_functions": scalar_funcs.string_functions,
+    "date_functions": scalar_funcs.date_functions,
+    "math_functions": scalar_funcs.math_functions,
+    "conditional_functions": scalar_funcs.conditional_functions,
+    "array_functions": scalar_funcs.array_functions,
+    "explode_word_freq": scalar_funcs.explode_word_freq,
+    "json_functions": scalar_funcs.json_functions,
+    # E21 UDF surface
+    "pandas_udf_score": udfs.pandas_udf_score,
+    "python_udf_rowwise": udfs.python_udf_rowwise,
+    "apply_in_pandas_zscore": udfs.apply_in_pandas_zscore,
+    # E22-E23 streaming (genuine readStream executions)
+    "streaming_tumbling_agg": streaming_tumbling_agg,
+    "streaming_dedup": streaming_dedup,
+    "streaming_session_window": streaming_session_window,
+    # E24-E25 dedup
+    "dedup_exact": dedup.dedup_exact,
+    "dedup_keep_first": dedup.dedup_keep_first,
+    "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
+    "simhash_dedup": dedup.simhash_dedup,
+    "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+    # E26 similarity search
+    "knn_bruteforce": similarity.knn_bruteforce,
+    "knn_ivf": similarity.knn_ivf,
+    "embedding_near_dup": similarity.embedding_near_dup,
+    "embedding_lsh_near_dup": similarity.embedding_lsh_near_dup,
+    "embedding_norms": similarity.embedding_norms,
+    # E27 text analysis
+    "doc_quality": text.doc_quality,
+    "lang_stats": text.lang_stats,
+    "token_count": text.token_count,
+    "doc_fingerprint": text.doc_fingerprint,
+    "lang_id_heuristic": text.lang_id_heuristic,
+    # E28 multimodal
+    "multimodal_decode": multimodal.multimodal_decode,
+    "multimodal_partition_stats": multimodal.multimodal_partition_stats,
+}
+
+
+def _collect_oracles() -> dict[str, str]:
+    oracles: dict[str, str] = {}
+    for module in _MODULES:
+        oracles.update(getattr(module, "ORACLES", {}))
+    oracles["streaming_tumbling_agg"] = STREAMING_TUMBLING_ORACLE
+    oracles["streaming_dedup"] = STREAMING_DEDUP_ORACLE
+    oracles["streaming_session_window"] = STREAMING_SESSION_ORACLE
+    # only keep oracles for registered queries
+    return {k: v for k, v in oracles.items() if k in QUERIES}
+
+
+ORACLES: dict[str, str] = _collect_oracles()
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """The smoke-check query: pricing summary joined with order counts."""
+    return relational.pricing_summary(spark, sf_dir)

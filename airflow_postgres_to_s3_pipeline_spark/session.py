@@ -1,0 +1,78 @@
+"""SparkSession factory tuned for the engine.
+
+Scale posture (100 TB north star):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  join-strategy switching replace hand-tuned physical plans.
+- ``partitionOverwriteMode=dynamic``: the reference's delete-then-insert
+  idempotency pattern (dags/airbnb_postgres_to_s3.py:86-88) becomes a single
+  atomic partition overwrite.
+- Session timezone pinned to UTC so timestamp semantics are stable across
+  engines and clusters.
+- Arrow enabled so the pandas-UDF path is batched, never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_MB = 1024 * 1024
+
+
+def get_spark(
+    app_name: str = "airflow-postgres-to-s3-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's default tuning.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default 32); on a real
+    cluster ``master`` comes from spark-submit and this arg is ignored.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    try:
+        default_parallelism = max(int(cpus), 4)
+    except ValueError:
+        default_parallelism = 32
+    sp = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", default_parallelism)
+    )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * _MB))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * _MB))
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
+
+
+def tune_runtime(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally created session.
+
+    The driver harness passes us its own SparkSession; these confs are the
+    subset we rely on for correctness (timezone-stable timestamps, arrow
+    batching) and can be set after JVM start.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # The testdata writes TIMESTAMP(NANOS) parquet, which Spark rejects by
+    # default; read as int64 and convert explicitly (catalog.table).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark

@@ -1,0 +1,132 @@
+"""Structured Streaming operators over the events stream (SURVEY.md §2B
+E22-E23).
+
+Each builder takes a *streaming* DataFrame (``spark.readStream``) and
+returns the transformed streaming DataFrame; ``run_stream_to_memory`` drives
+a bounded source to completion (Trigger.availableNow semantics) and returns
+the materialized result so the same logic is batch-checkable against a SQL
+oracle — the deterministic-batch-equivalence test strategy from SURVEY.md §5.
+
+Scale posture: watermarks bound state (late data beyond the watermark is
+dropped, state for closed windows is evicted); stateful operators shuffle on
+the grouping key exactly once; ``applyInPandasWithState`` batches state
+updates through Arrow.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+# ts is int64 nanoseconds on disk (TIMESTAMP(NANOS) parquet — see
+# catalog.table); converted to a microsecond timestamp after load.
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-based streaming source over the events parquet (each file is a
+    micro-batch; in production this is Kafka/Kinesis with the same schema)."""
+    from airflow_postgres_to_s3_pipeline_spark.session import tune_runtime
+
+    tune_runtime(spark)
+    # The file stream source requires a directory path; pathGlobFilter
+    # narrows the scan to the events table within the sf_dir.
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "pathGlobFilter", "events.parquet"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(sf_dir).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """E22: watermarked tumbling-window counts per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, window: str = "1 hour",
+                   slide: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """E22: watermarked sliding-window counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """E23: gap-based session windows per user (stateful; watermark evicts
+    closed sessions)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "2 hours",
+                 within_watermark: bool = False) -> DataFrame:
+    """E23: stateful streaming dedup on event_id.
+
+    ``within_watermark=True`` uses dropDuplicatesWithinWatermark — state for
+    keys older than the watermark is evicted, the unbounded-state-safe
+    variant for true streams.
+    """
+    keys = keys or ["event_id"]
+    deduped = events.withWatermark("ts", watermark)
+    if within_watermark:
+        return deduped.dropDuplicatesWithinWatermark(keys)
+    return deduped.dropDuplicates(keys)
+
+
+def run_stream_to_memory(stream_df: DataFrame, spark: SparkSession,
+                         output_mode: str = "append") -> DataFrame:
+    """Drive a bounded streaming query to completion into a memory sink and
+    return the result as a *batch* DataFrame (for oracle comparison).
+
+    Uses processAllAvailable (= Trigger.availableNow semantics on a bounded
+    source) then stops the query; the memory sink is driver-resident and is
+    only for tests/verification — production sinks are files/Kafka with
+    checkpointing.
+    """
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(name)

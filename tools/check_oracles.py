@@ -1,0 +1,122 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` mirror on
+DuckDB over the same parquet, then compares row count, column names, and an
+order-insensitive value representation.  Run before committing:
+
+    python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver-style stable float repr
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return str(v)
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        out.append(tuple(norm_cell(row[i]) for i in order))
+    out.sort()
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from airflow_postgres_to_s3_pipeline_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+        except Exception:
+            print(f"FAIL  {name}: spark error")
+            traceback.print_exc()
+            failures.append(name)
+            continue
+        elapsed = time.time() - t0
+        if name not in oracles:
+            print(f"rows-only  {name}: {len(rows)} rows  ({elapsed:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception:
+            print(f"FAIL  {name}: duckdb error")
+            traceback.print_exc()
+            failures.append(name)
+            continue
+        ok = True
+        if len(rows) != len(orows):
+            print(f"FAIL  {name}: rowcount spark={len(rows)} duckdb={len(orows)}")
+            ok = False
+        if sorted(cols) != sorted(ocols):
+            print(f"FAIL  {name}: columns spark={sorted(cols)} duckdb={sorted(ocols)}")
+            ok = False
+        if ok:
+            a = norm_rows(cols, rows)
+            b = norm_rows(ocols, orows)
+            if a != b:
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                print(f"FAIL  {name}: value mismatch; first diffs: {diff}")
+                ok = False
+        if ok:
+            print(f"OK    {name}: {len(rows)} rows  ({elapsed:.1f}s)")
+        else:
+            failures.append(name)
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        return 1
+    print("all queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
