@@ -88,41 +88,56 @@ _oracle(
 # E25: MinHash + LSH near-dedup (composition of built-in DataFrame ops)
 # ---------------------------------------------------------------------------
 
-def shingle(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            k: int = 3) -> DataFrame:
-    """Distinct word k-shingles per document, computed JVM-side.
-
-    ``transform(sequence(...))`` builds the shingle array with higher-order
-    functions — no Python in the loop — then explode + distinct.
+def shingle_arrays(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Distinct word k-shingles per document as an array column — entirely
+    row-local (no explode, no shuffle): at 100 TB the whole shingling +
+    signature stage runs in the map phase of the scan.
     """
     words = F.split(F.col(text_col), " ")
     n = F.size(words)
     idx = F.sequence(F.lit(0), n - F.lit(k))
-    shingles = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + F.lit(j) + F.lit(1)).cast("int")) for j in range(k)]
-        ),
+    shingles = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                *[
+                    F.element_at(words, (i + F.lit(j) + F.lit(1)).cast("int"))
+                    for j in range(k)
+                ],
+            ),
+        )
     )
-    return (
-        df.select(F.col(id_col).alias("doc_id"), shingles.alias("shingles"))
-        .filter(n >= k)
-        .select("doc_id", F.explode("shingles").alias("shingle"))
-        .distinct()
+    return df.filter(n >= k).select(
+        F.col(id_col).alias("doc_id"), shingles.alias("shingles")
+    )
+
+
+def shingle(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            k: int = 3) -> DataFrame:
+    """Exploded (doc_id, shingle) rows — only for set-join style consumers
+    (ngram_jaccard_pairs); prefer ``shingle_arrays`` for row-local work."""
+    return shingle_arrays(df, text_col, id_col, k).select(
+        "doc_id", F.explode("shingles").alias("shingle")
     )
 
 
 def minhash_signatures(shingles: DataFrame, n_hashes: int = 32) -> DataFrame:
-    """MinHash signature per doc: min over shingles of xxhash64(shingle, seed).
+    """MinHash signature per doc, row-local: sig_i = min over the shingle
+    array of xxhash64(shingle, seed_i).
 
-    One aggregation produces all n_hashes signature slots (map-side partial
-    mins), so cost is one shuffle on doc_id regardless of n_hashes.
+    ``array_min(transform(...))`` keeps all n_hashes slots inside the scan
+    stage — zero shuffles (the exploded groupBy-min formulation shuffles
+    the entire shingle table, which is corpus-sized).
     """
-    aggs = [
-        F.min(F.xxhash64("shingle", F.lit(seed))).alias(f"h{seed}")
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(seed)))
+        ).alias(f"h{seed}")
         for seed in range(n_hashes)
     ]
-    return shingles.groupBy("doc_id").agg(*aggs)
+    return shingles.select("doc_id", *sig_cols)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 32,
@@ -164,29 +179,24 @@ def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 32,
 
 def verify_jaccard(candidates: DataFrame, shingles: DataFrame,
                    threshold: float = 0.6) -> DataFrame:
-    """Exact Jaccard on candidate pairs only (set sizes + intersection)."""
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        candidates.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    """Exact Jaccard on candidate pairs only.
+
+    Joins the (small) candidate set back to the per-doc shingle arrays —
+    Spark broadcasts the candidate side under AQE — then computes the
+    intersection row-locally with ``array_intersect``: no shuffle of the
+    corpus, work proportional to candidates, not documents.
+    """
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    n_union = F.size("sh_a") + F.size("sh_b") - n_inter
     return (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("n_inter")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
-                3,
-            ).alias("jaccard"),
+            F.round(n_inter / n_union, 3).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -195,10 +205,22 @@ def verify_jaccard(candidates: DataFrame, shingles: DataFrame,
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n_hashes: int = 32,
                       bands: int = 8, k: int = 3,
-                      threshold: float = 0.6) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band -> verify."""
-    sh = shingle(df, text_col, id_col, k)
-    sig = minhash_signatures(sh, n_hashes)
+                      threshold: float = 0.6,
+                      shards: int | None = None) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band -> verify.
+
+    Only two shuffles end-to-end regardless of corpus size: the banded
+    candidate self-join and the candidate->shingle lookup; everything else
+    is map-side.  The shingle/signature stages are persisted because the
+    plan consumes them three times (band-join both sides + verify) — without
+    it Spark recomputes the CPU-heavy hashing per consumer.  ``shards``
+    spreads a few-files-input across cores (a 100 TB corpus arrives
+    pre-split; a single local parquet file does not).
+    """
+    if shards:
+        df = df.repartition(shards)
+    sh = shingle_arrays(df, text_col, id_col, k).persist()
+    sig = minhash_signatures(sh, n_hashes).persist()
     cand = lsh_candidate_pairs(sig, n_hashes, bands)
     return verify_jaccard(cand, sh, threshold)
 
@@ -207,7 +229,8 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs over documents (rows-only check: LSH
     recall is probabilistic, so no exact SQL oracle)."""
     d = table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d)
+    shards = spark.sparkContext.defaultParallelism
+    return minhash_lsh_pairs(d, shards=shards)
 
 
 # ---------------------------------------------------------------------------
@@ -216,33 +239,38 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document, fully JVM-side.
+    """64-bit SimHash per document, fully row-local (zero shuffles).
 
-    Each token votes +1/-1 per bit of its xxhash64; the signature sets bit i
-    when the vote sum is positive.  Implemented as 64 conditional-sum
-    aggregates over the exploded token table — one shuffle on doc_id.
+    Token hashes are computed once into an array; each bit's +1/-1 vote sum
+    is a higher-order fold over that array.  The whole signature stage runs
+    inside the scan's map phase — the exploded groupBy formulation would
+    shuffle every token in the corpus.
     """
-    tokens = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(F.split(text_col, " ")).alias("tok"))
-        .filter(F.length("tok") > 0)
-        .withColumn("th", F.xxhash64("tok"))
+    token_hashes = F.transform(
+        F.filter(F.split(text_col, " "), lambda t: F.length(t) > 0),
+        lambda t: F.xxhash64(t),
     )
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    agg = tokens.groupBy("doc_id").agg(*votes)
-    # Assemble the signature with shifts + bitwise OR (no arithmetic, so the
-    # sign bit at i=63 is safe under ANSI overflow checking).
+    hashed = df.select(F.col(id_col).alias("doc_id"), token_hashes.alias("ths"))
+
+    def bit_vote(i: int):
+        # votes_i = (#tokens with bit i set) * 2 - n_tokens
+        set_count = F.size(
+            F.filter(
+                F.col("ths"),
+                lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
+            )
+        )
+        return set_count * 2 - F.size("ths")
+
+    # Assemble the signature with shifts + bitwise OR (no arithmetic on the
+    # sign bit at i=63, safe under ANSI overflow checking).
     sig = None
     for i in range(bits):
         term = F.when(
-            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            bit_vote(i) > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig.bitwiseOR(term)
-    return agg.select("doc_id", sig.alias("simhash"))
+    return hashed.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
@@ -253,7 +281,8 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     hamming distance 3 must agree on >= 1 chunk (pigeonhole), so candidate
     generation is 4 equi-joins on chunk value instead of an all-pairs scan.
     """
-    sig = simhash_signatures(df, text_col, id_col)
+    # persist: the chunked self-join consumes the signatures twice.
+    sig = simhash_signatures(df, text_col, id_col).persist()
     chunks = sig.select(
         "doc_id",
         "simhash",
@@ -296,7 +325,9 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
 
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs over documents (rows-only check)."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return simhash_near_pairs(d)
 
 

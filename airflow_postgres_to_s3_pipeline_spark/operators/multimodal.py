@@ -114,7 +114,14 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle-checked: the fake decode features are byte-exact SQL expressions
     (ascii texts, so octet length == char length).
     """
-    d = table(spark, sf_dir, "documents")
+    # Spread the single local parquet file across Python workers; a real
+    # corpus arrives pre-split, so this repartition is local-bench-only
+    # parallelism, not an extra production shuffle.  Capped at 8: each
+    # partition spawns an Arrow python worker, and at this payload size
+    # worker spin-up dominates past that.
+    d = table(spark, sf_dir, "documents").repartition(
+        min(spark.sparkContext.defaultParallelism, 8)
+    )
     return decode_features(attach_payload(d))
 
 

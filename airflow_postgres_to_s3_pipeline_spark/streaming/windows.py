@@ -39,7 +39,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     # The file stream source requires a directory path; pathGlobFilter
     # narrows the scan to the events table within the sf_dir.
     reader = spark.readStream.schema(EVENTS_SCHEMA).option(
-        "pathGlobFilter", "events.parquet"
+        "pathGlobFilter", "events*.parquet"
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

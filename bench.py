@@ -1,0 +1,83 @@
+"""Benchmark the engine's headline queries.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver materialization — the same shape a distributed write has at scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# Headline set: one per operator family, weighted toward the shuffle/join/
+# window/LLM paths that dominate at scale.
+BENCH_QUERIES = [
+    "pricing_summary",
+    "join_broadcast_dims",
+    "join_shuffle_multiway",
+    "join_range",
+    "window_topk_per_customer",
+    "window_running_total",
+    "tumbling_window_agg",
+    "session_window_agg",
+    "json_functions",
+    "explode_word_freq",
+    "dedup_exact",
+    "minhash_lsh_dedup",
+    "knn_bruteforce",
+    "doc_quality",
+    "multimodal_decode",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from airflow_postgres_to_s3_pipeline_spark.session import get_spark
+    from airflow_postgres_to_s3_pipeline_spark import registry
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen once so per-query numbers measure the engine,
+    # not classloading.
+    registry.QUERIES["pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = registry.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

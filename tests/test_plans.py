@@ -1,0 +1,65 @@
+"""Plan-shape assertions: the 100 TB design rules, checked on real plans.
+
+Correct results with the wrong plan is a latent scale bug — these tests pin
+the physical properties we rely on: filter pushdown to the parquet scan,
+column pruning, broadcast joins for dims, no cartesian products in the
+banded LSH join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_postgres_to_s3_pipeline_spark.catalog import table
+from airflow_postgres_to_s3_pipeline_spark.operators import relational, similarity
+from airflow_postgres_to_s3_pipeline_spark.plans import (
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = relational.export_projection_filter(spark, sf_dir)
+    filters = " ".join(pushed_filters(df))
+    assert "o_orderstatus" in filters, f"pushdown missing: {filters}"
+
+
+def test_column_pruning(spark, sf_dir):
+    df = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    plan = explain_str(df)
+    # ReadSchema must not include unprojected columns
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    assert has_broadcast_join(relational.join_broadcast_dims(spark, sf_dir))
+
+
+def test_knn_broadcasts_queries(spark, sf_dir):
+    plan = explain_str(similarity.knn_bruteforce(spark, sf_dir), "simple")
+    assert "Broadcast" in plan
+
+
+def test_no_collect_in_operator_paths():
+    """Design rule: no driver materialization inside operators (the
+    reference's fetchall anti-pattern, SURVEY.md Q3)."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / (
+        "airflow_postgres_to_s3_pipeline_spark"
+    )
+    offenders = []
+    for p in root.rglob("*.py"):
+        src = p.read_text()
+        if ".collect()" in src or ".toPandas()" in src:
+            offenders.append(p.name)
+    assert not offenders, f"driver materialization in: {offenders}"
+
+
+def test_aqe_and_dynamic_overwrite_defaults(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
+        == "dynamic"
+    )

@@ -1,0 +1,102 @@
+"""Text analysis and multimodal plumbing behaviors."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_postgres_to_s3_pipeline_spark.operators import multimodal, text
+
+
+def test_doc_quality_features_sane(spark, sf_dir):
+    rows = text.doc_quality(spark, sf_dir).collect()
+    for r in rows:
+        assert 0 <= r["punct_ratio"] <= 1
+        assert 0 <= r["stop_ratio"] <= 1
+        assert 0 <= r["quality_score"] <= 1
+        assert r["n_tokens"] > 0
+
+
+def test_token_count_consistency(spark, sf_dir):
+    rows = text.token_count(spark, sf_dir).collect()
+    for r in rows:
+        # BPE-ish tokens (words + punct marks) >= whitespace tokens
+        assert r["bpe_tokens"] >= r["ws_tokens"] > 0
+
+
+def test_fingerprint_is_stable_and_unique_per_content(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello World ", "en", "s", 11), (2, "  hello world", "en", "s", 11),
+         (3, "different", "en", "s", 9)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    df.createOrReplaceTempView("ignore")
+    norm = F.lower(F.trim(F.col("text")))
+    fp = df.select("doc_id", F.md5(norm.cast("binary")).alias("f")).collect()
+    fps = {r["doc_id"]: r["f"] for r in fp}
+    assert fps[1] == fps[2]  # normalization collapses case/whitespace
+    assert fps[1] != fps[3]
+
+
+def test_lang_id_predicts_marker_language(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is of the house"),
+            (2, "der hund und das haus ist der garten und der baum"),
+        ],
+        ["doc_id", "text"],
+    ).withColumn("lang", F.lit("?"))
+    df.createOrReplaceTempView("tmp_docs")
+
+    # run the heuristic on a planted frame via the same expressions
+    from airflow_postgres_to_s3_pipeline_spark.operators.text import LANG_MARKERS
+
+    words = F.split("text", " ")
+    n_tokens = F.size(words)
+    scores = [
+        (F.size(F.filter(words, lambda w: w.isin(*m))) / n_tokens).alias(f"score_{lg}")
+        for lg, m in LANG_MARKERS.items()
+    ]
+    scored = df.select("doc_id", *scores)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.coalesce(*[F.when(F.col(f"score_{lg}") == best, F.lit(lg)) for lg in langs])
+    got = {r["doc_id"]: r["pred"] for r in scored.select("doc_id", pred.alias("pred")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+
+
+def test_multimodal_decode_features_match_bytes(spark, sf_dir):
+    decoded = {r["doc_id"]: r for r in multimodal.multimodal_decode(spark, sf_dir).collect()}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for doc_id, txt in list(docs.items())[:20]:
+        d = decoded[doc_id]
+        raw = txt.encode()
+        assert d["payload_size"] == len(raw)
+        assert d["first_byte"] == raw[0]
+        assert d["last_byte"] == raw[-1]
+        assert d["media_type"] == "text/plain"
+
+
+def test_real_decoder_is_explicit_stub():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decoder(b"\x89PNG")
+
+
+def test_binary_file_source_roundtrip(spark, tmp_path):
+    import os
+
+    from airflow_postgres_to_s3_pipeline_spark.sources.readers import read_binary_files
+
+    p = os.path.join(str(tmp_path), "img-1.bin")
+    payload = b"\x89PNG-fake-bytes"
+    with open(p, "wb") as f:
+        f.write(payload)
+    df = read_binary_files(spark, str(tmp_path), "*.bin")
+    row = df.select("path", "length", "content").collect()[0]
+    assert row["length"] == len(payload)
+    assert bytes(row["content"]) == payload
