@@ -638,3 +638,105 @@ _oracle(
     )
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# E10b: pivot (conditional aggregation re-expressed)
+# ---------------------------------------------------------------------------
+
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts per priority pivoted on status — ``pivot`` with an
+    explicit value list (never pivot on unbounded cardinality at scale;
+    the explicit list keeps the plan a single pass)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+
+
+_oracle(
+    "pivot_status_counts",
+    """
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# E8c: correlation / covariance via deterministic decimal moment sums
+# ---------------------------------------------------------------------------
+
+def corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + covariance of quantity vs extendedprice per
+    returnflag, computed from exact decimal moment sums so the result is
+    partitioning-independent (built-in corr/covar merge partial moments in
+    nondeterministic order)."""
+    l = table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    sx = F.sum(F.col("l_quantity").cast("decimal(27,2)")).cast("double")
+    sy = F.sum(F.col("l_extendedprice").cast("decimal(27,2)")).cast("double")
+    sxy = F.sum(
+        (F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(38,4)")
+    ).cast("double")
+    sx2 = F.sum(
+        (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(38,4)")
+    ).cast("double")
+    sy2 = F.sum(
+        (F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(38,4)")
+    ).cast("double")
+    cov = (sxy - sx * sy / n) / (n - F.lit(1))
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy)
+    )
+    return l.groupBy("l_returnflag").agg(
+        cov.alias("covar_qty_price"), corr.alias("corr_qty_price"), n.alias("n_rows")
+    )
+
+
+_oracle(
+    "corr_covar",
+    """
+    SELECT l_returnflag,
+           (CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE)
+              * CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) / COUNT(*))
+           / (COUNT(*) - 1) AS covar_qty_price,
+           (COUNT(*) * CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE)
+              * CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE))
+           / (SQRT(COUNT(*) * CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+                   - CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE)
+                     * CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE))
+              * SQRT(COUNT(*) * CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+                     - CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE)
+                       * CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE)))
+           AS corr_qty_price,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# E9b: percentiles — approximate sketch (rows-only) next to the exact form
+# ---------------------------------------------------------------------------
+
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (QuantileSummaries sketch) — the 100 TB path:
+    mergeable fixed-size state instead of a full sort.  Rows-only check
+    (sketch results are implementation-specific)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75, 0.95], 10000).alias(
+            "price_quantiles"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -286,3 +286,39 @@ _oracle(
     GROUP BY event_type
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# E20b: map functions
+# ---------------------------------------------------------------------------
+
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a map column from scalars, extract/inspect it — map plumbing
+    stays JVM-side; outputs are scalars so the result is hash-comparable."""
+    e = table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return e.select(
+        "event_id",
+        m.getItem("type").alias("m_type"),
+        m.getItem("uid").alias("m_uid"),
+        F.size(m).alias("m_size"),
+        F.array_sort(F.map_keys(m)).alias("m_keys"),
+        F.map_contains_key(m, "uid").alias("has_uid"),
+    )
+
+
+_oracle(
+    "map_functions",
+    """
+    SELECT event_id,
+           event_type AS m_type,
+           CAST(user_id AS VARCHAR) AS m_uid,
+           2 AS m_size,
+           ['type', 'uid'] AS m_keys,
+           TRUE AS has_uid
+    FROM events
+    """,
+)

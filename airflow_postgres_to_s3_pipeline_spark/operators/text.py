@@ -203,3 +203,69 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.alias("predicted_lang"),
         F.round(best, 4).alias("confidence"),
     )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document, as a pure DataFrame composition
+    (tokenize -> term counts -> document frequency -> idf join -> rank).
+
+    Scale shape: two shuffles (term-count groupBy, df groupBy) plus a
+    broadcast join of the (vocabulary-sized) idf table back onto term
+    counts.  ln() is rounded to 6 decimals because libm implementations
+    differ in the last ulp; ranking uses the rounded value + term as the
+    deterministic tie-break.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar into the plan (metadata-scale, not data)
+    tokens = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.select(
+        "term",
+        F.round(F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6).alias("idf"),
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", "rnk")
+    )
+
+
+_oracle(
+    "tfidf_top_terms",
+    """
+    WITH tokens AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM tokens WHERE LENGTH(term) > 0
+        GROUP BY doc_id, term
+    ), idf AS (
+        SELECT term,
+               ROUND(LN(((SELECT COUNT(*) FROM documents) + 1.0) / (COUNT(*) + 1.0)), 6) AS idf
+        FROM tf GROUP BY term
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               ROUND(tf.tf * idf.idf, 6) AS tfidf
+        FROM tf JOIN idf USING (term)
+    )
+    SELECT doc_id, term, tf, tfidf, rnk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+)

@@ -127,3 +127,46 @@ _oracle(
     WINDOW w AS (PARTITION BY c_mktsegment)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# E21d: Python UDTF (table function) — one input row -> many output rows
+# ---------------------------------------------------------------------------
+
+@F.udtf(returnType="word: string, word_len: int")
+class ExpandWords:
+    """UDTF splitting a document into (word, length) rows.
+
+    The UDTF path is for row-expansion logic too irregular for
+    ``explode``; for plain splitting the built-in explode (see
+    explode_word_freq) stays JVM-side and is preferred — this exists for
+    API-surface parity and is oracle-checked all the same.
+    """
+
+    def eval(self, text: str):  # noqa: D102
+        for w in text.split(" "):
+            if w:
+                yield w, len(w)
+
+
+def python_udtf_word_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_postgres_to_s3_pipeline_spark.catalog import table as _table
+
+    d = _table(spark, sf_dir, "documents")
+    # lateral join: one row per word per document
+    return (
+        d.lateralJoin(ExpandWords(F.col("text").outer()))
+        .groupBy("word_len")
+        .agg(F.count(F.lit(1)).alias("n_words"))
+    )
+
+
+_oracle(
+    "python_udtf_word_expand",
+    """
+    SELECT CAST(LENGTH(word) AS INTEGER) AS word_len, COUNT(*) AS n_words
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE LENGTH(word) > 0
+    GROUP BY 1
+    """,
+)

@@ -264,3 +264,78 @@ _oracle(
     GROUP BY user_id, session_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# E12b: RANGE frames (value-based windows)
+# ---------------------------------------------------------------------------
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders placed in the 30 days up to each order (RANGE frame on epoch
+    seconds) — the value-based frame variant of E12."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.count(F.lit(1)).over(w).alias("orders_in_30d"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_in_30d"),
+    )
+
+
+_oracle(
+    "window_range_frame",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           COUNT(*) OVER w AS orders_in_30d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) OVER w AS DOUBLE) AS spend_in_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# As-of style: latest prior event of a given type (time-series enrichment)
+# ---------------------------------------------------------------------------
+
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event, the timestamp of the user's most recent purchase at
+    or before it — the as-of-join pattern expressed as last_value(ignore
+    nulls) over a running frame (single shuffle on user_id; no range join).
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(purchase_ts, ignorenulls=True).over(w).alias("last_purchase_ts"),
+    )
+
+
+_oracle(
+    "asof_last_purchase",
+    """
+    SELECT event_id, user_id, ts, event_type,
+           LAST_VALUE(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts
+    FROM events
+    """,
+)

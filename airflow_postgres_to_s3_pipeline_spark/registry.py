@@ -114,6 +114,9 @@ QUERIES: dict[str, QueryFn] = {
     "join_range": relational.join_range,
     # E8-E10 aggregates
     "agg_stats": relational.agg_stats,
+    "corr_covar": relational.corr_covar,
+    "pivot_status_counts": relational.pivot_status_counts,
+    "approx_percentiles": relational.approx_percentiles,
     "distinct_pairs": relational.distinct_pairs,
     "count_distinct_agg": relational.count_distinct_agg,
     "approx_count_distinct_users": relational.approx_count_distinct_users,
@@ -127,6 +130,8 @@ QUERIES: dict[str, QueryFn] = {
     "window_topk_per_customer": windows.window_topk_per_customer,
     "window_ntile_quartiles": windows.window_ntile_quartiles,
     "window_running_total": windows.window_running_total,
+    "window_range_frame": windows.window_range_frame,
+    "asof_last_purchase": windows.asof_last_purchase,
     # E22-E23 batch equivalents
     "tumbling_window_agg": windows.tumbling_window_agg,
     "sliding_window_agg": windows.sliding_window_agg,
@@ -139,10 +144,12 @@ QUERIES: dict[str, QueryFn] = {
     "array_functions": scalar_funcs.array_functions,
     "explode_word_freq": scalar_funcs.explode_word_freq,
     "json_functions": scalar_funcs.json_functions,
+    "map_functions": scalar_funcs.map_functions,
     # E21 UDF surface
     "pandas_udf_score": udfs.pandas_udf_score,
     "python_udf_rowwise": udfs.python_udf_rowwise,
     "apply_in_pandas_zscore": udfs.apply_in_pandas_zscore,
+    "python_udtf_word_expand": udfs.python_udtf_word_expand,
     # E22-E23 streaming (genuine readStream executions)
     "streaming_tumbling_agg": streaming_tumbling_agg,
     "streaming_dedup": streaming_dedup,
@@ -165,6 +172,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_count": text.token_count,
     "doc_fingerprint": text.doc_fingerprint,
     "lang_id_heuristic": text.lang_id_heuristic,
+    "tfidf_top_terms": text.tfidf_top_terms,
     # E28 multimodal
     "multimodal_decode": multimodal.multimodal_decode,
     "multimodal_partition_stats": multimodal.multimodal_partition_stats,
