@@ -1,0 +1,366 @@
+"""Advanced relational surface: subqueries, exact percentiles, skew-safe
+plans, analytic lag/lead, snapshot union, conditional and ordered-string
+aggregates.
+
+Extends SURVEY.md §2B (E8, E11-E12, E14) and exercises the skew toolkit
+(operators/skew.py) under a plain-SQL oracle: the salted plans must produce
+byte-identical results to the unsalted SQL, proving the rewrite is pure.
+
+The reference's operator accepts arbitrary SQL (
+plugins/custom_operator/postgres_to_s3_operator.py:21,42), so its capability
+surface includes scalar/correlated subqueries executed by Postgres; here they
+are expressed as DataFrame compositions (broadcast scalar join / aggregated
+semi-join) — the shapes Catalyst itself rewrites subqueries into.
+
+Scale notes (100 TB):
+- scalar_subquery_threshold: the aggregate side is a 1-row broadcast; the
+  fact scan keeps its pushed-down filter — no shuffle.
+- correlated_agg_subquery: the correlated aggregate becomes a shuffle
+  group-by on the correlation key then an equi-join — the same plan a
+  decorrelating optimizer emits; AQE can still broadcast the aggregated side
+  when it turns out small.
+- join_skew_salted / salted_agg_hot_key: explicit salting caps any single
+  reducer at ~1/n_salts of the hottest key; results provably identical to
+  the unsalted plan via the oracle hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airflow_postgres_to_s3_pipeline_spark.catalog import table
+from airflow_postgres_to_s3_pipeline_spark.functions.numeric import dsum
+from airflow_postgres_to_s3_pipeline_spark.operators.skew import (
+    salted_aggregate,
+    salted_broadcast_left,
+)
+
+ORACLES: dict[str, str] = {}
+
+
+def _oracle(name: str, sql: str):
+    ORACLES[name] = sql
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery: orders within 3% of the global max price
+# ---------------------------------------------------------------------------
+
+def scalar_subquery_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE o_totalprice > 0.97 * (SELECT MAX(o_totalprice) FROM orders).
+
+    The scalar aggregate is a 1-row DataFrame broadcast into the filter —
+    at 100 TB the fact side never shuffles for it.  (0.97 * max is a single
+    IEEE multiply, bit-identical on both engines; an AVG threshold would be
+    summation-order-dependent and is deliberately avoided.)
+    """
+    o = table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_totalprice").alias("_mx"))
+    return (
+        o.crossJoin(F.broadcast(mx))
+        .filter(F.col("o_totalprice") > 0.97 * F.col("_mx"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_oracle(
+    "scalar_subquery_threshold",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 0.97 * (SELECT MAX(o_totalprice) FROM orders)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Correlated aggregate subquery (decorrelated form): slow-shipping orders
+# ---------------------------------------------------------------------------
+
+def correlated_agg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose latest lineitem ships > 60 days after the order date.
+
+    The correlated ``(SELECT MAX(l_shipdate) WHERE l_orderkey = o_orderkey)``
+    is expressed pre-decorrelated: group lineitem by the correlation key,
+    then equi-join — one shuffle each side on l_orderkey/o_orderkey, and AQE
+    may broadcast the aggregated side if it is small after the filter.
+    """
+    o = table(spark, sf_dir, "orders")
+    last_ship = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    return (
+        o.join(last_ship, o.o_orderkey == last_ship.l_orderkey)
+        .filter(F.col("last_ship") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("o_orderkey", "o_orderdate", "last_ship")
+    )
+
+
+_oracle(
+    "correlated_agg_subquery",
+    """
+    SELECT o_orderkey, o_orderdate,
+           (SELECT MAX(l_shipdate) FROM lineitem
+             WHERE l_orderkey = o_orderkey) AS last_ship
+    FROM orders
+    WHERE (SELECT MAX(l_shipdate) FROM lineitem
+            WHERE l_orderkey = o_orderkey) > o_orderdate + INTERVAL 60 DAY
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (percentile_cont semantics) per group
+# ---------------------------------------------------------------------------
+
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75 of l_quantity per return flag.
+
+    ``F.percentile`` is Spark's exact linear-interpolation percentile
+    (percentile_cont semantics).  l_quantity is integer-valued, so the
+    interpolation a + f*(b-a) at f in {0,.25,.5,.75} is exact in binary —
+    no cross-engine tie risk.  Exact percentile requires a per-group sort;
+    at 100 TB prefer approx_percentile (see relational.approx_percentiles)
+    unless exactness is contractual.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+            F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
+            F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+_oracle(
+    "exact_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe salted join, oracle-checked against the unsalted SQL
+# ---------------------------------------------------------------------------
+
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per brand via an explicitly salted fact-dim join.
+
+    part is replicated n_salts ways and lineitem salted, so a hot partkey
+    spreads over 8 reducers (operators/skew.py).  The oracle is the plain
+    unsalted join — hash equality proves the salting rewrite is semantics-
+    preserving.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").withColumnRenamed("p_partkey", "l_partkey")
+    joined = salted_broadcast_left(l, p, key="l_partkey", n_salts=8)
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1.0 - F.col("l_discount")), 6)
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_oracle(
+    "join_skew_salted",
+    """
+    SELECT p_brand,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+
+
+def salted_agg_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation on a 3-distinct-value key (max skew).
+
+    l_returnflag has ~3 values over the whole fact table — the worst case
+    for a single-phase groupBy at scale.  salted_aggregate partial-aggregates
+    under (key, salt) then merges; quantity partials are integer-valued so
+    the double merge is exact in any order.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    return salted_aggregate(
+        l,
+        ["l_returnflag"],
+        {
+            "sum_qty": lambda: dsum("l_quantity", 0),
+            "n_rows": lambda: F.count("*"),
+            "max_price": lambda: F.max("l_extendedprice"),
+        },
+        n_salts=16,
+        salt_source="l_orderkey",
+    )
+
+
+_oracle(
+    "salted_agg_hot_key",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,0))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# E12: lag/lead analytic windows over the event stream
+# ---------------------------------------------------------------------------
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event deltas: previous value, next event type, value change.
+
+    One shuffle on user_id; the (ts, event_id) tiebreak makes row order —
+    and therefore lag/lead — fully deterministic.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+        (F.col("value") - F.lag("value", 1).over(w)).alias("value_delta"),
+    )
+
+
+_oracle(
+    "window_lag_lead",
+    """
+    SELECT user_id, event_id, ts, value,
+           lag(value, 1)      OVER w AS prev_value,
+           lead(event_type, 1) OVER w AS next_type,
+           value - lag(value, 1) OVER w AS value_delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# U1 parity: union-all of snapshot slices (the reference's 11-file loop)
+# ---------------------------------------------------------------------------
+
+def union_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union two batch slices then aggregate — the reference's snapshot-loop
+    load (dags/airbnb_postgres_to_s3.py:91-92) as a single unionByName job.
+
+    A multi-path ``spark.read`` is the zero-cost equivalent at scale; union
+    of DataFrames is a no-shuffle narrow op either way.
+    """
+    o = table(spark, sf_dir, "orders")
+    early = o.filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    late = o.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+    return (
+        early.unionByName(late)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+_oracle(
+    "union_snapshots",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
+    FROM (
+        SELECT * FROM orders WHERE o_orderdate <  TIMESTAMP '1996-01-01'
+        UNION ALL
+        SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Conditional / boolean aggregates
+# ---------------------------------------------------------------------------
+
+def conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if / bool_and / bool_or / filtered counts per order priority."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 150000.0).alias("n_big"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+            F.count("*").alias("n_total"),
+        )
+    )
+
+
+_oracle(
+    "conditional_aggregates",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_totalprice > 150000.0) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) AS n_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (listagg)
+# ---------------------------------------------------------------------------
+
+def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comma-joined sorted nation list per region.
+
+    collect_list order is partition-dependent, so the list is array_sort'ed
+    before joining — the only way a distributed listagg is deterministic.
+    """
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+            .alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+_oracle(
+    "string_agg_ordered",
+    """
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)

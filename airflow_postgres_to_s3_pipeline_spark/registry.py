@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from airflow_postgres_to_s3_pipeline_spark.operators import (
+    advanced,
     dedup,
     multimodal,
     relational,
@@ -94,7 +95,17 @@ STREAMING_SESSION_ORACLE = """
 # Registry assembly
 # ---------------------------------------------------------------------------
 
-_MODULES = (relational, windows, scalar_funcs, udfs, dedup, similarity, text, multimodal)
+_MODULES = (
+    relational,
+    advanced,
+    windows,
+    scalar_funcs,
+    udfs,
+    dedup,
+    similarity,
+    text,
+    multimodal,
+)
 
 QUERIES: dict[str, QueryFn] = {
     # §2A reference parity (projection+filter export query)
@@ -126,6 +137,17 @@ QUERIES: dict[str, QueryFn] = {
     # E13-E14
     "global_topk": relational.global_topk,
     "set_operations": relational.set_operations,
+    # Advanced relational: subqueries, exact percentiles, skew-safe plans,
+    # snapshot union (U1), conditional/ordered-string aggregates
+    "scalar_subquery_threshold": advanced.scalar_subquery_threshold,
+    "correlated_agg_subquery": advanced.correlated_agg_subquery,
+    "exact_percentiles": advanced.exact_percentiles,
+    "join_skew_salted": advanced.join_skew_salted,
+    "salted_agg_hot_key": advanced.salted_agg_hot_key,
+    "window_lag_lead": advanced.window_lag_lead,
+    "union_snapshots": advanced.union_snapshots,
+    "conditional_aggregates": advanced.conditional_aggregates,
+    "string_agg_ordered": advanced.string_agg_ordered,
     # E11-E12 windows
     "window_topk_per_customer": windows.window_topk_per_customer,
     "window_ntile_quartiles": windows.window_ntile_quartiles,

@@ -1,0 +1,94 @@
+"""Invariant checks for operators/advanced.py at sf0.001 (full oracle
+coverage lives in tools/check_oracles.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_postgres_to_s3_pipeline_spark.catalog import table
+from airflow_postgres_to_s3_pipeline_spark.operators import advanced
+
+
+def test_scalar_subquery_threshold_bound(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_totalprice")).collect()[0][0]
+    rows = advanced.scalar_subquery_threshold(spark, sf_dir).collect()
+    assert rows, "threshold filter should keep the max row itself"
+    assert all(r["o_totalprice"] > 0.97 * mx for r in rows)
+
+
+def test_correlated_agg_subquery_semantics(spark, sf_dir):
+    rows = advanced.correlated_agg_subquery(spark, sf_dir).limit(50).collect()
+    for r in rows:
+        assert (r["last_ship"] - r["o_orderdate"]).days >= 60
+
+
+def test_exact_percentiles_ordered(spark, sf_dir):
+    for r in advanced.exact_percentiles(spark, sf_dir).collect():
+        assert r["p25"] <= r["p50"] <= r["p75"]
+        assert 1.0 <= r["p25"] and r["p75"] <= 50.0
+
+
+def test_salted_join_matches_unsalted(spark, sf_dir):
+    """The salted plan must be semantics-preserving vs the plain join."""
+    salted = {
+        r["p_brand"]: r["n_items"]
+        for r in advanced.join_skew_salted(spark, sf_dir).collect()
+    }
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    plain = {
+        r["p_brand"]: r["n"]
+        for r in l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_matches_plain_groupby(spark, sf_dir):
+    salted = {
+        r["l_returnflag"]: (r["sum_qty"], r["n_rows"], r["max_price"])
+        for r in advanced.salted_agg_hot_key(spark, sf_dir).collect()
+    }
+    plain = {
+        r["l_returnflag"]: (r["sum_qty"], r["n_rows"], r["max_price"])
+        for r in table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(27,0)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_window_lag_lead_delta(spark, sf_dir):
+    rows = (
+        advanced.window_lag_lead(spark, sf_dir)
+        .filter(F.col("user_id") == 1)
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    assert rows[0]["prev_value"] is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["prev_value"] == prev["value"]
+        assert cur["value_delta"] == cur["value"] - prev["value"]
+
+
+def test_union_snapshots_total(spark, sf_dir):
+    out = advanced.union_snapshots(spark, sf_dir)
+    total = out.agg(F.sum("n_orders")).collect()[0][0]
+    assert total == table(spark, sf_dir, "orders").count()
+
+
+def test_string_agg_sorted(spark, sf_dir):
+    for r in advanced.string_agg_ordered(spark, sf_dir).collect():
+        names = r["nations"].split(",")
+        assert names == sorted(names)
+        assert len(names) == r["n_nations"]
