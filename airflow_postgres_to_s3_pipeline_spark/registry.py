@@ -62,6 +62,49 @@ STREAMING_DEDUP_ORACLE = """
 """
 
 
+def streaming_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = stream_windows.read_events_stream(spark, sf_dir)
+    stream = stream_windows.sliding_counts(events)
+    return stream_windows.run_stream_to_memory(stream, spark, output_mode="complete")
+
+
+STREAMING_SLIDING_ORACLE = """
+    -- every event falls in exactly 2 sliding windows (1h window, 30min
+    -- slide): starts at floor30(ts) and floor30(ts) - 30min
+    WITH slides AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts)
+                   - INTERVAL 30 MINUTE * offs AS window_start
+        FROM events, (SELECT UNNEST([0, 1]) AS offs)
+    )
+    SELECT window_start, COUNT(*) AS n_events
+    FROM slides
+    GROUP BY window_start
+"""
+
+
+def streaming_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState per-user running totals, driven to completion.
+
+    The bounded source arrives as one micro-batch, so the final emitted state
+    per user equals the batch aggregate — the SQL oracle.  (total_value is a
+    float running sum whose within-group order is shuffle-dependent, so only
+    the order-independent columns are oracle-checked.)
+    """
+    from airflow_postgres_to_s3_pipeline_spark.streaming import stateful
+
+    events = stream_windows.read_events_stream(spark, sf_dir)
+    out = stateful.running_user_totals(events)
+    res = stream_windows.run_stream_to_memory(out, spark, output_mode="update")
+    return res.select("user_id", "n_events", "max_value")
+
+
+STREAMING_STATEFUL_ORACLE = """
+    SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+"""
+
+
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_windows.read_events_stream(spark, sf_dir)
     stream = stream_windows.session_counts(events)
@@ -174,8 +217,10 @@ QUERIES: dict[str, QueryFn] = {
     "python_udtf_word_expand": udfs.python_udtf_word_expand,
     # E22-E23 streaming (genuine readStream executions)
     "streaming_tumbling_agg": streaming_tumbling_agg,
+    "streaming_sliding_agg": streaming_sliding_agg,
     "streaming_dedup": streaming_dedup,
     "streaming_session_window": streaming_session_window,
+    "streaming_stateful_running_totals": streaming_stateful_running_totals,
     # E24-E25 dedup
     "dedup_exact": dedup.dedup_exact,
     "dedup_keep_first": dedup.dedup_keep_first,
@@ -206,8 +251,10 @@ def _collect_oracles() -> dict[str, str]:
     for module in _MODULES:
         oracles.update(getattr(module, "ORACLES", {}))
     oracles["streaming_tumbling_agg"] = STREAMING_TUMBLING_ORACLE
+    oracles["streaming_sliding_agg"] = STREAMING_SLIDING_ORACLE
     oracles["streaming_dedup"] = STREAMING_DEDUP_ORACLE
     oracles["streaming_session_window"] = STREAMING_SESSION_ORACLE
+    oracles["streaming_stateful_running_totals"] = STREAMING_STATEFUL_ORACLE
     # only keep oracles for registered queries
     return {k: v for k, v in oracles.items() if k in QUERIES}
 
