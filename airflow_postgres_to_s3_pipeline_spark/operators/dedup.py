@@ -234,6 +234,90 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# E25a': near-dup clusters — connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, node_ids: DataFrame,
+                         max_iterations: int = 6) -> DataFrame:
+    """Cluster ids via min-label propagation over an undirected pair graph.
+
+    Each iteration joins every node's current label with its neighbors' and
+    keeps the minimum — after d iterations every node holds the minimum id
+    within distance d, so components of diameter <= max_iterations converge
+    (near-dup clusters are shallow; 6 hops covers them).  Per iteration: one
+    shuffle join on node id + one groupBy min.  Labels stay DataFrames — no
+    driver materialization, the loop shape runs unchanged at 100 TB.
+
+    pairs: (doc_a, doc_b) edges; node_ids: (doc_id) universe.  Returns
+    (doc_id, cluster_id) where cluster_id is the component's min doc_id.
+    """
+    # The edge list feeds every iteration — persist it so the (possibly
+    # expensive) pair-generation pipeline upstream runs exactly once.
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = node_ids.select(
+        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+                (F.col("nbr_min") < F.col("cluster_id")).alias("_changed"),
+            )
+        )
+        # Materialize and cut lineage each round — without this the plan
+        # doubles per iteration and the optimizer, not the data, becomes the
+        # bottleneck.  (On a cluster use checkpoint() to reliable storage.)
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster summary: MinHash-LSH pairs -> connected components.
+
+    The end-to-end LLM-dedup shape: candidate pairs (sub-quadratic LSH) ->
+    transitive clusters -> keep min doc_id per cluster.  Returns non-trivial
+    clusters (size > 1) with the kept doc and the duplicate count
+    (rows-only: the LSH candidate step is probabilistic; determinism and
+    union-find equivalence are pinned in tests).
+    """
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, shards=spark.sparkContext.defaultParallelism
+    ).select("doc_a", "doc_b")
+    labels = connected_components(pairs, d.select("doc_id"))
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .filter(F.col("cluster_size") > 1)
+        .select(
+            F.col("cluster_id").alias("kept_doc_id"),
+            (F.col("cluster_size") - 1).alias("n_duplicates"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # E25b: SimHash near-dedup
 # ---------------------------------------------------------------------------
 

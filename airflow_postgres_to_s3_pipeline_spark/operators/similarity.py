@@ -237,6 +237,77 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str,
     return pairs.select("id_a", "id_b", sim.alias("sim")).filter(F.col("sim") >= 0.8)
 
 
+def kmeans_assign(e: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign each vector to the nearest centroid by squared L2 (broadcast
+    argmin — corpus never shuffles for the assignment)."""
+    dist = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc(), F.col("cluster_id").asc()
+    )
+    return (
+        e.join(F.broadcast(centroids))
+        .select("vec_id", "v", "cluster_id", dist.alias("dist"))
+        .withColumn("crnk", F.row_number().over(w))
+        .filter(F.col("crnk") == 1)
+        .select("vec_id", "v", "cluster_id", "dist")
+    )
+
+
+def kmeans_update(assigned: DataFrame, dim: int) -> DataFrame:
+    """Element-wise centroid mean via posexplode + per-(cluster, dim) avg.
+
+    The shuffle carries (cluster, dim) keyed scalars — n_vectors x dim rows
+    map-side-combined down to k x dim — then the new centroid arrays are
+    reassembled with sort_array(collect_list(struct(pos, mean))).
+    """
+    exploded = assigned.select(
+        "cluster_id", F.posexplode("v").alias("pos", "x")
+    )
+    means = exploded.groupBy("cluster_id", "pos").agg(F.avg("x").alias("m"))
+    return means.groupBy("cluster_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("cv")
+    )
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str, k: int = 8,
+                      iterations: int = 3) -> DataFrame:
+    """Distributed Lloyd's k-means over embeddings, pure DataFrame ops.
+
+    Deterministic init (the k lowest vec_ids); each iteration is one
+    broadcast argmin + one (cluster, dim)-keyed shuffle.  Centroids stay
+    DataFrames end-to-end — no driver materialization, so the same loop runs
+    at 100 TB (with a localCheckpoint per iteration to truncate lineage on
+    long runs).  Returns per-cluster size and mean squared distance
+    (rows-only check: iterative refinement is not one SQL statement; the
+    invariants are pinned in tests/test_similarity_iterative.py).
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    dim = 64
+    centroids = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster_id"), F.col("v").alias("cv")
+    )
+    assigned = None
+    for _ in range(iterations):
+        assigned = kmeans_assign(e, centroids)
+        centroids = kmeans_update(assigned, dim)
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(
+            F.sum(F.col("dist").cast("decimal(27,8)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_sq_dist"),
+    )
+
+
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding stats: row counts and mean L2 norm (fp64 fold)."""
     e = table(spark, sf_dir, "embeddings")

@@ -225,11 +225,13 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_exact": dedup.dedup_exact,
     "dedup_keep_first": dedup.dedup_keep_first,
     "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
+    "dedup_components": dedup.dedup_components,
     "simhash_dedup": dedup.simhash_dedup,
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
     # E26 similarity search
     "knn_bruteforce": similarity.knn_bruteforce,
     "knn_ivf": similarity.knn_ivf,
+    "kmeans_embeddings": similarity.kmeans_embeddings,
     "embedding_near_dup": similarity.embedding_near_dup,
     "embedding_lsh_near_dup": similarity.embedding_lsh_near_dup,
     "embedding_norms": similarity.embedding_norms,
