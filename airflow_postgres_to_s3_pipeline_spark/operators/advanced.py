@@ -298,6 +298,81 @@ _oracle(
 
 
 # ---------------------------------------------------------------------------
+# Unpivot / melt (wide -> long), aggregated per metric
+# ---------------------------------------------------------------------------
+
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt lineitem's numeric measures into (metric, value) rows, then
+    aggregate per metric.
+
+    ``unpivot`` is a narrow projection (each input row expands in place, no
+    shuffle); the groupBy on the 4-value metric column is a map-side-combined
+    aggregate.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    long = l.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return long.groupBy("metric").agg(
+        F.count("*").alias("n_values"),
+        dsum("value", 6).alias("sum_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+_oracle(
+    "unpivot_metrics",
+    """
+    SELECT metric,
+           COUNT(*) AS n_values,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value,
+           MAX(value) AS max_value
+    FROM (
+        UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                        l_discount, l_tax FROM lineitem)
+        ON l_quantity, l_extendedprice, l_discount, l_tax
+        INTO NAME metric VALUE value
+    )
+    GROUP BY metric
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic engine-portable sampling
+# ---------------------------------------------------------------------------
+
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~1/16 sample selected by a content hash, not a RNG.
+
+    ``df.sample()`` draws differ per engine/run; hashing the key and keeping
+    one hex bucket gives a sample that is reproducible everywhere — the only
+    sampling that can be oracle-checked, and the right primitive for
+    train/eval splits of a 100 TB corpus (membership is a pure function of
+    the row key).
+    """
+    l = table(spark, sf_dir, "lineitem")
+    key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    return l.filter(F.md5(key.cast("binary")).like("0%")).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+_oracle(
+    "deterministic_sample",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE md5(CAST(l_orderkey AS VARCHAR) || '-'
+              || CAST(l_linenumber AS VARCHAR)) LIKE '0%'
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Conditional / boolean aggregates
 # ---------------------------------------------------------------------------
 

@@ -27,6 +27,35 @@ def _oracle(name: str, sql: str):
     ORACLES[name] = sql
 
 
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist of customer balances within each nation.
+
+    The (c_acctbal, c_custkey) order is total, so rank-derived ratios are
+    exact integer divisions — deterministic on both engines.
+    """
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+_oracle(
+    "window_percent_rank",
+    """
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # E11: ranking windows + top-k per group
 # ---------------------------------------------------------------------------

@@ -191,7 +191,10 @@ QUERIES: dict[str, QueryFn] = {
     "union_snapshots": advanced.union_snapshots,
     "conditional_aggregates": advanced.conditional_aggregates,
     "string_agg_ordered": advanced.string_agg_ordered,
+    "unpivot_metrics": advanced.unpivot_metrics,
+    "deterministic_sample": advanced.deterministic_sample,
     # E11-E12 windows
+    "window_percent_rank": windows.window_percent_rank,
     "window_topk_per_customer": windows.window_topk_per_customer,
     "window_ntile_quartiles": windows.window_ntile_quartiles,
     "window_running_total": windows.window_running_total,
@@ -209,6 +212,7 @@ QUERIES: dict[str, QueryFn] = {
     "array_functions": scalar_funcs.array_functions,
     "explode_word_freq": scalar_funcs.explode_word_freq,
     "json_functions": scalar_funcs.json_functions,
+    "variant_json": scalar_funcs.variant_json,
     "map_functions": scalar_funcs.map_functions,
     # E21 UDF surface
     "pandas_udf_score": udfs.pandas_udf_score,
