@@ -1,0 +1,132 @@
+"""Property-based invariants (hypothesis): determinism under partitioning,
+skew-rewrite equivalence, and component clustering vs a reference model.
+
+Each example drives real Spark jobs, so example counts are kept small; the
+properties (not the sample size) carry the guarantee: these are invariants
+for ANY input, which fixed fixtures can't claim.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from airflow_postgres_to_s3_pipeline_spark.functions.numeric import dsum
+from airflow_postgres_to_s3_pipeline_spark.operators import skew
+from airflow_postgres_to_s3_pipeline_spark.operators.dedup import (
+    connected_components,
+)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# 2-decimal "money" doubles — the column shape dsum exists for.
+money = st.decimals(
+    min_value=Decimal("-99999.99"),
+    max_value=Decimal("99999.99"),
+    places=2,
+).map(float)
+
+
+@given(values=st.lists(money, min_size=1, max_size=200), parts=st.integers(1, 16))
+@settings(**_SETTINGS)
+def test_dsum_partition_invariant(spark, values, parts):
+    """dsum must equal the exact decimal total at ANY partition count."""
+    df = spark.createDataFrame([(v,) for v in values], ["x"]).repartition(parts)
+    got = df.agg(dsum("x").alias("s")).collect()[0]["s"]
+    expected = float(sum(Decimal(f"{v:.2f}") for v in values))
+    assert got == expected
+
+
+@given(
+    keyed=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=120,
+    ),
+    n_salts=st.integers(2, 8),
+)
+@settings(**_SETTINGS)
+def test_salted_aggregate_equivalence(spark, keyed, n_salts):
+    """Salted two-phase aggregation == plain groupBy for any data/salt count."""
+    df = spark.createDataFrame(keyed, ["k", "v"])
+    plain = {
+        r["k"]: (r["n"], r["s"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["s"], r["mx"])
+        for r in skew.salted_aggregate(
+            df,
+            ["k"],
+            {
+                "n": lambda: F.count(F.lit(1)),
+                "s": lambda: F.sum("v"),
+                "mx": lambda: F.max("v"),
+            },
+            n_salts=n_salts,
+            salt_source="v",
+        ).collect()
+    }
+    assert salted == plain
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_connected_components_random_graphs(spark, edges):
+    """Min-label propagation == union-find on arbitrary graphs over 25 nodes."""
+    nodes = list(range(25))
+    parent = dict.fromkeys(nodes)
+    for n in nodes:
+        parent[n] = n
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected_root = {}
+    members: dict[int, list[int]] = {}
+    for n in nodes:
+        members.setdefault(find(n), []).append(n)
+    for root, ms in members.items():
+        canonical = min(ms)
+        for m in ms:
+            expected_root[m] = canonical
+
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], ["doc_id"])
+    pairs_df = spark.createDataFrame(
+        edges or [(0, 0)], ["doc_a", "doc_b"]
+    ).filter(F.col("doc_a") != F.col("doc_b"))
+    # 25 nodes -> diameter <= 24; 25 propagation rounds always converge, and
+    # the convergence counter exits far earlier in practice.
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs_df, nodes_df, max_iterations=25).collect()
+    }
+    assert got == expected_root
