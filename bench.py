@@ -34,9 +34,16 @@ BENCH_QUERIES = [
     "explode_word_freq",
     "dedup_exact",
     "minhash_lsh_dedup",
+    "dedup_components",
+    "simhash_dedup",
     "knn_bruteforce",
+    "kmeans_embeddings",
     "doc_quality",
+    "tfidf_top_terms",
     "multimodal_decode",
+    "salted_agg_hot_key",
+    "window_lag_lead",
+    "exact_percentiles",
 ]
 
 
