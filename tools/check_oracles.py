@@ -54,7 +54,12 @@ def main() -> int:
     import __spark_entry__ as e
     from airflow_postgres_to_s3_pipeline_spark.session import get_spark
 
-    spark = get_spark(shuffle_partitions=8)
+    # Partition count is env-overridable so the gate can be re-run at
+    # different parallelism — results must be identical at ANY setting
+    # (the determinism-under-partitioning design rule).
+    spark = get_spark(
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
+    )
 
     con = duckdb.connect()
     for t in TABLES:
