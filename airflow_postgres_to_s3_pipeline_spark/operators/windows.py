@@ -27,6 +27,63 @@ def _oracle(name: str, sql: str):
     ORACLES[name] = sql
 
 
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly rollup per user with zero-filled gaps (hypertable-style).
+
+    Sparse hourly counts are densified by generating each user's full hour
+    range (``sequence`` + ``explode`` — rows expand in place, no shuffle)
+    and left-joining the observed counts back.  Two shuffles total: the
+    hourly aggregate and the dense-grid join, both keyed on (user, hour) —
+    the shape survives any corpus size because the grid is bounded by
+    span x cardinality, never by event count.  Users are bounded (< 20) to
+    keep the oracle comparison small.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    hourly = (
+        e.groupBy(
+            "user_id", F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    span = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+_oracle(
+    "timeseries_gapfill",
+    """
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events
+        FROM events WHERE user_id < 20
+        GROUP BY user_id, date_trunc('hour', ts)
+    ), grid AS (
+        SELECT user_id, UNNEST(generate_series(MIN(hour), MAX(hour),
+                                               INTERVAL 1 HOUR)) AS hour
+        FROM hourly
+        GROUP BY user_id
+    )
+    SELECT g.user_id, g.hour, COALESCE(h.n_events, 0) AS n_events
+    FROM grid g LEFT JOIN hourly h
+      ON g.user_id = h.user_id AND g.hour = h.hour
+    """,
+)
+
+
 def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist of customer balances within each nation.
 

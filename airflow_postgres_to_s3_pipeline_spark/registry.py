@@ -195,6 +195,7 @@ QUERIES: dict[str, QueryFn] = {
     "deterministic_sample": advanced.deterministic_sample,
     # E11-E12 windows
     "window_percent_rank": windows.window_percent_rank,
+    "timeseries_gapfill": windows.timeseries_gapfill,
     "window_topk_per_customer": windows.window_topk_per_customer,
     "window_ntile_quartiles": windows.window_ntile_quartiles,
     "window_running_total": windows.window_running_total,

@@ -87,6 +87,31 @@ def test_union_snapshots_total(spark, sf_dir):
     assert total == table(spark, sf_dir, "orders").count()
 
 
+def test_timeseries_gapfill_dense_and_lossless(spark, sf_dir):
+    from airflow_postgres_to_s3_pipeline_spark.operators import windows
+
+    rows = windows.timeseries_gapfill(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["hour"], r["n_events"]))
+    raw = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    raw_counts = {r["user_id"]: r["n"] for r in raw}
+    for uid, series in by_user.items():
+        series.sort()
+        hours = [h for h, _ in series]
+        # dense: consecutive hours, no gaps
+        for a, b in zip(hours, hours[1:]):
+            assert (b - a).total_seconds() == 3600
+        # lossless: gap-filling adds zeros, never drops events
+        assert sum(n for _, n in series) == raw_counts[uid]
+
+
 def test_string_agg_sorted(spark, sf_dir):
     for r in advanced.string_agg_ordered(spark, sf_dir).collect():
         names = r["nations"].split(",")
