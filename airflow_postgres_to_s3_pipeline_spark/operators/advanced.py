@@ -298,6 +298,133 @@ _oracle(
 
 
 # ---------------------------------------------------------------------------
+# MERGE/upsert without a table format: full-outer join + coalesce
+# ---------------------------------------------------------------------------
+
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style MERGE: apply an updates batch onto a target snapshot.
+
+    ``MERGE INTO`` needs a transactional table format; the engine-level
+    equivalent is a keyed full-outer join + per-column coalesce: matched
+    rows take the update, unmatched keep the target, insert-only rows come
+    from the update side.  One shuffle on the merge key; with both sides
+    bucketed on the key (sources/sinks.py) even that shuffle disappears.
+    The updates batch here is derived (open orders get a 10% price cut +
+    'MERGED' status) so the op is oracle-checkable on static data.
+    """
+    o = table(spark, sf_dir, "orders")
+    target = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    updates = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select(
+            "o_orderkey",
+            F.lit("MERGED").alias("u_status"),
+            (F.col("o_totalprice") * 0.9).alias("u_totalprice"),
+        )
+    )
+    return (
+        target.join(updates, "o_orderkey", "full_outer")
+        .select(
+            "o_orderkey",
+            F.coalesce("u_status", "o_orderstatus").alias("o_orderstatus"),
+            F.coalesce("u_totalprice", "o_totalprice").alias("o_totalprice"),
+        )
+    )
+
+
+_oracle(
+    "merge_upsert",
+    """
+    WITH updates AS (
+        SELECT o_orderkey, 'MERGED' AS u_status,
+               o_totalprice * 0.9 AS u_totalprice
+        FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT t.o_orderkey,
+           COALESCE(u.u_status, t.o_orderstatus) AS o_orderstatus,
+           COALESCE(u.u_totalprice, t.o_totalprice) AS o_totalprice
+    FROM orders t FULL OUTER JOIN updates u USING (o_orderkey)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Data-quality column profiling
+# ---------------------------------------------------------------------------
+
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of orders: nulls, distincts, min/max as strings.
+
+    One pass per... no — ONE aggregation computes every column's stats
+    (count_distinct + conditional counts are all partial-mergeable), then the
+    wide row is melted to one row per column.  At 100 TB this is a single
+    scan + single reduce, the only affordable shape for a profiling sweep.
+    """
+    o = table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+_oracle(
+    "profile_table",
+    """
+    SELECT 'o_orderkey' AS col_name,
+           COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           MIN(CAST(o_orderkey AS VARCHAR)) AS min_value,
+           MAX(CAST(o_orderkey AS VARCHAR)) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           COUNT(*) FILTER (WHERE o_custkey IS NULL),
+           COUNT(DISTINCT o_custkey),
+           MIN(CAST(o_custkey AS VARCHAR)), MAX(CAST(o_custkey AS VARCHAR))
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           COUNT(*) FILTER (WHERE o_orderstatus IS NULL),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           COUNT(*) FILTER (WHERE o_totalprice IS NULL),
+           COUNT(DISTINCT o_totalprice),
+           MIN(CAST(o_totalprice AS VARCHAR)), MAX(CAST(o_totalprice AS VARCHAR))
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           COUNT(*) FILTER (WHERE o_orderpriority IS NULL),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Unpivot / melt (wide -> long), aggregated per metric
 # ---------------------------------------------------------------------------
 

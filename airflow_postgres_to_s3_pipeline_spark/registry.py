@@ -193,6 +193,8 @@ QUERIES: dict[str, QueryFn] = {
     "string_agg_ordered": advanced.string_agg_ordered,
     "unpivot_metrics": advanced.unpivot_metrics,
     "deterministic_sample": advanced.deterministic_sample,
+    "merge_upsert": advanced.merge_upsert,
+    "profile_table": advanced.profile_table,
     # E11-E12 windows
     "window_percent_rank": windows.window_percent_rank,
     "timeseries_gapfill": windows.timeseries_gapfill,
