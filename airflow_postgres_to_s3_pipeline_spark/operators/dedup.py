@@ -425,8 +425,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Blocking on lang bounds the pair space; the intersection is computed by
     joining the exploded shingle tables (shuffle on shingle), never by a
     cartesian product — the same shape scales to 100 TB with a
-    higher-selectivity blocking key.  Rows-only check (shingle+join chain is
-    not reasonably expressible in one portable SQL statement).
+    higher-selectivity blocking key.  Exact and deterministic, so it carries
+    a full SQL oracle (shingling mirrored with list_transform/UNNEST).
     """
     d = table(spark, sf_dir, "documents")
     sh = shingle(d, "text", "doc_id", k=3)
@@ -456,3 +456,35 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+_oracle(
+    "ngram_jaccard_pairs",
+    """
+    WITH w AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS ws
+        FROM documents
+        WHERE LEN(string_split(text, ' ')) >= 3
+    ), sh AS (
+        SELECT doc_id, lang,
+               UNNEST(list_distinct(list_transform(
+                   generate_series(1, LEN(ws) - 2),
+                   i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+               ))) AS shingle
+        FROM w
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_inter / (za.set_size + zb.set_size - n_inter), 3) AS jaccard
+    FROM inter
+    JOIN sizes za ON za.doc_id = doc_a
+    JOIN sizes zb ON zb.doc_id = doc_b
+    WHERE ROUND(n_inter / (za.set_size + zb.set_size - n_inter), 3) >= 0.5
+    """,
+)

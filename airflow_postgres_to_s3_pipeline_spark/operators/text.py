@@ -180,8 +180,9 @@ LANG_MARKERS = {
 
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID: score = |tokens ∩ markers(lang)| / |tokens|,
-    predict the argmax (rows-only check: the heuristic profile table is
-    engine-internal)."""
+    predict the argmax.  Fully deterministic (integer-ratio scores, fixed
+    tie-break order), so the oracle mirrors the marker table into SQL —
+    generated from LANG_MARKERS below to keep one source of truth."""
     d = table(spark, sf_dir, "documents")
     words = F.split("text", " ")
     n_tokens = F.size(words)
@@ -203,6 +204,35 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.alias("predicted_lang"),
         F.round(best, 4).alias("confidence"),
     )
+
+
+def _lang_id_oracle_sql() -> str:
+    score_cols = ",\n               ".join(
+        "CAST(LEN(list_filter(string_split(text, ' '), w -> w IN ({0}))) AS DOUBLE)"
+        " / LEN(string_split(text, ' ')) AS score_{1}".format(
+            ", ".join(f"'{m}'" for m in markers), lang
+        )
+        for lang, markers in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    greatest = "GREATEST({})".format(", ".join(f"score_{lg}" for lg in langs))
+    case = " ".join(f"WHEN score_{lg} = g THEN '{lg}'" for lg in langs)
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {score_cols}
+        FROM documents
+    ), g AS (
+        SELECT *, {greatest} AS g FROM scored
+    )
+    SELECT doc_id, lang,
+           CASE {case} END AS predicted_lang,
+           ROUND(g, 4) AS confidence
+    FROM g
+    """
+
+
+_oracle("lang_id_heuristic", _lang_id_oracle_sql())
 
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
