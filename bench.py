@@ -58,11 +58,12 @@ def main() -> int:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen once so per-query numbers measure the engine,
-    # not classloading.
-    registry.QUERIES["pricing_summary"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # Warm the JVM/codegen paths (scan, broadcast join, window) once so
+    # per-query numbers measure the engine, not classloading.
+    for warm in ("pricing_summary", "join_broadcast_dims", "window_topk_per_customer"):
+        registry.QUERIES[warm](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -1,0 +1,72 @@
+"""Checkpointed streaming recovery: a restarted query must resume from the
+checkpoint and process ONLY new input — the exactly-once file-sink story."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+from airflow_postgres_to_s3_pipeline_spark.streaming import windows as sw
+
+SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("ts", pa.int64()),
+        ("user_id", pa.int64()),
+        ("event_type", pa.string()),
+        ("value", pa.float64()),
+        ("props", pa.string()),
+    ]
+)
+
+
+def _write(src: str, name: str, rows):
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(dict(zip(SCHEMA.names, cols)), schema=SCHEMA),
+        os.path.join(src, name),
+    )
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "src")
+    out = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    os.makedirs(src)
+
+    t0 = 1_700_000_000_000_000_000
+    _write(src, "events-1.parquet", [(1, t0, 1, "a", 1.0, "{}"),
+                                     (2, t0 + 10**9, 1, "b", 2.0, "{}")])
+
+    def run_once():
+        stream = sw.read_events_stream(spark, src).select(
+            "event_id", "user_id", "event_type"
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    assert sorted(
+        r["event_id"] for r in spark.read.parquet(out).collect()
+    ) == [1, 2]
+
+    # new file lands; restart from the same checkpoint
+    _write(src, "events-2.parquet", [(3, t0 + 2 * 10**9, 2, "c", 3.0, "{}")])
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    # event 1 and 2 must NOT be reprocessed (no duplicates), event 3 appended
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 3]
