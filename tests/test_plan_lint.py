@@ -1,0 +1,44 @@
+"""Global plan lint: every registered query's physical plan must be free of
+accidental cartesian products — the one plan shape that cannot survive a
+100x scale-up. Intentional exceptions are explicit and justified."""
+
+from __future__ import annotations
+
+import pytest
+
+from airflow_postgres_to_s3_pipeline_spark import registry
+from airflow_postgres_to_s3_pipeline_spark.plans import explain_str
+
+# Queries allowed to contain a non-equi / product join, with why:
+# - embedding_near_dup: the intentionally-exact all-pairs baseline; the
+#   sub-quadratic path is embedding_lsh_near_dup.
+# - scalar_subquery_threshold / knn_bruteforce / knn_ivf / kmeans_embeddings:
+#   broadcast of a metadata-sized side (1-row aggregate, query set,
+#   centroids) — BroadcastNestedLoopJoin over a tiny build side is O(n),
+#   not O(n^2).
+ALLOWED_PRODUCT = {
+    "embedding_near_dup",
+    "scalar_subquery_threshold",
+    "knn_bruteforce",
+    "knn_ivf",
+    "kmeans_embeddings",
+}
+
+# Streaming queries execute eagerly on build (memory-sink materialization);
+# their batch result plan is a trivial LocalTableScan, so linting them checks
+# nothing — skip instead of paying ~3s each.
+SKIP = {name for name in registry.QUERIES if name.startswith("streaming_")}
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in sorted(registry.QUERIES) if n not in SKIP]
+)
+def test_no_accidental_cartesian(spark, sf_dir, name):
+    df = registry.QUERIES[name](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    if name in ALLOWED_PRODUCT:
+        return
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        f"{name} plans a nested-loop join; broadcast-equi or banding expected"
+    )
