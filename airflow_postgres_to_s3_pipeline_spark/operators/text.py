@@ -206,6 +206,126 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-style text normalization: lowercase, strip punctuation,
+    collapse whitespace — all row-local regex in the scan stage (the C4-style
+    cleanup pass that precedes tokenization)."""
+    d = table(spark, sf_dir, "documents")
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^\w\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        normalized.alias("norm_text"),
+        F.length("text").alias("chars_before"),
+        F.length(normalized).alias("chars_after"),
+    )
+
+
+_oracle(
+    "text_normalize",
+    r"""
+    SELECT doc_id,
+           TRIM(regexp_replace(regexp_replace(LOWER(text), '[^\w\s]', '', 'g'),
+                               '\s+', ' ', 'g')) AS norm_text,
+           CAST(LENGTH(text) AS INTEGER) AS chars_before,
+           CAST(LENGTH(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^\w\s]', '', 'g'),
+                                           '\s+', ' ', 'g'))) AS INTEGER) AS chars_after
+    FROM documents
+    """,
+)
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: mask email-shaped tokens and long digit runs,
+    reporting per-document redaction counts — the pre-release scrub every
+    training corpus needs, as pure row-local regex."""
+    d = table(spark, sf_dir, "documents")
+    email_re = r"[\w.]+@[\w.]+"
+    num_re = r"\d{4,}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email_re, "<EMAIL>"), num_re, "<NUM>"
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed_text"),
+        F.size(F.regexp_extract_all("text", F.lit(email_re), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(num_re), F.lit(0))).alias(
+            "n_long_numbers"
+        ),
+    )
+
+
+_oracle(
+    "pii_scrub",
+    r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '[\w.]+@[\w.]+', '<EMAIL>', 'g'),
+                          '\d{4,}', '<NUM>', 'g') AS scrubbed_text,
+           CAST(LEN(regexp_extract_all(text, '[\w.]+@[\w.]+')) AS INTEGER) AS n_emails,
+           CAST(LEN(regexp_extract_all(text, '\d{4,}')) AS INTEGER) AS n_long_numbers
+    FROM documents
+    """,
+)
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: quality filter -> exact dedup (keep
+    lowest doc_id) -> deterministic hash split — the composition every
+    pretraining-data pipeline runs, as one lazy Spark plan.
+
+    Quality gate: >= 5 tokens and < 30% punctuation (Gopher-style).  The
+    final hash split keeps the 1/4 of survivors whose content-hash bucket is
+    0-3 — reproducible corpus membership with no RNG (see
+    deterministic_sample).
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tokens = F.size(words)
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    quality = d.filter((n_tokens >= 5) & (n_punct / n_chars < 0.3))
+    w = Window.partitionBy("text").orderBy(F.col("doc_id").asc())
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    bucket = F.substring(F.md5(F.col("text").cast("binary")), 1, 1)
+    return deduped.filter(bucket.isin("0", "1", "2", "3")).select(
+        "doc_id", "lang", "source", n_tokens.alias("n_tokens")
+    )
+
+
+_oracle(
+    "corpus_curation",
+    r"""
+    WITH quality AS (
+        SELECT *
+        FROM documents
+        WHERE LEN(string_split(text, ' ')) >= 5
+          AND (LENGTH(text) - LENGTH(regexp_replace(text, '[^\w\s]', '', 'g')))
+              / CAST(LENGTH(text) AS DOUBLE) < 0.3
+    ), deduped AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM quality
+    )
+    SELECT doc_id, lang, source,
+           CAST(LEN(string_split(text, ' ')) AS INTEGER) AS n_tokens
+    FROM deduped
+    WHERE rn = 1 AND SUBSTRING(md5(text), 1, 1) IN ('0', '1', '2', '3')
+    """,
+)
+
+
 def _lang_id_oracle_sql() -> str:
     score_cols = ",\n               ".join(
         "CAST(LEN(list_filter(string_split(text, ' '), w -> w IN ({0}))) AS DOUBLE)"

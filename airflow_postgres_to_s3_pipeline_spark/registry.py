@@ -249,6 +249,9 @@ QUERIES: dict[str, QueryFn] = {
     "doc_fingerprint": text.doc_fingerprint,
     "lang_id_heuristic": text.lang_id_heuristic,
     "tfidf_top_terms": text.tfidf_top_terms,
+    "text_normalize": text.text_normalize,
+    "pii_scrub": text.pii_scrub,
+    "corpus_curation": text.corpus_curation,
     # E28 multimodal
     "multimodal_decode": multimodal.multimodal_decode,
     "multimodal_partition_stats": multimodal.multimodal_partition_stats,
