@@ -298,6 +298,154 @@ _oracle(
 
 
 # ---------------------------------------------------------------------------
+# Full Spark SQL entry point (the reference operator's arbitrary-SQL surface)
+# ---------------------------------------------------------------------------
+
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape via ``spark.sql`` over registered views — the
+    reference's PostgresToS3Operator accepts arbitrary SQL
+    (plugins/custom_operator/postgres_to_s3_operator.py:21,42); this is the
+    engine's equivalent full-SQL path (same Catalyst plan as the DataFrame
+    API, so every pushdown/broadcast property carries over)."""
+    from airflow_postgres_to_s3_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders    ON c_custkey = o_custkey
+        JOIN lineitem  ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate  > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+        """
+    )
+
+
+_oracle(
+    "sql_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders    ON c_custkey = o_custkey
+    JOIN lineitem  ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+
+
+def revenue_change_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the fully-pushable filter-and-sum — every predicate
+    reaches the parquet scan (PushedFilters), the aggregate is a single
+    map-side-combined reduce to one row."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 6)
+            .alias("revenue_delta"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_oracle(
+    "revenue_change_forecast",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,6)))
+                AS DOUBLE) AS revenue_delta,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Event funnel: signup -> purchase conversion per user
+# ---------------------------------------------------------------------------
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel over the event stream: users whose first signup is
+    later followed by a purchase, with time-to-convert.
+
+    One shuffle on user_id for the min-timestamp aggregate; the funnel
+    condition is a per-user comparison of two first-event times — the shape
+    product analytics runs at any scale.
+    """
+    e = table(spark, sf_dir, "events")
+    firsts = (
+        e.filter(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+            .alias("first_signup"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+            .alias("first_purchase"),
+        )
+    )
+    return (
+        firsts.filter(
+            F.col("first_signup").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") > F.col("first_signup"))
+        )
+        .select(
+            "user_id",
+            "first_signup",
+            "first_purchase",
+            (
+                F.col("first_purchase").cast("double")
+                - F.col("first_signup").cast("double")
+            ).alias("seconds_to_convert"),
+        )
+    )
+
+
+_oracle(
+    "funnel_conversion",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup'   THEN ts END) AS first_signup,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events
+        WHERE event_type IN ('signup', 'purchase')
+        GROUP BY user_id
+    )
+    SELECT user_id, first_signup, first_purchase,
+           epoch(first_purchase) - epoch(first_signup) AS seconds_to_convert
+    FROM firsts
+    WHERE first_signup IS NOT NULL AND first_purchase IS NOT NULL
+      AND first_purchase > first_signup
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # MERGE/upsert without a table format: full-outer join + coalesce
 # ---------------------------------------------------------------------------
 

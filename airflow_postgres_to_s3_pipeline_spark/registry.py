@@ -195,6 +195,9 @@ QUERIES: dict[str, QueryFn] = {
     "deterministic_sample": advanced.deterministic_sample,
     "merge_upsert": advanced.merge_upsert,
     "profile_table": advanced.profile_table,
+    "sql_shipping_priority": advanced.sql_shipping_priority,
+    "revenue_change_forecast": advanced.revenue_change_forecast,
+    "funnel_conversion": advanced.funnel_conversion,
     # E11-E12 windows
     "window_percent_rank": windows.window_percent_rank,
     "timeseries_gapfill": windows.timeseries_gapfill,
