@@ -139,6 +139,63 @@ _oracle(
 )
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str,
+                            frame_bytes: int = 64, every: int = 4) -> DataFrame:
+    """Frame-sampling over binary payloads: split each payload into
+    fixed-size chunks ("frames"), keep every Nth, fingerprint each.
+
+    The video-pipeline shape (decode -> sample frames -> per-frame feature)
+    with the codec stubbed to byte-chunking: chunk extraction is a row-local
+    ``sequence`` + ``transform`` + ``posexplode`` (rows expand in place, no
+    shuffle), so a 100 TB corpus streams through the scan stage.  A real
+    deployment swaps the substring for an ffmpeg keyframe call inside
+    mapInPandas (see decode_features).
+    """
+    d = table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    n_frames = F.ceil(F.length(payload) / F.lit(frame_bytes)).cast("int")
+    sampled_idx = F.filter(
+        F.sequence(F.lit(0), n_frames - 1), lambda i: i % every == 0
+    )
+    frames = F.transform(
+        sampled_idx,
+        lambda i: F.struct(
+            i.alias("frame_idx"),
+            F.md5(F.substring(payload, i * frame_bytes + 1, frame_bytes)).alias(
+                "frame_hash"
+            ),
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode(frames).alias("f"))
+        .select(
+            "doc_id",
+            F.col("f.frame_idx").alias("frame_idx"),
+            F.col("f.frame_hash").alias("frame_hash"),
+        )
+    )
+
+
+_oracle(
+    "multimodal_frame_sample",
+    """
+    -- payloads are ascii documents, so VARCHAR substring == byte substring
+    WITH frames AS (
+        SELECT doc_id, text,
+               UNNEST(list_filter(
+                   generate_series(0, CAST(CEIL(LENGTH(text) / 64.0)
+                                           AS INTEGER) - 1),
+                   i -> i % 4 = 0)) AS frame_idx
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           md5(substring(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS frame_hash
+    FROM frames
+    """,
+)
+
+
 def multimodal_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate decoded features per media shard — the downstream shape
     (decode once, aggregate metadata without re-touching payload bytes)."""

@@ -308,6 +308,52 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str, k: int = 8,
     )
 
 
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization: q_i = floor(x_i * 127/max|x|).
+
+    The storage/bandwidth play for 100 TB vector corpora (4x smaller than
+    fp32, 8x than fp64); entirely row-local higher-order functions in the
+    scan stage.  floor (not round) keeps the quantizer bit-deterministic
+    across engines — round's half-way ties are the classic cross-engine
+    divergence.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    v = to_double_array("embedding")
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
+    q = F.transform(v, lambda x: F.floor(x * scale).cast("int"))
+    return e.select(
+        "vec_id",
+        "label",
+        scale.alias("scale"),
+        q.alias("q"),
+        F.aggregate(q, F.lit(0), lambda acc, x: acc + F.abs(x)).alias("q_l1"),
+    )
+
+
+_oracle(
+    "embedding_quantize",
+    """
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       e -> abs(e))) AS maxabs
+        FROM embeddings
+    )
+    SELECT vec_id, label,
+           CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale,
+           list_transform(x, e -> CAST(FLOOR(e * CASE WHEN maxabs > 0
+                                                      THEN 127.0 / maxabs
+                                                      ELSE 0.0 END) AS INTEGER)) AS q,
+           CAST(list_sum(list_transform(x,
+                e -> abs(CAST(FLOOR(e * CASE WHEN maxabs > 0 THEN 127.0 / maxabs
+                                             ELSE 0.0 END) AS INTEGER)))) AS INTEGER)
+               AS q_l1
+    FROM v
+    """,
+)
+
+
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding stats: row counts and mean L2 norm (fp64 fold)."""
     e = table(spark, sf_dir, "embeddings")

@@ -245,6 +245,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_near_dup": similarity.embedding_near_dup,
     "embedding_lsh_near_dup": similarity.embedding_lsh_near_dup,
     "embedding_norms": similarity.embedding_norms,
+    "embedding_quantize": similarity.embedding_quantize,
     # E27 text analysis
     "doc_quality": text.doc_quality,
     "lang_stats": text.lang_stats,
@@ -257,6 +258,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_curation": text.corpus_curation,
     # E28 multimodal
     "multimodal_decode": multimodal.multimodal_decode,
+    "multimodal_frame_sample": multimodal.multimodal_frame_sample,
     "multimodal_partition_stats": multimodal.multimodal_partition_stats,
 }
 
