@@ -27,6 +27,102 @@ def _oracle(name: str, sql: str):
     ORACLES[name] = sql
 
 
+def sessionize_events(spark: SparkSession, sf_dir: str,
+                      gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization via lag + running sum (the window-function dual
+    of F.session_window): a new session starts when the gap to the previous
+    event exceeds the threshold.
+
+    One shuffle on user_id serves both window passes (same partitioning);
+    session_id is a per-user running count of session starts — deterministic
+    under the (ts, event_id) total order.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    is_new = F.when(
+        gap.isNull() | (gap >= gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = e.withColumn("session_id", F.sum(is_new).over(run))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_oracle(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM s
+    GROUP BY user_id, session_id
+    """,
+)
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention: users grouped by first-seen day, distinct
+    active users per (cohort_day, day_offset).
+
+    Two shuffles: the per-user first-day aggregate and the cohort count;
+    the first-day side joins back broadcast-or-shuffle as AQE decides.
+    """
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day")
+    )
+    return (
+        e.join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.to_date("ts"), "cohort_day").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+_oracle(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, CAST(ts AS DATE)) AS INTEGER)
+               AS day_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY cohort_day, day_offset
+    """,
+)
+
+
 def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hourly rollup per user with zero-filled gaps (hypertable-style).
 

@@ -201,6 +201,8 @@ QUERIES: dict[str, QueryFn] = {
     # E11-E12 windows
     "window_percent_rank": windows.window_percent_rank,
     "timeseries_gapfill": windows.timeseries_gapfill,
+    "sessionize_events": windows.sessionize_events,
+    "cohort_retention": windows.cohort_retention,
     "window_topk_per_customer": windows.window_topk_per_customer,
     "window_ntile_quartiles": windows.window_ntile_quartiles,
     "window_running_total": windows.window_running_total,
