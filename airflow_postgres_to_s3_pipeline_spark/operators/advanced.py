@@ -497,6 +497,51 @@ _oracle(
 
 
 # ---------------------------------------------------------------------------
+# Histogram / binning aggregate
+# ---------------------------------------------------------------------------
+
+def price_histogram(spark: SparkSession, sf_dir: str, n_bins: int = 20) -> DataFrame:
+    """Fixed-width histogram of order totals: bin = floor((x-min)/width).
+
+    The min/max come from a 1-row broadcast aggregate (metadata-scale); the
+    binning itself is a map-side expression + one groupBy on the bin id —
+    the single-pass-plus-tiny-prepass shape histograms need at 100 TB.
+    floor keeps bin assignment deterministic; the max value is clamped into
+    the last bin.
+    """
+    o = table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("_lo"), F.max("o_totalprice").alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / n_bins
+    bin_id = F.least(
+        F.floor((F.col("o_totalprice") - F.col("_lo")) / width).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select(bin_id.alias("bin_id"))
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_oracle(
+    "price_histogram",
+    """
+    WITH bounds AS (
+        SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    )
+    SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20)) AS INTEGER),
+                 19) AS bin_id,
+           COUNT(*) AS n_orders
+    FROM orders, bounds
+    GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Data-quality column profiling
 # ---------------------------------------------------------------------------
 

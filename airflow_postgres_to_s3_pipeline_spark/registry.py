@@ -195,6 +195,7 @@ QUERIES: dict[str, QueryFn] = {
     "deterministic_sample": advanced.deterministic_sample,
     "merge_upsert": advanced.merge_upsert,
     "profile_table": advanced.profile_table,
+    "price_histogram": advanced.price_histogram,
     "sql_shipping_priority": advanced.sql_shipping_priority,
     "revenue_change_forecast": advanced.revenue_change_forecast,
     "funnel_conversion": advanced.funnel_conversion,

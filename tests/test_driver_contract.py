@@ -1,0 +1,43 @@
+"""Driver-contract guards: the registry must stay structurally sound so the
+per-round harness (entry/queries/oracle_sql) never breaks on a bad entry."""
+
+from __future__ import annotations
+
+import inspect
+
+import duckdb
+import pytest
+
+from airflow_postgres_to_s3_pipeline_spark import registry
+from airflow_postgres_to_s3_pipeline_spark.catalog import TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_every_oracle_has_a_query():
+    missing = set(registry.ORACLES) - set(registry.QUERIES)
+    assert not missing, f"oracles without queries: {missing}"
+
+
+def test_query_callables_take_spark_and_sf_dir():
+    for name, fn in registry.QUERIES.items():
+        params = list(inspect.signature(fn).parameters)
+        assert params[:2] == ["spark", "sf_dir"], (name, params)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(registry.ORACLES))
+def test_oracle_sql_is_valid_duckdb(duck, name):
+    """EXPLAIN (no execution) — catches syntax/binder errors in any oracle
+    before the driver does."""
+    duck.execute(f"EXPLAIN {registry.ORACLES[name]}")
