@@ -12,13 +12,14 @@ from airflow_postgres_to_s3_pipeline_spark.plans import explain_str
 # Queries allowed to contain a non-equi / product join, with why:
 # - embedding_near_dup: the intentionally-exact all-pairs baseline; the
 #   sub-quadratic path is embedding_lsh_near_dup.
-# - scalar_subquery_threshold / knn_bruteforce / knn_ivf / kmeans_embeddings:
-#   broadcast of a metadata-sized side (1-row aggregate, query set,
-#   centroids) — BroadcastNestedLoopJoin over a tiny build side is O(n),
-#   not O(n^2).
+# - scalar_subquery_threshold / price_histogram / knn_bruteforce / knn_ivf /
+#   kmeans_embeddings: broadcast of a metadata-sized side (1-row aggregate,
+#   query set, centroids) — BroadcastNestedLoopJoin over a tiny build side
+#   is O(n), not O(n^2).
 ALLOWED_PRODUCT = {
     "embedding_near_dup",
     "scalar_subquery_threshold",
+    "price_histogram",
     "knn_bruteforce",
     "knn_ivf",
     "kmeans_embeddings",
