@@ -94,11 +94,17 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The all-pairs join is intentionally exact (it is the oracle-checked
     baseline); ``embedding_lsh_near_dup`` is the sub-quadratic variant.
+
+    The streamed side is repartitioned so the O(n^2) pair loop spreads over
+    every core — a single-file corpus otherwise runs the nested-loop join in
+    ONE task (measured 10x: 52s -> 5s at sf0.1 on local[32]).
     """
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    a = e.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
     b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 4)
