@@ -67,6 +67,9 @@ def main() -> int:
         duck_s = time.time() - t0
         rows.append((name, spark_s, duck_s, spark_s / max(duck_s, 1e-9)))
 
+    if not rows:
+        print("no oracle-checked queries matched the selection")
+        return 1
     rows.sort(key=lambda r: -r[3])
     print(f"{'query':36s} {'spark_s':>8s} {'duck_s':>8s} {'ratio':>7s}")
     for name, s, d, r in rows:
