@@ -199,6 +199,9 @@ QUERIES: dict[str, QueryFn] = {
     "sql_shipping_priority": advanced.sql_shipping_priority,
     "revenue_change_forecast": advanced.revenue_change_forecast,
     "funnel_conversion": advanced.funnel_conversion,
+    "order_priority_check": advanced.order_priority_check,
+    "customer_order_distribution": advanced.customer_order_distribution,
+    "supplier_variety": advanced.supplier_variety,
     # E11-E12 windows
     "window_percent_rank": windows.window_percent_rank,
     "timeseries_gapfill": windows.timeseries_gapfill,
