@@ -105,6 +105,33 @@ STREAMING_STATEFUL_ORACLE = """
 """
 
 
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join: purchases attributed to a same-user
+    click within the previous hour (batch-equivalent SQL oracle)."""
+    clicks = stream_windows.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = stream_windows.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_windows.click_purchase_stream_join(clicks, purchases)
+    return stream_windows.run_stream_to_memory(joined, spark, output_mode="append")
+
+
+STREAMING_SS_JOIN_ORACLE = """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_windows.read_events_stream(spark, sf_dir)
     stream = stream_windows.session_counts(events)
@@ -236,6 +263,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_sliding_agg": streaming_sliding_agg,
     "streaming_dedup": streaming_dedup,
     "streaming_session_window": streaming_session_window,
+    "streaming_stream_stream_join": streaming_stream_stream_join,
     "streaming_stateful_running_totals": streaming_stateful_running_totals,
     # E24-E25 dedup
     "dedup_exact": dedup.dedup_exact,
@@ -277,6 +305,7 @@ def _collect_oracles() -> dict[str, str]:
     oracles["streaming_sliding_agg"] = STREAMING_SLIDING_ORACLE
     oracles["streaming_dedup"] = STREAMING_DEDUP_ORACLE
     oracles["streaming_session_window"] = STREAMING_SESSION_ORACLE
+    oracles["streaming_stream_stream_join"] = STREAMING_SS_JOIN_ORACLE
     oracles["streaming_stateful_running_totals"] = STREAMING_STATEFUL_ORACLE
     # only keep oracles for registered queries
     return {k: v for k, v in oracles.items() if k in QUERIES}

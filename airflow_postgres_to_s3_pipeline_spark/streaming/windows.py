@@ -108,6 +108,48 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None,
     return deduped.dropDuplicates(keys)
 
 
+def click_purchase_stream_join(clicks: DataFrame, purchases: DataFrame,
+                               within: str = "1 hour") -> DataFrame:
+    """E23: watermarked stream-stream inner join — purchases attributed to a
+    same-user click within the preceding hour.
+
+    Both sides carry watermarks and the join condition bounds event time on
+    both ends, so the state store can evict rows once the watermark passes
+    the bound — the requirement for an unbounded stream-stream join to hold
+    finite state.  One shuffle per side on user_id.
+    """
+    c = (
+        clicks.withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, spark: SparkSession,
                          output_mode: str = "append") -> DataFrame:
     """Drive a bounded streaming query to completion into a memory sink and
