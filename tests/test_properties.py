@@ -85,6 +85,74 @@ def test_salted_aggregate_equivalence(spark, keyed, n_salts):
 
 
 @given(
+    splits=st.lists(st.integers(1, 20), min_size=1, max_size=4),
+)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_streaming_tumbling_equals_batch_any_split(spark, tmp_path_factory, splits):
+    """Tumbling-window streaming aggregation must equal the batch result no
+    matter how the input is split into micro-batch files."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_to_s3_pipeline_spark.streaming import windows as sw
+
+    total = sum(splits)
+    t0 = 1_700_000_000_000_000_000
+    rows = [
+        (i, t0 + i * 17 * 60 * 10**9, i % 3, "click" if i % 2 else "view",
+         float(i), "{}")
+        for i in range(total)
+    ]
+    src = str(tmp_path_factory.mktemp("split_src"))
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    start = 0
+    for f_idx, n in enumerate(splits):
+        chunk = rows[start:start + n]
+        start += n
+        cols = list(zip(*chunk))
+        pq.write_table(
+            pa.table(dict(zip(schema.names, cols)), schema=schema),
+            os.path.join(src, f"events-{f_idx}.parquet"),
+        )
+
+    stream = sw.tumbling_counts(
+        sw.read_events_stream(spark, src, max_files_per_trigger=1)
+    )
+    got = sorted(
+        map(tuple, sw.run_stream_to_memory(stream, spark, "complete").collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            spark.read.schema(sw.EVENTS_SCHEMA)
+            .parquet(src)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("w.start"), F.col("w.end"), "event_type", "n_events"
+            )
+            .collect(),
+        )
+    )
+    assert got == batch
+
+
+@given(
     edges=st.lists(
         st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(
             lambda e: e[0] != e[1]
