@@ -1,0 +1,83 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API) — the
+engine-extension path for sources Spark has no built-in connector for
+(internal services, bespoke formats, synthetic load generators).
+
+``SyntheticEventsDataSource`` is a deterministic event generator: every
+partition derives its rows purely from (partition_id, row_index) hashes, so
+the same options always produce the same table — usable both as a load
+generator for scale tests and as a connector-API demonstration.  Reads are
+partitioned: each ``InputPartition`` is generated independently on an
+executor (the source scales horizontally like any file-based source; no
+driver materialization).
+
+Register + read:
+
+    from airflow_postgres_to_s3_pipeline_spark.sources.python_datasource import (
+        SyntheticEventsDataSource,
+    )
+    spark.dataSource.register(SyntheticEventsDataSource)
+    df = (spark.read.format("synthetic_events")
+          .option("partitions", "8").option("rows_per_partition", "1000")
+          .load())
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+SCHEMA_DDL = (
+    "event_id bigint, user_id bigint, event_type string, value double"
+)
+
+_EVENT_TYPES = ("view", "click", "signup", "purchase", "error")
+
+
+def _h(partition: int, row: int, salt: str) -> int:
+    """Deterministic 64-bit hash of (partition, row, salt)."""
+    digest = hashlib.sha256(f"{partition}:{row}:{salt}".encode()).digest()
+    return int.from_bytes(digest[:8], "big")
+
+
+class _EventsPartition(InputPartition):
+    def __init__(self, pid: int, n_rows: int):
+        self.pid = pid
+        self.n_rows = n_rows
+
+
+class _EventsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_partitions = int(options.get("partitions", "4"))
+        self.rows_per_partition = int(options.get("rows_per_partition", "100"))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            _EventsPartition(p, self.rows_per_partition)
+            for p in range(self.n_partitions)
+        ]
+
+    def read(self, partition: _EventsPartition) -> Iterator[tuple]:
+        base = partition.pid * partition.n_rows
+        for i in range(partition.n_rows):
+            event_id = base + i
+            user_id = _h(partition.pid, i, "user") % 1000
+            event_type = _EVENT_TYPES[_h(partition.pid, i, "type") % len(_EVENT_TYPES)]
+            value = (_h(partition.pid, i, "value") % 10_000) / 100.0
+            yield (event_id, user_id, event_type, value)
+
+
+class SyntheticEventsDataSource(DataSource):
+    """spark.read.format("synthetic_events") — deterministic event table."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str | StructType:
+        return SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _EventsReader(self.options)
