@@ -86,6 +86,32 @@ _oracle(
 )
 
 
+def arrow_udf_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (``useArrow=True``, Spark 4): same logical
+    function as python_udf_rowwise but batched over Arrow instead of pickled
+    row-by-row — the drop-in upgrade when a scalar Python UDF can't be
+    rewritten as a pandas UDF."""
+    tier = F.udf(
+        lambda bal: "negative" if bal < 0 else ("gold" if bal > 7500 else "standard"),
+        StringType(),
+        useArrow=True,
+    )
+    c = table(spark, sf_dir, "customer")
+    return c.select("c_custkey", tier("c_acctbal").alias("tier"))
+
+
+_oracle(
+    "arrow_udf_tier",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal > 7500 THEN 'gold'
+                ELSE 'standard' END AS tier
+    FROM customer
+    """,
+)
+
+
 def apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped applyInPandas: z-score of customer balance within segment.
 

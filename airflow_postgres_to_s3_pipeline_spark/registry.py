@@ -256,6 +256,7 @@ QUERIES: dict[str, QueryFn] = {
     # E21 UDF surface
     "pandas_udf_score": udfs.pandas_udf_score,
     "python_udf_rowwise": udfs.python_udf_rowwise,
+    "arrow_udf_tier": udfs.arrow_udf_tier,
     "apply_in_pandas_zscore": udfs.apply_in_pandas_zscore,
     "python_udtf_word_expand": udfs.python_udtf_word_expand,
     # E22-E23 streaming (genuine readStream executions)

@@ -32,6 +32,51 @@ def _write(src: str, name: str, rows):
     )
 
 
+def test_foreach_batch_partitioned_sink(spark, tmp_path):
+    """foreachBatch: per-micro-batch custom sink logic (here: dynamic
+    partition overwrite into an hourly-partitioned parquet table) — the
+    production pattern for streaming upserts into a lake table."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    src = _os.path.join(str(tmp_path), "fb_src")
+    out = _os.path.join(str(tmp_path), "fb_out")
+    ckpt = _os.path.join(str(tmp_path), "fb_ckpt")
+    _os.makedirs(src)
+
+    t0 = 1_700_000_000_000_000_000
+    _write(src, "events-1.parquet",
+           [(1, t0, 1, "a", 1.0, "{}"), (2, t0 + 3600 * 10**9, 1, "b", 2.0, "{}")])
+    _write(src, "events-2.parquet",
+           [(3, t0 + 2 * 3600 * 10**9, 2, "c", 3.0, "{}")])
+
+    def sink(batch_df, batch_id):
+        (
+            batch_df.withColumn("hour", F.date_trunc("hour", "ts"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("hour")
+            .parquet(out)
+        )
+
+    stream = sw.read_events_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    result = spark.read.parquet(out)
+    assert sorted(r["event_id"] for r in result.collect()) == [1, 2, 3]
+    # hourly partitioning materialized on disk
+    assert any("hour=" in p for p in _os.listdir(out))
+
+
 def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     src = os.path.join(str(tmp_path), "src")
     out = os.path.join(str(tmp_path), "out")
