@@ -451,6 +451,50 @@ _oracle(
 )
 
 
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share per month — conditional sum over
+    a broadcast dim join, ratio of two exact-decimal sums (the division is
+    a single double op, bit-identical on both engines)."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).cast(
+        "decimal(27,6)"
+    )
+    promo_rev = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(27,6)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(
+            F.to_date(F.date_trunc("month", "l_shipdate")).alias("ship_month")
+        )
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo_rev).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_oracle(
+    "promo_revenue_share",
+    """
+    SELECT date_trunc('month', l_shipdate) AS ship_month,
+           100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))
+                        ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                                 AS DECIMAL(27,6))) AS DOUBLE) AS promo_share_pct,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY date_trunc('month', l_shipdate)
+    """,
+)
+
+
 def supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct supplier count per (brand, type) for
     mid-size parts, excluding one brand — lineitem serves as the

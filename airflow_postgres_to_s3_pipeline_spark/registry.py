@@ -229,6 +229,7 @@ QUERIES: dict[str, QueryFn] = {
     "order_priority_check": advanced.order_priority_check,
     "customer_order_distribution": advanced.customer_order_distribution,
     "supplier_variety": advanced.supplier_variety,
+    "promo_revenue_share": advanced.promo_revenue_share,
     # E11-E12 windows
     "window_percent_rank": windows.window_percent_rank,
     "timeseries_gapfill": windows.timeseries_gapfill,
