@@ -1,0 +1,95 @@
+"""Sketch aggregations (SURVEY.md §2B E9 approximate tier).
+
+Sketches are the 100 TB answer to distinct-count and heavy-hitter questions:
+fixed-size state, partial-mergeable (one map-side sketch per partition, one
+merge), re-usable across queries when persisted.
+
+- ``hll_sketch_users``: Apache DataSketches HLL via the built-in
+  ``hll_sketch_agg`` / ``hll_sketch_estimate`` — mergeable distinct-count
+  state (unlike ``approx_count_distinct`` the sketch itself is a column you
+  can store and union later).  Rows-only check (estimates are
+  approximate by design); accuracy vs the exact count is pinned in
+  tests/test_sketches.py.
+- ``heavy_hitters_terms``: exact heavy hitters (terms above a frequency
+  threshold) as a two-shuffle aggregate with a full SQL oracle — the exact
+  baseline a Count-Min/Misra-Gries sketch approximates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_postgres_to_s3_pipeline_spark.catalog import table
+
+ORACLES: dict[str, str] = {}
+
+
+def _oracle(name: str, sql: str):
+    ORACLES[name] = sql
+
+
+def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via mergeable HLL sketches, plus the
+    global distinct estimate from unioning the per-type sketches — the
+    two-level pattern (store per-shard sketches, merge on demand) that
+    replaces re-scanning 100 TB for every distinct question."""
+    e = table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    per_type_est = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sketch").alias("distinct_users_est"),
+        "n_events",
+    )
+    global_est = per_type.agg(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+            "distinct_users_est"
+        ),
+        F.sum("n_events").alias("n_events"),
+    )
+    return per_type_est.unionByName(global_est)
+
+
+def heavy_hitters_terms(spark: SparkSession, sf_dir: str,
+                        threshold_ppm: int = 2000) -> DataFrame:
+    """Exact heavy hitters: words above threshold_ppm parts-per-million of
+    total corpus tokens.  Two shuffles (term count + scalar total broadcast);
+    the sketch path (Count-Min) approximates exactly this output."""
+    d = table(spark, sf_dir, "documents")
+    tokens = d.select(F.explode(F.split("text", " ")).alias("term")).filter(
+        F.length("term") > 0
+    )
+    counts = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    total = tokens.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * 1_000_000 >= F.lit(threshold_ppm) * F.col("_total"))
+        .select(
+            "term",
+            "freq",
+            (F.col("freq") * 1_000_000 / F.col("_total")).alias("ppm"),
+        )
+    )
+
+
+_oracle(
+    "heavy_hitters_terms",
+    """
+    WITH tokens AS (
+        SELECT UNNEST(string_split(text, ' ')) AS term FROM documents
+    ), t2 AS (
+        SELECT term FROM tokens WHERE LENGTH(term) > 0
+    ), counts AS (
+        SELECT term, COUNT(*) AS freq FROM t2 GROUP BY term
+    ), total AS (
+        SELECT COUNT(*) AS total FROM t2
+    )
+    SELECT term, freq, freq * 1000000 / CAST(total AS DOUBLE) AS ppm
+    FROM counts, total
+    WHERE freq * 1000000 >= 2000 * total
+    """,
+)

@@ -17,6 +17,7 @@ from airflow_postgres_to_s3_pipeline_spark.operators import (
     multimodal,
     relational,
     scalar_funcs,
+    sketches,
     similarity,
     text,
     udfs,
@@ -170,6 +171,7 @@ _MODULES = (
     advanced,
     windows,
     scalar_funcs,
+    sketches,
     udfs,
     dedup,
     similarity,
@@ -201,6 +203,8 @@ QUERIES: dict[str, QueryFn] = {
     "distinct_pairs": relational.distinct_pairs,
     "count_distinct_agg": relational.count_distinct_agg,
     "approx_count_distinct_users": relational.approx_count_distinct_users,
+    "hll_sketch_users": sketches.hll_sketch_users,
+    "heavy_hitters_terms": sketches.heavy_hitters_terms,
     "rollup_acctbal": relational.rollup_acctbal,
     "cube_status_priority": relational.cube_status_priority,
     "grouping_sets_agg": relational.grouping_sets_agg,

@@ -20,6 +20,7 @@ ALLOWED_PRODUCT = {
     "embedding_near_dup",
     "scalar_subquery_threshold",
     "price_histogram",
+    "heavy_hitters_terms",
     "knn_bruteforce",
     "knn_ivf",
     "kmeans_embeddings",

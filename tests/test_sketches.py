@@ -1,0 +1,31 @@
+"""Sketch accuracy: HLL estimates must track exact distinct counts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_postgres_to_s3_pipeline_spark.catalog import table
+from airflow_postgres_to_s3_pipeline_spark.operators import sketches
+
+
+def test_hll_estimates_within_5pct(spark, sf_dir):
+    est = {
+        r["event_type"]: r["distinct_users_est"]
+        for r in sketches.hll_sketch_users(spark, sf_dir).collect()
+    }
+    e = table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = e.select("user_id").distinct().count()
+    for k, true_n in exact.items():
+        assert abs(est[k] - true_n) <= max(0.05 * true_n, 2), (k, est[k], true_n)
+
+
+def test_heavy_hitters_threshold(spark, sf_dir):
+    rows = sketches.heavy_hitters_terms(spark, sf_dir).collect()
+    assert rows, "common stopwords should exceed 2000 ppm"
+    assert all(r["ppm"] >= 2000 for r in rows)
