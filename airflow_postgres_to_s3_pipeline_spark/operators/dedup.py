@@ -216,6 +216,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     it Spark recomputes the CPU-heavy hashing per consumer.  ``shards``
     spreads a few-files-input across cores (a 100 TB corpus arrives
     pre-split; a single local parquet file does not).
+
+    Persistence hygiene: the persisted intermediates live until the session
+    drops them (the result is lazy, so this function cannot unpersist).
+    Long-lived sessions running many dedup batches should call
+    ``spark.catalog.clearCache()`` between batches or persist to
+    ``StorageLevel.DISK_ONLY`` when memory-constrained.
     """
     if shards:
         df = df.repartition(shards)
