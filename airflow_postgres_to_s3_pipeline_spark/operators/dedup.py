@@ -239,6 +239,104 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, shards=shards)
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus update: admit only incoming docs that duplicate
+    nothing in the existing corpus — the batch-over-batch dedup shape every
+    growing training corpus runs.
+
+    Split: existing = doc_id < 400, incoming = doc_id >= 400 (stand-ins for
+    'corpus so far' and 'today's crawl').  An incoming doc is rejected if
+    (a) its exact content hash exists (anti-join on md5 — 16-byte shuffle
+    key), or (b) it shares a same-language word-3-gram Jaccard >= 0.5 with
+    any existing doc (the exact near-dup check; at scale the MinHash-banded
+    variant bounds the candidate space the same way).  Both checks are
+    anti-joins — the surviving set is computed without materializing any
+    pair list driver-side.
+    """
+    d = table(spark, sf_dir, "documents")
+    existing = d.filter(F.col("doc_id") < 400)
+    incoming = d.filter(F.col("doc_id") >= 400)
+
+    # (a) exact-content rejection
+    ex_hash = existing.select(F.md5(F.col("text").cast("binary")).alias("h")).distinct()
+    inc = incoming.withColumn("h", F.md5(F.col("text").cast("binary")))
+    survived_exact = inc.join(ex_hash, "h", "left_anti").drop("h")
+
+    # (b) near-dup rejection vs existing (same-lang 3-gram Jaccard >= 0.5)
+    sh_ex = shingle(existing, "text", "doc_id", k=3).join(
+        existing.select("doc_id", "lang"), "doc_id"
+    ).select(F.col("doc_id").alias("ex_id"), "lang", "shingle")
+    sh_in = shingle(survived_exact, "text", "doc_id", k=3).join(
+        survived_exact.select("doc_id", "lang"), "doc_id"
+    ).select(F.col("doc_id").alias("in_id"), "lang", "shingle")
+    sizes_ex = sh_ex.groupBy("ex_id").agg(F.count(F.lit(1)).alias("sz_ex"))
+    sizes_in = sh_in.groupBy("in_id").agg(F.count(F.lit(1)).alias("sz_in"))
+    inter = (
+        sh_in.join(sh_ex, ["lang", "shingle"])
+        .groupBy("in_id", "ex_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    near_dup_ids = (
+        inter.join(sizes_in, "in_id")
+        .join(sizes_ex, "ex_id")
+        .filter(
+            F.col("n_inter") / (F.col("sz_in") + F.col("sz_ex") - F.col("n_inter"))
+            >= 0.5
+        )
+        .select(F.col("in_id").alias("doc_id"))
+        .distinct()
+    )
+    return survived_exact.join(near_dup_ids, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_oracle(
+    "dedup_incremental",
+    """
+    WITH existing AS (
+        SELECT * FROM documents WHERE doc_id < 400
+    ), incoming AS (
+        SELECT * FROM documents WHERE doc_id >= 400
+    ), survived_exact AS (
+        SELECT i.* FROM incoming i
+        WHERE md5(i.text) NOT IN (SELECT md5(text) FROM existing)
+    ), sh_ex AS (
+        SELECT doc_id AS ex_id, lang,
+               UNNEST(list_distinct(list_transform(
+                   generate_series(1, LEN(string_split(text, ' ')) - 2),
+                   k -> string_split(text, ' ')[k] || ' ' ||
+                        string_split(text, ' ')[k + 1] || ' ' ||
+                        string_split(text, ' ')[k + 2]))) AS shingle
+        FROM existing WHERE LEN(string_split(text, ' ')) >= 3
+    ), sh_in AS (
+        SELECT doc_id AS in_id, lang,
+               UNNEST(list_distinct(list_transform(
+                   generate_series(1, LEN(string_split(text, ' ')) - 2),
+                   k -> string_split(text, ' ')[k] || ' ' ||
+                        string_split(text, ' ')[k + 1] || ' ' ||
+                        string_split(text, ' ')[k + 2]))) AS shingle
+        FROM survived_exact WHERE LEN(string_split(text, ' ')) >= 3
+    ), sizes_ex AS (
+        SELECT ex_id, COUNT(*) AS sz_ex FROM sh_ex GROUP BY ex_id
+    ), sizes_in AS (
+        SELECT in_id, COUNT(*) AS sz_in FROM sh_in GROUP BY in_id
+    ), inter AS (
+        SELECT in_id, ex_id, COUNT(*) AS n_inter
+        FROM sh_in JOIN sh_ex USING (lang, shingle)
+        GROUP BY in_id, ex_id
+    ), near_dup AS (
+        SELECT DISTINCT in_id AS doc_id
+        FROM inter JOIN sizes_in USING (in_id) JOIN sizes_ex USING (ex_id)
+        WHERE n_inter / CAST(sz_in + sz_ex - n_inter AS DOUBLE) >= 0.5
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM survived_exact
+    WHERE doc_id NOT IN (SELECT doc_id FROM near_dup)
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # E25a': near-dup clusters — connected components over candidate pairs
 # ---------------------------------------------------------------------------

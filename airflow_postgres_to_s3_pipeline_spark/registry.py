@@ -276,6 +276,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_keep_first": dedup.dedup_keep_first,
     "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
     "dedup_components": dedup.dedup_components,
+    "dedup_incremental": dedup.dedup_incremental,
     "simhash_dedup": dedup.simhash_dedup,
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
     # E26 similarity search
