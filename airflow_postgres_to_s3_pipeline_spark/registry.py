@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from airflow_postgres_to_s3_pipeline_spark.operators import (
     advanced,
     dedup,
+    ml_feature,
     multimodal,
     relational,
     scalar_funcs,
@@ -277,6 +278,8 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
     "dedup_components": dedup.dedup_components,
     "dedup_incremental": dedup.dedup_incremental,
+    "minhash_ml_pairs": ml_feature.minhash_ml_pairs,
+    "tfidf_ml_features": ml_feature.tfidf_ml_features,
     "simhash_dedup": dedup.simhash_dedup,
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
     # E26 similarity search
