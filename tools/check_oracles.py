@@ -25,14 +25,18 @@ TABLES = (
 ).split()
 
 
+STRICT_FLOATS = os.environ.get("SPARK_GRAFT_STRICT_FLOATS") == "1"
+
+
 def norm_cell(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # driver-style stable float repr
-        return f"{v:.10g}"
+        # strict mode compares full IEEE bits (repr round-trips doubles);
+        # default mirrors a 10-significant-digit driver-style hash
+        return repr(v) if STRICT_FLOATS else f"{v:.10g}"
     if isinstance(v, bool):
         return str(v)
     return str(v)
