@@ -633,6 +633,80 @@ _oracle(
 )
 
 
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: classify rows across two batch versions as
+    added / removed / changed / unchanged — one full-outer join on the key,
+    change detection via null-safe value comparison.
+
+    The snapshots are derived deterministically from orders (each side drops
+    a different modular key slice; the new side carries a 10% price bump on
+    open orders) so the op is oracle-checkable on static data.  At
+    scale both snapshots are partitioned tables and the join shuffles once
+    on the key — or zero times when both are bucketed on it.
+    """
+    o = table(spark, sf_dir, "orders")
+    old = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    new = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderstatus") == "O", F.col("o_totalprice") * 1.1
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    oldk = old.select(
+        F.col("o_orderkey"),
+        F.col("o_orderstatus").alias("old_status"),
+        F.col("o_totalprice").alias("old_price"),
+    ).filter(F.pmod(F.col("o_orderkey"), 100) != 0)
+    newk = new.select(
+        F.col("o_orderkey"),
+        F.col("o_orderstatus").alias("new_status"),
+        F.col("o_totalprice").alias("new_price"),
+    ).filter(F.pmod(F.col("o_orderkey"), 97) != 0)
+    joined = oldk.join(newk, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("old_status").isNull(), F.lit("added"))
+        .when(F.col("new_status").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_price").eqNullSafe(F.col("new_price"))
+            & F.col("old_status").eqNullSafe(F.col("new_status")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(change.alias("change_type")).groupBy(
+        "change_type"
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+_oracle(
+    "snapshot_diff",
+    """
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus AS old_status,
+               o_totalprice AS old_price
+        FROM orders WHERE o_orderkey % 100 <> 0
+    ), new AS (
+        SELECT o_orderkey, o_orderstatus AS new_status,
+               CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1
+                    ELSE o_totalprice END AS new_price
+        FROM orders WHERE o_orderkey % 97 <> 0
+    )
+    SELECT CASE
+             WHEN old_status IS NULL THEN 'added'
+             WHEN new_status IS NULL THEN 'removed'
+             WHEN old_price IS NOT DISTINCT FROM new_price
+                  AND old_status IS NOT DISTINCT FROM new_status
+                  THEN 'unchanged'
+             ELSE 'changed'
+           END AS change_type,
+           COUNT(*) AS n_rows
+    FROM old FULL OUTER JOIN new USING (o_orderkey)
+    GROUP BY 1
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Histogram / binning aggregate
 # ---------------------------------------------------------------------------

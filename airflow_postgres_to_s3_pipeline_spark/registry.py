@@ -226,6 +226,7 @@ QUERIES: dict[str, QueryFn] = {
     "unpivot_metrics": advanced.unpivot_metrics,
     "deterministic_sample": advanced.deterministic_sample,
     "merge_upsert": advanced.merge_upsert,
+    "snapshot_diff": advanced.snapshot_diff,
     "profile_table": advanced.profile_table,
     "price_histogram": advanced.price_histogram,
     "sql_shipping_priority": advanced.sql_shipping_priority,
