@@ -937,6 +937,33 @@ _oracle(
 )
 
 
+def array_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array_agg: each customer's order keys as a sorted array.
+
+    collect_list order is partition-dependent; array_sort restores a total
+    order — the only deterministic distributed array_agg."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+_oracle(
+    "array_agg_ordered",
+    """
+    SELECT o_custkey,
+           list(o_orderkey ORDER BY o_orderkey) AS orderkeys,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Ordered string aggregation (listagg)
 # ---------------------------------------------------------------------------

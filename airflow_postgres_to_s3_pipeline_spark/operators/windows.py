@@ -27,6 +27,38 @@ def _oracle(name: str, sql: str):
     ORACLES[name] = sql
 
 
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """last_value(..., ignoreNulls) navigation: carry forward each user's
+    most recent high-value reading (values <= 50 nulled out) — the
+    gap-carry-forward shape sensor/event pipelines use."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    high = F.when(F.col("value") > 50, F.col("value"))
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.last(high, ignorenulls=True).over(w).alias("last_high_value"),
+    )
+
+
+_oracle(
+    "window_ignore_nulls",
+    """
+    SELECT user_id, event_id, ts, value,
+           last_value(CASE WHEN value > 50 THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_high_value
+    FROM events
+    """,
+)
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str,
                       gap_minutes: int = 30) -> DataFrame:
     """Batch sessionization via lag + running sum (the window-function dual

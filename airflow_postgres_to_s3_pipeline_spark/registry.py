@@ -220,9 +220,11 @@ QUERIES: dict[str, QueryFn] = {
     "join_skew_salted": advanced.join_skew_salted,
     "salted_agg_hot_key": advanced.salted_agg_hot_key,
     "window_lag_lead": advanced.window_lag_lead,
+    "window_ignore_nulls": windows.window_ignore_nulls,
     "union_snapshots": advanced.union_snapshots,
     "conditional_aggregates": advanced.conditional_aggregates,
     "string_agg_ordered": advanced.string_agg_ordered,
+    "array_agg_ordered": advanced.array_agg_ordered,
     "unpivot_metrics": advanced.unpivot_metrics,
     "deterministic_sample": advanced.deterministic_sample,
     "merge_upsert": advanced.merge_upsert,
