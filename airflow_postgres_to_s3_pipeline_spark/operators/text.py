@@ -275,6 +275,52 @@ _oracle(
 )
 
 
+def reading_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability features: sentence count, words per sentence, vowel-group
+    (syllable-ish) density — the Flesch-style inputs, as pure row-local
+    regex (no shuffle until a downstream aggregate)."""
+    d = table(spark, sf_dir, "documents")
+    n_sentences = F.greatest(
+        F.size(F.split("text", r"[.!?]+")) - 1, F.lit(1)
+    )
+    n_words = F.size(F.filter(F.split("text", " "), lambda w: F.length(w) > 0))
+    n_vowel_groups = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), F.lit(0))
+    )
+    return d.select(
+        "doc_id",
+        n_sentences.alias("n_sentences"),
+        n_words.alias("n_words"),
+        (n_words / n_sentences).alias("words_per_sentence"),
+        n_vowel_groups.alias("n_vowel_groups"),
+        (n_vowel_groups / n_words).alias("vowel_groups_per_word"),
+    )
+
+
+_oracle(
+    "reading_level",
+    r"""
+    WITH f AS (
+        SELECT doc_id,
+               GREATEST(LEN(string_split_regex(text, '[.!?]+')) - 1, 1)
+                   AS n_sentences,
+               LEN(list_filter(string_split(text, ' '),
+                               w -> LENGTH(w) > 0)) AS n_words,
+               LEN(regexp_extract_all(LOWER(text), '[aeiouy]+'))
+                   AS n_vowel_groups
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_sentences AS INTEGER) AS n_sentences,
+           CAST(n_words AS INTEGER) AS n_words,
+           n_words / CAST(n_sentences AS DOUBLE) AS words_per_sentence,
+           CAST(n_vowel_groups AS INTEGER) AS n_vowel_groups,
+           n_vowel_groups / CAST(n_words AS DOUBLE) AS vowel_groups_per_word
+    FROM f
+    """,
+)
+
+
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation: quality filter -> exact dedup (keep
     lowest doc_id) -> deterministic hash split — the composition every

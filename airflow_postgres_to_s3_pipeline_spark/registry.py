@@ -303,6 +303,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_normalize": text.text_normalize,
     "pii_scrub": text.pii_scrub,
     "corpus_curation": text.corpus_curation,
+    "reading_level": text.reading_level,
     # E28 multimodal
     "multimodal_decode": multimodal.multimodal_decode,
     "multimodal_frame_sample": multimodal.multimodal_frame_sample,
