@@ -196,3 +196,33 @@ _oracle(
     GROUP BY 1
     """,
 )
+
+
+def model_inference_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference over embeddings: a deterministic linear model
+    scored with a vectorized pandas UDF (numpy matmul per Arrow batch) —
+    the shape every embedding-classifier / reward-model scoring job has at
+    100 TB.  The "model" is weights w_j = ((j * 37) % 19 - 9) / 10 so runs
+    are reproducible without shipping artifacts.
+
+    Rows-only check: numpy's pairwise summation order differs from a SQL
+    fold in final ULPs, so the oracle would be flaky by construction; the
+    equivalence with a driver-side numpy reference is pinned in
+    tests/test_udfs_inference.py instead.
+    """
+    import numpy as np
+
+    dim = 64
+    w = np.array([((j * 37) % 19 - 9) / 10.0 for j in range(dim)])
+
+    @F.pandas_udf(DoubleType())
+    def score(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        return pd.Series(mat @ w)
+
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        score(F.col("embedding").cast("array<double>")).alias("model_score"),
+    )

@@ -268,6 +268,7 @@ QUERIES: dict[str, QueryFn] = {
     "arrow_udf_tier": udfs.arrow_udf_tier,
     "apply_in_pandas_zscore": udfs.apply_in_pandas_zscore,
     "python_udtf_word_expand": udfs.python_udtf_word_expand,
+    "model_inference_scores": udfs.model_inference_scores,
     # E22-E23 streaming (genuine readStream executions)
     "streaming_tumbling_agg": streaming_tumbling_agg,
     "streaming_sliding_agg": streaming_sliding_agg,
