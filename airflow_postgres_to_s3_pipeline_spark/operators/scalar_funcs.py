@@ -288,6 +288,37 @@ _oracle(
 )
 
 
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe ``try_*`` arithmetic: errors become NULL instead of failing
+    the job — division by zero, overflow-safe add, invalid casts.  The
+    error-tolerance surface a dirty 100 TB corpus needs (one bad row must
+    not kill a 6-hour job)."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - 25.0
+        ).alias("per_unit_above_25"),
+        F.try_add(F.col("l_orderkey"), F.lit(1)).alias("next_key"),
+        F.try_to_number(F.lit("not-a-number"), F.lit("999")).alias("bad_parse"),
+    )
+
+
+_oracle(
+    "try_arithmetic",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity - 25.0 = 0 THEN NULL
+                ELSE l_extendedprice / (l_quantity - 25.0) END
+               AS per_unit_above_25,
+           l_orderkey + 1 AS next_key,
+           CAST(NULL AS DECIMAL(3,0)) AS bad_parse
+    FROM lineitem
+    """,
+)
+
+
 def variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access via Spark 4 VARIANT: parse_json once, then
     typed path extraction — the engine's schema-on-read path for nested

@@ -54,6 +54,41 @@ def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type_est.unionByName(global_est)
 
 
+def bitmap_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct customers per order status via bitmap aggregation
+    (Spark 3.5 ``bitmap_*``): keys bucket into fixed 32k-bit bitmaps,
+    partials OR-merge — exact distinct counting with mergeable state, the
+    middle ground between COUNT(DISTINCT)'s full shuffle-dedup and HLL's
+    approximation.  Oracle: plain COUNT(DISTINCT) — results must be equal
+    because bitmaps are exact."""
+    e = table(spark, sf_dir, "orders")
+    per_bucket = (
+        e.select(
+            "o_orderstatus",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+        )
+        .groupBy("o_orderstatus", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bitmap"))
+    )
+    return (
+        per_bucket.groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.expr("bitmap_count(bitmap)")).alias("distinct_customers")
+        )
+    )
+
+
+_oracle(
+    "bitmap_distinct_orders",
+    """
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS distinct_customers
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+
+
 def heavy_hitters_terms(spark: SparkSession, sf_dir: str,
                         threshold_ppm: int = 2000) -> DataFrame:
     """Exact heavy hitters: words above threshold_ppm parts-per-million of

@@ -206,6 +206,7 @@ QUERIES: dict[str, QueryFn] = {
     "approx_count_distinct_users": relational.approx_count_distinct_users,
     "hll_sketch_users": sketches.hll_sketch_users,
     "heavy_hitters_terms": sketches.heavy_hitters_terms,
+    "bitmap_distinct_orders": sketches.bitmap_distinct_orders,
     "rollup_acctbal": relational.rollup_acctbal,
     "cube_status_priority": relational.cube_status_priority,
     "grouping_sets_agg": relational.grouping_sets_agg,
@@ -261,6 +262,7 @@ QUERIES: dict[str, QueryFn] = {
     "explode_word_freq": scalar_funcs.explode_word_freq,
     "json_functions": scalar_funcs.json_functions,
     "variant_json": scalar_funcs.variant_json,
+    "try_arithmetic": scalar_funcs.try_arithmetic,
     "map_functions": scalar_funcs.map_functions,
     # E21 UDF surface
     "pandas_udf_score": udfs.pandas_udf_score,
