@@ -27,6 +27,38 @@ def _oracle(name: str, sql: str):
     ORACLES[name] = sql
 
 
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value navigation: each customer's 2nd-most-expensive order price
+    alongside every order row (full-partition frame, deterministic total
+    order)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_highest_price"),
+    )
+
+
+_oracle(
+    "window_nth_value",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           nth_value(o_totalprice, 2) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_highest_price
+    FROM orders
+    """,
+)
+
+
 def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """last_value(..., ignoreNulls) navigation: carry forward each user's
     most recent high-value reading (values <= 50 nulled out) — the

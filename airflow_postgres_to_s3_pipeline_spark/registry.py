@@ -222,6 +222,7 @@ QUERIES: dict[str, QueryFn] = {
     "salted_agg_hot_key": advanced.salted_agg_hot_key,
     "window_lag_lead": advanced.window_lag_lead,
     "window_ignore_nulls": windows.window_ignore_nulls,
+    "window_nth_value": windows.window_nth_value,
     "union_snapshots": advanced.union_snapshots,
     "conditional_aggregates": advanced.conditional_aggregates,
     "string_agg_ordered": advanced.string_agg_ordered,
