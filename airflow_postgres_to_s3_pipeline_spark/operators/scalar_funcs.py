@@ -288,6 +288,40 @@ _oracle(
 )
 
 
+def map_hof_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order map functions: transform_values / map_filter /
+    map_zip_with over a per-row metrics map, with scalar outputs so the
+    result stays hash-comparable."""
+    o = table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("price"), F.col("o_totalprice"),
+        F.lit("half"), F.col("o_totalprice") / 2.0,
+    )
+    doubled = F.transform_values(m, lambda k, v: v * 2.0)
+    only_big = F.map_filter(m, lambda k, v: v > 100000.0)
+    summed = F.map_zip_with(m, doubled, lambda k, a, b: a + b)
+    return o.select(
+        "o_orderkey",
+        doubled.getItem("price").alias("price_x2"),
+        F.size(only_big).alias("n_big_entries"),
+        summed.getItem("half").alias("half_x3"),
+    )
+
+
+_oracle(
+    "map_hof_functions",
+    """
+    SELECT o_orderkey,
+           o_totalprice * 2.0 AS price_x2,
+           CAST(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END
+                + CASE WHEN o_totalprice / 2.0 > 100000.0 THEN 1 ELSE 0 END
+                AS INTEGER) AS n_big_entries,
+           o_totalprice / 2.0 + (o_totalprice / 2.0) * 2.0 AS half_x3
+    FROM orders
+    """,
+)
+
+
 def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-safe ``try_*`` arithmetic: errors become NULL instead of failing
     the job — division by zero, overflow-safe add, invalid casts.  The

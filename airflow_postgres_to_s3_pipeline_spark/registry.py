@@ -265,6 +265,7 @@ QUERIES: dict[str, QueryFn] = {
     "variant_json": scalar_funcs.variant_json,
     "try_arithmetic": scalar_funcs.try_arithmetic,
     "map_functions": scalar_funcs.map_functions,
+    "map_hof_functions": scalar_funcs.map_hof_functions,
     # E21 UDF surface
     "pandas_udf_score": udfs.pandas_udf_score,
     "python_udf_rowwise": udfs.python_udf_rowwise,
