@@ -6,7 +6,7 @@ no I/O bottleneck, no Python) and times the operator shapes that dominate at
 shuffle join, window rank, exact dedup.  Prints one JSON line with rows/sec
 per shape.
 
-    python tools/scale_smoke.py [n_rows]     # default 100_000_000
+    python tools/scale_smoke.py [n_rows] [shape ...]   # default 100_000_000, all shapes
 """
 
 from __future__ import annotations
@@ -22,6 +22,7 @@ sys.path.insert(0, REPO)
 
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000_000
+    only = set(sys.argv[2:])
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -46,6 +47,8 @@ def main() -> int:
         )
 
     def run(label, df):
+        if only and label not in only:
+            return None
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
@@ -75,6 +78,7 @@ def main() -> int:
     results.append(run("exact_dedup", fact().dropDuplicates(["custkey", "qty"])
                        .agg(F.count("*").alias("c"))))
 
+    results = [r for r in results if r is not None]
     print(json.dumps({
         "n_rows": n,
         "parallelism": parallelism,
