@@ -53,5 +53,27 @@ def write_bucketed_table(
     writer.format("parquet").saveAsTable(table_name)
 
 
+def write_sorted_layout(
+    df: DataFrame,
+    path: str,
+    key: str,
+    n_files: int = 32,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, key-sorted write: files carry (nearly) disjoint
+    min/max statistics on ``key``, so point/range predicates skip whole
+    files at scan time (verified in tests/test_layout.py).  The lightweight
+    alternative to Z-ordering when one key dominates the read pattern.
+    """
+    (
+        df.repartitionByRange(n_files, key)
+        .sortWithinPartitions(key)
+        .write.mode(mode)
+        .format(fmt)
+        .save(path)
+    )
+
+
 def read_table(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)

@@ -37,14 +37,13 @@ def test_range_partitioned_sorted_write_gives_disjoint_stats(spark, sf_dir, tmp_
     """repartitionByRange + sortWithinPartitions must produce parquet files
     whose per-file key ranges are (nearly) disjoint — the min/max layout
     that lets scans skip files on a key predicate."""
+    from airflow_postgres_to_s3_pipeline_spark.sources.sinks import (
+        write_sorted_layout,
+    )
+
     out = os.path.join(str(tmp_path), "orders_sorted")
     o = table(spark, sf_dir, "orders")
-    (
-        o.repartitionByRange(8, "o_orderkey")
-        .sortWithinPartitions("o_orderkey")
-        .write.mode("overwrite")
-        .parquet(out)
-    )
+    write_sorted_layout(o, out, "o_orderkey", n_files=8)
     ranges = []
     for f in os.listdir(out):
         if not f.endswith(".parquet"):
