@@ -139,6 +139,62 @@ _oracle(
 )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("orig_bytes", IntegerType()),
+        StructField("resized_bytes", IntegerType()),
+        StructField("resized_md5", StringType()),
+    ]
+)
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str,
+                      target_bytes: int = 128) -> DataFrame:
+    """Resize stage stub over binary payloads via mapInPandas.
+
+    A real deployment runs PIL ``Image.resize`` here; the container has no
+    image codecs, so the deterministic stand-in truncates the payload to
+    ``target_bytes`` and fingerprints the result — identical Arrow batch
+    shape, partition streaming, and output schema to a real thumbnailer.
+    Oracle-checked byte-exactly (ascii payloads, so the truncation mirrors
+    SQL SUBSTRING).
+    """
+    import hashlib
+
+    def resize(batches):
+        for pdf in batches:
+            payloads = pdf["payload"]
+            resized = payloads.map(lambda b: bytes(b)[:target_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": payloads.map(len),
+                    "resized_bytes": resized.map(len),
+                    "resized_md5": resized.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                }
+            )
+
+    d = table(spark, sf_dir, "documents").repartition(
+        min(spark.sparkContext.defaultParallelism, 8)
+    )
+    return attach_payload(d).mapInPandas(resize, RESIZED_SCHEMA)
+
+
+_oracle(
+    "multimodal_resize",
+    """
+    SELECT doc_id,
+           CAST(LENGTH(text) AS INTEGER) AS orig_bytes,
+           CAST(LEAST(LENGTH(text), 128) AS INTEGER) AS resized_bytes,
+           md5(SUBSTRING(text, 1, 128)) AS resized_md5
+    FROM documents
+    """,
+)
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str,
                             frame_bytes: int = 64, every: int = 4) -> DataFrame:
     """Frame-sampling over binary payloads: split each payload into

@@ -311,6 +311,7 @@ QUERIES: dict[str, QueryFn] = {
     "reading_level": text.reading_level,
     # E28 multimodal
     "multimodal_decode": multimodal.multimodal_decode,
+    "multimodal_resize": multimodal.multimodal_resize,
     "multimodal_frame_sample": multimodal.multimodal_frame_sample,
     "multimodal_partition_stats": multimodal.multimodal_partition_stats,
 }
