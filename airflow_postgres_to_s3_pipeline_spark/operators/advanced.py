@@ -759,36 +759,45 @@ _oracle(
 def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column profile of orders: nulls, distincts, min/max as strings.
 
-    One pass per... no — ONE aggregation computes every column's stats
-    (count_distinct + conditional counts are all partial-mergeable), then the
-    wide row is melted to one row per column.  At 100 TB this is a single
-    scan + single reduce, the only affordable shape for a profiling sweep.
+    Single scan, melt-then-two-phase: the table melts to (col_name, val)
+    rows in the scan stage, phase 1 dedupes values per column (map-side
+    combine shrinks the shuffle to the distinct set), phase 2 reduces to
+    one row per column.  At 100 TB this is the affordable profiling shape —
+    no Expand, no re-scan per column, shuffle keyed on small strings.
     """
     o = table(spark, sf_dir, "orders")
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderpriority"]
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
-            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
-            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
-        ]
-    wide = o.agg(*aggs)
-    per_col = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("col_name"),
-                F.col(f"{c}__nulls").alias("n_nulls"),
-                F.col(f"{c}__distinct").alias("n_distinct"),
-                F.col(f"{c}__min").alias("min_value"),
-                F.col(f"{c}__max").alias("max_value"),
+    # Melt to (col_name, val) in the scan stage, then two-phase aggregate:
+    # phase 1 dedupes (col_name, val) with map-side combine (carrying the
+    # per-value count for the null tally), phase 2 reduces per column.  One
+    # scan, two narrow-key shuffles — vs the previous single aggregate with
+    # 5 countDistincts, which Catalyst rewrote into a 5-way Expand that
+    # multiplied every scan row x5 with a wide all-columns schema.
+    melted = o.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in cols
+                ]
             )
-            for c in cols
-        ]
+        ).alias("p")
+    ).select("p.*")
+    per_value = melted.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    return wide.select(F.explode(per_col).alias("p")).select("p.*")
+    return per_value.groupBy("col_name").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("val").isNull(), F.col("cnt"))), F.lit(0)
+        ).alias("n_nulls"),
+        F.count("val").alias("n_distinct"),
+        F.min("val").alias("min_value"),
+        F.max("val").alias("max_value"),
+    )
 
 
 _oracle(
@@ -941,12 +950,17 @@ def array_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered array_agg: each customer's order keys as a sorted array.
 
     collect_list order is partition-dependent; array_sort restores a total
-    order — the only deterministic distributed array_agg."""
+    order — the only deterministic distributed array_agg.  The contract
+    surface serializes the array to CSV (``concat_ws``) because the driver's
+    canonicalizer cannot hash array cells; compose on the internal
+    ``array_sort(collect_list(...))`` when an array is needed downstream."""
     o = table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
         .agg(
-            F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+            F.concat_ws(",", F.array_sort(F.collect_list("o_orderkey"))).alias(
+                "orderkeys_csv"
+            ),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -956,7 +970,8 @@ _oracle(
     "array_agg_ordered",
     """
     SELECT o_custkey,
-           list(o_orderkey ORDER BY o_orderkey) AS orderkeys,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+               AS orderkeys_csv,
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY o_custkey

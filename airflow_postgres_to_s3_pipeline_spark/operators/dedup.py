@@ -342,7 +342,8 @@ _oracle(
 # ---------------------------------------------------------------------------
 
 def connected_components(pairs: DataFrame, node_ids: DataFrame,
-                         max_iterations: int = 6) -> DataFrame:
+                         max_iterations: int = 6,
+                         on_unconverged: str = "raise") -> DataFrame:
     """Cluster ids via min-label propagation over an undirected pair graph.
 
     Each iteration joins every node's current label with its neighbors' and
@@ -352,9 +353,17 @@ def connected_components(pairs: DataFrame, node_ids: DataFrame,
     shuffle join on node id + one groupBy min.  Labels stay DataFrames — no
     driver materialization, the loop shape runs unchanged at 100 TB.
 
+    If labels are still changing after ``max_iterations`` (a component with
+    diameter > max_iterations, e.g. a long duplicate chain), the result
+    would silently under-merge — ``on_unconverged`` controls the reaction:
+    ``"raise"`` (default) raises RuntimeError, ``"warn"`` emits a warning
+    and returns the partial labels, ``"ignore"`` returns them silently.
+
     pairs: (doc_a, doc_b) edges; node_ids: (doc_id) universe.  Returns
     (doc_id, cluster_id) where cluster_id is the component's min doc_id.
     """
+    if on_unconverged not in ("raise", "warn", "ignore"):
+        raise ValueError(f"on_unconverged must be raise/warn/ignore, got {on_unconverged!r}")
     # The edge list feeds every iteration — persist it so the (possibly
     # expensive) pair-generation pipeline upstream runs exactly once.
     edges = (
@@ -368,6 +377,7 @@ def connected_components(pairs: DataFrame, node_ids: DataFrame,
     labels = node_ids.select(
         F.col("doc_id"), F.col("doc_id").alias("cluster_id")
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -393,6 +403,18 @@ def connected_components(pairs: DataFrame, node_ids: DataFrame,
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge in {max_iterations} "
+            "iterations: a component's diameter exceeds the budget and its "
+            "labels are still propagating (clusters would under-merge)"
+        )
+        if on_unconverged == "raise":
+            raise RuntimeError(msg)
+        if on_unconverged == "warn":
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 
@@ -409,7 +431,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         d, shards=spark.sparkContext.defaultParallelism
     ).select("doc_a", "doc_b")
-    labels = connected_components(pairs, d.select("doc_id"))
+    # max_iterations=10 gives headroom over the default 6 (each iteration
+    # past convergence is skipped via the changed==0 break, so the extra
+    # budget costs nothing on shallow cluster graphs); an adversarial
+    # longer-than-10 chain raises instead of silently under-merging.
+    labels = connected_components(pairs, d.select("doc_id"), max_iterations=10)
     return (
         labels.groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("cluster_size"))

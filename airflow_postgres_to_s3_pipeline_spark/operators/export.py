@@ -39,7 +39,15 @@ class QueryToStorageOperator:
     template_fields = ("query", "out_key")
 
     def render(self, ds: str) -> tuple[str, str]:
-        return self.query.format(ds=ds), f"{self.out_base}/{self.out_key.format(ds=ds)}"
+        # Replace ONLY the {ds} token — str.format would choke on any other
+        # literal brace in an arbitrary SQL query (regex quantifiers like
+        # \\d{4}, map/struct literals), narrowing the declared
+        # arbitrary-SQL surface.  The reference's Jinja templating only ever
+        # touched {{ ds }} (postgres_to_s3_operator.py:15).
+        return (
+            self.query.replace("{ds}", ds),
+            f"{self.out_base}/{self.out_key.replace('{ds}', ds)}",
+        )
 
     def execute(self, spark: SparkSession, ds: str) -> str:
         """Register views, run the (templated) SQL, distributed-write the

@@ -210,9 +210,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str,
     d = table(spark, sf_dir, "documents")
     payload = F.col("text").cast("binary")
     n_frames = F.ceil(F.length(payload) / F.lit(frame_bytes)).cast("int")
-    sampled_idx = F.filter(
-        F.sequence(F.lit(0), n_frames - 1), lambda i: i % every == 0
-    )
+    # Empty payload => n_frames = 0, and sequence(0, -1) would produce a
+    # DESCENDING [0, -1] (Spark's sequence walks toward the stop value),
+    # emitting a spurious frame_idx=0 row — guard to an empty array.
+    frame_idx_range = F.when(
+        n_frames > 0, F.sequence(F.lit(0), n_frames - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    sampled_idx = F.filter(frame_idx_range, lambda i: i % every == 0)
     frames = F.transform(
         sampled_idx,
         lambda i: F.struct(

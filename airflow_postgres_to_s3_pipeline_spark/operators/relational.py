@@ -482,17 +482,47 @@ _oracle(
 
 
 def approx_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct users per event type (rows-only check —
-    HLL estimates are implementation-specific, so there is no SQL oracle).
+    """HLL approximate distinct users per event type.
 
     At 100 TB this replaces exact count-distinct's full shuffle with a
-    mergeable fixed-size sketch.
+    mergeable fixed-size sketch.  HLL estimates are implementation-specific,
+    so the *estimate* has no SQL oracle — instead the bound check happens
+    engine-side (|approx - exact| <= 5*rsd*exact) and the oracle verifies
+    the exact count plus ``approx_ok = true``.  The exact countDistinct
+    exists only for this harness check; a production run drops it.
     """
     e = table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.count(F.lit(1)).alias("n_events"),
+    rsd = 0.02
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=rsd).alias("_approx"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= F.lit(5 * rsd) * F.col("exact_users")
+            ).alias("approx_ok"),
+        )
     )
+
+
+_oracle(
+    "approx_count_distinct_users",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -731,12 +761,40 @@ _oracle(
 
 def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (QuantileSummaries sketch) — the 100 TB path:
-    mergeable fixed-size state instead of a full sort.  Rows-only check
-    (sketch results are implementation-specific)."""
+    mergeable fixed-size state instead of a full sort.
+
+    Sketch values are implementation-specific, so the bound check happens
+    engine-side: each approximate quantile must land within 1% relative of
+    the exact ``percentile`` — the oracle then checks the order-independent
+    columns plus the four booleans.  (The exact percentile exists only for
+    this harness check; a production profile drops it.)
+    """
     o = table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75, 0.95], 10000).alias(
-            "price_quantiles"
-        ),
+    qs = [0.25, 0.5, 0.75, 0.95]
+    agg = o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", qs, 10000).alias("_ap"),
+        F.expr(
+            "percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.95D))"
+        ).alias("_ex"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+    bounds = [
+        (
+            F.abs(F.col("_ap")[i] - F.col("_ex")[i])
+            <= F.lit(0.01) * F.abs(F.col("_ex")[i]) + F.lit(1e-6)
+        ).alias(f"q{int(q * 100)}_ok")
+        for i, q in enumerate(qs)
+    ]
+    return agg.select("o_orderstatus", "n_orders", *bounds)
+
+
+_oracle(
+    "approx_percentiles",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok, TRUE AS q95_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)

