@@ -1012,3 +1012,95 @@ _oracle(
     GROUP BY r_name
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# mode() / argmax with deterministic tie-breaks
+# ---------------------------------------------------------------------------
+
+def mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status mode of order priority and argmax order, both with
+    DETERMINISTIC tie-breaks.
+
+    mode() and max_by/argmax are classic nondeterminism traps in a
+    distributed engine: on a tie the winner depends on partition visit
+    order.  Both are expressed here as a min over an explicitly ordered
+    struct — min(struct(-cnt, value)) picks the highest count and breaks
+    ties on the SMALLEST value, a total order independent of partitioning:
+
+    - ``mode_priority``: most frequent o_orderpriority per status
+      (tie -> lexicographically smallest priority), via a two-level
+      aggregate (count per (status, priority) with map-side combine, then
+      the struct-min merge — partial-mergeable end to end, no Expand, no
+      window over the full table).
+    - ``top_orderkey``/``top_price``: the order holding the max total price
+      per status (tie -> smallest orderkey) — argmax as
+      min(struct(-price, orderkey)), a single aggregate over the scan.
+
+    The per-status frames join broadcast (a handful of status rows).
+    """
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mode = (
+        counts.groupBy("o_orderstatus")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg_cnt"),
+                    F.col("o_orderpriority").alias("v"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "o_orderstatus",
+            F.col("m.v").alias("mode_priority"),
+            (-F.col("m.neg_cnt")).alias("mode_count"),
+        )
+    )
+    argmax = (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("o_totalprice")).alias("neg_price"),
+                    F.col("o_orderkey").alias("k"),
+                )
+            ).alias("a")
+        )
+        .select(
+            "o_orderstatus",
+            F.col("a.k").alias("top_orderkey"),
+            (-F.col("a.neg_price")).alias("top_price"),
+        )
+    )
+    return mode.join(F.broadcast(argmax), "o_orderstatus")
+
+
+_oracle(
+    "mode_argmax",
+    """
+    WITH counts AS (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ), mode AS (
+        SELECT o_orderstatus, o_orderpriority AS mode_priority,
+               cnt AS mode_count,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+        FROM counts
+    ), am AS (
+        SELECT o_orderstatus, o_orderkey AS top_orderkey,
+               o_totalprice AS top_price,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC)
+                   AS rn
+        FROM orders
+    )
+    SELECT m.o_orderstatus, m.mode_priority, m.mode_count,
+           a.top_orderkey, a.top_price
+    FROM mode m JOIN am a USING (o_orderstatus)
+    WHERE m.rn = 1 AND a.rn = 1
+    """,
+)

@@ -798,3 +798,58 @@ _oracle(
     GROUP BY o_orderstatus
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# E7': bucketed range join — the large-large shape
+# ---------------------------------------------------------------------------
+
+def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-range large-large join via time bucketing: for each purchase
+    event, count click events (any user) in the preceding hour.
+
+    ``join_range`` rides an equi key, and small range joins can broadcast
+    one side with a residual filter — but a pure range predicate between
+    two LARGE tables has no equi key and no broadcastable side.  The scale
+    shape is binning: both sides map to 1-hour buckets (each purchase
+    probes its own and the previous bucket via a row-local ``sequence`` +
+    ``explode``), the join becomes an equi-join on the bucket id, and the
+    exact range predicate filters residually.  The shuffle is keyed on time
+    buckets, so work distributes with data volume — no O(n^2) pair loop,
+    no broadcast of a fact-sized side.  Per-pair cost is bounded by bucket
+    width ~ range width.
+    """
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("c_ts"),
+        (F.unix_timestamp("ts") / 3600).cast("long").alias("bucket"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    p_hi = (F.unix_timestamp("p_ts") / 3600).cast("long")
+    p_lo = ((F.unix_timestamp("p_ts") - 3600) / 3600).cast("long")
+    probes = p.select(
+        "purchase_id", "p_ts", F.explode(F.sequence(p_lo, p_hi)).alias("bucket")
+    )
+    return (
+        probes.join(clicks, "bucket")
+        .filter(
+            (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") < F.col("p_ts"))
+        )
+        .groupBy("purchase_id")
+        .agg(F.count(F.lit(1)).alias("n_prior_clicks"))
+    )
+
+
+_oracle(
+    "range_join_bucketed",
+    """
+    SELECT p.event_id AS purchase_id, COUNT(*) AS n_prior_clicks
+    FROM events p JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    GROUP BY p.event_id
+    """,
+)

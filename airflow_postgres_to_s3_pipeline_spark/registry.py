@@ -334,6 +334,8 @@ QUERIES: dict[str, QueryFn] = {
     "pii_scrub": text.pii_scrub,
     "corpus_curation": text.corpus_curation,
     "reading_level": text.reading_level,
+    "mode_argmax": advanced.mode_argmax,
+    "range_join_bucketed": relational.range_join_bucketed,
 }
 
 
@@ -351,9 +353,10 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "E4": ("join_broadcast_dims", "join_shuffle_multiway"),
     "E5": ("join_left_outer", "join_full_outer"),
     "E6": ("join_semi", "join_anti"),
-    "E7": ("join_range",),
+    "E7": ("join_range", "range_join_bucketed"),
     "E8": ("pricing_summary", "agg_stats", "corr_covar",
-           "pivot_status_counts", "array_agg_ordered", "string_agg_ordered"),
+           "pivot_status_counts", "array_agg_ordered", "string_agg_ordered",
+           "mode_argmax"),
     "E9": ("distinct_pairs", "count_distinct_agg",
            "approx_count_distinct_users", "hll_sketch_users",
            "approx_percentiles"),

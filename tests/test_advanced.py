@@ -117,3 +117,25 @@ def test_string_agg_sorted(spark, sf_dir):
         names = r["nations"].split(",")
         assert names == sorted(names)
         assert len(names) == r["n_nations"]
+
+
+def test_mode_argmax_tie_breaks_deterministic(spark):
+    """Planted ties: mode picks the lexicographically smallest value, argmax
+    the smallest key — independent of partitioning (checked at 1 and 8
+    partitions)."""
+    rows = [
+        # status A: 'x' and 'y' both appear twice -> mode must be 'x'
+        ("A", "y", 10, 100.0), ("A", "y", 11, 100.0),
+        ("A", "x", 12, 50.0), ("A", "x", 13, 50.0),
+        # status A: orderkeys 10 and 11 tie on max price -> argmax key 10
+    ]
+    for n_parts in (1, 8):
+        df = spark.createDataFrame(
+            rows, ["o_orderstatus", "o_orderpriority", "o_orderkey", "o_totalprice"]
+        ).repartition(n_parts)
+        df.write.mode("overwrite").parquet("/tmp/_mode_argmax_probe/orders.parquet")
+        out = advanced.mode_argmax(spark, "/tmp/_mode_argmax_probe").collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["mode_priority"] == "x" and r["mode_count"] == 2
+        assert r["top_orderkey"] == 10 and r["top_price"] == 100.0

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from airflow_postgres_to_s3_pipeline_spark.catalog import table
@@ -83,3 +85,96 @@ def test_streaming_dedup_drops_duplicate_events(spark, tmp_path):
     got = sw.run_stream_to_memory(stream, spark, output_mode="append")
     ids = sorted(r["event_id"] for r in got.collect())
     assert ids == [1, 2]
+
+
+def _split_events(spark, sf_dir, tmp_path, n_files: int, seed: int):
+    """Copy sf events into n_files parquet files (events_0..N directly in
+    the dir, matching read_events_stream's events* glob) with a seeded
+    pseudo-random row split, so a maxFilesPerTrigger=1 stream sees n_files
+    micro-batches over an order-independent partitioning of the same data.
+    pyarrow preserves the on-disk TIMESTAMP(NANOS) ts column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path / f"split_{seed}"
+    out.mkdir()
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    ids = t.column("event_id").to_pylist()
+    assign = [(i * 2654435761 + seed) % n_files for i in ids]
+    for b in range(n_files):
+        mask = pa.array(a == b for a in assign)
+        pq.write_table(t.filter(mask), str(out / f"events_{b}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("seed,n_files", [(1, 3), (7, 5)])
+def test_streaming_tumbling_multi_batch_equals_batch(spark, sf_dir, tmp_path,
+                                                     seed, n_files):
+    """Batch-equivalence must hold for ANY micro-batch split, not just the
+    single-batch arrival a one-file bounded source produces: stream the
+    same events as n_files randomized micro-batches (maxFilesPerTrigger=1)
+    and require the complete-mode result to equal the batch aggregate."""
+    split_dir = _split_events(spark, sf_dir, tmp_path, n_files, seed)
+    events = sw.read_events_stream(
+        spark, split_dir, max_files_per_trigger=1
+    )
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in sw.run_stream_to_memory(
+            sw.tumbling_counts(events), spark,
+            output_mode="complete",
+        ).collect()
+    }
+    from airflow_postgres_to_s3_pipeline_spark.session import tune_runtime
+
+    tune_runtime(spark)  # nanosAsLong: ts is TIMESTAMP(NANOS) on disk
+    batch = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(f"{split_dir}/events_*.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .collect()
+    }
+    assert got == batch
+
+
+def test_streaming_stateful_multi_batch_keeps_last_emission(spark, sf_dir,
+                                                            tmp_path):
+    """In update mode the memory sink appends one row per user per
+    micro-batch; the registry entry must reduce to the LAST emission per
+    user, so a multi-file source yields exactly the batch aggregate."""
+    from airflow_postgres_to_s3_pipeline_spark.streaming import stateful
+
+    split_dir = _split_events(spark, sf_dir, tmp_path, n_files=4, seed=3)
+    events = sw.read_events_stream(
+        spark, split_dir, max_files_per_trigger=1
+    )
+    out = stateful.running_user_totals(events)
+    res = sw.run_stream_to_memory(out, spark, output_mode="update")
+    got = {
+        r["user_id"]: (r["n_events"], r["max_value"])
+        for r in res.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("max_value").alias("max_value"),
+        )
+        .collect()
+    }
+    from airflow_postgres_to_s3_pipeline_spark.session import tune_runtime
+
+    tune_runtime(spark)  # nanosAsLong: ts is TIMESTAMP(NANOS) on disk
+    batch = {
+        r["user_id"]: (r["n_events"], r["max_value"])
+        for r in spark.read.parquet(f"{split_dir}/events_*.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value"))
+        .collect()
+    }
+    assert got == batch
+    # and the raw sink has MORE rows than users (multiple emissions) — the
+    # reduction is load-bearing, not a no-op
+    assert res.count() > len(got)
