@@ -1,0 +1,239 @@
+"""Training-corpus curation operators (LLM-data-pipeline tier, beyond
+SURVEY.md §2: mixture sampling, benchmark-contamination detection, and
+sequence packing over the ``documents`` table).
+
+All three follow the engine's determinism discipline: membership and
+ordering are pure functions of row content (md5 content hashes, explicit
+ORDER BY keys), never RNG or partition order, so every entry carries a full
+DuckDB oracle.
+
+Scale notes (100 TB):
+- corpus_mix_sample: the weights table is a broadcast dim; the corpus scan
+  filters row-locally on a hash prefix — zero extra shuffles over the
+  final stats aggregate.
+- contamination_check: the eval side of the n-gram join is the deliberately
+  small side (a held-out benchmark is millions of n-grams, not billions);
+  train-side n-grams stream through a broadcast semi-join without
+  shuffling the corpus.  If the eval set ever outgrows broadcast, the same
+  plan degrades gracefully to a shuffle equi-join on the n-gram hash.
+- sequence_packing: a running prefix-sum is inherently sequential per
+  packing group; partitioning by lang keeps groups parallel and bounded.
+  At 100 TB pack within (lang, shard) buckets instead of one global
+  stream — same expression, one extra partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airflow_postgres_to_s3_pipeline_spark.catalog import table
+
+ORACLES: dict[str, str] = {}
+
+
+def _oracle(name: str, sql: str):
+    ORACLES[name] = sql
+
+
+# Target mixture rates by language: threshold on the first 4 hex chars of a
+# doc-content hash.  Lexicographic comparison of fixed-width lowercase hex
+# equals numeric comparison, and 'g' sorts above every hex digit (rate 1.0).
+MIX_WEIGHTS: dict[str, str] = {
+    "en": "g",      # keep all
+    "fr": "8000",   # ~1/2
+    "de": "8000",   # ~1/2
+    "es": "4000",   # ~1/4
+    "zh": "4000",   # ~1/4
+}
+
+
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted mixture sampling: down-sample each language to
+    a target rate (the data-mixing step of a training-corpus build).
+
+    Membership = substr(md5(doc_id || '-mix'), 1, 4) < per-lang threshold —
+    a pure function of the row, reproducible on any engine/partitioning
+    (same primitive as ``deterministic_sample``).  The weights live in a
+    broadcast dimension frame, so re-weighting a 100 TB corpus is a scan +
+    row-local filter.  Returns per-language sampled counts and volume.
+    """
+    d = table(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        list(MIX_WEIGHTS.items()), ["lang", "thr"]
+    )
+    key = F.concat(F.col("doc_id").cast("string"), F.lit("-mix"))
+    sampled = (
+        d.join(F.broadcast(weights), "lang")
+        .filter(F.substring(F.md5(key.cast("binary")), 1, 4) < F.col("thr"))
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").alias("sampled_chars"),
+    )
+
+
+_oracle(
+    "corpus_mix_sample",
+    """
+    WITH w(lang, thr) AS (
+        VALUES ('en', 'g'), ('fr', '8000'), ('de', '8000'),
+               ('es', '4000'), ('zh', '4000')
+    )
+    SELECT d.lang, COUNT(*) AS n_sampled, SUM(d.n_chars) AS sampled_chars
+    FROM documents d JOIN w USING (lang)
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || '-mix'), 1, 4) < w.thr
+    GROUP BY d.lang
+    """,
+)
+
+
+NGRAM_N = 5
+
+
+def _word_5grams(df: DataFrame) -> DataFrame:
+    """Explode each document into its word 5-grams (row-local: tokenize +
+    slice inside the scan stage; rows expand in place)."""
+    words = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+    n_starts = F.size(words) - (NGRAM_N - 1)
+    # Guard: Spark's sequence(1, 0) walks DESCENDING ([1, 0]) instead of
+    # returning empty — a <N_GRAM-word doc must yield zero grams.
+    starts = F.when(n_starts > 0, F.sequence(F.lit(1), n_starts)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(words, i, NGRAM_N))
+    )
+    return df.select(
+        "doc_id", "source", "is_eval", F.explode(grams).alias("g")
+    )
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: which training documents share any
+    word 5-gram with the held-out eval split?
+
+    The eval split is the deterministic ~1/16 hash slice (doc_id-based, the
+    same train/eval discipline a real corpus uses).  Eval n-grams dedupe to
+    a small frame and broadcast; training n-grams stream through a
+    broadcast LEFT SEMI join — the corpus is never shuffled, and each
+    contaminated doc is counted once.  Returns per-source totals: documents
+    scanned, documents contaminated.
+    """
+    d = table(spark, sf_dir, "documents").withColumn(
+        "is_eval",
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit("-eval")).cast(
+                "binary"
+            )
+        ).like("0%"),
+    )
+    grams = _word_5grams(d)
+    eval_grams = grams.filter(F.col("is_eval")).select("g").distinct()
+    contaminated = (
+        grams.filter(~F.col("is_eval"))
+        .join(F.broadcast(eval_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contaminated", F.lit(True))
+    )
+    train = d.filter(~F.col("is_eval"))
+    return (
+        train.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.count("is_contaminated").alias("n_contaminated"),
+        )
+    )
+
+
+_oracle(
+    "contamination_check",
+    """
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), t -> length(t) > 0) AS w,
+               md5(CAST(doc_id AS VARCHAR) || '-eval') LIKE '0%' AS is_eval
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, source, is_eval,
+               array_to_string(w[i:i+4], ' ') AS g
+        FROM toks, UNNEST(generate_series(1, GREATEST(len(w) - 4, 0))) AS t(i)
+    ), eval_grams AS (
+        SELECT DISTINCT g FROM grams WHERE is_eval
+    ), contaminated AS (
+        SELECT DISTINCT gr.doc_id
+        FROM grams gr JOIN eval_grams e USING (g)
+        WHERE NOT gr.is_eval
+    )
+    SELECT t.source,
+           COUNT(*) AS n_train_docs,
+           COUNT(c.doc_id) AS n_contaminated
+    FROM toks t LEFT JOIN contaminated c USING (doc_id)
+    WHERE NOT t.is_eval
+    GROUP BY t.source
+    """,
+)
+
+
+PACK_BUDGET = 2048
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: concatenate each language's documents
+    in doc_id order and cut the stream every PACK_BUDGET tokens — the
+    pre-training batch-construction step (documents may straddle a cut; the
+    bin records where each document STARTS).
+
+    A document's bin is floor(start_offset / budget) where start_offset is
+    the running token prefix-sum before it — one window cumsum partitioned
+    by lang (groups run in parallel; the per-group scan is the inherent
+    sequential cost of ordered packing).  Returns per-(lang, bin) document
+    counts and token totals.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda t: F.length(t) > 0))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pos = d.select("lang", "doc_id", n_tokens.alias("n_tokens")).withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        pos.groupBy(
+            "lang",
+            F.floor(F.col("start_off") / PACK_BUDGET).alias("bin_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+_oracle(
+    "sequence_packing",
+    f"""
+    WITH toks AS (
+        SELECT lang, doc_id,
+               len(list_filter(string_split(text, ' '),
+                               t -> length(t) > 0)) AS n_tokens
+        FROM documents
+    ), pos AS (
+        SELECT lang, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS start_off
+        FROM toks
+    )
+    SELECT lang,
+           CAST(FLOOR(start_off / {PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens
+    FROM pos
+    GROUP BY 1, 2
+    """,
+)

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from airflow_postgres_to_s3_pipeline_spark.operators import (
     advanced,
+    curation,
     dedup,
     ml_feature,
     multimodal,
@@ -177,6 +178,7 @@ STREAMING_SESSION_ORACLE = """
 _MODULES = (
     relational,
     advanced,
+    curation,
     windows,
     scalar_funcs,
     sketches,
@@ -336,6 +338,9 @@ QUERIES: dict[str, QueryFn] = {
     "reading_level": text.reading_level,
     "mode_argmax": advanced.mode_argmax,
     "range_join_bucketed": relational.range_join_bucketed,
+    "corpus_mix_sample": curation.corpus_mix_sample,
+    "contamination_check": curation.contamination_check,
+    "sequence_packing": curation.sequence_packing,
 }
 
 
@@ -387,7 +392,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "embedding_quantize", "knn_ivf", "kmeans_embeddings",
             "embedding_lsh_near_dup"),
     "E27": ("doc_quality", "lang_id_heuristic", "tfidf_top_terms",
-            "token_count"),
+            "token_count", "corpus_mix_sample", "contamination_check",
+            "sequence_packing"),
     "E28": ("multimodal_decode", "multimodal_resize",
             "multimodal_frame_sample", "multimodal_partition_stats"),
 }

@@ -1,0 +1,113 @@
+"""Corpus-curation operators: mixture sampling, contamination detection,
+sequence packing — behavior on planted inputs plus rate sanity at sf."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_postgres_to_s3_pipeline_spark.catalog import table
+from airflow_postgres_to_s3_pipeline_spark.operators import curation
+
+
+def test_mix_sample_rates_track_targets(spark, sf_dir):
+    """Sampled/total per language must track the configured rate (binomial
+    tolerance on small counts; 'en' rate 1.0 must be exact)."""
+    totals = {
+        r["lang"]: r["n"]
+        for r in table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    sampled = {
+        r["lang"]: r["n_sampled"]
+        for r in curation.corpus_mix_sample(spark, sf_dir).collect()
+    }
+    assert sampled["en"] == totals["en"]
+    for lang, thr in curation.MIX_WEIGHTS.items():
+        if thr == "g":
+            continue
+        rate = int(thr, 16) / 65536.0
+        n, k = totals[lang], sampled.get(lang, 0)
+        sd = max((n * rate * (1 - rate)) ** 0.5, 1.0)
+        assert abs(k - n * rate) <= 4 * sd, (lang, k, n, rate)
+
+
+def test_mix_sample_is_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, curation.corpus_mix_sample(spark, sf_dir).collect()))
+    b = sorted(map(tuple, curation.corpus_mix_sample(spark, sf_dir).collect()))
+    assert a == b
+
+
+def _write_docs(spark, tmp_path, rows):
+    out = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(out + "/documents.parquet")
+    return out
+
+
+def test_contamination_detects_planted_overlap(spark, tmp_path):
+    """A training doc sharing a 5-gram with an eval doc is flagged; one
+    with no 5-gram overlap is not.  doc_id 40 hashes into the eval split
+    (md5('40-eval') starts with '0'); 1 and 2 do not."""
+    import hashlib
+
+    assert hashlib.md5(b"40-eval").hexdigest().startswith("0")
+    eval_text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (40, eval_text, "en", "src_eval", len(eval_text)),
+        (1, "alpha beta gamma delta epsilon other", "en", "src_a", 36),
+        (2, "totally different words with no shared gram", "en", "src_b", 44),
+    ]
+    got = {
+        r["source"]: (r["n_train_docs"], r["n_contaminated"])
+        for r in curation.contamination_check(
+            spark, _write_docs(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert got == {"src_a": (1, 1), "src_b": (1, 0)}
+
+
+def test_contamination_short_doc_yields_no_grams(spark, tmp_path):
+    """<5-word docs must produce zero 5-grams (sequence(1,0) guard), so a
+    4-word training doc can never be contaminated."""
+    rows = [
+        (40, "alpha beta gamma delta epsilon", "en", "s_eval", 30),
+        (1, "alpha beta gamma delta", "en", "s_short", 22),
+    ]
+    got = {
+        r["source"]: r["n_contaminated"]
+        for r in curation.contamination_check(
+            spark, _write_docs(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert got == {"s_short": 0}
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Bins partition each language's docs exactly once; every bin except a
+    language's last holds >= budget tokens from its start offset (the
+    stream cut property); totals are preserved."""
+    packed = curation.sequence_packing(spark, sf_dir).collect()
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.size(
+                F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+            ).alias("n"),
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("tokens"))
+        .collect()
+    )
+    by_lang = {}
+    for r in packed:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for t in toks:
+        bins = sorted(by_lang[t["lang"]], key=lambda r: r["bin_id"])
+        assert sum(r["n_docs"] for r in bins) == t["n_docs"]
+        assert sum(r["total_tokens"] for r in bins) == t["tokens"]
+        # contiguous bin ids from 0
+        assert [r["bin_id"] for r in bins] == list(range(len(bins)))
