@@ -216,25 +216,30 @@ def knn_ivf(spark: SparkSession, sf_dir: str, n_probe: int = 2) -> DataFrame:
 
 
 def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str,
-                           n_planes: int = 16, n_bands: int = 4,
+                           n_planes: int = 24, n_bands: int = 4,
                            threshold: float = NEAR_DUP_THRESHOLD) -> DataFrame:
     """Random-hyperplane LSH near-dup: banded sign-pattern buckets, exact
     cosine verified only on candidates (rows-only check — probabilistic
-    recall; consistency vs the exact baseline is pinned in
+    recall; planted-pair consistency vs the exact baseline is pinned in
     tests/test_similarity.py).
 
-    Scale shape: candidate generation is an equi-join on (band, band
-    bucket) — 4 bands x 4 bits, so two vectors collide if ANY band matches
-    (Leskovec et al.'s banding trick: per-band collision p = cos-agreement
-    ^4, overall 1-(1-p)^4 — usable recall at moderate similarity where a
-    full 16-bit match has essentially none).
-
-    The hyperplane matrix is generated ENGINE-side as one flat
-    pseudo-random array (hash(plane*1000+dim) scaled to [-1,1]) on a
-    broadcast 1-row frame, evaluated once — the previous version built
-    16x64 literal expressions on the driver, costing ~6s of pure plan
-    construction per call (docs/ROADMAP.md).  All per-row math is
-    higher-order functions over that one array column.
+    Scale shape:
+    - Candidate generation is an equi-join on (band, band bucket) —
+      Leskovec et al.'s banding trick: per-band collision p =
+      cos-agreement^bits, overall 1-(1-p)^bands.  bits_per_band tunes the
+      candidate-volume/recall trade: candidates ~ n^2/2^bits per band, so
+      the default 4x6 bits suits the moderate 0.4 testdata threshold;
+      a production near-dup corpus (threshold ~0.9) uses 8x16-bit bands,
+      where candidates collapse to genuine near-dups only.
+    - A colliding pair is emitted by its FIRST matching band only (both
+      sides carry the full band array; earlier-band disagreement is a
+      row-local array predicate), so dedup needs no extra shuffle of the
+      candidate pairs.
+    - The hyperplane matrix is generated ENGINE-side as one flat
+      pseudo-random array (hash(plane*1000+dim) scaled to [-1,1]) on a
+      broadcast 1-row frame, evaluated once — the round-1 version built
+      n_planes x dim literal expressions on the driver, costing ~6s of
+      pure plan construction per call (docs/ROADMAP.md).
     """
     dim = 64
     bits_per_band = n_planes // n_bands
@@ -276,22 +281,50 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str,
             lambda acc, bit: acc * 2 + bit,
         ),
     )
-    hashed = with_planes.select(
-        "vec_id", "v", F.posexplode(bands).alias("band_idx", "band_val")
+    # Candidate generation runs on THIN rows (id + band array only): a raw
+    # hash-join match that still carries both 64-dim vectors materializes
+    # ~1 KB per match before any filter runs — on n^2/2^bits matches that
+    # row-copy traffic dominated the whole query (measured 4.7s -> ~1s at
+    # sf0.1).  Vectors are re-attached by equi-join only for the surviving
+    # candidate pairs.
+    # Persist the signature frame: both join sides and the first-match
+    # predicate reference `bands`, and an unmaterialized HOF expression
+    # tree is re-evaluated per CANDIDATE row (24 plane-dots x n^2/2^bits
+    # matches — measured 4.2s vs 0.2s for the same join at sf0.1).  The
+    # frame is (id, 4 longs) per vector — negligible memory at any scale.
+    sig = with_planes.select("vec_id", bands.alias("bands")).persist()
+    # The probe side drives the join's parallelism: a single-file corpus
+    # arrives as ONE partition and would run candidate generation in one
+    # task (same trap as embedding_near_dup).
+    a = sig.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("id_a"), F.col("bands").alias("bands_a")
+    ).select(
+        "id_a", "bands_a", F.posexplode("bands_a").alias("band_idx", "band_val")
     )
-    a = hashed.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
-        "band_idx", "band_val",
+    b = sig.select(
+        F.col("vec_id").alias("id_b"), F.col("bands").alias("bands_b")
+    ).select(
+        "id_b", "bands_b", F.posexplode("bands_b").alias("band_idx", "band_val")
     )
-    b = hashed.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
-        "band_idx", "band_val",
+    # first-matching-band emission: all earlier bands must DISAGREE, a
+    # row-local predicate over the two band arrays — no pair-dedup shuffle.
+    first_match = F.forall(
+        F.zip_with(
+            F.slice("bands_a", F.lit(1), F.col("band_idx")),
+            F.slice("bands_b", F.lit(1), F.col("band_idx")),
+            lambda x, y: x != y,
+        ),
+        lambda d: d,
     )
-    pairs = (
+    cand = (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .filter(first_match)
+        .select("id_a", "id_b")
     )
+    va = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
     sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 4)
     return pairs.select("id_a", "id_b", sim.alias("sim")).filter(
         F.col("sim") >= threshold

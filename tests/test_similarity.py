@@ -79,3 +79,36 @@ def test_embedding_near_dup_detects_planted_duplicate(spark):
         .collect()
     )
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_lsh_near_dup_planted_pair_and_subset_of_exact(spark, tmp_path):
+    """A planted near-identical pair collides in every band (sign patterns
+    agree), so LSH must report it; and every LSH pair must appear in the
+    exact all-pairs baseline with the identical similarity (candidate
+    generation may miss pairs, never invent or distort them)."""
+    import random
+
+    rnd = random.Random(42)
+    base = [rnd.uniform(-1.0, 1.0) for _ in range(64)]
+    near = [x * 1.001 + 0.0005 for x in base]
+    rows = [(1, base, "a"), (2, near, "a")] + [
+        (i, [rnd.uniform(-1.0, 1.0) for _ in range(64)], "b")
+        for i in range(3, 60)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    out = str(tmp_path / "emb")
+    df.write.parquet(out + "/embeddings.parquet")
+
+    lsh = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in similarity.embedding_lsh_near_dup(spark, out).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in similarity.embedding_near_dup(spark, out).collect()
+    }
+    assert (1, 2) in lsh and lsh[(1, 2)] > 0.99
+    for pair, sim in lsh.items():
+        assert exact.get(pair) == sim, pair
