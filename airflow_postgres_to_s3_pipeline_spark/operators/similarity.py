@@ -451,6 +451,112 @@ _oracle(
 )
 
 
+def knn_gemm(spark: SparkSession, sf_dir: str,
+             n_shards: int | None = None) -> DataFrame:
+    """Exact top-5 cosine neighbors via Arrow-batched numpy GEMM — the
+    vectorized fast tier of ``knn_bruteforce`` (same semantics, same oracle).
+
+    Collect-free distribution: the corpus is salted into ``n_shards``
+    groups and COGROUPed with the query set, which is replicated to every
+    shard ENGINE-side (crossJoin with a broadcast ``range(n_shards)`` —
+    ~queries x shards rows, never the corpus).  Each cogroup task sees
+    (corpus chunk, full query set) as pandas frames and runs one
+    chunk x query multiply; a per-shard top-k prune (with a rounding-safe
+    margin) bounds the shuffle to O(shards * queries * k) rows before the
+    exact global window rank.
+
+    Bit-determinism: the dot/norm accumulations loop dimension-by-dimension
+    over fp64 numpy columns — the SAME left-to-right fold as the HOF tier
+    (functions/vector.py) and DuckDB's list_cosine_similarity, so the raw
+    sims are bit-identical and the entry shares ``knn_bruteforce``'s
+    hash-checked oracle.  numpy's blocked matmul would be ~1 ulp off, which
+    F.round could amplify at a rounding boundary.  Rounding itself happens
+    in Spark (HALF_UP), never numpy (banker's).
+    """
+    import pandas as pd  # noqa: F401 (signature requirement)
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    if n_shards is None:
+        n_shards = spark.sparkContext.defaultParallelism
+    corpus = e.withColumn(
+        "shard", F.pmod(F.hash("vec_id"), F.lit(n_shards)).cast("int")
+    )
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .crossJoin(
+            F.broadcast(
+                spark.range(n_shards).select(F.col("id").cast("int").alias("shard"))
+            )
+        )
+    )
+
+    def gemm(corpus_pdf, q_pdf):
+        import numpy as np
+        import pandas as pd
+
+        if corpus_pdf.empty or q_pdf.empty:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")}
+            )
+        A = np.stack(corpus_pdf["v"].to_numpy())          # (n, dim)
+        Q = np.stack(q_pdf["qv"].to_numpy())              # (q, dim)
+        n, dim = A.shape
+        nq = Q.shape[0]
+        # dimension-ordered accumulation == the HOF/DuckDB sequential fold
+        acc = np.zeros((n, nq))
+        na = np.zeros(n)
+        qa = np.zeros(nq)
+        for d in range(dim):
+            acc += np.multiply.outer(A[:, d], Q[:, d])
+            na += A[:, d] * A[:, d]
+            qa += Q[:, d] * Q[:, d]
+        sim = acc / np.multiply.outer(np.sqrt(na), np.sqrt(qa))
+        ids = corpus_pdf["vec_id"].to_numpy()
+        qids = q_pdf["query_id"].to_numpy()
+        # self-pairs must not occupy a local top-k slot
+        sim[np.equal.outer(ids, qids)] = -np.inf
+        # per-shard prune: keep top-k by RAW sim plus every row within 1e-3
+        # of the k-th — raw->rounded reordering moves a sim by < 1e-4, so
+        # the margin provably covers anything the global rounded rank could
+        # promote; exact ordering happens in Spark on F.round-ed values.
+        out_q, out_n, out_s = [], [], []
+        for j in range(nq):
+            col = sim[:, j]
+            k = min(TOP_K, n)
+            kth = np.partition(col, -k)[-k]
+            keep = np.flatnonzero(np.isfinite(col) & (col >= kth - 1e-3))
+            out_q.append(np.full(keep.size, qids[j]))
+            out_n.append(ids[keep])
+            out_s.append(col[keep])
+        return pd.DataFrame(
+            {"query_id": np.concatenate(out_q),
+             "neighbor_id": np.concatenate(out_n),
+             "sim": np.concatenate(out_s)}
+        )
+
+    local = (
+        corpus.groupBy("shard")
+        .cogroup(q.groupBy("shard"))
+        .applyInPandas(gemm, "query_id long, neighbor_id long, sim double")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+_oracle("knn_gemm", ORACLES["knn_bruteforce"])
+
+
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding stats: row counts and mean L2 norm (fp64 fold)."""
     e = table(spark, sf_dir, "embeddings")

@@ -112,3 +112,19 @@ def test_lsh_near_dup_planted_pair_and_subset_of_exact(spark, tmp_path):
     assert (1, 2) in lsh and lsh[(1, 2)] > 0.99
     for pair, sim in lsh.items():
         assert exact.get(pair) == sim, pair
+
+
+def test_knn_gemm_matches_hof_tier(spark):
+    """The GEMM tier is a pure perf variant: identical rows (ids, rounded
+    sims, ranks) to knn_bruteforce on the same corpus, including the
+    dimension-ordered fp64 accumulation (bit-equal raw sims)."""
+    sf = "/root/testdata/sf0.001"
+    hof = {
+        (r["query_id"], r["rnk"]): (r["neighbor_id"], r["sim"])
+        for r in similarity.knn_bruteforce(spark, sf).collect()
+    }
+    gemm = {
+        (r["query_id"], r["rnk"]): (r["neighbor_id"], r["sim"])
+        for r in similarity.knn_gemm(spark, sf).collect()
+    }
+    assert hof == gemm and len(hof) == 50
