@@ -372,6 +372,127 @@ _oracle(
 )
 
 
+REP_DUP_WORD_T = 0.5       # avg dup-word fraction in testdata is ~0.50
+REP_TOP_WORD_T = 0.12      # avg top-word fraction ~0.10
+REP_TOP_BIGRAM_T = 0.05    # avg top-bigram fraction ~0.04
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals, aggregated per source:
+    duplicate-word fraction, top-word fraction, and top-2-gram fraction,
+    plus counts of documents a pretraining filter would flag on each.
+
+    Scale shape: two explodes, each shuffling (doc_id, term)-keyed counts
+    with map-side combine — the standard distributed per-document mode; the
+    per-doc word and bigram stats then co-locate on doc_id.  Bigrams are
+    built row-locally (zip_with of two slices — no self-join), with the
+    descending-``sequence`` empty-doc trap guarded.  Corpus fractions are a
+    SINGLE division of exactly-summed integers, so doubles compare
+    bit-for-bit cross-engine without rounding.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    base = d.select(
+        "doc_id", "source", words.alias("ws"), F.size(words).alias("nw")
+    )
+    bigrams = F.when(
+        F.col("nw") >= 2,
+        F.zip_with(
+            F.slice("ws", F.lit(1), F.col("nw") - 1),
+            F.slice("ws", F.lit(2), F.col("nw") - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    wdoc = (
+        base.select("doc_id", "source", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.max("c").alias("top_word_cnt"),
+        )
+    )
+    bdoc = (
+        base.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_cnt"))
+    )
+    doc = wdoc.join(bdoc, "doc_id", "left")
+    dup_frac = (F.col("n_words") - F.col("n_distinct_words")) / F.col("n_words")
+    top_w_frac = F.col("top_word_cnt") / F.col("n_words")
+    top_b_frac = F.col("top_bigram_cnt") / F.col("n_bigrams")
+    flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    return doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(flag(dup_frac > REP_DUP_WORD_T)).alias("n_flag_dup_word"),
+        F.sum(flag(top_w_frac > REP_TOP_WORD_T)).alias("n_flag_top_word"),
+        F.sum(flag(top_b_frac > REP_TOP_BIGRAM_T)).alias("n_flag_top_bigram"),
+        (
+            (F.sum("n_words") - F.sum("n_distinct_words"))
+            / F.sum("n_words").cast("double")
+        ).alias("corpus_dup_word_frac"),
+        (
+            F.sum("top_bigram_cnt") / F.sum("n_bigrams").cast("double")
+        ).alias("corpus_top_bigram_frac"),
+    )
+
+
+_oracle(
+    "repetition_stats",
+    f"""
+    WITH base AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ws,
+               LEN(string_split(text, ' ')) AS nw
+        FROM documents
+    ), wcnt AS (
+        SELECT doc_id, source, w, COUNT(*) AS c
+        FROM (SELECT doc_id, source, unnest(ws) AS w FROM base)
+        GROUP BY doc_id, source, w
+    ), wdoc AS (
+        SELECT doc_id, source, SUM(c) AS n_words, COUNT(*) AS n_distinct_words,
+               MAX(c) AS top_word_cnt
+        FROM wcnt GROUP BY doc_id, source
+    ), bg AS (
+        SELECT doc_id,
+               unnest(CASE WHEN nw >= 2
+                           THEN list_transform(range(1, nw),
+                                               i -> ws[i] || ' ' || ws[i + 1])
+                           ELSE [] END) AS b
+        FROM base
+    ), bcnt AS (
+        SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b
+    ), bdoc AS (
+        SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_cnt
+        FROM bcnt GROUP BY doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN (n_words - n_distinct_words)
+                              / CAST(n_words AS DOUBLE) > {REP_DUP_WORD_T}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_dup_word,
+           CAST(SUM(CASE WHEN top_word_cnt / CAST(n_words AS DOUBLE)
+                              > {REP_TOP_WORD_T}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_top_word,
+           CAST(SUM(CASE WHEN top_bigram_cnt / CAST(n_bigrams AS DOUBLE)
+                              > {REP_TOP_BIGRAM_T}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_top_bigram,
+           (CAST(SUM(n_words) AS BIGINT) - CAST(SUM(n_distinct_words) AS BIGINT))
+               / CAST(CAST(SUM(n_words) AS BIGINT) AS DOUBLE)
+               AS corpus_dup_word_frac,
+           CAST(SUM(top_bigram_cnt) AS BIGINT)
+               / CAST(CAST(SUM(n_bigrams) AS BIGINT) AS DOUBLE)
+               AS corpus_top_bigram_frac
+    FROM wdoc LEFT JOIN bdoc USING (doc_id)
+    GROUP BY source
+    """,
+)
+
+
 def _lang_id_oracle_sql() -> str:
     score_cols = ",\n               ".join(
         "CAST(LEN(list_filter(string_split(text, ' '), w -> w IN ({0}))) AS DOUBLE)"

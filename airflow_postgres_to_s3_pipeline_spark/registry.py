@@ -337,6 +337,7 @@ QUERIES: dict[str, QueryFn] = {
     "pii_scrub": text.pii_scrub,
     "corpus_curation": text.corpus_curation,
     "reading_level": text.reading_level,
+    "repetition_stats": text.repetition_stats,
     "mode_argmax": advanced.mode_argmax,
     "range_join_bucketed": relational.range_join_bucketed,
     "corpus_mix_sample": curation.corpus_mix_sample,
@@ -394,7 +395,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "embedding_lsh_near_dup"),
     "E27": ("doc_quality", "lang_id_heuristic", "tfidf_top_terms",
             "token_count", "corpus_mix_sample", "contamination_check",
-            "sequence_packing"),
+            "sequence_packing", "repetition_stats"),
     "E28": ("multimodal_decode", "multimodal_resize",
             "multimodal_frame_sample", "multimodal_partition_stats"),
 }
