@@ -402,6 +402,104 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str, k: int = 8,
     )
 
 
+SEMDEDUP_K = 8
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str,
+                   k: int = SEMDEDUP_K,
+                   threshold: float = NEAR_DUP_THRESHOLD) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embeddings, then compare pairs only WITHIN a cluster; the higher id
+    of any above-threshold pair is marked removed.  Returns per-cluster
+    (n_vectors, n_dup_pairs, n_removed).
+
+    Scale shape: this is the production near-dup path for embedding
+    corpora — the quadratic pair loop is confined to one cluster
+    (n^2/k per cluster vs n^2 all-pairs), and clusters compare in parallel
+    after one equi-join on cluster_id.  Cluster assignment is the same
+    broadcast argmin as the k-means/IVF tier (corpus never shuffles for
+    it).  Recall is bounded by cluster purity — boundary-straddling pairs
+    are missed by construction, the documented SemDeDup trade.
+
+    Deterministic pseudo-centroids (k lowest vec_ids) keep the whole
+    operator one SQL-expressible plan, so unlike most ANN tiers this one is
+    hash-checked against DuckDB, not rows-only.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    centroids = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster_id"), F.col("v").alias("cv")
+    )
+    assigned = kmeans_assign(e, centroids).select("vec_id", "v", "cluster_id")
+    a = assigned.repartition(
+        spark.sparkContext.defaultParallelism, "cluster_id"
+    ).select(
+        "cluster_id", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "cluster_id", F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 4)
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cluster_id", "id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+    dup_stats = pairs.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("id_b").alias("n_removed"),
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    return sizes.join(dup_stats, "cluster_id", "left").select(
+        "cluster_id",
+        "n_vectors",
+        F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+    )
+
+
+_oracle(
+    "semantic_dedup",
+    f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c AS (
+        SELECT vec_id AS cluster_id, v AS cv FROM e WHERE vec_id < {SEMDEDUP_K}
+    ), d AS (
+        SELECT e.vec_id, e.v, c.cluster_id,
+               list_sum(list_transform(range(1, 65),
+                   i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS dist
+        FROM e CROSS JOIN c
+    ), a AS (
+        SELECT vec_id, v, cluster_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY dist ASC, cluster_id ASC) AS rn
+            FROM d
+        ) WHERE rn = 1
+    ), p AS (
+        SELECT x.cluster_id, x.vec_id AS id_a, y.vec_id AS id_b
+        FROM a x JOIN a y
+          ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+        WHERE ROUND(list_cosine_similarity(x.v, y.v), 4) >= {NEAR_DUP_THRESHOLD}
+    ), r AS (
+        SELECT cluster_id, COUNT(*) AS n_dup_pairs,
+               COUNT(DISTINCT id_b) AS n_removed
+        FROM p GROUP BY cluster_id
+    )
+    SELECT a.cluster_id,
+           COUNT(*) AS n_vectors,
+           COALESCE(MAX(r.n_dup_pairs), 0) AS n_dup_pairs,
+           COALESCE(MAX(r.n_removed), 0) AS n_removed
+    FROM a LEFT JOIN r ON a.cluster_id = r.cluster_id
+    GROUP BY a.cluster_id
+    """,
+)
+
+
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector symmetric int8 quantization: q_i = floor(x_i * 127/max|x|).
 

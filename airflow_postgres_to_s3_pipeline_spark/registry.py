@@ -328,6 +328,7 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_dedup": dedup.simhash_dedup,
     "knn_ivf": similarity.knn_ivf,
     "knn_gemm": similarity.knn_gemm,
+    "semantic_dedup": similarity.semantic_dedup,
     "kmeans_embeddings": similarity.kmeans_embeddings,
     "embedding_lsh_near_dup": similarity.embedding_lsh_near_dup,
     "lang_stats": text.lang_stats,
@@ -391,8 +392,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "E25": ("ngram_jaccard_pairs", "minhash_lsh_dedup", "simhash_dedup",
             "dedup_components", "minhash_ml_pairs"),
     "E26": ("knn_bruteforce", "embedding_norms", "embedding_near_dup",
-            "embedding_quantize", "knn_ivf", "knn_gemm", "kmeans_embeddings",
-            "embedding_lsh_near_dup"),
+            "embedding_quantize", "knn_ivf", "knn_gemm", "semantic_dedup",
+            "kmeans_embeddings", "embedding_lsh_near_dup"),
     "E27": ("doc_quality", "lang_id_heuristic", "tfidf_top_terms",
             "token_count", "corpus_mix_sample", "contamination_check",
             "sequence_packing", "repetition_stats"),

@@ -128,3 +128,31 @@ def test_knn_gemm_matches_hof_tier(spark):
         for r in similarity.knn_gemm(spark, sf).collect()
     }
     assert hof == gemm and len(hof) == 50
+
+
+def test_semantic_dedup_removes_planted_cluster_duplicate(spark, tmp_path):
+    """A near-identical planted pair must land in one cluster and the
+    higher id must be counted as removed; singleton-free clusters report
+    zeros."""
+    import random
+
+    rnd = random.Random(7)
+    base = [rnd.uniform(-1.0, 1.0) for _ in range(64)]
+    near = [x * 1.001 + 0.0005 for x in base]
+    rows = [(10, base, 0), (11, near, 0)] + [
+        (i, [rnd.uniform(-1.0, 1.0) for _ in range(64)], 1)
+        for i in range(12, 60)
+    ] + [(i, [rnd.uniform(-1.0, 1.0) for _ in range(64)], 2) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = str(tmp_path / "emb")
+    df.write.parquet(out + "/embeddings.parquet")
+
+    stats = {
+        r["cluster_id"]: (r["n_vectors"], r["n_dup_pairs"], r["n_removed"])
+        for r in similarity.semantic_dedup(spark, out).collect()
+    }
+    assert sum(n for n, _, _ in stats.values()) == 58  # every vector assigned once
+    assert sum(p for _, p, _ in stats.values()) >= 1   # planted pair found
+    assert sum(m for _, _, m in stats.values()) >= 1
