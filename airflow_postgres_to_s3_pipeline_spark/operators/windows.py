@@ -585,3 +585,136 @@ _oracle(
     FROM events
     """,
 )
+
+
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity continuous-aggregate rollup (hypertable style):
+    hourly and daily buckets per event_type from ONE scan of events.
+
+    The daily tier re-aggregates the hourly PARTIALS (sum of counts, min of
+    mins, max of maxs) rather than re-scanning events — the
+    continuous-aggregate/materialized-rollup pattern: at 100 TB the raw
+    scan happens once and every coarser granularity derives from the next
+    finer one at bucket cardinality, not event cardinality.  The hourly
+    frame is persisted because both union branches reference it (Spark
+    would otherwise recompute the scan per branch).  Only mergeable
+    aggregates are used (count/min/max) — count-distinct does not
+    re-aggregate and would need a sketch tier (see hll_sketch_users).
+    """
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .persist()
+    )
+    daily = (
+        hourly.groupBy(
+            "event_type",
+            F.date_trunc("day", "bucket_start").alias("bucket_start"),
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    lit_g = lambda g: F.lit(g).alias("granularity")  # noqa: E731
+    return hourly.select(
+        lit_g("hour"), "event_type", "bucket_start",
+        "n_events", "min_value", "max_value",
+    ).unionByName(
+        daily.select(
+            lit_g("day"), "event_type", "bucket_start",
+            "n_events", "min_value", "max_value",
+        )
+    )
+
+
+_oracle(
+    "hypertable_rollup",
+    """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+               COUNT(*) AS n_events, MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    )
+    SELECT 'hour' AS granularity, event_type, bucket_start,
+           n_events, min_value, max_value
+    FROM hourly
+    UNION ALL
+    SELECT 'day' AS granularity, event_type,
+           date_trunc('day', bucket_start) AS bucket_start,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           MIN(min_value) AS min_value, MAX(max_value) AS max_value
+    FROM hourly
+    GROUP BY event_type, date_trunc('day', bucket_start)
+    """,
+)
+
+
+ASOF_TOLERANCE_MIN = 60
+
+
+def asof_join_pandas(spark: SparkSession, sf_dir: str,
+                     tolerance_minutes: int = ASOF_TOLERANCE_MIN) -> DataFrame:
+    """Tolerance-bounded as-of join via ``pandas.merge_asof`` inside
+    ``applyInPandas`` — the Arrow-batched custom-operator tier for as-of
+    semantics (each event matched to the user's latest purchase no older
+    than ``tolerance_minutes``).
+
+    Scale shape: ONE shuffle on user_id; within each group the match is a
+    sorted linear merge (O(n) per group, no per-row scan).  This is the
+    escape hatch to reach pandas' tolerance/direction as-of variants that
+    the pure-window formulation (``asof_last_purchase``) does not cover;
+    the oracle pins it to an interval RANGE-frame MAX, so the Python tier
+    is hash-checked, not trusted.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+
+    def asof(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        pur = (
+            pdf.loc[pdf["event_type"] == "purchase", ["ts"]]
+            .rename(columns={"ts": "last_purchase_ts"})
+            .sort_values("last_purchase_ts")
+        )
+        out = pd.merge_asof(
+            pdf,
+            pur,
+            left_on="ts",
+            right_on="last_purchase_ts",
+            direction="backward",
+            allow_exact_matches=True,
+            tolerance=pd.Timedelta(minutes=tolerance_minutes),
+        )
+        return out[
+            ["event_id", "user_id", "ts", "event_type", "last_purchase_ts"]
+        ]
+
+    return e.groupBy("user_id").applyInPandas(
+        asof,
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "last_purchase_ts timestamp",
+    )
+
+
+_oracle(
+    "asof_join_pandas",
+    f"""
+    SELECT event_id, user_id, ts, event_type,
+           MAX(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL {ASOF_TOLERANCE_MIN} MINUTES PRECEDING
+                         AND CURRENT ROW) AS last_purchase_ts
+    FROM events
+    """,
+)

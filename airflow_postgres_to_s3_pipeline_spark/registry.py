@@ -311,6 +311,8 @@ QUERIES: dict[str, QueryFn] = {
     "window_running_total": windows.window_running_total,
     "window_range_frame": windows.window_range_frame,
     "asof_last_purchase": windows.asof_last_purchase,
+    "asof_join_pandas": windows.asof_join_pandas,
+    "hypertable_rollup": windows.hypertable_rollup,
     "tumbling_window_agg": windows.tumbling_window_agg,
     "sliding_window_agg": windows.sliding_window_agg,
     "session_window_agg": windows.session_window_agg,
