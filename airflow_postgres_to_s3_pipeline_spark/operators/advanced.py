@@ -1104,3 +1104,149 @@ _oracle(
     WHERE m.rn = 1 AND a.rn = 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes Q2 / Q18 / Q21 adapted to the available star-schema subset
+# ---------------------------------------------------------------------------
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each small part, the supplier(s) achieving its
+    MINIMUM unit price (correlated min subquery, decorrelated as a window
+    min over the part key — one shuffle; no per-part re-scan).
+
+    unit_price is a single IEEE division, so the min-equality predicate is
+    bit-deterministic cross-engine (no rounding involved).
+    """
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    w = Window.partitionBy("l_partkey")
+    best = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .withColumn("min_price", F.min("unit_price").over(w))
+        .filter(F.col("unit_price") == F.col("min_price"))
+        .select("p_partkey", "p_name", "l_suppkey", "unit_price")
+        .dropDuplicates(["p_partkey", "l_suppkey"])
+    )
+    return best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey).select(
+        "p_partkey", "p_name", "s_name", "unit_price"
+    )
+
+
+_oracle(
+    "min_cost_supplier",
+    """
+    WITH li AS (
+        SELECT l_partkey, l_suppkey,
+               l_extendedprice / l_quantity AS unit_price
+        FROM lineitem
+    ), best AS (
+        SELECT DISTINCT p_partkey, p_name, l_suppkey, unit_price
+        FROM (
+            SELECT p.p_partkey, p.p_name, li.l_suppkey, li.unit_price,
+                   MIN(li.unit_price) OVER (PARTITION BY li.l_partkey)
+                       AS min_price
+            FROM li JOIN part p ON li.l_partkey = p.p_partkey
+            WHERE p.p_size < 10
+        ) WHERE unit_price = min_price
+    )
+    SELECT p_partkey, p_name, s_name, unit_price
+    FROM best JOIN supplier s ON best.l_suppkey = s.s_suppkey
+    """,
+)
+
+
+LARGE_ORDER_QTY = 300
+
+
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, with customer attribution (group-having + join-back).
+
+    The having-aggregate runs FIRST so only qualifying orderkeys (a tiny
+    fraction) join back to orders/customer — at scale the joins see the
+    filtered key set, not the fact table.  l_quantity is integer-valued, so
+    the sum is exact in any accumulation order.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > LARGE_ORDER_QTY)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+                "sum_qty")
+    )
+
+
+_oracle(
+    "large_volume_orders",
+    f"""
+    SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM orders
+    JOIN (
+        SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > {LARGE_ORDER_QTY}
+    ) big ON o_orderkey = big.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+)
+
+
+def sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE supplier on multi-line
+    orders (EXISTS another line on the order / NOT EXISTS a line from a
+    different supplier — decorrelated into one per-order aggregate instead
+    of two correlated re-scans).
+
+    The exists/not-exists pair collapses to (n_lines >= 2 AND
+    n_suppliers = 1): one shuffle on orderkey, then a count per supplier —
+    the Spark-first formulation of Q21's double correlation.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    sole = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.min("l_suppkey").alias("the_suppkey"),
+        )
+        .filter((F.col("n_lines") >= 2) & (F.col("n_supp") == 1))
+    )
+    return (
+        sole.groupBy("the_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_sole_orders"),
+             F.sum("n_lines").alias("n_lines_total"))
+        .join(F.broadcast(s), F.col("the_suppkey") == s.s_suppkey)
+        .select("s_name", "n_sole_orders", "n_lines_total")
+    )
+
+
+_oracle(
+    "sole_supplier_orders",
+    """
+    WITH sole AS (
+        SELECT l_orderkey, COUNT(*) AS n_lines,
+               MIN(l_suppkey) AS the_suppkey
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING COUNT(*) >= 2 AND COUNT(DISTINCT l_suppkey) = 1
+    )
+    SELECT s_name,
+           COUNT(*) AS n_sole_orders,
+           CAST(SUM(n_lines) AS BIGINT) AS n_lines_total
+    FROM sole JOIN supplier ON the_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+)

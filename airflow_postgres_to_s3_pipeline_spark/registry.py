@@ -303,6 +303,9 @@ QUERIES: dict[str, QueryFn] = {
     "order_priority_check": advanced.order_priority_check,
     "customer_order_distribution": advanced.customer_order_distribution,
     "supplier_variety": advanced.supplier_variety,
+    "min_cost_supplier": advanced.min_cost_supplier,
+    "large_volume_orders": advanced.large_volume_orders,
+    "sole_supplier_orders": advanced.sole_supplier_orders,
     "promo_revenue_share": advanced.promo_revenue_share,
     "timeseries_gapfill": windows.timeseries_gapfill,
     "sessionize_events": windows.sessionize_events,
