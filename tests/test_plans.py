@@ -63,3 +63,42 @@ def test_aqe_and_dynamic_overwrite_defaults(spark):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
         == "dynamic"
     )
+
+
+def test_semantic_dedup_broadcasts_centroids(spark, sf_dir):
+    """Cluster assignment must be a broadcast argmin — the corpus never
+    shuffles for it; only the within-cluster pair join repartitions."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import similarity as sim
+
+    plan = explain_str(sim.semantic_dedup(spark, sf_dir), "simple")
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_min_cost_supplier_broadcasts_dims(spark, sf_dir):
+    from airflow_postgres_to_s3_pipeline_spark.operators import advanced
+
+    assert has_broadcast_join(advanced.min_cost_supplier(spark, sf_dir))
+
+
+def test_large_volume_orders_aggregates_before_join(spark, sf_dir):
+    """The having-aggregate must sit BELOW the order/customer joins in the
+    plan (join sees qualifying keys only, not the fact table)."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import advanced
+
+    plan = explain_str(advanced.large_volume_orders(spark, sf_dir), "simple")
+    agg_pos = plan.find("sum_qty")
+    assert agg_pos != -1 and "CartesianProduct" not in plan
+    assert has_broadcast_join(advanced.large_volume_orders(spark, sf_dir))
+
+
+def test_hypertable_rollup_reuses_hourly_partials(spark, sf_dir):
+    """The daily tier must reference the persisted hourly frame (InMemory
+    relation in the plan), not a second scan of events."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import windows
+
+    plan = explain_str(windows.hypertable_rollup(spark, sf_dir), "simple")
+    # both union branches must read the cached hourly frame (the cached
+    # relation's description embeds its build plan, so counting FileScan
+    # strings would double-count — count the cache reads instead)
+    assert plan.count("InMemoryTableScan") == 2, plan
