@@ -78,6 +78,65 @@ def main() -> int:
     results.append(run("exact_dedup", fact().dropDuplicates(["custkey", "qty"])
                        .agg(F.count("*").alias("c"))))
 
+    # Vector shapes: run the REAL similarity operators against synthetic
+    # embeddings written once to a temp dir (so catalog.table reads them
+    # like any corpus).  Sizes are capped independently of n — the pairwise
+    # shapes have their own scaling laws (see each operator's docstring).
+    vector_labels = {"vector_knn_hof", "vector_knn_gemm",
+                     "vector_lsh_near_dup", "vector_semantic_dedup"}
+    if not only or (only & vector_labels):
+        import shutil
+        import tempfile
+
+        from airflow_postgres_to_s3_pipeline_spark.operators import similarity
+
+        def write_vectors(nv: int) -> str:
+            d = tempfile.mkdtemp(prefix="scale_vec_")
+            emb = F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda j: (
+                    F.hash((F.col("id") * 64 + j).cast("int")).cast("double")
+                    / F.lit(2147483647.0)
+                ).cast("float"),
+            )
+            spark.range(nv).select(
+                F.col("id").alias("vec_id"),
+                emb.alias("embedding"),
+                F.pmod(F.col("id"), F.lit(10)).cast("int").alias("label"),
+            ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+            return d
+
+        def run_vec(label, nv, fn):
+            if only and label not in only:
+                return None
+            d = write_vectors(nv)
+            try:
+                t0 = time.time()
+                fn(d).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                return label, round(dt, 2), int(nv / dt)
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+
+        nv_knn = min(n, 1_000_000)
+        results.append(run_vec(
+            "vector_knn_hof", nv_knn,
+            lambda d: similarity.knn_bruteforce(spark, d)))
+        results.append(run_vec(
+            "vector_knn_gemm", nv_knn,
+            lambda d: similarity.knn_gemm(spark, d)))
+        # random data needs wide bands (16 bits -> 65k buckets) or the
+        # candidate join explodes; production near-dup corpora are the same
+        nv_lsh = min(n, 500_000)
+        results.append(run_vec(
+            "vector_lsh_near_dup", nv_lsh,
+            lambda d: similarity.embedding_lsh_near_dup(
+                spark, d, n_planes=64, n_bands=4)))
+        nv_sem = min(n, 100_000)
+        results.append(run_vec(
+            "vector_semantic_dedup", nv_sem,
+            lambda d: similarity.semantic_dedup(spark, d, k=nv_sem // 250)))
+
     results = [r for r in results if r is not None]
     print(json.dumps({
         "n_rows": n,
