@@ -1250,3 +1250,242 @@ _oracle(
     GROUP BY s_name
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes Q7 / Q10 / Q19 / Q22 adapted to the available star-schema
+# subset (no shipmode/commitdate/phone columns in the driver testdata)
+# ---------------------------------------------------------------------------
+
+def nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border revenue per (supplier nation, customer
+    nation, ship year) — a 5-way star join where the nation dim is joined
+    TWICE under different roles.
+
+    Plan: lineitem->orders (shuffle on orderkey) -> customer (shuffle on
+    custkey) are the only exchanges; supplier and both nation aliases are
+    broadcasts, so the 100 TB fact scan shuffles exactly twice regardless
+    of dimension count.  Revenue is an exact-decimal sum.
+    """
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == n1.sn_key)
+        .join(F.broadcast(n2), c.c_nationkey == n2.cn_key)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            dsum(revenue, 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_oracle(
+    "nation_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+
+
+RETURNED_TOP_N = 20
+
+
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top customers by revenue on RETURNED items in one
+    quarter — agg-then-join-back so the ranking input is customer-sized,
+    then a deterministic global top-N (revenue desc, custkey asc).
+
+    The top-N runs on the aggregated (customer-count-sized) frame: Spark's
+    TakeOrderedAndProject keeps per-partition heaps of N rows, so no full
+    sort materializes at scale.
+    """
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per_cust = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(dsum(revenue, 6).alias("revenue"),
+             F.count(F.lit(1)).alias("n_returned_items"))
+    )
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal",
+                "revenue", "n_returned_items")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(RETURNED_TOP_N)
+    )
+
+
+_oracle(
+    "returned_item_revenue",
+    f"""
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal, revenue,
+           n_returned_items
+    FROM (
+        SELECT o_custkey,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_returned_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1995-04-01'
+        GROUP BY o_custkey
+    ) JOIN customer ON o_custkey = c_custkey
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT {RETURNED_TOP_N}
+    """,
+)
+
+
+def disjunctive_filter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three brand/size/quantity
+    conjunctions — the disjunction must be pushed INTO the broadcast-join
+    filter, not evaluated post-join.
+
+    Catalyst extracts the common ``p_size`` / ``l_quantity`` bounds from
+    the OR for scan-level pushdown (PushedFilters), and the broadcast keeps
+    the fact side shuffle-free; the OR itself stays one codegen'd predicate.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 5))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & (F.col("p_size").between(20, 30))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return j.filter(clause).agg(
+        dsum(revenue, 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_oracle(
+    "disjunctive_filter_parts",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 30
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+
+
+CHURN_CUTOFF = "2000-01-01"
+
+
+def inactive_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance and
+    no RECENT orders (none since CHURN_CUTOFF), counted per market
+    segment — scalar subquery (broadcast 1-row threshold) + left-anti join
+    + group-by.  (Q22's "no orders at all" is vacuous on the synthetic
+    data — almost every customer has some order — so the anti-join side is
+    the recent-order key set, which keeps the check non-vacuous while
+    preserving the exists/anti decorrelation shape.)
+
+    The threshold is an exact-decimal sum divided by a count (one IEEE
+    division, bit-identical cross-engine); the anti join shuffles on
+    custkey and AQE may broadcast the orders key-set when it is small
+    after the date filter.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(CHURN_CUTOFF).cast("timestamp")
+    ).select("o_custkey")
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (dsum("c_acctbal", 2) / F.count(F.lit(1))).alias("_avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", 2).alias("total_balance"),
+        )
+    )
+
+
+_oracle(
+    "inactive_high_value_customers",
+    f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE)
+               AS total_balance
+    FROM customer
+    WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE)
+                   / COUNT(*)
+            FROM customer WHERE c_acctbal > 0.0
+          )
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '{CHURN_CUTOFF}')
+    GROUP BY c_mktsegment
+    """,
+)

@@ -306,6 +306,10 @@ QUERIES: dict[str, QueryFn] = {
     "min_cost_supplier": advanced.min_cost_supplier,
     "large_volume_orders": advanced.large_volume_orders,
     "sole_supplier_orders": advanced.sole_supplier_orders,
+    "nation_volume_shipping": advanced.nation_volume_shipping,
+    "returned_item_revenue": advanced.returned_item_revenue,
+    "disjunctive_filter_parts": advanced.disjunctive_filter_parts,
+    "inactive_high_value_customers": advanced.inactive_high_value_customers,
     "promo_revenue_share": advanced.promo_revenue_share,
     "timeseries_gapfill": windows.timeseries_gapfill,
     "sessionize_events": windows.sessionize_events,
@@ -362,10 +366,11 @@ DRIVER_WINDOW = 50
 FAMILIES: dict[str, tuple[str, ...]] = {
     "2A": ("export_projection_filter", "union_snapshots"),
     "E2": ("computed_projection",),
-    "E3": ("filter_compound",),
-    "E4": ("join_broadcast_dims", "join_shuffle_multiway"),
+    "E3": ("filter_compound", "disjunctive_filter_parts"),
+    "E4": ("join_broadcast_dims", "join_shuffle_multiway",
+           "nation_volume_shipping"),
     "E5": ("join_left_outer", "join_full_outer"),
-    "E6": ("join_semi", "join_anti"),
+    "E6": ("join_semi", "join_anti", "inactive_high_value_customers"),
     "E7": ("join_range", "range_join_bucketed"),
     "E8": ("pricing_summary", "agg_stats", "corr_covar",
            "pivot_status_counts", "array_agg_ordered", "string_agg_ordered",
@@ -377,7 +382,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "E11": ("window_topk_per_customer", "window_percent_rank",
             "window_ntile_quartiles"),
     "E12": ("window_lag_lead", "window_ignore_nulls", "window_nth_value"),
-    "E13": ("global_topk",),
+    "E13": ("global_topk", "returned_item_revenue"),
     "E14": ("set_operations",),
     "E15": ("string_functions",),
     "E16": ("date_functions",),

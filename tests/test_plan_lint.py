@@ -22,7 +22,19 @@ from airflow_postgres_to_s3_pipeline_spark.plans import explain_str
 # - hll_sketch_users: broadcasts the 1-row global exact-distinct aggregate
 #   (scalar-subquery shape) onto the 1-row global-estimate aggregate for
 #   the engine-side bound check.
+# - knn_gemm: crossJoin of the bounded query set with a broadcast
+#   range(n_shards) — engine-side replication of queries x shards rows so
+#   every cogroup shard sees the full query set; the corpus side never
+#   participates in the product.
+# - semantic_dedup: same broadcast-argmin assignment as kmeans/knn_ivf —
+#   the k-row centroid frame broadcasts onto the corpus scan; the pair
+#   stage is a cluster-keyed cogroup, not a product.
+# - inactive_high_value_customers: broadcasts the 1-row average-balance
+#   aggregate (scalar-subquery shape, same as scalar_subquery_threshold).
 ALLOWED_PRODUCT = {
+    "knn_gemm",
+    "semantic_dedup",
+    "inactive_high_value_customers",
     "embedding_near_dup",
     "scalar_subquery_threshold",
     "price_histogram",

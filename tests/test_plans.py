@@ -102,3 +102,47 @@ def test_hypertable_rollup_reuses_hourly_partials(spark, sf_dir):
     # relation's description embeds its build plan, so counting FileScan
     # strings would double-count — count the cache reads instead)
     assert plan.count("InMemoryTableScan") == 2, plan
+
+
+def test_nation_volume_shipping_broadcasts_both_nation_roles(spark, sf_dir):
+    """Q7 shape: supplier + both nation aliases broadcast — the fact scan
+    exchanges only for the orderkey and custkey joins."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import advanced
+
+    df = advanced.nation_volume_shipping(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    filters = " ".join(pushed_filters(df))
+    assert "l_shipdate" in filters, f"date pushdown missing: {filters}"
+
+
+def test_returned_item_revenue_topn_no_full_sort(spark, sf_dir):
+    """Q10 shape: the global top-N must be TakeOrderedAndProject (per-
+    partition heaps), never a full Sort+Limit materialization."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import advanced
+
+    plan = explain_str(advanced.returned_item_revenue(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_disjunctive_filter_pushdown(spark, sf_dir):
+    """Q19 shape: the OR-of-conjunctions must reach the part scan as a
+    pushed filter (Catalyst keeps Or predicates pushable per-relation)."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import advanced
+
+    df = advanced.disjunctive_filter_parts(spark, sf_dir)
+    filters = " ".join(pushed_filters(df))
+    assert "p_brand" in filters or "Or" in filters, f"no pushdown: {filters}"
+    assert has_broadcast_join(df)
+
+
+def test_inactive_customers_anti_join(spark, sf_dir):
+    """Q22 shape: NOT EXISTS must plan as LeftAnti with the 1-row threshold
+    broadcast."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import advanced
+
+    plan = explain_str(
+        advanced.inactive_high_value_customers(spark, sf_dir), "simple"
+    )
+    assert "LeftAnti" in plan, plan
+    assert "Broadcast" in plan
