@@ -142,6 +142,35 @@ STREAMING_SS_JOIN_ORACLE = """
 """
 
 
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join then windowed agg: events enriched with the
+    static customer dim (broadcast per micro-batch, stateless), then
+    watermarked tumbling counts per market segment."""
+    events = stream_windows.read_events_stream(spark, sf_dir)
+    dim = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream_windows.enrich_with_static_dim(events, dim)
+    agg = (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "n_events",
+        )
+    )
+    return stream_windows.run_stream_to_memory(agg, spark, output_mode="complete")
+
+
+STREAMING_STATIC_ENRICH_ORACLE = """
+    SELECT date_trunc('hour', ts) AS window_start,
+           c_mktsegment AS segment,
+           COUNT(*) AS n_events
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+"""
+
+
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_windows.read_events_stream(spark, sf_dir)
     stream = stream_windows.session_counts(events)
@@ -331,6 +360,7 @@ QUERIES: dict[str, QueryFn] = {
     "arrow_udf_tier": udfs.arrow_udf_tier,
     "model_inference_scores": udfs.model_inference_scores,
     "streaming_stream_stream_join": streaming_stream_stream_join,
+    "streaming_static_enrich": streaming_static_enrich,
     "dedup_components": dedup.dedup_components,
     "minhash_ml_pairs": ml_feature.minhash_ml_pairs,
     "tfidf_ml_features": ml_feature.tfidf_ml_features,
@@ -394,7 +424,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "E21": ("pandas_udf_score", "apply_in_pandas_zscore",
             "python_udtf_word_expand", "python_udf_rowwise",
             "arrow_udf_tier", "model_inference_scores"),
-    "E22": ("streaming_tumbling_agg", "streaming_sliding_agg"),
+    "E22": ("streaming_tumbling_agg", "streaming_sliding_agg",
+            "streaming_static_enrich"),
     "E23": ("streaming_session_window", "streaming_dedup",
             "streaming_stateful_running_totals",
             "streaming_stream_stream_join"),
@@ -422,6 +453,7 @@ def _collect_oracles() -> dict[str, str]:
     oracles["streaming_session_window"] = STREAMING_SESSION_ORACLE
     oracles["streaming_stream_stream_join"] = STREAMING_SS_JOIN_ORACLE
     oracles["streaming_stateful_running_totals"] = STREAMING_STATEFUL_ORACLE
+    oracles["streaming_static_enrich"] = STREAMING_STATIC_ENRICH_ORACLE
     # only keep oracles for registered queries
     return {k: v for k, v in oracles.items() if k in QUERIES}
 

@@ -150,6 +150,17 @@ def click_purchase_stream_join(clicks: DataFrame, purchases: DataFrame,
     )
 
 
+def enrich_with_static_dim(events: DataFrame, dim: DataFrame,
+                           on_left: str = "user_id",
+                           on_right: str = "c_custkey") -> DataFrame:
+    """E22: stream-static equi-join — the static dimension is broadcast
+    into every micro-batch (re-read per trigger, so a slowly-changing dim
+    picks up updates); no streaming state is created and the stream side
+    never shuffles for the join.  This is the standard enrichment stage in
+    front of a windowed aggregate."""
+    return events.join(F.broadcast(dim), F.col(on_left) == F.col(on_right))
+
+
 def run_stream_to_memory(stream_df: DataFrame, spark: SparkSession,
                          output_mode: str = "append") -> DataFrame:
     """Drive a bounded streaming query to completion into a memory sink and

@@ -178,3 +178,45 @@ def test_streaming_stateful_multi_batch_keeps_last_emission(spark, sf_dir,
     # and the raw sink has MORE rows than users (multiple emissions) — the
     # reduction is load-bearing, not a no-op
     assert res.count() > len(got)
+
+
+def test_streaming_static_enrich_multi_batch_equals_batch(spark, sf_dir,
+                                                          tmp_path):
+    """Stream-static join: the static dim joins every micro-batch without
+    creating state, so a multi-file source must still equal the batch
+    join+aggregate."""
+    from airflow_postgres_to_s3_pipeline_spark.catalog import table
+
+    split_dir = _split_events(spark, sf_dir, tmp_path, n_files=3, seed=11)
+    events = sw.read_events_stream(spark, split_dir, max_files_per_trigger=1)
+    dim = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        sw.enrich_with_static_dim(events, dim)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("c_mktsegment").alias("segment"), "n_events")
+    )
+    got = {
+        (r["window_start"], r["segment"]): r["n_events"]
+        for r in sw.run_stream_to_memory(
+            agg, spark, output_mode="complete"
+        ).collect()
+    }
+    from airflow_postgres_to_s3_pipeline_spark.session import tune_runtime
+
+    tune_runtime(spark)  # nanosAsLong: ts is TIMESTAMP(NANOS) on disk
+    batch_events = spark.read.parquet(
+        f"{split_dir}/events_*.parquet"
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    batch = {
+        (r["window_start"], r["segment"]): r["n_events"]
+        for r in batch_events.join(dim, F.col("user_id") == F.col("c_custkey"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("c_mktsegment").alias("segment"), "n_events")
+        .collect()
+    }
+    assert got == batch
