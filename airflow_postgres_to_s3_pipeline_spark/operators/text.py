@@ -586,3 +586,151 @@ _oracle(
     ) WHERE rnk <= 3
     """,
 )
+
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str,
+                 chunk_size: int = CHUNK_SIZE,
+                 stride: int = CHUNK_STRIDE) -> DataFrame:
+    """Sliding token-window chunking — the tokenize-and-chunk stage in
+    front of LLM pretraining: each document becomes ceil(n/stride) chunks
+    of ``chunk_size`` tokens overlapping by ``chunk_size - stride``.
+
+    Row-local (split -> sequence -> explode -> slice): zero shuffles, so
+    the stage scales linearly and keeps the document's partition.  The
+    chunk-start sequence is guarded (Spark's sequence() walks DESCENDING
+    for a negative span — the documented repo-wide footgun) though n >= 1
+    always holds after the empty-token filter here.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    n = F.size(F.col("words"))
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    chunk = F.slice(
+        F.col("words"), F.col("chunk_id") * stride + 1, chunk_size
+    )
+    return (
+        d.select("doc_id", words.alias("words"))
+        .select("doc_id", "words", F.explode(starts).alias("chunk_id"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+_oracle(
+    "doc_chunking",
+    f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> len(x) > 0) AS words
+        FROM documents
+    ), c AS (
+        SELECT doc_id, words,
+               UNNEST(range(0, ((len(words) - 1) // {CHUNK_STRIDE}) + 1))
+                   AS chunk_id
+        FROM w WHERE len(words) > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(words, chunk_id * {CHUNK_STRIDE} + 1,
+                               chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}))
+                AS INTEGER) AS n_chunk_tokens,
+           array_to_string(list_slice(words, chunk_id * {CHUNK_STRIDE} + 1,
+                                      chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}),
+                           ' ') AS chunk_text
+    FROM c
+    """,
+)
+
+
+def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy per document (the KenLM-style perplexity
+    quality filter, self-trained on the corpus): p(term) is add-one
+    smoothed over the corpus vocabulary and each document is scored by
+    -sum(tf * ln p) / n_tokens.
+
+    Determinism: per-term log-probs are snapped to integer MICRO-nats
+    (round(ln p * 1e6) as bigint) so every per-document sum is exact
+    64-bit integer arithmetic — no float-summation order anywhere; the
+    only doubles are one ln per vocab term (rounded, cross-engine-safe)
+    and the final two-division average, identical on both engines.
+
+    Scale shape: two token shuffles (doc-term tf, corpus term counts) and
+    a term-keyed join of the vocab's log-probs back onto tf — AQE
+    broadcasts the vocab side when it is small; for web-scale vocabularies
+    it stays a shuffle join and a min-count vocabulary cut is the standard
+    mitigation.  The (T, V) totals are a 1-row broadcast.
+    """
+    d = table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "),
+                           lambda w: F.length(w) > 0)).alias("term"),
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    totals = vocab.agg(
+        F.sum("cnt").alias("_t"), F.count(F.lit(1)).alias("_v")
+    )
+    lp = vocab.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.round(
+            F.log((F.col("cnt") + F.lit(1.0)) / (F.col("_t") + F.col("_v")))
+            * F.lit(1000000.0)
+        ).cast("bigint").alias("logp_micro"),
+    )
+    per_doc = (
+        tf.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("logp_micro")).alias("score_micro"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "score_micro",
+        (-(F.col("score_micro").cast("double") / F.col("n_tokens")
+           / F.lit(1000000.0))).alias("cross_entropy"),
+    )
+
+
+_oracle(
+    "ngram_lm_score",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               UNNEST(list_filter(string_split(text, ' '),
+                                  x -> len(x) > 0)) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), vocab AS (
+        SELECT term, SUM(tf) AS cnt FROM tf GROUP BY 1
+    ), tot AS (
+        SELECT SUM(cnt) AS t, COUNT(*) AS v FROM vocab
+    ), lp AS (
+        SELECT term,
+               CAST(round(ln((cnt + 1.0) / (t + v)) * 1000000.0) AS BIGINT)
+                   AS logp_micro
+        FROM vocab, tot
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf * logp_micro) AS BIGINT) AS score_micro,
+           -(CAST(SUM(tf * logp_micro) AS DOUBLE) / SUM(tf) / 1000000.0)
+               AS cross_entropy
+    FROM tf JOIN lp USING (term)
+    GROUP BY doc_id
+    """,
+)

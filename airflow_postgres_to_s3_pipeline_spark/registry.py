@@ -378,6 +378,8 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_curation": text.corpus_curation,
     "reading_level": text.reading_level,
     "repetition_stats": text.repetition_stats,
+    "doc_chunking": text.doc_chunking,
+    "ngram_lm_score": text.ngram_lm_score,
     "mode_argmax": advanced.mode_argmax,
     "range_join_bucketed": relational.range_join_bucketed,
     "corpus_mix_sample": curation.corpus_mix_sample,
@@ -437,7 +439,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "kmeans_embeddings", "embedding_lsh_near_dup"),
     "E27": ("doc_quality", "lang_id_heuristic", "tfidf_top_terms",
             "token_count", "corpus_mix_sample", "contamination_check",
-            "sequence_packing", "repetition_stats"),
+            "sequence_packing", "repetition_stats", "doc_chunking",
+            "ngram_lm_score"),
     "E28": ("multimodal_decode", "multimodal_resize",
             "multimodal_frame_sample", "multimodal_partition_stats"),
 }

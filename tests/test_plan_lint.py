@@ -31,7 +31,10 @@ from airflow_postgres_to_s3_pipeline_spark.plans import explain_str
 #   stage is a cluster-keyed cogroup, not a product.
 # - inactive_high_value_customers: broadcasts the 1-row average-balance
 #   aggregate (scalar-subquery shape, same as scalar_subquery_threshold).
+# - ngram_lm_score: broadcasts the 1-row (total-tokens, vocab-size)
+#   aggregate onto the vocab frame for the smoothed log-prob.
 ALLOWED_PRODUCT = {
+    "ngram_lm_score",
     "knn_gemm",
     "semantic_dedup",
     "inactive_high_value_customers",

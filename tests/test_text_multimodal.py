@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from airflow_postgres_to_s3_pipeline_spark.catalog import table
 from airflow_postgres_to_s3_pipeline_spark.operators import multimodal, text
 
 
@@ -118,3 +119,63 @@ def test_frame_sample_empty_payload_emits_no_frames(spark, tmp_path):
         by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
     assert 2 not in by_doc and 3 not in by_doc
     assert by_doc[1] == [0]  # 160 bytes -> 3 frames, every 4th kept -> idx 0
+
+
+def test_doc_chunking_covers_every_token_exactly_once_per_stride(spark, sf_dir):
+    """Chunk i owns tokens [i*stride, i*stride + chunk_size); the stride-
+    aligned prefixes partition the document, so summing each chunk's first
+    `stride` tokens reconstructs the document's token count, and every
+    chunk except the last is full-size."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import text as t
+
+    rows = t.doc_chunking(spark, sf_dir).collect()
+    docs = {}
+    for r in rows:
+        docs.setdefault(r["doc_id"], []).append(r)
+    d = table(spark, sf_dir, "documents")
+    n_tokens = {
+        r["doc_id"]: r["n"]
+        for r in d.select(
+            "doc_id",
+            F.size(F.filter(F.split("text", " "),
+                            lambda w: F.length(w) > 0)).alias("n"),
+        ).collect()
+    }
+    for doc_id, chunks in docs.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        n = n_tokens[doc_id]
+        # chunk ids are dense 0..k-1
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        # stride-aligned prefix lengths partition the token sequence
+        covered = sum(
+            min(t.CHUNK_STRIDE, c["n_chunk_tokens"]) for c in chunks
+        )
+        assert covered == n, (doc_id, covered, n)
+        # every chunk holds exactly the tokens remaining from its start
+        for i, c in enumerate(chunks):
+            assert c["n_chunk_tokens"] == min(
+                t.CHUNK_SIZE, n - i * t.CHUNK_STRIDE
+            )
+        # overlap: chunk i+1 starts stride tokens after chunk i
+        for a, b in zip(chunks, chunks[1:]):
+            a_words = a["chunk_text"].split(" ")
+            b_words = b["chunk_text"].split(" ")
+            assert a_words[t.CHUNK_STRIDE:] == b_words[
+                : len(a_words) - t.CHUNK_STRIDE
+            ]
+
+
+def test_ngram_lm_score_orders_rare_docs_higher(spark, sf_dir):
+    """Cross-entropy must be positive and a doc of common tokens must score
+    lower (more predictable) than the corpus maximum."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import text as t
+
+    rows = t.ngram_lm_score(spark, sf_dir).collect()
+    assert rows and all(r["cross_entropy"] > 0 for r in rows)
+    ces = sorted(r["cross_entropy"] for r in rows)
+    assert ces[0] < ces[-1]
+    # score_micro is the exact integer sum: avg * n_tokens reconstructs it
+    for r in rows[:20]:
+        assert abs(
+            -r["cross_entropy"] * r["n_tokens"] * 1e6 - r["score_micro"]
+        ) < 1.0
