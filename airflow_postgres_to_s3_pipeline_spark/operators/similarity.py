@@ -756,3 +756,87 @@ _oracle(
     GROUP BY label
     """,
 )
+
+
+RP_OUT_DIM = 16
+_RP_MULT = 2654435761  # Knuth multiplicative-hash constant
+_RP_MOD = 1000000007
+
+
+def _rp_sign(j, d):
+    """Deterministic ±1 plane entry from pure small-int arithmetic — both
+    engines compute the identical value with exact int64 ops (max
+    intermediate ~3e12, far from overflow), so the plane matrix needs no
+    cross-engine hash function or driver-side materialization."""
+    mix = ((j + 1).cast("bigint") * (d + 7).cast("bigint") * F.lit(_RP_MULT)) % F.lit(_RP_MOD)
+    return F.when(mix % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str,
+                                out_dim: int = RP_OUT_DIM) -> DataFrame:
+    """Achlioptas-style ±1 random projection: 64-dim embeddings down to
+    ``out_dim`` components, one output row per (vector, component).
+
+    Row-local and shuffle-free: each component is a sequential fp64 fold
+    of v[d] * sign(j, d) over the dimensions — E[||Pv||^2] = out_dim *
+    ||v||^2, the Johnson-Lindenstrauss contract (checked as a pytest
+    property).  The sign matrix is generated INSIDE the expression from
+    integer arithmetic (no literal blow-up — the measured
+    embedding_lsh_near_dup trap), and the fold order matches DuckDB's
+    list_reduce, so raw doubles are bit-identical and the entry is
+    hash-checked.
+
+    Scale: dimensionality reduction in front of the LSH/IVF tiers cuts
+    their CPU by dim_in/dim_out with JL-bounded recall loss; this operator
+    composes with them as a drop-in select.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    v = to_double_array("embedding")
+    comp = F.transform(
+        F.sequence(F.lit(0), F.lit(out_dim - 1)),
+        lambda j: F.struct(
+            j.cast("int").alias("j"),
+            F.aggregate(
+                F.sequence(F.lit(0), F.size(F.col("v")) - 1),
+                F.lit(0.0),
+                lambda acc, d: acc
+                + F.element_at(F.col("v"), d + 1) * _rp_sign(j, d),
+            ).alias("p"),
+        ),
+    )
+    return (
+        e.select("vec_id", "label", v.alias("v"))
+        .select("vec_id", "label", F.explode(comp).alias("s"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("s.j").alias("component"),
+            F.col("s.p").alias("proj"),
+        )
+    )
+
+
+_oracle(
+    "embedding_random_projection",
+    f"""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x
+        FROM embeddings
+    ), c AS (
+        SELECT vec_id, label, x,
+               UNNEST(range(0, {RP_OUT_DIM})) AS component
+        FROM v
+    )
+    SELECT vec_id, label,
+           CAST(component AS INTEGER) AS component,
+           list_reduce(
+               list_prepend(0.0, list_transform(
+                   range(0, len(x)),
+                   d -> x[d + 1]
+                        * (CASE WHEN ((((component + 1) * (d + 7)
+                                        * {_RP_MULT}) % {_RP_MOD}) % 2) = 0
+                                THEN 1.0 ELSE -1.0 END))),
+               (a, b) -> a + b) AS proj
+    FROM c
+    """,
+)

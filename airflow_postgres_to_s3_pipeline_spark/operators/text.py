@@ -734,3 +734,129 @@ _oracle(
     GROUP BY doc_id
     """,
 )
+
+
+BM25_QUERY_TERMS = ("join", "filter", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_N = 20
+
+
+def bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking of documents against a fixed query — the
+    retrieval-quality tier next to ``tfidf_top_terms``.
+
+    Pipeline: doc-term tf + per-doc length (one token shuffle), term df
+    (vocab-sized shuffle), 1-row avgdl broadcast, then score = sum over
+    query terms of idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)).
+
+    Determinism: idf is ln-rounded to 6 decimals (libm last-ulp rule);
+    each per-(doc,term) contribution is snapped to integer MICRO-points
+    before the per-document sum, so the final ranking key is exact int64
+    (same design as ngram_lm_score).  avgdl is an exact int-sum / count
+    division.  Ties break on doc_id.
+
+    Scale: the query-term filter lands BEFORE the scoring join, so the
+    joined frame is |query| rows per matching doc, not the full posting
+    list; df/avgdl are corpus-wide aggregates a real system would
+    checkpoint as collection statistics.
+    """
+    d = table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "),
+                           lambda w: F.length(w) > 0)).alias("term"),
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    n_docs = d.count()  # collection statistic (metadata-scale)
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.filter(F.col("term").isin(*BM25_QUERY_TERMS)).select(
+        "term",
+        F.round(
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+            6,
+        ).alias("idf"),
+    )
+    avgdl = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("_avgdl")
+    )
+    contrib = (
+        tf.filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("_avgdl"))
+                )
+                * F.lit(1000000.0)
+            ).cast("bigint").alias("c_micro"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c_micro").alias("bm25_micro"))
+        .select(
+            "doc_id",
+            "bm25_micro",
+            (F.col("bm25_micro").cast("double") / F.lit(1000000.0)).alias(
+                "bm25"
+            ),
+        )
+        .orderBy(F.col("bm25_micro").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP_N)
+    )
+
+
+_oracle(
+    "bm25_scoring",
+    f"""
+    WITH tok AS (
+        SELECT doc_id,
+               UNNEST(list_filter(string_split(text, ' '),
+                                  x -> len(x) > 0)) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1
+    ), stats AS (
+        SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+    ), idf AS (
+        SELECT term,
+               round(ln((CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                         - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf
+        FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+        WHERE term IN {BM25_QUERY_TERMS!r}
+    ), contrib AS (
+        SELECT tf.doc_id,
+               CAST(round(idf.idf * (tf.tf * ({BM25_K1} + 1.0))
+                          / (tf.tf + {BM25_K1}
+                             * (1.0 - {BM25_B}
+                                + {BM25_B} * dl.dl / stats.avgdl))
+                          * 1000000.0) AS BIGINT) AS c_micro
+        FROM tf
+        JOIN idf ON tf.term = idf.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(SUM(c_micro) AS BIGINT) AS bm25_micro,
+           CAST(SUM(c_micro) AS DOUBLE) / 1000000.0 AS bm25
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY bm25_micro DESC, doc_id ASC
+    LIMIT {BM25_TOP_N}
+    """,
+)

@@ -370,6 +370,7 @@ QUERIES: dict[str, QueryFn] = {
     "semantic_dedup": similarity.semantic_dedup,
     "kmeans_embeddings": similarity.kmeans_embeddings,
     "embedding_lsh_near_dup": similarity.embedding_lsh_near_dup,
+    "embedding_random_projection": similarity.embedding_random_projection,
     "lang_stats": text.lang_stats,
     "token_count": text.token_count,
     "doc_fingerprint": text.doc_fingerprint,
@@ -380,6 +381,7 @@ QUERIES: dict[str, QueryFn] = {
     "repetition_stats": text.repetition_stats,
     "doc_chunking": text.doc_chunking,
     "ngram_lm_score": text.ngram_lm_score,
+    "bm25_scoring": text.bm25_scoring,
     "mode_argmax": advanced.mode_argmax,
     "range_join_bucketed": relational.range_join_bucketed,
     "corpus_mix_sample": curation.corpus_mix_sample,
@@ -436,11 +438,12 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "dedup_components", "minhash_ml_pairs"),
     "E26": ("knn_bruteforce", "embedding_norms", "embedding_near_dup",
             "embedding_quantize", "knn_ivf", "knn_gemm", "semantic_dedup",
-            "kmeans_embeddings", "embedding_lsh_near_dup"),
+            "kmeans_embeddings", "embedding_lsh_near_dup",
+            "embedding_random_projection"),
     "E27": ("doc_quality", "lang_id_heuristic", "tfidf_top_terms",
             "token_count", "corpus_mix_sample", "contamination_check",
             "sequence_packing", "repetition_stats", "doc_chunking",
-            "ngram_lm_score"),
+            "ngram_lm_score", "bm25_scoring"),
     "E28": ("multimodal_decode", "multimodal_resize",
             "multimodal_frame_sample", "multimodal_partition_stats"),
 }

@@ -33,8 +33,10 @@ from airflow_postgres_to_s3_pipeline_spark.plans import explain_str
 #   aggregate (scalar-subquery shape, same as scalar_subquery_threshold).
 # - ngram_lm_score: broadcasts the 1-row (total-tokens, vocab-size)
 #   aggregate onto the vocab frame for the smoothed log-prob.
+# - bm25_scoring: broadcasts the 1-row avgdl collection statistic.
 ALLOWED_PRODUCT = {
     "ngram_lm_score",
+    "bm25_scoring",
     "knn_gemm",
     "semantic_dedup",
     "inactive_high_value_customers",

@@ -4,6 +4,9 @@ from __future__ import annotations
 
 import numpy as np
 
+from pyspark.sql import functions as F
+
+from airflow_postgres_to_s3_pipeline_spark.catalog import table
 from airflow_postgres_to_s3_pipeline_spark.operators import similarity
 
 
@@ -156,3 +159,38 @@ def test_semantic_dedup_removes_planted_cluster_duplicate(spark, tmp_path):
     assert sum(n for n, _, _ in stats.values()) == 58  # every vector assigned once
     assert sum(p for _, p, _ in stats.values()) >= 1   # planted pair found
     assert sum(m for _, _, m in stats.values()) >= 1
+
+
+def test_random_projection_preserves_norms_in_expectation(spark, sf_dir):
+    """JL contract for ±1 planes: ||Pv||^2 concentrates around
+    out_dim * ||v||^2 — check the ratio lies in a generous band for every
+    vector (tight concentration needs higher out_dim; the band just guards
+    against sign-matrix bugs like all-equal signs, which give ratio ~0 or
+    ~dim for correlated inputs)."""
+    import math
+
+    from airflow_postgres_to_s3_pipeline_spark.functions.vector import (
+        to_double_array,
+    )
+
+    proj = similarity.embedding_random_projection(spark, sf_dir)
+    pn = proj.groupBy("vec_id").agg(
+        F.sum(F.col("proj") * F.col("proj")).alias("p2")
+    )
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.aggregate(
+            to_double_array("embedding"), F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        ).alias("v2"),
+    )
+    rows = pn.join(e, "vec_id").collect()
+    assert rows
+    ratios = [r["p2"] / (similarity.RP_OUT_DIM * r["v2"]) for r in rows]
+    # per-vector band (loose) and population mean (tight)
+    assert all(0.05 < r < 20.0 for r in ratios), (min(ratios), max(ratios))
+    mean = sum(ratios) / len(ratios)
+    assert 0.5 < mean < 2.0, mean
+    # components are balanced: each j appears once per vector
+    counts = proj.groupBy("vec_id").count().select("count").distinct().collect()
+    assert [c["count"] for c in counts] == [similarity.RP_OUT_DIM]
