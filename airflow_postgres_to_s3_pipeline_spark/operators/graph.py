@@ -1,0 +1,263 @@
+"""Graph analytics over the co-purchase graph (parts sharing an order):
+market-basket lift and a deterministic fixed-iteration PageRank.
+
+These extend the §2B surface with the iterative-join family beyond
+connected components (operators/dedup.py): PageRank is the canonical
+"iterate a join+aggregate to a fixed point" workload, and the co-occurrence
+edge list is the canonical self-join fact-derived graph.
+
+Scale notes (100 TB):
+- Edge construction is a self-equi-join on the order key — quadratic only
+  in lines-per-order (bounded small by the data model), linear in orders.
+- Each PageRank iteration is one (edge join + dst-keyed aggregate): two
+  shuffles per iteration on a frame of |V| + |E| rows, the textbook
+  distributed formulation.  Iterations are a fixed small count here; a
+  production loop adds convergence checks + localCheckpoint lineage cuts
+  exactly as dedup.connected_components does.
+- Determinism: ranks live as integer MICRO-units (1e9 scale) and every
+  per-edge contribution is integer floor-division — there is no float
+  anywhere in the iteration, so any partitioning, any engine, any
+  accumulation order produces byte-identical ranks (the property the
+  unrolled recursive-CTE oracle certifies).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_postgres_to_s3_pipeline_spark.catalog import table
+
+ORACLES: dict[str, str] = {}
+
+
+def _oracle(name: str, sql: str):
+    ORACLES[name] = sql
+
+
+MIN_SUPPORT = 2
+LIFT_TOP_N = 50
+
+
+def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (order, part) pairs — the basket relation."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+
+
+def part_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: for part pairs co-occurring in >=
+    MIN_SUPPORT orders, lift = P(a,b) / (P(a) P(b)) — the classic
+    co-purchase affinity score, top-N by lift.
+
+    Shape: one distinct (order, part) shuffle, a self-join on the order
+    key (quadratic only within an order), a pair-keyed count, and two
+    broadcast joins of the (part-count-sized) marginals.  lift is computed
+    as one integer product then a single division — no float accumulation.
+    """
+    b = _baskets(spark, sf_dir)
+    n_orders = b.select("l_orderkey").distinct().count()  # collection stat
+    part_orders = b.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("c.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= MIN_SUPPORT)
+    )
+    ca = part_orders.select(
+        F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a")
+    )
+    cb = part_orders.select(
+        F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            (
+                (F.col("c_ab") * F.lit(n_orders)).cast("double")
+                / (F.col("c_a") * F.col("c_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("part_a").asc(),
+                 F.col("part_b").asc())
+        .limit(LIFT_TOP_N)
+    )
+
+
+_oracle(
+    "part_cooccurrence_lift",
+    f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+        SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM b
+    ), po AS (
+        SELECT l_partkey, COUNT(*) AS c FROM b GROUP BY 1
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+               COUNT(*) AS c_ab
+        FROM b a JOIN b c
+          ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {MIN_SUPPORT}
+    )
+    SELECT part_a, part_b, c_ab, ca.c AS c_a, cb.c AS c_b,
+           CAST(c_ab * n.n_orders AS DOUBLE) / (ca.c * cb.c) AS lift
+    FROM pairs
+    JOIN po ca ON pairs.part_a = ca.l_partkey
+    JOIN po cb ON pairs.part_b = cb.l_partkey
+    CROSS JOIN n
+    ORDER BY lift DESC, part_a ASC, part_b ASC
+    LIMIT {LIFT_TOP_N}
+    """,
+)
+
+
+PR_ITERATIONS = 3
+PR_SCALE = 1_000_000_000  # ranks in nano-units
+PR_DAMP_NUM = 85          # damping 0.85 as an integer ratio
+PR_TOP_N = 20
+
+
+def _symmetric_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-purchase edges as a symmetric directed list."""
+    b = _baskets(spark, sf_dir)
+    a = b.alias("a")
+    c = b.alias("c")
+    half = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("c.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return half.union(half.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+
+
+def pagerank_parts(spark: SparkSession, sf_dir: str,
+                   iterations: int = PR_ITERATIONS) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected co-purchase graph,
+    in PURE integer arithmetic: rank_micro starts at SCALE div N; each
+    round every node sends rank_micro div degree along its edges and
+    ranks update to (15% teleport) + (85% of the integer contribution
+    sum).  No floats exist in the loop, so the result is bit-identical
+    under any partitioning — certified by an unrolled recursive-CTE
+    oracle.
+
+    Per iteration: one edge join (src-keyed) + one dst-keyed aggregate —
+    the standard distributed PageRank step.  The fixed iteration count
+    keeps the entry SQL-expressible; the convergence-checked production
+    variant follows dedup.connected_components (scalar convergence
+    action + localCheckpoint lineage cuts).
+    """
+    edges = _symmetric_edges(spark, sf_dir).persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.count()  # scalar collection statistic
+    teleport = (PR_SCALE * (100 - PR_DAMP_NUM) // 100) // n_nodes
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        F.lit(PR_SCALE // n_nodes).cast("bigint").alias("r"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks, edges.src == ranks.node)
+            .select("dst", F.expr("r div deg").alias("w"))
+            .groupBy("dst")
+            .agg(F.sum("w").alias("s"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
+            (F.lit(teleport)
+             + F.expr(f"(s * {PR_DAMP_NUM}) div 100")).alias("r"),
+        )
+    return (
+        ranks.select(
+            "node",
+            F.col("r").alias("pr_nano"),
+            (F.col("r").cast("double") / F.lit(float(PR_SCALE))).alias("pr"),
+        )
+        .orderBy(F.col("pr_nano").desc(), F.col("node").asc())
+        .limit(PR_TOP_N)
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs (DuckDB mirror of
+    the integer recurrence; `//` is integer division)."""
+    prev = "r0"
+    steps = []
+    for k in range(1, PR_ITERATIONS + 1):
+        steps.append(
+            f"""r{k} AS (
+        SELECT e.dst AS node,
+               (SELECT tp FROM consts)
+               + (SUM(p.r // d.deg) * {PR_DAMP_NUM}) // 100 AS r
+        FROM edges e
+        JOIN deg d ON e.src = d.src
+        JOIN {prev} p ON e.src = p.node
+        GROUP BY e.dst
+    )"""
+        )
+        prev = f"r{k}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), half AS (
+        SELECT DISTINCT a.l_partkey AS src, c.l_partkey AS dst
+        FROM b a JOIN b c
+          ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+    ), edges AS (
+        SELECT src, dst FROM half
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM half
+    ), deg AS (
+        SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1
+    ), consts AS (
+        SELECT COUNT(*) AS n,
+               (CAST({PR_SCALE} AS BIGINT) * {100 - PR_DAMP_NUM} // 100)
+                   // COUNT(*) AS tp
+        FROM deg
+    ), r0 AS (
+        SELECT src AS node,
+               CAST({PR_SCALE} AS BIGINT) // (SELECT n FROM consts) AS r
+        FROM deg
+    ),
+    {chain}
+    SELECT node,
+           CAST(r AS BIGINT) AS pr_nano,
+           CAST(r AS DOUBLE) / {float(PR_SCALE)} AS pr
+    FROM {prev}
+    ORDER BY pr_nano DESC, node ASC
+    LIMIT {PR_TOP_N}
+    """
+
+
+_oracle("pagerank_parts", _pagerank_oracle())

@@ -15,6 +15,7 @@ from airflow_postgres_to_s3_pipeline_spark.operators import (
     advanced,
     curation,
     dedup,
+    graph,
     ml_feature,
     multimodal,
     relational,
@@ -208,6 +209,7 @@ _MODULES = (
     relational,
     advanced,
     curation,
+    graph,
     windows,
     scalar_funcs,
     sketches,
@@ -387,6 +389,8 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_mix_sample": curation.corpus_mix_sample,
     "contamination_check": curation.contamination_check,
     "sequence_packing": curation.sequence_packing,
+    "part_cooccurrence_lift": graph.part_cooccurrence_lift,
+    "pagerank_parts": graph.pagerank_parts,
 }
 
 
