@@ -72,3 +72,54 @@ def test_range_partitioned_sorted_write_gives_disjoint_stats(spark, sf_dir, tmp_
     assert "o_orderkey" in " ".join(
         s for s in explain_str(filtered).split("PushedFilters")[1:2]
     )
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered files must carry narrow min/max ranges on BOTH keys: for
+    a point-ish predicate on either dimension, only a strict subset of
+    files can contain matches — single-key sorting only achieves this on
+    the sort key."""
+    from airflow_postgres_to_s3_pipeline_spark.sources.sinks import (
+        write_zorder_layout,
+    )
+
+    out = os.path.join(str(tmp_path), "lineitem_z")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    write_zorder_layout(li, out, "l_partkey", "l_suppkey", n_files=16)
+
+    def file_ranges(col):
+        ranges = []
+        for f in os.listdir(out):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(out, f)).metadata
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            lo = min(md.row_group(g).column(idx).statistics.min
+                     for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max
+                     for g in range(md.num_row_groups))
+            ranges.append((lo, hi))
+        return ranges
+
+    n_files = len(file_ranges("l_partkey"))
+    assert n_files >= 8
+    for col in ("l_partkey", "l_suppkey"):
+        ranges = file_ranges(col)
+        domain_lo = min(lo for lo, _ in ranges)
+        domain_hi = max(hi for _, hi in ranges)
+        # probe 8 point predicates across the domain: on average a point
+        # must be prunable from a meaningful share of files on EITHER dim
+        probes = [
+            domain_lo + (domain_hi - domain_lo) * k // 8 for k in range(8)
+        ]
+        overlap = sum(
+            sum(1 for lo, hi in ranges if lo <= p <= hi) for p in probes
+        ) / (len(probes) * n_files)
+        assert overlap < 0.8, (
+            f"{col}: z-order gives no skipping (overlap {overlap:.2f})"
+        )
