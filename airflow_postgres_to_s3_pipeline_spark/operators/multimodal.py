@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -277,5 +278,100 @@ _oracle(
            CAST(MIN(octet_length(CAST(text AS BLOB))) AS INTEGER) AS min_bytes,
            CAST(MAX(octet_length(CAST(text AS BLOB))) AS INTEGER) AS max_bytes
     FROM documents
+    """,
+)
+
+
+AUDIO_FRAME = 32
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sum_sq", LongType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def audio_frame_energy(payloads: DataFrame,
+                       frame: int = AUDIO_FRAME) -> DataFrame:
+    """Windowed RMS energy over the payload interpreted as unsigned 8-bit
+    PCM — the audio analog of ``decode_features``: a real deployment swaps
+    the np.frombuffer for torchaudio/ffmpeg decode, the Arrow batch shape
+    and per-frame output contract stay identical.
+
+    Determinism: per-frame energy is an exact int64 sum of squares;
+    rms = sqrt(sum_sq / n) is a single division + IEEE-correctly-rounded
+    sqrt, bit-identical on any engine.  Empty payloads emit no frames
+    (the sequence-guard rule).
+    """
+    import numpy as np
+
+    def energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_n, out_sq = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(payload or b"", dtype=np.uint8)
+                for i in range(0, len(buf), frame):
+                    w = buf[i:i + frame].astype(np.int64)
+                    out_doc.append(doc_id)
+                    out_idx.append(i // frame)
+                    out_n.append(len(w))
+                    out_sq.append(int((w * w).sum()))
+            sq = pd.Series(out_sq, dtype="int64")
+            n = pd.Series(out_n, dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "n_samples": n.astype("int32"),
+                    "sum_sq": sq,
+                    "rms": np.sqrt(sq.to_numpy(dtype="float64")
+                                   / n.to_numpy(dtype="float64")),
+                }
+            )
+
+    return payloads.mapInPandas(energies, AUDIO_SCHEMA)
+
+
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> binary payload -> per-frame PCM RMS energy (E28 audio
+    tier; oracle mirrors the byte math via ascii codepoints)."""
+    d = table(spark, sf_dir, "documents").repartition(
+        min(spark.sparkContext.defaultParallelism, 8)
+    )
+    return audio_frame_energy(attach_payload(d))
+
+
+_oracle(
+    "multimodal_audio_energy",
+    f"""
+    WITH b AS (
+        SELECT doc_id, text, LENGTH(text) AS n FROM documents
+    ), f AS (
+        SELECT doc_id, text, n,
+               UNNEST(range(0, (n + {AUDIO_FRAME} - 1) // {AUDIO_FRAME}))
+                   AS frame_idx
+        FROM b WHERE n > 0
+    ), s AS (
+        SELECT doc_id, frame_idx,
+               list_transform(
+                   range(frame_idx * {AUDIO_FRAME} + 1,
+                         LEAST(frame_idx * {AUDIO_FRAME} + {AUDIO_FRAME}, n)
+                             + 1),
+                   i -> ascii(substring(text, CAST(i AS INTEGER), 1))
+               ) AS samples
+        FROM f
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(len(samples) AS INTEGER) AS n_samples,
+           CAST(list_sum(list_transform(samples, x -> x * x)) AS BIGINT)
+               AS sum_sq,
+           sqrt(CAST(list_sum(list_transform(samples, x -> x * x))
+                     AS DOUBLE) / len(samples)) AS rms
+    FROM s
     """,
 )

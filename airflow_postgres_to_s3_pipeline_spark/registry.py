@@ -373,6 +373,7 @@ QUERIES: dict[str, QueryFn] = {
     "kmeans_embeddings": similarity.kmeans_embeddings,
     "embedding_lsh_near_dup": similarity.embedding_lsh_near_dup,
     "embedding_random_projection": similarity.embedding_random_projection,
+    "multimodal_audio_energy": multimodal.multimodal_audio_energy,
     "lang_stats": text.lang_stats,
     "token_count": text.token_count,
     "doc_fingerprint": text.doc_fingerprint,
@@ -449,7 +450,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "sequence_packing", "repetition_stats", "doc_chunking",
             "ngram_lm_score", "bm25_scoring"),
     "E28": ("multimodal_decode", "multimodal_resize",
-            "multimodal_frame_sample", "multimodal_partition_stats"),
+            "multimodal_frame_sample", "multimodal_partition_stats",
+            "multimodal_audio_energy"),
 }
 
 
