@@ -137,6 +137,82 @@ def main() -> int:
             "vector_semantic_dedup", nv_sem,
             lambda d: similarity.semantic_dedup(spark, d, k=nv_sem // 250)))
 
+    # Text + graph shapes: run the REAL text-pipeline and graph operators
+    # against synthetic corpora written once to a temp dir (same
+    # catalog.table path as production).  Sizes capped independently of n.
+    text_labels = {"text_chunking", "text_lm_score", "text_bm25",
+                   "graph_pagerank"}
+    if not only or (only & text_labels):
+        import shutil
+        import tempfile
+
+        from airflow_postgres_to_s3_pipeline_spark.operators import graph, text
+
+        VOCAB = [
+            "batch", "small", "scan", "agg", "data", "customer", "slow",
+            "join", "filter", "stream", "big", "hash", "row", "merge",
+            "table", "index", "sort", "spill", "page", "cache",
+        ]
+
+        def write_docs(nd: int, words_per_doc: int = 40) -> str:
+            d = tempfile.mkdtemp(prefix="scale_text_")
+            vocab = F.array(*[F.lit(w) for w in VOCAB])
+            body = F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+                    lambda w: F.element_at(
+                        vocab,
+                        F.pmod(F.hash(F.col("id").cast("int"), w.cast("int")),
+                               F.lit(len(VOCAB))).cast("int") + 1,
+                    ),
+                ),
+                " ",
+            )
+            spark.range(0, nd, 1, parallelism).select(
+                F.col("id").alias("doc_id"),
+                body.alias("text"),
+                F.lit("en").alias("lang"),
+                F.pmod(F.col("id"), F.lit(20)).cast("string").alias("source"),
+                F.length(body).alias("n_chars"),
+            ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+            return d
+
+        def run_dir(label, nrows, write_fn, op):
+            if only and label not in only:
+                return None
+            d = write_fn()
+            try:
+                t0 = time.time()
+                op(d).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                return label, round(dt, 2), int(nrows / dt)
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+
+        nd = min(n, 2_000_000)
+        results.append(run_dir(
+            "text_chunking", nd, lambda: write_docs(nd),
+            lambda d: text.doc_chunking(spark, d)))
+        results.append(run_dir(
+            "text_lm_score", nd, lambda: write_docs(nd),
+            lambda d: text.ngram_lm_score(spark, d)))
+        results.append(run_dir(
+            "text_bm25", nd, lambda: write_docs(nd),
+            lambda d: text.bm25_scoring(spark, d)))
+
+        def write_edges(no: int, lines_per_order: int = 4) -> str:
+            d = tempfile.mkdtemp(prefix="scale_graph_")
+            spark.range(0, no * lines_per_order, 1, parallelism).select(
+                (F.col("id") % no).alias("l_orderkey"),
+                F.pmod(F.xxhash64("id"), F.lit(200_000)).alias("l_partkey"),
+            ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+            return d
+
+        no = min(n, 2_000_000)
+        results.append(run_dir(
+            "graph_pagerank", no, lambda: write_edges(no),
+            lambda d: graph.pagerank_parts(spark, d)))
+
     results = [r for r in results if r is not None]
     print(json.dumps({
         "n_rows": n,
