@@ -1489,3 +1489,47 @@ _oracle(
     GROUP BY c_mktsegment
     """,
 )
+
+
+# One SQL text, two engines: the query IS its own oracle (Spark 4 and
+# DuckDB both implement ANSI recursive CTEs).
+RECURSIVE_CHAIN_SQL = """
+    WITH RECURSIVE chain AS (
+        SELECT l_orderkey, l_linenumber AS ln,
+               CAST(l_quantity AS DOUBLE) AS running_qty
+        FROM lineitem WHERE l_linenumber = 1
+        UNION ALL
+        SELECT l.l_orderkey, l.l_linenumber,
+               c.running_qty + l.l_quantity
+        FROM chain c JOIN lineitem l
+          ON l.l_orderkey = c.l_orderkey AND l.l_linenumber = c.ln + 1
+    )
+    SELECT l_orderkey,
+           CAST(MAX(ln) AS INTEGER) AS chain_len,
+           MAX(running_qty) AS total_qty
+    FROM chain
+    GROUP BY l_orderkey
+"""
+
+
+def recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI recursive CTE (Spark 4): walk each order's lineitem chain by
+    linenumber, accumulating quantity step-by-step — the bounded linear
+    recursion shape (BOM explosion / hierarchy walk) the reference's
+    arbitrary-SQL surface could push to Postgres.
+
+    Each recursion step is one equi-join of the frontier against the fact
+    table, so depth iterations cost depth shuffles on orderkey — identical
+    execution shape to the label-propagation loop in
+    dedup.connected_components, but declared in pure SQL.  Depth is
+    bounded by max lines per order (~7); the running sum accumulates in
+    linenumber order, so the doubles are bit-deterministic and the SAME
+    SQL text runs on DuckDB as the oracle.
+    """
+    from airflow_postgres_to_s3_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(RECURSIVE_CHAIN_SQL)
+
+
+_oracle("recursive_order_chain", RECURSIVE_CHAIN_SQL)

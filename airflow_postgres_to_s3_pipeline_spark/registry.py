@@ -338,6 +338,7 @@ QUERIES: dict[str, QueryFn] = {
     "large_volume_orders": advanced.large_volume_orders,
     "sole_supplier_orders": advanced.sole_supplier_orders,
     "nation_volume_shipping": advanced.nation_volume_shipping,
+    "recursive_order_chain": advanced.recursive_order_chain,
     "returned_item_revenue": advanced.returned_item_revenue,
     "disjunctive_filter_parts": advanced.disjunctive_filter_parts,
     "inactive_high_value_customers": advanced.inactive_high_value_customers,

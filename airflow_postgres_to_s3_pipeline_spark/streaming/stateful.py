@@ -83,3 +83,99 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4): the successor API to
+# applyInPandasWithState — typed state handles (value/list/map state,
+# timers, TTL) managed by the operator instead of one opaque tuple.
+#
+# AVAILABILITY: the runtime protocol needs the `protobuf` Python package
+# (state-server RPC), which this container lacks — so this tier is the
+# documented API shape with an availability-gated test
+# (tests/test_streaming.py::test_transform_with_state_tier), NOT a
+# registry entry; `running_user_totals` (applyInPandasWithState) is the
+# executable tier with identical semantics.
+# ---------------------------------------------------------------------------
+
+
+def has_tws_runtime() -> bool:
+    """True when the transformWithState state-server protocol can run
+    (Spark 4 API present AND the protobuf dependency importable)."""
+    if not HAS_TWS:
+        return False
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+try:  # pragma: no cover - import surface differs across 4.x minors
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    StatefulProcessorHandle = None  # type: ignore[assignment,misc]
+    HAS_TWS = False
+
+TWS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+
+class UserTotalsProcessor(StatefulProcessor):
+    """Per-user running (count, max) with a typed ValueState handle.
+
+    Identical semantics to ``_update_user_running`` minus the float
+    running sum (kept out deliberately: only order-independent state so
+    every micro-batch split yields the same final emission).
+    """
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "totals", "n_events bigint, max_value double"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, mx = 0, float("-inf")
+        if self._state.exists():
+            n, mx = self._state.get()
+        for pdf in rows:
+            n += len(pdf)
+            mx = max(mx, float(pdf["value"].max()))
+        self._state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(events: DataFrame,
+                            watermark: str = "2 hours") -> DataFrame:
+    """`transformWithStateInPandas` tier of ``running_user_totals``.
+
+    Same one-shuffle-to-state-store execution; the typed handle API adds
+    multiple named states, timers, and TTL for production eviction
+    policies (none needed for the bounded-key events table).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserTotalsProcessor(),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

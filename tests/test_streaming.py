@@ -220,3 +220,42 @@ def test_streaming_static_enrich_multi_batch_equals_batch(spark, sf_dir,
         .collect()
     }
     assert got == batch
+
+
+def test_transform_with_state_tier(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas tier: same running totals as the
+    applyInPandasWithState entry.  The state-server protocol requires the
+    protobuf package; where the runtime lacks it (this container), the
+    tier must be cleanly unavailable rather than half-working."""
+    import pytest
+
+    from airflow_postgres_to_s3_pipeline_spark.streaming import stateful
+
+    if not stateful.has_tws_runtime():
+        with pytest.raises(Exception):
+            out = stateful.running_user_totals_tws(
+                sw.read_events_stream(spark, sf_dir)
+            )
+            sw.run_stream_to_memory(out, spark, output_mode="update")
+        pytest.skip("transformWithState runtime unavailable (no protobuf)")
+    events = sw.read_events_stream(spark, sf_dir)
+    out = stateful.running_user_totals_tws(events)
+    res = sw.run_stream_to_memory(out, spark, output_mode="update")
+    got = {
+        r["user_id"]: (r["n_events"], r["max_value"])
+        for r in res.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"),
+             F.max("max_value").alias("max_value"))
+        .collect()
+    }
+    from airflow_postgres_to_s3_pipeline_spark.catalog import table as cat_table
+
+    batch = {
+        r["user_id"]: (r["n_events"], r["max_value"])
+        for r in cat_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.max("value").alias("max_value"))
+        .collect()
+    }
+    assert got == batch
