@@ -18,6 +18,14 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as parquet
+    (predicate pushdown + column pruning verified in
+    tests/test_sources_export.py); the interchange format for
+    Hive/Trino-adjacent warehouses."""
+    return spark.read.orc(path)
+
+
 def read_csv(
     spark: SparkSession,
     path: str | list[str],

@@ -107,3 +107,25 @@ def test_query_to_storage_operator_brace_query(spark, sf_dir, tmp_path):
     assert out_path.endswith("braces_2000-01-01.csv")
     parts = glob.glob(os.path.join(out_path, "part-*.csv"))
     assert parts
+
+
+def test_orc_source_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC round-trip preserves rows/schema and pushes filters + prunes
+    columns at the scan, like parquet."""
+    from airflow_postgres_to_s3_pipeline_spark.catalog import table
+    from airflow_postgres_to_s3_pipeline_spark.plans import (
+        explain_str,
+        pushed_filters,
+    )
+
+    out = str(tmp_path / "orders_orc")
+    o = table(spark, sf_dir, "orders")
+    o.write.format("orc").mode("overwrite").save(out)
+    back = readers.read_orc(spark, out)
+    assert back.count() == o.count()
+    assert set(back.columns) == set(o.columns)
+    q = back.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    assert "o_orderstatus" in " ".join(pushed_filters(q))
+    plan = explain_str(q)
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "o_totalprice" not in read_schema
