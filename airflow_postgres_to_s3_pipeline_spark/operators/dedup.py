@@ -140,26 +140,101 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = 32) -> DataFrame:
     return shingles.select("doc_id", *sig_cols)
 
 
+MERSENNE_P = 2147483647  # 2^31 - 1; the MinHash value space for the md5 tier
+
+
+def minhash_signatures_md5(shingles: DataFrame, n_hashes: int = 32) -> DataFrame:
+    """MinHash signatures derived from ONE md5 per shingle — the
+    DuckDB-oracle-checkable tier.
+
+    Kirsch-Mitzenmacher double hashing: split the md5 hex into two 60-bit
+    halves x1, x2 and derive slot i as ``h_i = (x1 + i*x2) mod p`` with
+    p = 2^31-1.  Every step (md5, hex→bigint, modular arithmetic, array
+    min) is bit-identical in any engine with md5 + 64-bit integers, so the
+    full signature→band→candidate→Jaccard chain carries an exact SQL
+    oracle — unlike the xxhash64 tier, whose hash DuckDB cannot mirror.
+    Still entirely row-local (zero shuffles), and only one md5 evaluation
+    per shingle (the per-slot work is two adds and a mod over a 2-field
+    struct array).
+    """
+    p = F.lit(MERSENNE_P).cast("long")
+    # Two-stage select so each md5 is computed once per shingle, not once
+    # per (shingle, slot): the first projection materializes the digest
+    # array, the second derives the (x1, x2) pairs from it.
+    md5s = shingles.select(
+        "doc_id",
+        F.transform(
+            F.col("shingles"), lambda s: F.md5(s.cast("binary"))
+        ).alias("digests"),
+    )
+    hx = md5s.select(
+        "doc_id",
+        F.transform(
+            F.col("digests"),
+            lambda m: F.struct(
+                (F.conv(F.substring(m, 1, 15), 16, 10).cast("long") % p).alias("x1"),
+                (
+                    F.conv(F.substring(m, 17, 15), 16, 10).cast("long")
+                    % (p - F.lit(1).cast("long"))
+                    + F.lit(1).cast("long")
+                ).alias("x2"),
+            ),
+        ).alias("hx"),
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("hx"),
+                lambda h: (h["x1"] + F.lit(i).cast("long") * h["x2"]) % p,
+            )
+        ).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return hx.select("doc_id", *sig_cols)
+
+
 def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 32,
-                        bands: int = 8) -> DataFrame:
+                        bands: int = 8, checkable: bool = False) -> DataFrame:
     """Band the signatures and self-join on (band, band_hash) buckets.
 
     The banded equi-join is the LSH trick that makes near-dedup scale: only
     docs agreeing on a full band collide, so the join output is ~linear in
     the number of true near-dups rather than quadratic in corpus size.
+
+    ``checkable=True`` keys the bands by the concatenated signature values
+    (exactly mirrorable in SQL) instead of murmur3 — band equality is the
+    same either way; murmur3 just packs the key into 4 bytes for the
+    shuffle, which is the right trade at 100 TB but opaque to the oracle.
     """
     rows = n_hashes // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.hash(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
-                    "band_hash"
-                ),
-            )
-            for b in range(bands)
-        ]
-    )
+    if checkable:
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"h{b * rows + r}").cast("string")
+                            for r in range(rows)
+                        ],
+                    ).alias("band_hash"),
+                )
+                for b in range(bands)
+            ]
+        )
+    else:
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.hash(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
+                        "band_hash"
+                    ),
+                )
+                for b in range(bands)
+            ]
+        )
     banded = signatures.select(
         "doc_id", F.explode(band_structs).alias("bh")
     ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
@@ -206,8 +281,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n_hashes: int = 32,
                       bands: int = 8, k: int = 3,
                       threshold: float = 0.6,
-                      shards: int | None = None) -> DataFrame:
+                      shards: int | None = None,
+                      checkable: bool = False) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band -> verify.
+
+    ``checkable=True`` swaps the xxhash64 signature/murmur3 band tier for
+    the md5 double-hashing tier (``minhash_signatures_md5``) whose every
+    step has an exact SQL mirror — same plan shape, same shuffle count.
 
     Only two shuffles end-to-end regardless of corpus size: the banded
     candidate self-join and the candidate->shingle lookup; everything else
@@ -226,17 +306,93 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     if shards:
         df = df.repartition(shards)
     sh = shingle_arrays(df, text_col, id_col, k).persist()
-    sig = minhash_signatures(sh, n_hashes).persist()
-    cand = lsh_candidate_pairs(sig, n_hashes, bands)
+    sign = minhash_signatures_md5 if checkable else minhash_signatures
+    sig = sign(sh, n_hashes).persist()
+    cand = lsh_candidate_pairs(sig, n_hashes, bands, checkable=checkable)
     return verify_jaccard(cand, sh, threshold)
 
 
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs over documents (rows-only check: LSH
-    recall is probabilistic, so no exact SQL oracle)."""
+    """MinHash-LSH near-dup pairs over documents, md5-checkable tier.
+
+    LSH is probabilistic only in *which hash family* you fix up front; for
+    a FIXED family the signature→band→candidate→Jaccard chain is fully
+    deterministic, so deriving the hashes from md5 (mirrorable in any SQL
+    engine) gives the whole pipeline an exact DuckDB oracle — the same
+    banding recall/precision trade, none of the unverifiability.
+    """
     d = table(spark, sf_dir, "documents")
     shards = spark.sparkContext.defaultParallelism
-    return minhash_lsh_pairs(d, shards=shards)
+    return minhash_lsh_pairs(d, shards=shards, checkable=True)
+
+
+def _minhash_lsh_oracle(n_hashes: int = 32, bands: int = 8,
+                        threshold: float = 0.6) -> str:
+    """Generate the exact SQL mirror of ``minhash_lsh_dedup``.
+
+    Mirrors shingle_arrays (list_distinct word-3-grams), the md5
+    double-hash signatures (32 MIN aggregates over the exploded shingles),
+    the concat-keyed banding (UNION ALL of one SELECT per band), the
+    self-join candidate generation, and the exact-Jaccard verification.
+    """
+    rows = n_hashes // bands
+    p = MERSENNE_P
+    sig_exprs = ",\n               ".join(
+        f"MIN((x1 + {i} * x2) % {p}) AS h{i}" for i in range(n_hashes)
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '|' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows))
+        + " AS band_key FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents
+        WHERE LEN(string_split(text, ' ')) >= 3
+    ), shl AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, LEN(ws) - 2),
+                   i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+               )) AS shingles
+        FROM w
+    ), sh AS (
+        SELECT doc_id, UNNEST(shingles) AS shingle FROM shl
+    ), hx AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(shingle), 1, 15))::BIGINT % {p} AS x1,
+               ('0x' || substring(md5(shingle), 17, 15))::BIGINT % {p - 1} + 1 AS x2
+        FROM sh
+    ), sigs AS (
+        SELECT doc_id,
+               {sig_exprs}
+        FROM hx GROUP BY doc_id
+    ), banded AS (
+        {band_selects}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ), ver AS (
+        SELECT doc_a, doc_b,
+               LEN(list_intersect(sa.shingles, sb.shingles)) AS n_inter,
+               LEN(sa.shingles) AS size_a,
+               LEN(sb.shingles) AS size_b
+        FROM cand
+        JOIN shl sa ON sa.doc_id = doc_a
+        JOIN shl sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_inter / (size_a + size_b - n_inter), 3) AS jaccard
+    FROM ver
+    WHERE ROUND(n_inter / (size_a + size_b - n_inter), 3) >= {threshold}
+    """
+
+
+_oracle("minhash_lsh_dedup", _minhash_lsh_oracle())
 
 
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,6 +41,43 @@ def test_minhash_exact_dup_jaccard_is_one(spark):
     assert j[(1, 2)] == 1.0
 
 
+def test_minhash_md5_tier_matches_planted_pairs(spark):
+    # the checkable (md5 double-hash) tier must find the same verified
+    # pairs as the xxhash tier on planted dups: verification is exact
+    # Jaccard either way, and both band schemes catch identical/near docs
+    pairs = dedup.minhash_lsh_pairs(_docs(spark), threshold=0.5, checkable=True)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert any(a != b and (a, b) != (1, 2) for (a, b) in got)
+    assert all(4 not in p for p in got)
+
+
+def test_minhash_md5_signature_bit_determinism(spark):
+    # pin one signature slot against an independent hashlib computation:
+    # h_i(s) = (x1 + i*x2) mod 2^31-1, x1/x2 = 60-bit halves of md5(s)
+    import hashlib
+
+    doc = spark.createDataFrame([(1, BASE)], ["doc_id", "text"])
+    sh = dedup.shingle_arrays(doc)
+    sig = dedup.minhash_signatures_md5(sh, n_hashes=4).collect()[0]
+
+    words = BASE.split(" ")
+    shingles = list(dict.fromkeys(
+        " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+    ))
+    p = dedup.MERSENNE_P
+    for i in range(4):
+        expected = min(
+            (
+                int(hashlib.md5(s.encode()).hexdigest()[0:15], 16) % p
+                + i * (int(hashlib.md5(s.encode()).hexdigest()[16:31], 16) % (p - 1) + 1)
+            )
+            % p
+            for s in shingles
+        )
+        assert sig[f"h{i}"] == expected, f"slot {i}"
+
+
 def test_simhash_near_pairs(spark):
     pairs = dedup.simhash_near_pairs(_docs(spark), max_hamming=10)
     got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
