@@ -58,19 +58,41 @@ def main() -> int:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen paths (scan, broadcast join, window) once so
-    # per-query numbers measure the engine, not classloading.
-    for warm in ("pricing_summary", "join_broadcast_dims", "window_topk_per_customer"):
+    # Warm the JVM/codegen paths (scan, broadcast join, window) AND the
+    # Python-worker pool (pandas UDF + mapInPandas fork/Arrow setup) once,
+    # so per-query numbers measure the engine, not process spin-up.
+    # multimodal_decode / pandas_udf_score cover the two Python shapes —
+    # round-2 measured mapInPandas cold-start alone at ~6s vs 0.6s warm.
+    for warm in (
+        "pricing_summary",
+        "join_broadcast_dims",
+        "window_topk_per_customer",
+        "pandas_udf_score",
+        "multimodal_decode",
+    ):
         registry.QUERIES[warm](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
+    spark.catalog.clearCache()
 
+    # Each query runs N_RUNS times: report min (the plan's cost, cold-start
+    # noise rejected) and the first run separately (cold, for spin-up
+    # tracking).  The cache is cleared between runs so a persisted
+    # intermediate from run 1 can't shortcut run 2 — min-of-N measures the
+    # plan, not cache hits.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = registry.QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+        cold[name] = runs[0]
+        timings[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -81,6 +103,8 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": n_runs,
+                "queries_cold": cold,
             }
         )
     )
