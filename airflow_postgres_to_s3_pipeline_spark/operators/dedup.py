@@ -327,13 +327,16 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_lsh_oracle(n_hashes: int = 32, bands: int = 8,
-                        threshold: float = 0.6) -> str:
-    """Generate the exact SQL mirror of ``minhash_lsh_dedup``.
+                        threshold: float = 0.6,
+                        source: str = "SELECT doc_id, text FROM documents") -> str:
+    """Generate the exact SQL mirror of ``minhash_lsh_pairs(checkable=True)``.
 
     Mirrors shingle_arrays (list_distinct word-3-grams), the md5
     double-hash signatures (32 MIN aggregates over the exploded shingles),
     the concat-keyed banding (UNION ALL of one SELECT per band), the
     self-join candidate generation, and the exact-Jaccard verification.
+    ``source`` is any (doc_id, text) relation, so the same template oracles
+    doc-level and chunk-level near-dedup.
     """
     rows = n_hashes // bands
     p = MERSENNE_P
@@ -347,9 +350,11 @@ def _minhash_lsh_oracle(n_hashes: int = 32, bands: int = 8,
         for b in range(bands)
     )
     return f"""
-    WITH w AS (
+    WITH src AS (
+        {source}
+    ), w AS (
         SELECT doc_id, string_split(text, ' ') AS ws
-        FROM documents
+        FROM src
         WHERE LEN(string_split(text, ' ')) >= 3
     ), shl AS (
         SELECT doc_id,
@@ -748,6 +753,141 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+# ---------------------------------------------------------------------------
+# E25d: chunk-level (passage) dedup — exact + MinHash tiers over chunks
+# ---------------------------------------------------------------------------
+
+CHUNK_ID_BASE = 100_000  # composite chunk key = doc_id * base + chunk_id
+
+
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact passage-level dedup: repeated non-overlapping token chunks
+    across (and within) distinct documents.
+
+    Production corpus dedup can't stop at whole documents — boilerplate
+    paragraphs repeat across otherwise-distinct pages.  Composes the
+    sliding-window chunker (stride == chunk_size, so passages are
+    disjoint) with the md5 group-by exact tier: the shuffle key is the
+    16-byte chunk hash, never the passage text, so the stage is as narrow
+    at 100 TB as doc-level dedup.  Returns each duplicated passage with
+    its copy count, distinct-doc count, and the kept (minimum) location.
+    """
+    from airflow_postgres_to_s3_pipeline_spark.operators import text as text_ops
+
+    chunks = text_ops.doc_chunking(
+        spark, sf_dir, chunk_size=text_ops.CHUNK_SIZE, stride=text_ops.CHUNK_SIZE
+    )
+    return chunk_dedup_frame(chunks)
+
+
+def chunk_dedup_frame(chunks: DataFrame) -> DataFrame:
+    """Core of ``chunk_dedup`` over any (doc_id, chunk_id, chunk_text)
+    frame — separated so tests can plant known repeated passages."""
+    return (
+        chunks.select(
+            "doc_id",
+            "chunk_id",
+            F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+        )
+        .groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("kept_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def _chunk_source_sql(chunk_size: int, stride: int,
+                      id_expr: str = "doc_id") -> str:
+    """DuckDB CTE mirroring doc_chunking(chunk_size, stride) as a
+    (doc_id, text) relation (id optionally composited for chunk keys)."""
+    return f"""SELECT {id_expr} AS doc_id,
+               array_to_string(list_slice(words, chunk_id * {stride} + 1,
+                                          chunk_id * {stride} + {chunk_size}),
+                               ' ') AS text
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> len(x) > 0) AS words,
+                   UNNEST(range(0, ((len(list_filter(string_split(text, ' '),
+                                                     x -> len(x) > 0)) - 1)
+                                    // {stride}) + 1)) AS chunk_id
+            FROM documents
+            WHERE len(list_filter(string_split(text, ' '), x -> len(x) > 0)) > 0
+        )"""
+
+
+def _chunk_dedup_oracle() -> str:
+    from airflow_postgres_to_s3_pipeline_spark.operators.text import CHUNK_SIZE
+
+    src = _chunk_source_sql(CHUNK_SIZE, CHUNK_SIZE,
+                            id_expr=f"doc_id * {CHUNK_ID_BASE} + chunk_id")
+    return f"""
+    WITH chunks AS (
+        {src}
+    )
+    SELECT md5(text) AS chunk_md5,
+           COUNT(*) AS n_copies,
+           COUNT(DISTINCT doc_id // {CHUNK_ID_BASE}) AS n_docs,
+           MIN(doc_id // {CHUNK_ID_BASE}) AS kept_doc_id
+    FROM chunks
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    """
+
+
+_oracle("chunk_dedup", _chunk_dedup_oracle())
+
+
+def chunk_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate passages via the md5-checkable MinHash-LSH tier over
+    non-overlapping chunks — catches boilerplate that exact chunk hashing
+    misses (a date or name swapped inside an otherwise-identical passage).
+
+    Chunk identity is the composite key doc_id * CHUNK_ID_BASE + chunk_id
+    so the generic pair pipeline (and its SQL oracle) applies unchanged.
+    Excludes same-document pairs: adjacent chunks of one doc sharing a
+    sentence are chunking overlap, not corpus duplication.
+    """
+    from airflow_postgres_to_s3_pipeline_spark.operators import text as text_ops
+
+    chunks = text_ops.doc_chunking(
+        spark, sf_dir, chunk_size=text_ops.CHUNK_SIZE, stride=text_ops.CHUNK_SIZE
+    ).select(
+        (F.col("doc_id").cast("long") * CHUNK_ID_BASE + F.col("chunk_id")).alias(
+            "doc_id"
+        ),
+        F.col("chunk_text").alias("text"),
+    )
+    pairs = minhash_lsh_pairs(
+        chunks, shards=spark.sparkContext.defaultParallelism, checkable=True
+    )
+    return pairs.filter(
+        F.expr(f"doc_a div {CHUNK_ID_BASE} != doc_b div {CHUNK_ID_BASE}")
+    ).select(
+        F.col("doc_a").alias("chunk_a"),
+        F.col("doc_b").alias("chunk_b"),
+        "jaccard",
+    )
+
+
+def _chunk_near_dedup_oracle() -> str:
+    from airflow_postgres_to_s3_pipeline_spark.operators.text import CHUNK_SIZE
+
+    src = _chunk_source_sql(CHUNK_SIZE, CHUNK_SIZE,
+                            id_expr=f"doc_id * {CHUNK_ID_BASE} + chunk_id")
+    inner = _minhash_lsh_oracle(source=src)
+    return f"""
+    SELECT doc_a AS chunk_a, doc_b AS chunk_b, jaccard
+    FROM ({inner})
+    WHERE doc_a // {CHUNK_ID_BASE} <> doc_b // {CHUNK_ID_BASE}
+    """
+
+
+_oracle("chunk_near_dedup", _chunk_near_dedup_oracle())
 
 
 _oracle(

@@ -111,3 +111,42 @@ def test_sequence_packing_invariants(spark, sf_dir):
         assert sum(r["total_tokens"] for r in bins) == t["tokens"]
         # contiguous bin ids from 0
         assert [r["bin_id"] for r in bins] == list(range(len(bins)))
+
+
+def test_bpe_token_cost_vocab_vs_oov(spark):
+    """In-vocab words (corpus freq >= VOCAB_MIN_FREQ) cost 1 token; OOV
+    words cost ceil(chars / OOV_CHARS_PER_TOKEN) pieces; empty docs are
+    kept at zero tokens."""
+    common = "the"  # planted at exactly VOCAB_MIN_FREQ occurrences
+    rows = [("en", i, common) for i in range(curation.VOCAB_MIN_FREQ - 1)]
+    rows.append(("en", 90, common + " extraordinarily"))  # 1 + ceil(16/4)
+    rows.append(("en", 91, ""))
+    d = spark.createDataFrame(rows, ["lang", "doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_words"], r["bpe_tokens"])
+        for r in curation._doc_bpe_tokens(d).collect()
+    }
+    assert got[0] == (1, 1)
+    assert got[90] == (2, 1 + 4)
+    assert got[91] == (0, 0)
+
+
+def test_sequence_packing_bpe_matches_python_recompute(spark, sf_dir):
+    """Bin assignment at the token budget is exactly floor(prefix-sum /
+    PACK_BUDGET) of the per-doc BPE counts, recomputed independently in
+    Python from the per-doc frame."""
+    d = table(spark, sf_dir, "documents")
+    per_doc = curation._doc_bpe_tokens(d).collect()
+    expected = {}
+    by_lang = {}
+    for r in sorted(per_doc, key=lambda r: (r["lang"], r["doc_id"])):
+        off = by_lang.get(r["lang"], 0)
+        key = (r["lang"], off // curation.PACK_BUDGET)
+        n, tot = expected.get(key, (0, 0))
+        expected[key] = (n + 1, tot + r["bpe_tokens"])
+        by_lang[r["lang"]] = off + r["bpe_tokens"]
+    packed = {
+        (r["lang"], r["bin_id"]): (r["n_docs"], r["total_tokens"])
+        for r in curation.sequence_packing_bpe(spark, sf_dir).collect()
+    }
+    assert packed == expected

@@ -78,6 +78,35 @@ def test_minhash_md5_signature_bit_determinism(spark):
         assert sig[f"h{i}"] == expected, f"slot {i}"
 
 
+def test_chunk_dedup_finds_planted_passage(spark):
+    # two distinct docs sharing one exact passage (same chunk_text), plus a
+    # within-doc repeat: the passage groups to one hash with 3 copies
+    # across 2 docs, kept at the minimum doc_id; unique chunks drop out
+    chunks = spark.createDataFrame(
+        [
+            (1, 0, "shared boilerplate passage"),
+            (1, 1, "unique middle of doc one"),
+            (2, 0, "unique start of doc two"),
+            (2, 1, "shared boilerplate passage"),
+            (2, 2, "shared boilerplate passage"),
+        ],
+        ["doc_id", "chunk_id", "chunk_text"],
+    )
+    rows = dedup.chunk_dedup_frame(chunks).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_copies"] == 3 and r["n_docs"] == 2 and r["kept_doc_id"] == 1
+
+
+def test_chunk_near_dedup_excludes_same_doc_pairs(spark, sf_dir):
+    rows = dedup.chunk_near_dedup(spark, sf_dir).collect()
+    assert rows, "expected near-dup passages in testdata"
+    base = dedup.CHUNK_ID_BASE
+    for r in rows:
+        assert r["chunk_a"] // base != r["chunk_b"] // base
+        assert r["jaccard"] >= 0.6
+
+
 def test_simhash_near_pairs(spark):
     pairs = dedup.simhash_near_pairs(_docs(spark), max_hamming=10)
     got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
