@@ -30,22 +30,33 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table as a DataFrame (schema comes from parquet).
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize an events-shaped frame's ``ts`` to plain TIMESTAMP
+    regardless of the on-disk representation: TIMESTAMP(NANOS) reads as
+    int64 nanoseconds (legacy conf) and converts via integer division —
+    the same truncation DuckDB applies; TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) reads as TIMESTAMP_NTZ and casts, a no-op on
+    the stored micros because the session timezone is pinned to UTC.
+    Either way both engines see identical timestamps, and downstream
+    watermarks / epoch arithmetic (which reject NTZ) always get a plain
+    TIMESTAMP."""
+    from pyspark.sql import functions as F
 
-    ``events.ts`` is TIMESTAMP(NANOS) on disk; Spark reads it as int64
-    nanoseconds (legacy conf) and we convert to a microsecond timestamp with
-    integer division — the same truncation DuckDB applies, so both engines
-    see identical timestamps.
-    """
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table as a DataFrame (schema comes from parquet);
+    ``events.ts`` is normalized to TIMESTAMP (see normalize_events_ts)."""
     tune_runtime(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
-
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 

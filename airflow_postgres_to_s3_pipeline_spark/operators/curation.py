@@ -80,7 +80,8 @@ _oracle(
         VALUES ('en', 'g'), ('fr', '8000'), ('de', '8000'),
                ('es', '4000'), ('zh', '4000')
     )
-    SELECT d.lang, COUNT(*) AS n_sampled, SUM(d.n_chars) AS sampled_chars
+    SELECT d.lang, COUNT(*) AS n_sampled,
+           CAST(SUM(d.n_chars) AS BIGINT) AS sampled_chars
     FROM documents d JOIN w USING (lang)
     WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || '-mix'), 1, 4) < w.thr
     GROUP BY d.lang
@@ -232,7 +233,7 @@ _oracle(
     SELECT lang,
            CAST(FLOOR(start_off / {PACK_BUDGET}.0) AS BIGINT) AS bin_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM pos
     GROUP BY 1, 2
     """,
@@ -392,7 +393,7 @@ _oracle(
     SELECT lang,
            CAST(FLOOR(start_off / {PACK_BUDGET}.0) AS BIGINT) AS bin_id,
            COUNT(*) AS n_docs,
-           SUM(bpe_tokens) AS total_tokens
+           CAST(SUM(bpe_tokens) AS BIGINT) AS total_tokens
     FROM pos
     GROUP BY 1, 2
     """,

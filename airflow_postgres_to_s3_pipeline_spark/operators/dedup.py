@@ -147,35 +147,41 @@ def minhash_signatures_md5(shingles: DataFrame, n_hashes: int = 32) -> DataFrame
     """MinHash signatures derived from ONE md5 per shingle — the
     DuckDB-oracle-checkable tier.
 
-    Kirsch-Mitzenmacher double hashing: split the md5 hex into two 60-bit
-    halves x1, x2 and derive slot i as ``h_i = (x1 + i*x2) mod p`` with
-    p = 2^31-1.  Every step (md5, hex→bigint, modular arithmetic, array
-    min) is bit-identical in any engine with md5 + 64-bit integers, so the
-    full signature→band→candidate→Jaccard chain carries an exact SQL
-    oracle — unlike the xxhash64 tier, whose hash DuckDB cannot mirror.
-    Still entirely row-local (zero shuffles), and only one md5 evaluation
-    per shingle (the per-slot work is two adds and a mod over a 2-field
-    struct array).
+    Kirsch-Mitzenmacher double hashing: take the first 60 bits of the md5
+    as x, derive x1 = x mod p and x2 = (x >> 30) mod (p-1) + 1, and build
+    slot i as ``h_i = (x1 + i*x2) mod p`` with p = 2^31-1.  Every step
+    (md5, hex→bigint, shift, modular arithmetic, array min) is
+    bit-identical in any engine with md5 + 64-bit integers, so the full
+    signature→band→candidate→Jaccard chain carries an exact SQL oracle —
+    unlike the xxhash64 tier, whose hash DuckDB cannot mirror.  Still
+    entirely row-local (zero shuffles), and only one md5 + one hex→bigint
+    conversion per shingle (the per-slot work is two adds and a mod over
+    a 2-field struct array).
     """
     p = F.lit(MERSENNE_P).cast("long")
-    # Two-stage select so each md5 is computed once per shingle, not once
-    # per (shingle, slot): the first projection materializes the digest
-    # array, the second derives the (x1, x2) pairs from it.
+    # Two-stage select so each md5+conv runs once per shingle, not once per
+    # (shingle, slot): the first projection materializes one 60-bit value
+    # per shingle (ONE hex->bigint conversion; a second conv measured ~60%
+    # slower for no extra entropy), the second splits it into the (x1, x2)
+    # double-hashing pair — x1 from the full value mod p, x2 from the top
+    # 30 bits (shift mirrors DuckDB's `>>` exactly).
     md5s = shingles.select(
         "doc_id",
         F.transform(
-            F.col("shingles"), lambda s: F.md5(s.cast("binary"))
-        ).alias("digests"),
+            F.col("shingles"),
+            lambda s: F.conv(
+                F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10
+            ).cast("long"),
+        ).alias("xs"),
     )
     hx = md5s.select(
         "doc_id",
         F.transform(
-            F.col("digests"),
-            lambda m: F.struct(
-                (F.conv(F.substring(m, 1, 15), 16, 10).cast("long") % p).alias("x1"),
+            F.col("xs"),
+            lambda x: F.struct(
+                (x % p).alias("x1"),
                 (
-                    F.conv(F.substring(m, 17, 15), 16, 10).cast("long")
-                    % (p - F.lit(1).cast("long"))
+                    F.shiftright(x, 30) % (p - F.lit(1).cast("long"))
                     + F.lit(1).cast("long")
                 ).alias("x2"),
             ),
@@ -293,15 +299,20 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     candidate self-join and the candidate->shingle lookup; everything else
     is map-side.  The shingle/signature stages are persisted because the
     plan consumes them three times (band-join both sides + verify) — without
-    it Spark recomputes the CPU-heavy hashing per consumer.  ``shards``
-    spreads a few-files-input across cores (a 100 TB corpus arrives
-    pre-split; a single local parquet file does not).
+    it Spark recomputes the CPU-heavy hashing per consumer (measured: an
+    unmaterialized shingle HOF inside the fused signature projection
+    re-evaluates per signature column, 2× the whole pipeline — the
+    known-constraint in docs/ROADMAP.md).  ``shards`` spreads a
+    few-files-input across cores (a 100 TB corpus arrives pre-split; a
+    single local parquet file does not).
 
     Persistence hygiene: the persisted intermediates live until the session
     drops them (the result is lazy, so this function cannot unpersist).
     Long-lived sessions running many dedup batches should call
-    ``spark.catalog.clearCache()`` between batches or persist to
-    ``StorageLevel.DISK_ONLY`` when memory-constrained.
+    ``spark.catalog.clearCache()`` between batches.  At 100 TB the shingle
+    frame is corpus-sized: persist it to ``StorageLevel.DISK_ONLY`` (or
+    checkpoint to reliable storage) rather than memory — the barrier is
+    what matters, not the medium.
     """
     if shards:
         df = df.repartition(shards)
@@ -365,11 +376,15 @@ def _minhash_lsh_oracle(n_hashes: int = 32, bands: int = 8,
         FROM w
     ), sh AS (
         SELECT doc_id, UNNEST(shingles) AS shingle FROM shl
+    ), hx0 AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS x
+        FROM sh
     ), hx AS (
         SELECT doc_id,
-               ('0x' || substring(md5(shingle), 1, 15))::BIGINT % {p} AS x1,
-               ('0x' || substring(md5(shingle), 17, 15))::BIGINT % {p - 1} + 1 AS x2
-        FROM sh
+               x % {p} AS x1,
+               (x >> 30) % {p - 1} + 1 AS x2
+        FROM hx0
     ), sigs AS (
         SELECT doc_id,
                {sig_exprs}

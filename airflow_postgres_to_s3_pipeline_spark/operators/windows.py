@@ -137,7 +137,7 @@ _oracle(
                                  ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     )
-    SELECT user_id, session_id,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            MIN(ts) AS session_start,
            MAX(ts) AS session_end,
            COUNT(*) AS n_events

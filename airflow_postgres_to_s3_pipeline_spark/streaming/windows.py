@@ -21,31 +21,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-# ts is int64 nanoseconds on disk (TIMESTAMP(NANOS) parquet — see
-# catalog.table); converted to a microsecond timestamp after load.
-EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str,
                        max_files_per_trigger: int | None = None) -> DataFrame:
     """File-based streaming source over the events parquet (each file is a
-    micro-batch; in production this is Kafka/Kinesis with the same schema)."""
+    micro-batch; in production this is Kafka/Kinesis with the same schema).
+
+    The stream schema is taken from the parquet footer (one cheap batch
+    metadata read), so the source tracks the on-disk representation of
+    ``ts`` — TIMESTAMP(MICROS) reads natively; an int64-nanos physical
+    column gets the same micros conversion as the batch path
+    (catalog.table), keeping stream and oracle timestamps identical.
+    """
     from airflow_postgres_to_s3_pipeline_spark.session import tune_runtime
 
     tune_runtime(spark)
+    batch_schema = (
+        spark.read.option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+        .schema
+    )
     # The file stream source requires a directory path; pathGlobFilter
     # narrows the scan to the events table within the sf_dir.
-    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+    reader = spark.readStream.schema(batch_schema).option(
         "pathGlobFilter", "events*.parquet"
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.parquet(sf_dir).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    from airflow_postgres_to_s3_pipeline_spark.catalog import normalize_events_ts
+
+    return normalize_events_ts(reader.parquet(sf_dir))
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",

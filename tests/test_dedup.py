@@ -54,7 +54,8 @@ def test_minhash_md5_tier_matches_planted_pairs(spark):
 
 def test_minhash_md5_signature_bit_determinism(spark):
     # pin one signature slot against an independent hashlib computation:
-    # h_i(s) = (x1 + i*x2) mod 2^31-1, x1/x2 = 60-bit halves of md5(s)
+    # h_i(s) = (x1 + i*x2) mod 2^31-1, x = first 60 bits of md5(s),
+    # x1 = x mod p, x2 = (x >> 30) mod (p-1) + 1
     import hashlib
 
     doc = spark.createDataFrame([(1, BASE)], ["doc_id", "text"])
@@ -66,13 +67,13 @@ def test_minhash_md5_signature_bit_determinism(spark):
         " ".join(words[i : i + 3]) for i in range(len(words) - 2)
     ))
     p = dedup.MERSENNE_P
+
+    def xs(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[0:15], 16)
+
     for i in range(4):
         expected = min(
-            (
-                int(hashlib.md5(s.encode()).hexdigest()[0:15], 16) % p
-                + i * (int(hashlib.md5(s.encode()).hexdigest()[16:31], 16) % (p - 1) + 1)
-            )
-            % p
+            (xs(s) % p + i * ((xs(s) >> 30) % (p - 1) + 1)) % p
             for s in shingles
         )
         assert sig[f"h{i}"] == expected, f"slot {i}"

@@ -135,12 +135,12 @@ def test_streaming_tumbling_equals_batch_any_split(spark, tmp_path_factory, spli
     got = sorted(
         map(tuple, sw.run_stream_to_memory(stream, spark, "complete").collect())
     )
+    from airflow_postgres_to_s3_pipeline_spark.catalog import normalize_events_ts
+
     batch = sorted(
         map(
             tuple,
-            spark.read.schema(sw.EVENTS_SCHEMA)
-            .parquet(src)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            normalize_events_ts(spark.read.parquet(src))
             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"))
             .select(

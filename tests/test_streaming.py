@@ -92,7 +92,7 @@ def _split_events(spark, sf_dir, tmp_path, n_files: int, seed: int):
     the dir, matching read_events_stream's events* glob) with a seeded
     pseudo-random row split, so a maxFilesPerTrigger=1 stream sees n_files
     micro-batches over an order-independent partitioning of the same data.
-    pyarrow preserves the on-disk TIMESTAMP(NANOS) ts column."""
+    pyarrow preserves the on-disk ts representation."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -125,13 +125,15 @@ def test_streaming_tumbling_multi_batch_equals_batch(spark, sf_dir, tmp_path,
             output_mode="complete",
         ).collect()
     }
+    from airflow_postgres_to_s3_pipeline_spark.catalog import normalize_events_ts
     from airflow_postgres_to_s3_pipeline_spark.session import tune_runtime
 
-    tune_runtime(spark)  # nanosAsLong: ts is TIMESTAMP(NANOS) on disk
+    tune_runtime(spark)
     batch = {
         (r["window_start"], r["event_type"]): r["n_events"]
-        for r in spark.read.parquet(f"{split_dir}/events_*.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        for r in normalize_events_ts(
+            spark.read.parquet(f"{split_dir}/events_*.parquet")
+        )
         .groupBy(
             F.window("ts", "1 hour").alias("w"), "event_type"
         )
@@ -166,7 +168,7 @@ def test_streaming_stateful_multi_batch_keeps_last_emission(spark, sf_dir,
     }
     from airflow_postgres_to_s3_pipeline_spark.session import tune_runtime
 
-    tune_runtime(spark)  # nanosAsLong: ts is TIMESTAMP(NANOS) on disk
+    tune_runtime(spark)
     batch = {
         r["user_id"]: (r["n_events"], r["max_value"])
         for r in spark.read.parquet(f"{split_dir}/events_*.parquet")
@@ -204,12 +206,13 @@ def test_streaming_static_enrich_multi_batch_equals_batch(spark, sf_dir,
             agg, spark, output_mode="complete"
         ).collect()
     }
+    from airflow_postgres_to_s3_pipeline_spark.catalog import normalize_events_ts
     from airflow_postgres_to_s3_pipeline_spark.session import tune_runtime
 
-    tune_runtime(spark)  # nanosAsLong: ts is TIMESTAMP(NANOS) on disk
-    batch_events = spark.read.parquet(
-        f"{split_dir}/events_*.parquet"
-    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    tune_runtime(spark)
+    batch_events = normalize_events_ts(
+        spark.read.parquet(f"{split_dir}/events_*.parquet")
+    )
     batch = {
         (r["window_start"], r["segment"]): r["n_events"]
         for r in batch_events.join(dim, F.col("user_id") == F.col("c_custkey"))
