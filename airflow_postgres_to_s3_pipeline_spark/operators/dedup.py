@@ -599,13 +599,15 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The end-to-end LLM-dedup shape: candidate pairs (sub-quadratic LSH) ->
     transitive clusters -> keep min doc_id per cluster.  Returns non-trivial
-    clusters (size > 1) with the kept doc and the duplicate count
-    (rows-only: the LSH candidate step is probabilistic; determinism and
-    union-find equivalence are pinned in tests).
+    clusters (size > 1) with the kept doc and the duplicate count.  Built on
+    the md5-checkable pair tier, so the WHOLE chain — signatures, banding,
+    Jaccard verification, transitive closure — carries an exact DuckDB
+    oracle (recursive-CTE reachability mirrors the label-propagation loop);
+    union-find equivalence and determinism are additionally pinned in tests.
     """
     d = table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
-        d, shards=spark.sparkContext.defaultParallelism
+        d, shards=spark.sparkContext.defaultParallelism, checkable=True
     ).select("doc_a", "doc_b")
     # max_iterations=10 gives headroom over the default 6 (each iteration
     # past convergence is skipped via the changed==0 break, so the extra
@@ -621,6 +623,40 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cluster_size") - 1).alias("n_duplicates"),
         )
     )
+
+
+def _dedup_components_oracle() -> str:
+    """Exact SQL mirror of ``dedup_components``: the md5-checkable MinHash
+    pair oracle feeds a recursive-CTE transitive closure (the SQL dual of
+    the min-label-propagation loop); each edge-connected node labels itself
+    with the minimum doc_id it can reach.  Singleton docs never join a
+    cluster of size > 1, so restricting the closure to edge nodes is
+    equivalent to Spark's all-docs label frame."""
+    pair_sql = _minhash_lsh_oracle()
+    return f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({pair_sql})
+    ), edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b AS s, doc_a AS d FROM pairs
+    ), reach AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ), labels AS (
+        SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+        FROM reach GROUP BY s
+    )
+    SELECT cluster_id AS kept_doc_id,
+           COUNT(*) - 1 AS n_duplicates
+    FROM labels
+    GROUP BY cluster_id
+    HAVING COUNT(*) > 1
+    """
+
+
+_oracle("dedup_components", _dedup_components_oracle())
 
 
 # ---------------------------------------------------------------------------
@@ -669,16 +705,69 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     return voted.select("doc_id", sig.alias("simhash"))
 
 
+SIMHASH_MD5_BITS = 60  # bits of md5 prefix used by the checkable tier
+
+
+def simhash_signatures_md5(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           bits: int = SIMHASH_MD5_BITS) -> DataFrame:
+    """SimHash from md5-derived token hashes — the DuckDB-oracle-checkable
+    tier (same trick as ``minhash_signatures_md5``): token hash = first 60
+    bits of md5(token), so every step (hash, per-bit vote sums, sign
+    threshold, signature assembly) is bit-identical in any engine with md5
+    + 64-bit integers.  60 signature bits instead of 64 — four bits of
+    resolution traded for an exact SQL mirror.  Same row-local shape as the
+    xxhash64 tier: zero shuffles, the whole stage runs in the scan's map
+    phase.  Zero-token docs are dropped (they have no signature; the
+    xx tier keeps them at sig=0, which the SQL mirror cannot express).
+    """
+    token_hashes = F.transform(
+        F.filter(F.split(text_col, " "), lambda t: F.length(t) > 0),
+        lambda t: F.conv(
+            F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"), token_hashes.alias("ths")
+    ).filter(F.size("ths") > 0)
+
+    def _bit_set(i: int):
+        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
+    vote_cols = []
+    for i in range(bits):
+        set_count = F.size(F.filter(F.col("ths"), _bit_set(i)))
+        vote_cols.append((set_count * 2 - F.size("ths")).alias(f"_v{i}"))
+    voted = hashed.select("doc_id", *vote_cols)
+
+    sig = None
+    for i in range(bits):
+        term = F.when(
+            F.col(f"_v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return voted.select("doc_id", sig.alias("simhash"))
+
+
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                       id_col: str = "doc_id", max_hamming: int = 3,
+                       checkable: bool = False) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, banded for scale.
 
-    Splits the 64-bit signature into 4 x 16-bit chunks; any pair within
-    hamming distance 3 must agree on >= 1 chunk (pigeonhole), so candidate
-    generation is 4 equi-joins on chunk value instead of an all-pairs scan.
+    Splits the signature into 4 chunks (16 bits each for the 64-bit
+    xxhash64 tier, 15 for the 60-bit md5 ``checkable`` tier); any pair
+    within hamming distance 3 must agree on >= 1 chunk (pigeonhole), so
+    candidate generation is 4 equi-joins on chunk value instead of an
+    all-pairs scan.
     """
     # persist: the chunked self-join consumes the signatures twice.
-    sig = simhash_signatures(df, text_col, id_col).persist()
+    if checkable:
+        sig = simhash_signatures_md5(df, text_col, id_col).persist()
+        chunk_bits, n_chunks = 15, 4
+    else:
+        sig = simhash_signatures(df, text_col, id_col).persist()
+        chunk_bits, n_chunks = 16, 4
+    mask = (1 << chunk_bits) - 1
     chunks = sig.select(
         "doc_id",
         "simhash",
@@ -687,11 +776,11 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftright(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
                         .alias("chunk"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("ch"),
@@ -720,11 +809,74 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
 
 
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs over documents (rows-only check)."""
+    """SimHash near-dup pairs over documents, md5-checkable tier.
+
+    Like MinHash-LSH: for a FIXED hash family the vote→threshold→band→
+    hamming chain is fully deterministic, so md5-derived token hashes give
+    the whole pipeline an exact DuckDB oracle (previously rows-only).
+    """
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return simhash_near_pairs(d)
+    return simhash_near_pairs(d, checkable=True)
+
+
+def _simhash_oracle(bits: int = SIMHASH_MD5_BITS, chunk_bits: int = 15,
+                    max_hamming: int = 3,
+                    source: str = "SELECT doc_id, text FROM documents") -> str:
+    """Exact SQL mirror of ``simhash_near_pairs(checkable=True)``: md5
+    token hashes, per-bit vote sums, sign-threshold signature assembly,
+    15-bit chunk banding, hamming verification."""
+    vote_exprs = ",\n               ".join(
+        f"2 * SUM(CAST((x >> {i}) & 1 AS BIGINT)) - COUNT(*) AS v{i}"
+        for i in range(bits)
+    )
+    sig_expr = " | ".join(
+        f"(CASE WHEN v{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(bits)
+    )
+    mask = (1 << chunk_bits) - 1
+    chunk_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk_id, "
+        f"(simhash >> {c * chunk_bits}) & {mask} AS chunk FROM sigs"
+        for c in range(4)
+    )
+    return f"""
+    WITH src AS (
+        {source}
+    ), toks AS (
+        SELECT doc_id,
+               UNNEST(list_filter(string_split(text, ' '),
+                                  t -> length(t) > 0)) AS token
+        FROM src
+    ), tx AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(token), 1, 15))::BIGINT AS x
+        FROM toks
+    ), votes AS (
+        SELECT doc_id,
+               {vote_exprs}
+        FROM tx GROUP BY doc_id
+    ), sigs AS (
+        SELECT doc_id, {sig_expr} AS simhash
+        FROM votes
+    ), chunks AS (
+        {chunk_selects}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sig_a, b.simhash AS sig_b
+        FROM chunks a JOIN chunks b
+          ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+    """
+
+
+_oracle("simhash_dedup", _simhash_oracle())
 
 
 # ---------------------------------------------------------------------------

@@ -143,6 +143,76 @@ STREAMING_SS_JOIN_ORACLE = """
 """
 
 
+def streaming_ss_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every click, matched to a
+    same-user purchase within the following hour, or null-extended once the
+    watermark proves no match can arrive (state eviction).
+
+    The emitted outer set is deterministic on a bounded source because the
+    trailing no-data micro-batch applies the final watermark max(ts) - 2h:
+    exactly the unmatched clicks with click_ts + 1h < that bound (clicks
+    nearer the end of the stream stay in state forever-pending — a real
+    unbounded stream would resolve them as more data arrives, so emitting
+    them would be WRONG; the oracle mirrors the watermark rule exactly).
+    """
+    clicks = stream_windows.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = stream_windows.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_windows.click_purchase_stream_join(
+        clicks, purchases, how="leftOuter"
+    )
+    return stream_windows.run_stream_to_memory(joined, spark, output_mode="append")
+
+
+STREAMING_SS_LEFT_OUTER_ORACLE = """
+    WITH wm AS (
+        -- the query's global watermark is the MIN over both sides'
+        -- watermark nodes, each computed over the rows reaching it (the
+        -- filtered click / purchase substreams, NOT all events), tracked
+        -- at millisecond resolution
+        SELECT LEAST(
+                   make_timestamp(epoch_ms(MAX(ts) FILTER (event_type = 'click')) * 1000),
+                   make_timestamp(epoch_ms(MAX(ts) FILTER (event_type = 'purchase')) * 1000)
+               ) - INTERVAL 2 HOUR AS wm_final
+        FROM events
+    ), clicks AS (
+        SELECT * FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT * FROM events WHERE event_type = 'purchase'
+    ), matched AS (
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.ts AS click_ts,
+               p.ts AS purchase_ts,
+               p.value AS purchase_value
+        FROM clicks c JOIN purchases p
+          ON c.user_id = p.user_id
+         AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ), unmatched AS (
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               CAST(NULL AS BIGINT) AS purchase_id,
+               c.ts AS click_ts,
+               CAST(NULL AS TIMESTAMP) AS purchase_ts,
+               CAST(NULL AS DOUBLE) AS purchase_value
+        FROM clicks c, wm
+        WHERE c.ts + INTERVAL 1 HOUR < wm.wm_final
+          AND NOT EXISTS (
+              SELECT 1 FROM purchases p
+              WHERE p.user_id = c.user_id
+                AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+          )
+    )
+    SELECT * FROM matched
+    UNION ALL
+    SELECT * FROM unmatched
+"""
+
+
 def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join then windowed agg: events enriched with the
     static customer dim (broadcast per micro-batch, stateless), then
@@ -276,12 +346,15 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_stateful_running_totals": streaming_stateful_running_totals,
     # E24 exact dedup
     "dedup_exact": dedup.dedup_exact,
-    # E25 near-dedup: exact n-gram Jaccard, md5-checkable MinHash-LSH,
-    # passage-level exact + near tiers
+    # E25 near-dedup: exact n-gram Jaccard, md5-checkable MinHash-LSH /
+    # SimHash / connected-components (r4: simhash_dedup + dedup_components
+    # gained full md5-derived oracles and rotated in for chunk_near_dedup +
+    # union_snapshots), passage-level exact tier
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
     "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
+    "simhash_dedup": dedup.simhash_dedup,
+    "dedup_components": dedup.dedup_components,
     "chunk_dedup": dedup.chunk_dedup,
-    "chunk_near_dedup": dedup.chunk_near_dedup,
     "semantic_dedup": similarity.semantic_dedup,
     # E26 similarity search (brute-force baseline, GEMM tier, quantization)
     "knn_bruteforce": similarity.knn_bruteforce,
@@ -302,10 +375,10 @@ QUERIES: dict[str, QueryFn] = {
     # E28 multimodal
     "multimodal_decode": multimodal.multimodal_decode,
     "multimodal_partition_stats": multimodal.multimodal_partition_stats,
-    # §2A U1 union-of-snapshots
-    "union_snapshots": advanced.union_snapshots,
     # -- end of driver window (50) -----------------------------------------
     # additional variants, all locally oracle/pytest-verified
+    "union_snapshots": advanced.union_snapshots,
+    "chunk_near_dedup": dedup.chunk_near_dedup,
     "approx_percentiles": relational.approx_percentiles,
     "approx_count_distinct_users": relational.approx_count_distinct_users,
     "map_functions": scalar_funcs.map_functions,
@@ -379,11 +452,10 @@ QUERIES: dict[str, QueryFn] = {
     "arrow_udf_tier": udfs.arrow_udf_tier,
     "model_inference_scores": udfs.model_inference_scores,
     "streaming_stream_stream_join": streaming_stream_stream_join,
+    "streaming_ss_left_outer_join": streaming_ss_left_outer_join,
     "streaming_static_enrich": streaming_static_enrich,
-    "dedup_components": dedup.dedup_components,
     "minhash_ml_pairs": ml_feature.minhash_ml_pairs,
     "tfidf_ml_features": ml_feature.tfidf_ml_features,
-    "simhash_dedup": dedup.simhash_dedup,
     "knn_ivf": similarity.knn_ivf,
     "kmeans_embeddings": similarity.kmeans_embeddings,
     "embedding_lsh_near_dup": similarity.embedding_lsh_near_dup,
@@ -447,7 +519,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "streaming_static_enrich"),
     "E23": ("streaming_session_window", "streaming_dedup",
             "streaming_stateful_running_totals",
-            "streaming_stream_stream_join"),
+            "streaming_stream_stream_join",
+            "streaming_ss_left_outer_join"),
     "E24": ("dedup_exact", "dedup_keep_first", "dedup_incremental"),
     "E25": ("ngram_jaccard_pairs", "minhash_lsh_dedup", "simhash_dedup",
             "dedup_components", "minhash_ml_pairs", "chunk_dedup",
@@ -477,6 +550,7 @@ def _collect_oracles() -> dict[str, str]:
     oracles["streaming_dedup"] = STREAMING_DEDUP_ORACLE
     oracles["streaming_session_window"] = STREAMING_SESSION_ORACLE
     oracles["streaming_stream_stream_join"] = STREAMING_SS_JOIN_ORACLE
+    oracles["streaming_ss_left_outer_join"] = STREAMING_SS_LEFT_OUTER_ORACLE
     oracles["streaming_stateful_running_totals"] = STREAMING_STATEFUL_ORACLE
     oracles["streaming_static_enrich"] = STREAMING_STATIC_ENRICH_ORACLE
     # only keep oracles for registered queries

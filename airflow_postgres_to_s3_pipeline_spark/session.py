@@ -72,6 +72,12 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Outer/stateful streaming determinism on bounded sources: the trailing
+    # no-data micro-batch applies the final watermark, flushing closed
+    # outer-join state and timed-out sessions (default-on, pinned here
+    # because the oracle for the left-outer stream-stream join depends on
+    # it).
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     # The testdata writes TIMESTAMP(NANOS) parquet, which Spark rejects by
     # default; read as int64 and convert explicitly (catalog.table).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -113,14 +113,24 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None,
 
 
 def click_purchase_stream_join(clicks: DataFrame, purchases: DataFrame,
-                               within: str = "1 hour") -> DataFrame:
-    """E23: watermarked stream-stream inner join — purchases attributed to a
+                               within: str = "1 hour",
+                               how: str = "inner") -> DataFrame:
+    """E23: watermarked stream-stream join — purchases attributed to a
     same-user click within the preceding hour.
 
     Both sides carry watermarks and the join condition bounds event time on
     both ends, so the state store can evict rows once the watermark passes
     the bound — the requirement for an unbounded stream-stream join to hold
     finite state.  One shuffle per side on user_id.
+
+    ``how="leftOuter"`` additionally emits null-extended rows for clicks
+    whose match window closed unmatched — emission happens at state
+    eviction, i.e. when the operative watermark passes click_ts + within.
+    On a bounded source the trailing no-data micro-batch
+    (spark.sql.streaming.noDataMicroBatches.enabled, forced on in
+    tune_runtime) applies the final watermark max(ts) - delay, which makes
+    the emitted set deterministic and batch-split-independent: every
+    unmatched click with click_ts + within < max(ts) - delay.
     """
     c = (
         clicks.withWatermark("ts", "2 hours")
@@ -144,6 +154,7 @@ def click_purchase_stream_join(clicks: DataFrame, purchases: DataFrame,
         (F.col("c_user") == F.col("p_user"))
         & (F.col("purchase_ts") > F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+        how,
     ).select(
         F.col("c_user").alias("user_id"),
         "click_id",

@@ -225,6 +225,73 @@ def test_streaming_static_enrich_multi_batch_equals_batch(spark, sf_dir,
     assert got == batch
 
 
+def test_streaming_left_outer_join_multi_batch_equals_final_watermark(
+        spark, sf_dir, tmp_path):
+    """The left-outer emitted set over a TIME-ORDERED multi-batch split
+    must equal the final-watermark rule — matched pairs plus unmatched
+    clicks with click_ts + 1h < min-side watermark (intermediate evictions
+    are a subset of the final no-data-batch eviction).  The split must be
+    time-ordered: a random split makes rows arrive behind the watermark,
+    and streaming (correctly) drops late input instead of joining it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from airflow_postgres_to_s3_pipeline_spark.catalog import normalize_events_ts
+
+    split_dir = str(tmp_path / "time_split")
+    os.makedirs(split_dir)
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    t = t.sort_by("ts")
+    n = t.num_rows
+    for b, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3),
+                                  (2 * n // 3, n)]):
+        pq.write_table(t.slice(lo, hi - lo),
+                       os.path.join(split_dir, f"events_{b}.parquet"))
+    clicks = sw.read_events_stream(
+        spark, split_dir, max_files_per_trigger=1
+    ).filter(F.col("event_type") == "click")
+    purchases = sw.read_events_stream(
+        spark, split_dir, max_files_per_trigger=1
+    ).filter(F.col("event_type") == "purchase")
+    j = sw.click_purchase_stream_join(clicks, purchases, how="leftOuter")
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in sw.run_stream_to_memory(j, spark, "append").collect()
+    }
+
+    ev = normalize_events_ts(
+        spark.read.parquet(f"{split_dir}/events_*.parquet")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"))
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    matched = c.join(p, cond)
+    wm = min(
+        c.agg(F.max("click_ts")).first()[0],
+        p.agg(F.max("purchase_ts")).first()[0],
+    )
+    wm = wm.replace(microsecond=wm.microsecond // 1000 * 1000)  # ms watermark
+    import datetime
+
+    wm = wm - datetime.timedelta(hours=2)
+    unmatched = (
+        c.join(p, cond, "left_anti")
+        .filter(F.col("click_ts") + F.expr("INTERVAL 1 HOUR") < F.lit(wm))
+    )
+    want = {(r["click_id"], r["purchase_id"]) for r in matched.collect()} | {
+        (r["click_id"], None) for r in unmatched.collect()
+    }
+    assert got == want
+
+
 def test_transform_with_state_tier(spark, sf_dir):
     """Spark 4 transformWithStateInPandas tier: same running totals as the
     applyInPandasWithState entry.  The state-server protocol requires the
