@@ -1533,3 +1533,242 @@ def recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _oracle("recursive_order_chain", RECURSIVE_CHAIN_SQL)
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation from orders where the customer
+    and the supplier are in the SAME nation, within one region and year.
+
+    The c_nationkey = s_nationkey predicate makes this the classic
+    co-location join: the fact scan shuffles on orderkey then custkey (two
+    exchanges); supplier, nation, and region are broadcasts, and the
+    region filter prunes the nation dim BEFORE it reaches the fact side.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(revenue, 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_oracle(
+    "local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE c_nationkey = s_nationkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+    GROUP BY n_name
+    """,
+)
+
+
+MARKET_SHARE_NATION = "NATION_1"
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market for a part
+    type, per order year — conditional-sum-over-sum on a 6-way star join.
+
+    Same two fact exchanges as Q5 (orderkey, custkey); part / supplier /
+    nation / region all broadcast.  The share is a single double division
+    of two exact-decimal sums, so it is bit-deterministic under any
+    partitioning (see functions/numeric.py).
+    """
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                              "o_orderdate")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    volume = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(27,6)"
+    )
+    target = F.when(
+        F.col("supp_nation") == MARKET_SHARE_NATION, volume
+    ).otherwise(F.lit(0).cast("decimal(27,6)"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            (F.sum(target).cast("double") / F.sum(volume).cast("double")).alias(
+                "market_share"
+            ),
+            F.sum(volume).cast("double").alias("total_volume"),
+        )
+    )
+
+
+_oracle(
+    "nation_market_share",
+    f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(SUM(CASE WHEN n2.n_name = '{MARKET_SHARE_NATION}'
+                         THEN CAST(l_extendedprice * (1.0 - l_discount)
+                                   AS DECIMAL(27,6))
+                         ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(27,6))) AS DOUBLE) AS market_share,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(27,6))) AS DOUBLE) AS total_volume
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+    GROUP BY 1
+    """,
+)
+
+
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the maximum total revenue
+    over one quarter (ties all kept, as the spec requires).
+
+    The max is taken over the supplier-sized aggregate and compared in
+    EXACT decimal (before the double output cast), so tie detection is
+    bit-deterministic; the 1-row max frame is a broadcast semi-filter, not
+    a driver round-trip.
+    """
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    rev = l.groupBy("l_suppkey").agg(
+        F.sum(revenue.cast("decimal(27,6)")).alias("_rev_exact")
+    )
+    max_rev = rev.agg(F.max("_rev_exact").alias("_max_rev"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(max_rev), rev._rev_exact == max_rev._max_rev)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev_exact").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_oracle(
+    "top_supplier_revenue",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                        AS DECIMAL(27,6))) AS rev_exact
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(rev_exact AS DOUBLE) AS total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev_exact = (SELECT MAX(rev_exact) FROM rev)
+    """,
+)
+
+
+SMALL_QTY_BRAND = "Brand#23"
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders for one brand stopped being filled — a correlated per-part
+    average threshold.
+
+    The per-part aggregate joins back to the (brand-filtered, broadcast)
+    fact slice; the threshold ``qty < 0.2 * avg(qty)`` is rewritten as the
+    integer-exact ``5 * qty * n_items < sum_qty`` so no engine-dependent
+    float division decides boundary rows (quantities are integral).
+    """
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == SMALL_QTY_BRAND
+    ).select("p_partkey")
+    l = table(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == p.p_partkey
+    )
+    stats = l.groupBy(F.col("l_partkey").alias("g_key")).agg(
+        dsum("l_quantity", 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    small = l.join(F.broadcast(stats), l.l_partkey == stats.g_key).filter(
+        F.lit(5.0) * F.col("l_quantity") * F.col("n_items") < F.col("sum_qty")
+    )
+    return small.agg(
+        (dsum("l_extendedprice", 2) / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small_items"),
+    )
+
+
+_oracle(
+    "small_quantity_revenue",
+    f"""
+    WITH pl AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = '{SMALL_QTY_BRAND}'
+    ), stats AS (
+        SELECT l_partkey AS g_key,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE)
+                   AS sum_qty,
+               COUNT(*) AS n_items
+        FROM pl GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE)
+               / 7.0 AS avg_yearly,
+           COUNT(*) AS n_small_items
+    FROM pl JOIN stats ON l_partkey = g_key
+    WHERE 5.0 * l_quantity * n_items < sum_qty
+    """,
+)

@@ -427,6 +427,10 @@ QUERIES: dict[str, QueryFn] = {
     "large_volume_orders": advanced.large_volume_orders,
     "sole_supplier_orders": advanced.sole_supplier_orders,
     "nation_volume_shipping": advanced.nation_volume_shipping,
+    "local_supplier_volume": advanced.local_supplier_volume,
+    "nation_market_share": advanced.nation_market_share,
+    "top_supplier_revenue": advanced.top_supplier_revenue,
+    "small_quantity_revenue": advanced.small_quantity_revenue,
     "recursive_order_chain": advanced.recursive_order_chain,
     "returned_item_revenue": advanced.returned_item_revenue,
     "disjunctive_filter_parts": advanced.disjunctive_filter_parts,
@@ -488,7 +492,9 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "E2": ("computed_projection",),
     "E3": ("filter_compound", "disjunctive_filter_parts"),
     "E4": ("join_broadcast_dims", "join_shuffle_multiway",
-           "nation_volume_shipping"),
+           "nation_volume_shipping", "local_supplier_volume",
+           "nation_market_share", "top_supplier_revenue",
+           "small_quantity_revenue"),
     "E5": ("join_left_outer", "join_full_outer",
            "customer_order_distribution"),
     "E6": ("join_semi", "join_anti", "inactive_high_value_customers"),
