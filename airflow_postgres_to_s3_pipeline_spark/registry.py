@@ -242,6 +242,64 @@ STREAMING_STATIC_ENRICH_ORACLE = """
 """
 
 
+def python_stream_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 streaming Python DataSource (DataSourceStreamReader): a
+    deterministic bounded micro-batch generator driven through a genuine
+    readStream -> groupBy -> memory-sink run (4 batches x 4 partitions x
+    64 rows).
+
+    Every generated cell is a pure sha256 function of (batch, partition,
+    row), so the aggregate carries a FULL DuckDB oracle — the oracle
+    regenerates the identical rows via sha256 hex-prefix arithmetic over
+    generate_series.  (sf_dir is unused: the source IS the data.)
+    """
+    from airflow_postgres_to_s3_pipeline_spark.sources.python_datasource import (
+        SyntheticEventsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("partitions", "4")
+        .option("rows_per_batch", "256")
+        .option("max_batches", "4")
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias(
+            "total_value"
+        ),
+    )
+    return stream_windows.run_stream_to_memory(agg, spark, output_mode="complete")
+
+
+PYTHON_STREAM_SOURCE_ORACLE = """
+    WITH rows AS (
+        SELECT b.b, p.p, i.i
+        FROM generate_series(0, 3) b(b),
+             generate_series(0, 3) p(p),
+             generate_series(0, 63) i(i)
+    ), h AS (
+        SELECT
+            ('0x' || substring(sha256(
+                b::VARCHAR || ':' || p::VARCHAR || ':' || i::VARCHAR || ':type'
+             ), 1, 15))::BIGINT AS ht,
+            ('0x' || substring(sha256(
+                b::VARCHAR || ':' || p::VARCHAR || ':' || i::VARCHAR || ':value'
+             ), 1, 15))::BIGINT AS hv
+        FROM rows
+    )
+    SELECT ['view', 'click', 'signup', 'purchase', 'error'][(ht % 5)::INT + 1]
+               AS event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST((hv % 10000) / 100.0 AS DECIMAL(27,2))) AS DOUBLE)
+               AS total_value
+    FROM h
+    GROUP BY 1
+"""
+
+
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_windows.read_events_stream(spark, sf_dir)
     stream = stream_windows.session_counts(events)
@@ -458,6 +516,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_stream_stream_join": streaming_stream_stream_join,
     "streaming_ss_left_outer_join": streaming_ss_left_outer_join,
     "streaming_static_enrich": streaming_static_enrich,
+    "python_stream_source_agg": python_stream_source_agg,
     "minhash_ml_pairs": ml_feature.minhash_ml_pairs,
     "tfidf_ml_features": ml_feature.tfidf_ml_features,
     "knn_ivf": similarity.knn_ivf,
@@ -522,7 +581,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "python_udtf_word_expand", "python_udf_rowwise",
             "arrow_udf_tier", "model_inference_scores"),
     "E22": ("streaming_tumbling_agg", "streaming_sliding_agg",
-            "streaming_static_enrich"),
+            "streaming_static_enrich", "python_stream_source_agg"),
     "E23": ("streaming_session_window", "streaming_dedup",
             "streaming_stateful_running_totals",
             "streaming_stream_stream_join",
@@ -557,6 +616,7 @@ def _collect_oracles() -> dict[str, str]:
     oracles["streaming_session_window"] = STREAMING_SESSION_ORACLE
     oracles["streaming_stream_stream_join"] = STREAMING_SS_JOIN_ORACLE
     oracles["streaming_ss_left_outer_join"] = STREAMING_SS_LEFT_OUTER_ORACLE
+    oracles["python_stream_source_agg"] = PYTHON_STREAM_SOURCE_ORACLE
     oracles["streaming_stateful_running_totals"] = STREAMING_STATEFUL_ORACLE
     oracles["streaming_static_enrich"] = STREAMING_STATIC_ENRICH_ORACLE
     # only keep oracles for registered queries

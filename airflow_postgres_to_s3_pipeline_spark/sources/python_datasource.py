@@ -26,7 +26,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 SCHEMA_DDL = (
@@ -81,3 +86,69 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _EventsReader(self.options)
+
+    def streamReader(self, schema: StructType) -> "DataSourceStreamReader":
+        return _EventsStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming tier (Spark 4 DataSourceStreamReader): deterministic bounded
+# micro-batch generator.  Each latestOffset() call advances one batch until
+# max_batches, so processAllAvailable() drives exactly max_batches
+# micro-batches and stops — bounded-source semantics over the custom
+# connector API, with every row a pure function of (batch, partition, row).
+# ---------------------------------------------------------------------------
+
+def _hs(batch: int, partition: int, row: int, salt: str) -> int:
+    """Deterministic 60-bit hash of (batch, partition, row, salt) — the
+    streaming dual of ``_h`` (the extra batch coordinate keeps stream rows
+    distinct from batch-reader rows, and the 60-bit width keeps the value
+    SQL-mirrorable: DuckDB computes the identical value as
+    ``('0x' || substring(sha256(key), 1, 15))::BIGINT``)."""
+    key = f"{batch}:{partition}:{row}:{salt}"
+    return int(hashlib.sha256(key.encode()).hexdigest()[:15], 16)
+
+
+class _EventsStreamPartition(InputPartition):
+    def __init__(self, batch: int, pid: int, n_rows: int):
+        self.batch = batch
+        self.pid = pid
+        self.n_rows = n_rows
+
+
+class _EventsStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.n_partitions = int(options.get("partitions", "4"))
+        self.rows_per_batch = int(options.get("rows_per_batch", "100"))
+        self.max_batches = int(options.get("max_batches", "4"))
+        self._latest = 0
+
+    def initialOffset(self) -> dict:
+        return {"batch": 0}
+
+    def latestOffset(self) -> dict:
+        # advance one micro-batch per trigger until the cap
+        if self._latest < self.max_batches:
+            self._latest += 1
+        return {"batch": self._latest}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        rows_per_part = self.rows_per_batch // self.n_partitions
+        return [
+            _EventsStreamPartition(b, p, rows_per_part)
+            for b in range(start["batch"], end["batch"])
+            for p in range(self.n_partitions)
+        ]
+
+    def read(self, partition: _EventsStreamPartition) -> Iterator[tuple]:
+        b, p = partition.batch, partition.pid
+        base = (b * self.n_partitions + p) * partition.n_rows
+        for i in range(partition.n_rows):
+            event_id = base + i
+            user_id = _hs(b, p, i, "user") % 1000
+            event_type = _EVENT_TYPES[_hs(b, p, i, "type") % len(_EVENT_TYPES)]
+            value = (_hs(b, p, i, "value") % 10_000) / 100.0
+            yield (event_id, user_id, event_type, value)
+
+    def commit(self, end: dict) -> None:
+        pass

@@ -51,3 +51,36 @@ def test_composes_with_dataframe_ops(registered):
     assert all(r["n"] >= 1 for r in rows)
     # event_ids are globally unique across partitions
     assert df.select("event_id").distinct().count() == 1000
+
+
+def test_stream_reader_bounded_batches_deterministic(spark):
+    """The streaming tier delivers exactly max_batches x rows_per_batch
+    rows with globally unique event_ids, and two runs produce identical
+    rows (every cell a pure hash of its coordinates)."""
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_to_s3_pipeline_spark.sources.python_datasource import (
+        SyntheticEventsDataSource,
+    )
+    from airflow_postgres_to_s3_pipeline_spark.streaming.windows import (
+        run_stream_to_memory,
+    )
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+
+    def run():
+        stream = (
+            spark.readStream.format("synthetic_events")
+            .option("partitions", "2")
+            .option("rows_per_batch", "50")
+            .option("max_batches", "3")
+            .load()
+        )
+        return run_stream_to_memory(stream, spark, output_mode="append")
+
+    got = run().collect()
+    assert len(got) == 3 * 50  # 3 batches x (2 parts x 25 rows)
+    ids = sorted(r["event_id"] for r in got)
+    assert ids == list(range(150))
+    again = run().collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
