@@ -219,9 +219,13 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str,
                            n_planes: int = 24, n_bands: int = 4,
                            threshold: float = NEAR_DUP_THRESHOLD) -> DataFrame:
     """Random-hyperplane LSH near-dup: banded sign-pattern buckets, exact
-    cosine verified only on candidates (rows-only check — probabilistic
-    recall; planted-pair consistency vs the exact baseline is pinned in
-    tests/test_similarity.py).
+    cosine verified only on candidates.  Fully DuckDB-oracle-checked: the
+    plane matrix is md5-derived exact rationals ((h % 20001 - 10000)/1e4 —
+    the same double in any IEEE engine), the sign-bit dot products are
+    left-to-right fp64 folds (bit-identical to list_reduce), and the
+    candidate→cosine verify stage reuses the cross-engine-proven
+    ``embedding_near_dup`` arithmetic; planted-pair consistency vs the
+    exact baseline is additionally pinned in tests/test_similarity.py.
 
     Scale shape:
     - Candidate generation is an equi-join on (band, band bucket) —
@@ -246,14 +250,33 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str,
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
-    # flat plane matrix, element [p*dim + j] = hash(p*1000 + j) / INT_MAX;
-    # materialized once on a broadcast single-row frame.
+    # flat plane matrix, element [p*dim + j] = (md5_60bit("p:j:plane")
+    # % 20001 - 10000) / 10000.0 in [-1, 1]; integer-derived, so both
+    # engines round the SAME rational to the SAME double.  Materialized
+    # once on a broadcast single-row frame.
     flat = F.transform(
         F.sequence(F.lit(0), F.lit(n_planes * dim - 1)),
-        lambda i: F.hash(
-            (F.floor(i / dim) * 1000 + i % dim).cast("int")
-        ).cast("double")
-        / F.lit(2147483647.0),
+        lambda i: (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.floor(i / dim).cast("string"),
+                            F.lit(":"),
+                            (i % dim).cast("string"),
+                            F.lit(":plane"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 20001
+            - 10000
+        )
+        / F.lit(10000.0),
     )
     planes_df = spark.range(1).select(flat.alias("_planes"))
     with_planes = e.crossJoin(F.broadcast(planes_df))
@@ -329,6 +352,52 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str,
     return pairs.select("id_a", "id_b", sim.alias("sim")).filter(
         F.col("sim") >= threshold
     )
+
+
+_oracle(
+    "embedding_lsh_near_dup",
+    f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), pj AS (
+        SELECT p.p, j.j,
+               ((('0x' || substring(md5(
+                    p.p::VARCHAR || ':' || j.j::VARCHAR || ':plane'
+                ), 1, 15))::BIGINT % 20001) - 10000) / 10000.0 AS w
+        FROM generate_series(0, 23) p(p), generate_series(0, 63) j(j)
+    ), planes AS (
+        SELECT p, list(w ORDER BY j) AS pv FROM pj GROUP BY p
+    ), bits AS (
+        SELECT e.vec_id, pl.p,
+               CASE WHEN list_reduce(
+                        list_transform(generate_series(1, 64),
+                                       k -> e.v[k] * pl.pv[k]),
+                        (a, b) -> a + b) >= 0
+                    THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        FROM e, planes pl
+    ), bandvals AS (
+        SELECT vec_id, p // 6 AS band_idx,
+               list_reduce(list(bit ORDER BY p),
+                           (acc, b) -> acc * 2 + b) AS band_val
+        FROM bits GROUP BY vec_id, p // 6
+    ), cand AS (
+        -- first-match-band emission dedups pairs engine-side; the SET of
+        -- pairs equals DISTINCT over any-band collisions
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bandvals a JOIN bandvals b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           ROUND(list_cosine_similarity(x.v, y.v), 4) AS sim
+    FROM cand
+    JOIN e x ON x.vec_id = id_a
+    JOIN e y ON y.vec_id = id_b
+    WHERE ROUND(list_cosine_similarity(x.v, y.v), 4) >= {NEAR_DUP_THRESHOLD}
+    """,
+)
 
 
 def kmeans_assign(e: DataFrame, centroids: DataFrame) -> DataFrame:
