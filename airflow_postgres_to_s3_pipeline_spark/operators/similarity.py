@@ -169,8 +169,11 @@ def ivf_assign(e: DataFrame, centroids: DataFrame) -> DataFrame:
 
 def knn_ivf(spark: SparkSession, sf_dir: str, n_probe: int = 2) -> DataFrame:
     """Approximate top-5 neighbors via IVF: probe the n_probe nearest
-    centroid cells per query instead of the whole corpus (rows-only check —
-    recall is approximate by design).
+    centroid cells per query instead of the whole corpus.  Recall is
+    approximate by design, but the COMPUTATION is fully deterministic
+    (pseudo-centroids, sequential-fold fp64 cosines — bit-identical in
+    DuckDB — and (sim, id) tie-broken ranks), so the exact output carries
+    a full SQL oracle.
 
     Scale shape: cluster assignment is a broadcast argmin over the corpus
     scan; the search join hits only matching cells via an equi-join on
@@ -213,6 +216,53 @@ def knn_ivf(spark: SparkSession, sf_dir: str, n_probe: int = 2) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+_oracle(
+    "knn_ivf",
+    f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), cents AS (
+        SELECT vec_id // 50 AS centroid_id, v AS cv
+        FROM e WHERE vec_id % 50 = 0
+    ), assigned AS (
+        SELECT vec_id, v, centroid_id FROM (
+            SELECT e.vec_id, e.v, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                c.centroid_id ASC) AS crnk
+            FROM e, cents c
+        ) WHERE crnk = 1
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv
+        FROM assigned WHERE vec_id < {N_QUERIES}
+    ), probe AS (
+        SELECT query_id, qv, centroid_id FROM (
+            SELECT q.query_id, q.qv, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+                                c.centroid_id ASC) AS prnk
+            FROM q, cents c
+        ) WHERE prnk <= 2
+    ), cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(p.qv, a.v), 4) AS sim
+        FROM probe p JOIN assigned a USING (centroid_id)
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rnk AS INT) AS rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id ASC) AS rnk
+        FROM cand
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
 
 
 def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str,
@@ -452,16 +502,28 @@ def kmeans_assign(e: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def kmeans_update(assigned: DataFrame, dim: int) -> DataFrame:
-    """Element-wise centroid mean via posexplode + per-(cluster, dim) avg.
+    """Element-wise centroid mean via posexplode + per-(cluster, dim) agg.
 
     The shuffle carries (cluster, dim) keyed scalars — n_vectors x dim rows
     map-side-combined down to k x dim — then the new centroid arrays are
     reassembled with sort_array(collect_list(struct(pos, mean))).
+
+    The mean is an exact-decimal sum divided by the count (NOT float avg):
+    a float mean over a shuffled group is order-dependent in the last
+    ULPs, which would make the refined centroids — and every downstream
+    assignment — nondeterministic across runs and engines.  With the
+    decimal mean the whole iterative loop is bit-stable and carries a full
+    unrolled-CTE DuckDB oracle.
     """
     exploded = assigned.select(
         "cluster_id", F.posexplode("v").alias("pos", "x")
     )
-    means = exploded.groupBy("cluster_id", "pos").agg(F.avg("x").alias("m"))
+    means = exploded.groupBy("cluster_id", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(27,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
     return means.groupBy("cluster_id").agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
@@ -500,6 +562,59 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str, k: int = 8,
             4,
         ).alias("avg_sq_dist"),
     )
+
+
+def _kmeans_oracle(k: int = 8, iterations: int = 3, dim: int = 64) -> str:
+    """Unrolled-CTE SQL mirror of ``kmeans_embeddings``: each Lloyd's
+    iteration is one assignment CTE (argmin over per-cluster left-to-right
+    squared-distance folds, ties to the lowest cluster_id) and one centroid
+    CTE (exact-decimal element means) — bit-identical to the Spark loop
+    because every float operation has a single deterministic order."""
+    sqd = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "t -> (e.v[t] - c.cv[t]) * (e.v[t] - c.cv[t])), (a, b) -> a + b)"
+    )
+    parts = [
+        f"""e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), cent0 AS (
+        SELECT vec_id AS cluster_id, v AS cv FROM e WHERE vec_id < {k}
+    )"""
+    ]
+    for i in range(iterations):
+        parts.append(f"""assign{i} AS (
+        SELECT vec_id, v, cluster_id, d AS dist FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d ASC, cluster_id ASC) AS rn
+            FROM (
+                SELECT e.vec_id, e.v, c.cluster_id, {sqd} AS d
+                FROM e, cent{i} c
+            )
+        ) WHERE rn = 1
+    )""")
+        if i < iterations - 1:
+            parts.append(f"""cent{i + 1} AS (
+        SELECT cluster_id, list(m ORDER BY pos) AS cv FROM (
+            SELECT cluster_id, t.t AS pos,
+                   CAST(SUM(CAST(v[t.t] AS DECIMAL(27,12))) AS DOUBLE)
+                       / COUNT(*) AS m
+            FROM assign{i}, generate_series(1, {dim}) t(t)
+            GROUP BY cluster_id, t.t
+        ) GROUP BY cluster_id
+    )""")
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT cluster_id, COUNT(*) AS n_vectors,
+           ROUND(CAST(SUM(CAST(dist AS DECIMAL(27,8))) AS DOUBLE)
+                     / COUNT(*), 4) AS avg_sq_dist
+    FROM assign{iterations - 1}
+    GROUP BY cluster_id
+    """
+
+
+_oracle("kmeans_embeddings", _kmeans_oracle())
 
 
 SEMDEDUP_K = 8

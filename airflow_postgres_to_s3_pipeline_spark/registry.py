@@ -412,19 +412,22 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
     "simhash_dedup": dedup.simhash_dedup,
     "dedup_components": dedup.dedup_components,
-    "chunk_dedup": dedup.chunk_dedup,
     "semantic_dedup": similarity.semantic_dedup,
-    # E26 similarity search (brute-force baseline, GEMM tier, quantization)
+    # E26 similarity search (brute-force baseline, GEMM tier, IVF index,
+    # iterative k-means, hyperplane-LSH — r4: the last three gained full
+    # oracles and rotated in for chunk_dedup / embedding_quantize /
+    # doc_chunking)
     "knn_bruteforce": similarity.knn_bruteforce,
     "knn_gemm": similarity.knn_gemm,
-    "embedding_quantize": similarity.embedding_quantize,
+    "knn_ivf": similarity.knn_ivf,
+    "kmeans_embeddings": similarity.kmeans_embeddings,
+    "embedding_lsh_near_dup": similarity.embedding_lsh_near_dup,
     # E27 text analysis / corpus curation
     "doc_quality": text.doc_quality,
     "lang_id_heuristic": text.lang_id_heuristic,
     "tfidf_top_terms": text.tfidf_top_terms,
     "bm25_scoring": text.bm25_scoring,
     "repetition_stats": text.repetition_stats,
-    "doc_chunking": text.doc_chunking,
     "sequence_packing": curation.sequence_packing,
     "contamination_check": curation.contamination_check,
     # graph analytics
@@ -437,6 +440,9 @@ QUERIES: dict[str, QueryFn] = {
     # additional variants, all locally oracle/pytest-verified
     "union_snapshots": advanced.union_snapshots,
     "chunk_near_dedup": dedup.chunk_near_dedup,
+    "chunk_dedup": dedup.chunk_dedup,
+    "embedding_quantize": similarity.embedding_quantize,
+    "doc_chunking": text.doc_chunking,
     "approx_percentiles": relational.approx_percentiles,
     "approx_count_distinct_users": relational.approx_count_distinct_users,
     "map_functions": scalar_funcs.map_functions,
@@ -519,9 +525,6 @@ QUERIES: dict[str, QueryFn] = {
     "python_stream_source_agg": python_stream_source_agg,
     "minhash_ml_pairs": ml_feature.minhash_ml_pairs,
     "tfidf_ml_features": ml_feature.tfidf_ml_features,
-    "knn_ivf": similarity.knn_ivf,
-    "kmeans_embeddings": similarity.kmeans_embeddings,
-    "embedding_lsh_near_dup": similarity.embedding_lsh_near_dup,
     "embedding_random_projection": similarity.embedding_random_projection,
     "multimodal_audio_energy": multimodal.multimodal_audio_energy,
     "lang_stats": text.lang_stats,
