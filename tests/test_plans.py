@@ -146,3 +146,54 @@ def test_inactive_customers_anti_join(spark, sf_dir):
     )
     assert "LeftAnti" in plan, plan
     assert "Broadcast" in plan
+
+
+def test_local_supplier_volume_broadcast_dims(spark, sf_dir):
+    """Q5 shape: supplier/nation/region broadcast; the fact side exchanges
+    only for the orderkey and custkey joins, and the region filter prunes
+    the nation dim before it reaches the fact."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import advanced
+
+    df = advanced.local_supplier_volume(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    filters = " ".join(pushed_filters(df))
+    assert "r_name" in filters, f"region pushdown missing: {filters}"
+    assert "o_orderdate" in filters, f"date pushdown missing: {filters}"
+
+
+def test_nation_market_share_single_agg_no_reshuffle(spark, sf_dir):
+    """Q8 shape: the conditional share-of-volume computes BOTH sums in ONE
+    aggregate over the star join — no second shuffle or self-join of the
+    fact to separate target-nation volume from total volume."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import advanced
+
+    df = advanced.nation_market_share(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    # one partial+final aggregate pair, not two independent agg pipelines
+    assert plan.count("HashAggregate") == 2, plan
+
+
+def test_top_supplier_revenue_max_is_broadcast_not_collect(spark, sf_dir):
+    """Q15 shape: the max-revenue threshold joins as a broadcast of the
+    1-row max frame — no driver-side collect of the aggregate."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import advanced
+
+    df = advanced.top_supplier_revenue(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    filters = " ".join(pushed_filters(df))
+    assert "l_shipdate" in filters, f"date pushdown missing: {filters}"
+
+
+def test_small_quantity_revenue_broadcasts_part_slice(spark, sf_dir):
+    """Q17 shape: the brand-filtered part slice and the per-part stats are
+    both broadcast — the lineitem fact never shuffles on partkey."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import advanced
+
+    df = advanced.small_quantity_revenue(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    filters = " ".join(pushed_filters(df))
+    assert "p_brand" in filters, f"brand pushdown missing: {filters}"
