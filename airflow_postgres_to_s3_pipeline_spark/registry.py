@@ -329,6 +329,48 @@ STREAMING_SESSION_ORACLE = """
 """
 
 
+def streaming_dynamic_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows (per-event gap expression: purchases
+    hold the session 60 min, other events 30) driven as a genuine stream;
+    the oracle is the interval-merge dual (running-max of window ends)."""
+    events = stream_windows.read_events_stream(spark, sf_dir)
+    stream = stream_windows.dynamic_session_counts(events)
+    return stream_windows.run_stream_to_memory(stream, spark, output_mode="complete")
+
+
+STREAMING_DYNAMIC_SESSION_ORACLE = """
+    WITH g AS (
+        SELECT user_id, ts,
+               ts + CASE WHEN event_type = 'purchase'
+                         THEN INTERVAL 60 MINUTE
+                         ELSE INTERVAL 30 MINUTE END AS ev_end
+        FROM events
+    ), m AS (
+        SELECT user_id, ts, ev_end,
+               MAX(ev_end) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS prev_max_end
+        FROM g
+    ), f AS (
+        SELECT user_id, ts, ev_end,
+               CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+                    THEN 1 ELSE 0 END AS new_s
+        FROM m
+    ), s AS (
+        SELECT user_id, ts, ev_end,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ev_end) AS session_end,
+           COUNT(*) AS n_events
+    FROM s
+    GROUP BY user_id, sid
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry assembly
 # ---------------------------------------------------------------------------
@@ -449,6 +491,7 @@ QUERIES: dict[str, QueryFn] = {
     "array_agg_ordered": advanced.array_agg_ordered,
     "apply_in_pandas_zscore": udfs.apply_in_pandas_zscore,
     "streaming_sliding_agg": streaming_sliding_agg,
+    "streaming_dynamic_session": streaming_dynamic_session,
     "dedup_keep_first": dedup.dedup_keep_first,
     "dedup_incremental": dedup.dedup_incremental,
     "embedding_norms": similarity.embedding_norms,
@@ -588,7 +631,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "E23": ("streaming_session_window", "streaming_dedup",
             "streaming_stateful_running_totals",
             "streaming_stream_stream_join",
-            "streaming_ss_left_outer_join"),
+            "streaming_ss_left_outer_join",
+            "streaming_dynamic_session"),
     "E24": ("dedup_exact", "dedup_keep_first", "dedup_incremental"),
     "E25": ("ngram_jaccard_pairs", "minhash_lsh_dedup", "simhash_dedup",
             "dedup_components", "minhash_ml_pairs", "chunk_dedup",
@@ -620,6 +664,7 @@ def _collect_oracles() -> dict[str, str]:
     oracles["streaming_stream_stream_join"] = STREAMING_SS_JOIN_ORACLE
     oracles["streaming_ss_left_outer_join"] = STREAMING_SS_LEFT_OUTER_ORACLE
     oracles["python_stream_source_agg"] = PYTHON_STREAM_SOURCE_ORACLE
+    oracles["streaming_dynamic_session"] = STREAMING_DYNAMIC_SESSION_ORACLE
     oracles["streaming_stateful_running_totals"] = STREAMING_STATEFUL_ORACLE
     oracles["streaming_static_enrich"] = STREAMING_STATIC_ENRICH_ORACLE
     # only keep oracles for registered queries

@@ -96,6 +96,30 @@ def session_counts(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def dynamic_session_counts(events: DataFrame,
+                           watermark: str = "2 hours") -> DataFrame:
+    """E23 depth: session windows with a PER-EVENT gap expression — a
+    purchase keeps its session alive for 60 minutes, everything else for
+    30.  Spark merges events whose [ts, ts + gap) intervals chain
+    (next.ts < running max end), which is exactly the classic
+    interval-merge, so the stream result carries a full SQL oracle built
+    from a running-max window."""
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("60 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def dedup_stream(events: DataFrame, keys: list[str] | None = None,
                  watermark: str = "2 hours",
                  within_watermark: bool = False) -> DataFrame:
