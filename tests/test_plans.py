@@ -197,3 +197,40 @@ def test_small_quantity_revenue_broadcasts_part_slice(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     filters = " ".join(pushed_filters(df))
     assert "p_brand" in filters, f"brand pushdown missing: {filters}"
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
+    """At 100 TB a selective dim filter should prune the fact scan even
+    when the dim outgrows broadcast: Spark's runtime bloom-filter
+    (InjectRuntimeFilter) builds bloom_filter_agg on the filtered creation
+    side and applies might_contain on the fact side.  Locally every dim
+    broadcasts (where DPP/broadcast pruning covers it), so this pins the
+    at-scale shape by disabling broadcast for one plan."""
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_to_s3_pipeline_spark.catalog import table
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_scan = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        l = table(spark, sf_dir, "lineitem")
+        o = table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 400000
+        ).select("o_orderkey")
+        j = l.join(o, l.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_scan,
+        )
