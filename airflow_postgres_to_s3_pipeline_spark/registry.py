@@ -66,6 +66,20 @@ STREAMING_DEDUP_ORACLE = """
 """
 
 
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    evicts key state once the watermark passes, so an unbounded stream
+    holds finite memory — the production-safe tier of streaming_dedup
+    (whose plain dropDuplicates keeps every key forever).  Same output on
+    this data (event_ids are unique within any watermark span), so the
+    same exact oracle applies."""
+    events = stream_windows.read_events_stream(spark, sf_dir)
+    deduped = stream_windows.dedup_stream(
+        events, within_watermark=True
+    ).select("event_id", "user_id", "event_type")
+    return stream_windows.run_stream_to_memory(deduped, spark, output_mode="append")
+
+
 def streaming_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_windows.read_events_stream(spark, sf_dir)
     stream = stream_windows.sliding_counts(events)
@@ -492,6 +506,7 @@ QUERIES: dict[str, QueryFn] = {
     "apply_in_pandas_zscore": udfs.apply_in_pandas_zscore,
     "streaming_sliding_agg": streaming_sliding_agg,
     "streaming_dynamic_session": streaming_dynamic_session,
+    "streaming_dedup_within_watermark": streaming_dedup_within_watermark,
     "dedup_keep_first": dedup.dedup_keep_first,
     "dedup_incremental": dedup.dedup_incremental,
     "embedding_norms": similarity.embedding_norms,
@@ -632,7 +647,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "streaming_stateful_running_totals",
             "streaming_stream_stream_join",
             "streaming_ss_left_outer_join",
-            "streaming_dynamic_session"),
+            "streaming_dynamic_session",
+            "streaming_dedup_within_watermark"),
     "E24": ("dedup_exact", "dedup_keep_first", "dedup_incremental"),
     "E25": ("ngram_jaccard_pairs", "minhash_lsh_dedup", "simhash_dedup",
             "dedup_components", "minhash_ml_pairs", "chunk_dedup",
@@ -665,6 +681,7 @@ def _collect_oracles() -> dict[str, str]:
     oracles["streaming_ss_left_outer_join"] = STREAMING_SS_LEFT_OUTER_ORACLE
     oracles["python_stream_source_agg"] = PYTHON_STREAM_SOURCE_ORACLE
     oracles["streaming_dynamic_session"] = STREAMING_DYNAMIC_SESSION_ORACLE
+    oracles["streaming_dedup_within_watermark"] = STREAMING_DEDUP_ORACLE
     oracles["streaming_stateful_running_totals"] = STREAMING_STATEFUL_ORACLE
     oracles["streaming_static_enrich"] = STREAMING_STATIC_ENRICH_ORACLE
     # only keep oracles for registered queries
