@@ -329,3 +329,66 @@ def test_transform_with_state_tier(spark, sf_dir):
         .collect()
     }
     assert got == batch
+
+
+def test_dynamic_session_multi_batch_equals_batch(spark, sf_dir, tmp_path):
+    """Dynamic-gap session windows over a time-ordered multi-batch split
+    must equal the batch interval-merge (running max of per-event ends
+    decides session breaks)."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import Window
+
+    from airflow_postgres_to_s3_pipeline_spark.catalog import normalize_events_ts
+
+    split_dir = str(tmp_path / "dyn_split")
+    os.makedirs(split_dir)
+    t = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
+    n = t.num_rows
+    for b, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3),
+                                  (2 * n // 3, n)]):
+        pq.write_table(t.slice(lo, hi - lo),
+                       os.path.join(split_dir, f"events_{b}.parquet"))
+
+    events = sw.read_events_stream(spark, split_dir, max_files_per_trigger=1)
+    got = sorted(
+        map(tuple, sw.run_stream_to_memory(
+            sw.dynamic_session_counts(events), spark, "complete"
+        ).collect())
+    )
+
+    ev = normalize_events_ts(
+        spark.read.parquet(f"{split_dir}/events_*.parquet")
+    )
+    gap_min = F.when(F.col("event_type") == "purchase", 60).otherwise(30)
+    g = ev.select(
+        "user_id", "ts",
+        (F.col("ts") + gap_min * F.expr("INTERVAL 1 MINUTE")).alias("ev_end"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = g.withColumn("prev_max_end", F.max("ev_end").over(w_prev))
+    f = m.withColumn(
+        "new_s",
+        F.when(
+            F.col("prev_max_end").isNull()
+            | (F.col("ts") >= F.col("prev_max_end")),
+            1,
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = f.withColumn("sid", F.sum("new_s").over(w_run))
+    batch = sorted(
+        map(tuple, s.groupBy("user_id", "sid").agg(
+            F.min("ts").alias("session_start"),
+            F.max("ev_end").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        ).select("user_id", "session_start", "session_end", "n_events")
+        .collect())
+    )
+    assert got == batch
