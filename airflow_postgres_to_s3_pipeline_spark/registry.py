@@ -583,6 +583,7 @@ QUERIES: dict[str, QueryFn] = {
     "python_stream_source_agg": python_stream_source_agg,
     "minhash_ml_pairs": ml_feature.minhash_ml_pairs,
     "tfidf_ml_features": ml_feature.tfidf_ml_features,
+    "knn_ivf_gemm": similarity.knn_ivf_gemm,
     "embedding_random_projection": similarity.embedding_random_projection,
     "multimodal_audio_energy": multimodal.multimodal_audio_energy,
     "lang_stats": text.lang_stats,
@@ -654,8 +655,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "dedup_components", "minhash_ml_pairs", "chunk_dedup",
             "chunk_near_dedup"),
     "E26": ("knn_bruteforce", "embedding_norms", "embedding_near_dup",
-            "embedding_quantize", "knn_ivf", "knn_gemm", "semantic_dedup",
-            "kmeans_embeddings", "embedding_lsh_near_dup",
+            "embedding_quantize", "knn_ivf", "knn_ivf_gemm", "knn_gemm",
+            "semantic_dedup", "kmeans_embeddings", "embedding_lsh_near_dup",
             "embedding_random_projection"),
     "E27": ("doc_quality", "lang_id_heuristic", "tfidf_top_terms",
             "token_count", "bpe_token_count", "corpus_mix_sample",

@@ -83,7 +83,8 @@ def main() -> int:
     # like any corpus).  Sizes are capped independently of n — the pairwise
     # shapes have their own scaling laws (see each operator's docstring).
     vector_labels = {"vector_knn_hof", "vector_knn_gemm",
-                     "vector_lsh_near_dup", "vector_semantic_dedup"}
+                     "vector_lsh_near_dup", "vector_semantic_dedup",
+                     "vector_kmeans", "vector_knn_ivf"}
     if not only or (only & vector_labels):
         import shutil
         import tempfile
@@ -136,6 +137,16 @@ def main() -> int:
         results.append(run_vec(
             "vector_semantic_dedup", nv_sem,
             lambda d: similarity.semantic_dedup(spark, d, k=nv_sem // 250)))
+        # r4: the newly fully-oracled iterative/index tiers at scale
+        nv_km = min(n, 500_000)
+        results.append(run_vec(
+            "vector_kmeans", nv_km,
+            lambda d: similarity.kmeans_embeddings(spark, d, k=64)))
+        results.append(run_vec(
+            "vector_knn_ivf", nv_km,
+            lambda d: similarity.knn_ivf(
+                spark, d, every=max(50, int(nv_km ** 0.5)),
+                assign_tier="gemm")))
 
     # Text + graph shapes: run the REAL text-pipeline and graph operators
     # against synthetic corpora written once to a temp dir (same
