@@ -148,8 +148,13 @@ def minhash_signatures_md5(shingles: DataFrame, n_hashes: int = 32) -> DataFrame
     DuckDB-oracle-checkable tier.
 
     Kirsch-Mitzenmacher double hashing: take the first 60 bits of the md5
-    as x, derive x1 = x mod p and x2 = (x >> 30) mod (p-1) + 1, and build
-    slot i as ``h_i = (x1 + i*x2) mod p`` with p = 2^31-1.  Every step
+    as x, derive x1 = x mod p and x2 = (x >> 29) mod (p-1) + 1, and build
+    slot i as ``h_i = (x1 + i*x2) mod p`` with p = 2^31-1.  The 31-bit
+    slice (x >> 29) spans the full step range [1, p-1] (ADVICE r4: a
+    30-bit slice only reached half of it); x1 and x2 still share md5 bits
+    29-59 — KM tolerates that dependence, and staying within ONE 60-bit
+    conv keeps the hot projection at a single hex->bigint per shingle (a
+    second conv measured ~60% slower for marginal extra entropy).  Every step
     (md5, hex→bigint, shift, modular arithmetic, array min) is
     bit-identical in any engine with md5 + 64-bit integers, so the full
     signature→band→candidate→Jaccard chain carries an exact SQL oracle —
@@ -164,7 +169,7 @@ def minhash_signatures_md5(shingles: DataFrame, n_hashes: int = 32) -> DataFrame
     # per shingle (ONE hex->bigint conversion; a second conv measured ~60%
     # slower for no extra entropy), the second splits it into the (x1, x2)
     # double-hashing pair — x1 from the full value mod p, x2 from the top
-    # 30 bits (shift mirrors DuckDB's `>>` exactly).
+    # 31 bits (shift mirrors DuckDB's `>>` exactly).
     md5s = shingles.select(
         "doc_id",
         F.transform(
@@ -181,7 +186,7 @@ def minhash_signatures_md5(shingles: DataFrame, n_hashes: int = 32) -> DataFrame
             lambda x: F.struct(
                 (x % p).alias("x1"),
                 (
-                    F.shiftright(x, 30) % (p - F.lit(1).cast("long"))
+                    F.shiftright(x, 29) % (p - F.lit(1).cast("long"))
                     + F.lit(1).cast("long")
                 ).alias("x2"),
             ),
@@ -383,7 +388,7 @@ def _minhash_lsh_oracle(n_hashes: int = 32, bands: int = 8,
     ), hx AS (
         SELECT doc_id,
                x % {p} AS x1,
-               (x >> 30) % {p - 1} + 1 AS x2
+               (x >> 29) % {p - 1} + 1 AS x2
         FROM hx0
     ), sigs AS (
         SELECT doc_id,

@@ -248,8 +248,18 @@ def ivf_assign_gemm(e: DataFrame, centroids: DataFrame,
     )
 
 
-def knn_ivf(spark: SparkSession, sf_dir: str, n_probe: int = 2,
-            every: int = 50, assign_tier: str = "fold") -> DataFrame:
+# Module defaults for the IVF tier.  The registered oracle is GENERATED
+# from these same constants (_knn_ivf_oracle below), so signature defaults
+# and oracle can never drift apart; non-default invocations (e.g.
+# tools/scale_smoke.py with every ~ sqrt(n)) are NOT covered by the
+# registered oracle — regenerate with _knn_ivf_oracle(every, n_probe) to
+# verify those.
+IVF_EVERY = 50
+IVF_N_PROBE = 2
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str, n_probe: int = IVF_N_PROBE,
+            every: int = IVF_EVERY, assign_tier: str = "gemm") -> DataFrame:
     """Approximate top-5 neighbors via IVF: probe the n_probe nearest
     centroid cells per query instead of the whole corpus.  Recall is
     approximate by design, but the COMPUTATION is fully deterministic
@@ -267,8 +277,10 @@ def knn_ivf(spark: SparkSession, sf_dir: str, n_probe: int = 2,
     (measured: >10 min, unusable) vs ~350M at the classic sqrt balance
     (every ~ sqrt(n), n_cells ~ sqrt(n)).  The build amortizes over every
     future query; the per-query probe is what a serving path pays.
-    ``assign_tier="gemm"`` runs the build on the numpy cogroup tier
-    (bit-identical assignment, 20x faster — see ivf_assign_gemm).
+    The index build DEFAULTS to the numpy cogroup GEMM tier
+    (``ivf_assign_gemm`` — the plan you'd ship at 100x corpus size);
+    ``assign_tier="fold"`` keeps the shuffle-free HOF reference semantics
+    (bit-identical assignment, measured 20x slower at 500k vectors).
     """
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
@@ -313,16 +325,21 @@ def knn_ivf(spark: SparkSession, sf_dir: str, n_probe: int = 2,
     )
 
 
-_oracle(
-    "knn_ivf",
-    f"""
+def _knn_ivf_oracle(every: int = IVF_EVERY,
+                    n_probe: int = IVF_N_PROBE) -> str:
+    """Exact SQL mirror of ``knn_ivf(every=every, n_probe=n_probe)`` —
+    generated from the SAME parameters as the Spark signature defaults so
+    the registered oracle cannot silently diverge from the code path the
+    driver runs (ADVICE r4: a hard-coded stride invalidates non-default
+    calls; callers with custom strides regenerate their own mirror)."""
+    return f"""
     WITH e AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
     ), cents AS (
-        SELECT vec_id // 50 AS centroid_id, v AS cv
-        FROM e WHERE vec_id % 50 = 0
+        SELECT vec_id // {every} AS centroid_id, v AS cv
+        FROM e WHERE vec_id % {every} = 0
     ), assigned AS (
         SELECT vec_id, v, centroid_id FROM (
             SELECT e.vec_id, e.v, c.centroid_id,
@@ -343,7 +360,7 @@ _oracle(
                        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
                                 c.centroid_id ASC) AS prnk
             FROM q, cents c
-        ) WHERE prnk <= 2
+        ) WHERE prnk <= {n_probe}
     ), cand AS (
         SELECT p.query_id, a.vec_id AS neighbor_id,
                ROUND(list_cosine_similarity(p.qv, a.v), 4) AS sim
@@ -356,19 +373,24 @@ _oracle(
                       ORDER BY sim DESC, neighbor_id ASC) AS rnk
         FROM cand
     ) WHERE rnk <= {TOP_K}
-    """,
-)
+    """
 
 
-def knn_ivf_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``knn_ivf`` with the index build on the GEMM tier
-    (``ivf_assign_gemm``): same deterministic assignment (bit-identical
-    dimension-ordered numpy accumulation), same probe/rank chain, same
-    exact oracle — 20x faster index build (443s -> 23s) at 500k vectors."""
-    return knn_ivf(spark, sf_dir, assign_tier="gemm")
+_oracle("knn_ivf", _knn_ivf_oracle())
 
 
-ORACLES["knn_ivf_gemm"] = ORACLES["knn_ivf"]
+def knn_ivf_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``knn_ivf`` with the index build on the shuffle-free HOF fold tier
+    (``ivf_assign``) — the reference semantics the GEMM cogroup tier is
+    verified against: same deterministic assignment (dimension-ordered
+    fp64 accumulation is bit-identical in both), same probe/rank chain,
+    same exact oracle.  The default (GEMM) build is 20x faster at 500k
+    vectors (443s -> 23s); this tier stays registered so both builds keep
+    independent end-to-end evidence."""
+    return knn_ivf(spark, sf_dir, assign_tier="fold")
+
+
+ORACLES["knn_ivf_fold"] = ORACLES["knn_ivf"]
 
 
 def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str,

@@ -186,11 +186,20 @@ STREAMING_SS_LEFT_OUTER_ORACLE = """
         -- the query's global watermark is the MIN over both sides'
         -- watermark nodes, each computed over the rows reaching it (the
         -- filtered click / purchase substreams, NOT all events), tracked
-        -- at millisecond resolution
-        SELECT LEAST(
-                   make_timestamp(epoch_ms(MAX(ts) FILTER (event_type = 'click')) * 1000),
-                   make_timestamp(epoch_ms(MAX(ts) FILTER (event_type = 'purchase')) * 1000)
-               ) - INTERVAL 2 HOUR AS wm_final
+        -- at millisecond resolution.  If EITHER side saw no rows, its
+        -- Spark watermark stays at epoch and no outer rows are ever
+        -- emitted — the CASE guard mirrors that (DuckDB's LEAST would
+        -- otherwise IGNORE the NULL and fall back to the populated side,
+        -- wrongly null-extending rows on degenerate data; ADVICE r4).
+        SELECT CASE
+                   WHEN MAX(ts) FILTER (event_type = 'click') IS NULL
+                     OR MAX(ts) FILTER (event_type = 'purchase') IS NULL
+                   THEN NULL
+                   ELSE LEAST(
+                       make_timestamp(epoch_ms(MAX(ts) FILTER (event_type = 'click')) * 1000),
+                       make_timestamp(epoch_ms(MAX(ts) FILTER (event_type = 'purchase')) * 1000)
+                   ) - INTERVAL 2 HOUR
+               END AS wm_final
         FROM events
     ), clicks AS (
         SELECT * FROM events WHERE event_type = 'click'
@@ -583,7 +592,7 @@ QUERIES: dict[str, QueryFn] = {
     "python_stream_source_agg": python_stream_source_agg,
     "minhash_ml_pairs": ml_feature.minhash_ml_pairs,
     "tfidf_ml_features": ml_feature.tfidf_ml_features,
-    "knn_ivf_gemm": similarity.knn_ivf_gemm,
+    "knn_ivf_fold": similarity.knn_ivf_fold,
     "embedding_random_projection": similarity.embedding_random_projection,
     "multimodal_audio_energy": multimodal.multimodal_audio_energy,
     "lang_stats": text.lang_stats,
@@ -655,7 +664,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "dedup_components", "minhash_ml_pairs", "chunk_dedup",
             "chunk_near_dedup"),
     "E26": ("knn_bruteforce", "embedding_norms", "embedding_near_dup",
-            "embedding_quantize", "knn_ivf", "knn_ivf_gemm", "knn_gemm",
+            "embedding_quantize", "knn_ivf", "knn_ivf_fold", "knn_gemm",
             "semantic_dedup", "kmeans_embeddings", "embedding_lsh_near_dup",
             "embedding_random_projection"),
     "E27": ("doc_quality", "lang_id_heuristic", "tfidf_top_terms",

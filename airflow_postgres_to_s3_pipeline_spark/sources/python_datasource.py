@@ -110,10 +110,11 @@ def _hs(batch: int, partition: int, row: int, salt: str) -> int:
 
 
 class _EventsStreamPartition(InputPartition):
-    def __init__(self, batch: int, pid: int, n_rows: int):
+    def __init__(self, batch: int, pid: int, n_rows: int, start: int):
         self.batch = batch
         self.pid = pid
         self.n_rows = n_rows
+        self.start = start  # batch-local offset of this partition's first row
 
 
 class _EventsStreamReader(DataSourceStreamReader):
@@ -133,16 +134,27 @@ class _EventsStreamReader(DataSourceStreamReader):
         return {"batch": self._latest}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # Even split, remainder to the LAST partition, so the source emits
+        # exactly rows_per_batch rows for ANY (rows, partitions) combination
+        # (ADVICE r4: floor division silently dropped the remainder and
+        # under-emitted vs the advertised row count).
         rows_per_part = self.rows_per_batch // self.n_partitions
+        remainder = self.rows_per_batch % self.n_partitions
         return [
-            _EventsStreamPartition(b, p, rows_per_part)
+            _EventsStreamPartition(
+                b,
+                p,
+                rows_per_part
+                + (remainder if p == self.n_partitions - 1 else 0),
+                p * rows_per_part,
+            )
             for b in range(start["batch"], end["batch"])
             for p in range(self.n_partitions)
         ]
 
     def read(self, partition: _EventsStreamPartition) -> Iterator[tuple]:
         b, p = partition.batch, partition.pid
-        base = (b * self.n_partitions + p) * partition.n_rows
+        base = b * self.rows_per_batch + partition.start
         for i in range(partition.n_rows):
             event_id = base + i
             user_id = _hs(b, p, i, "user") % 1000

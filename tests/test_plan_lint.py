@@ -46,7 +46,7 @@ ALLOWED_PRODUCT = {
     "heavy_hitters_terms",
     "knn_bruteforce",
     "knn_ivf",
-    "knn_ivf_gemm",  # same deliberate queries x centroid-cells probe product
+    "knn_ivf_fold",  # same deliberate queries x centroid-cells probe product
     "kmeans_embeddings",
     "embedding_lsh_near_dup",
     "hll_sketch_users",
