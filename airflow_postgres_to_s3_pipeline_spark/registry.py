@@ -417,12 +417,18 @@ _MODULES = (
 # covers a ~50-entry window in insertion order (round 1 stopped at exactly
 # entry #50), so the first 50 entries below are one-or-two representatives
 # of EVERY SURVEY.md §2 operator family — §2A parity, E2-E28, graph —
-# rotated each round so high-value new work gains driver evidence
-# (round 3: semantic_dedup, knn_gemm, chunk_dedup, pagerank, BM25,
-# sequence packing, contamination check, TPC-H Q13 took the slots of
-# same-family duplicates).  Entries past #50 are additional variants of
-# families already represented above; all are still locally verified by
-# tools/check_oracles.py and pytest regardless of driver coverage.
+# rotated each round so high-value new work gains driver evidence.
+# Round-5 rotation (all nine r4-green demotions keep prior-round driver
+# evidence): IN nation_market_share / min_cost_supplier /
+# sole_supplier_orders (TPC-H Q8/Q2/Q21 shapes),
+# streaming_ss_left_outer_join, streaming_dynamic_session,
+# python_stream_source_agg, chunk_dedup, chunk_near_dedup,
+# sequence_packing_bpe; OUT range_join_bucketed, distinct_pairs,
+# python_udtf_word_expand, streaming_session_window, streaming_dedup,
+# ngram_jaccard_pairs, knn_bruteforce, tfidf_top_terms, repetition_stats.
+# Entries past #50 are additional variants of families already represented
+# above; all are still locally verified by tools/check_oracles.py and
+# pytest regardless of driver coverage.
 QUERIES: dict[str, QueryFn] = {
     # -- driver window: one representative per §2 family -------------------
     # §2A reference parity (projection+filter export query, Q1/Q2)
@@ -432,16 +438,19 @@ QUERIES: dict[str, QueryFn] = {
     "filter_compound": relational.filter_compound,
     # E8 flagship aggregate
     "pricing_summary": relational.pricing_summary,
-    # E4-E7 joins (equi broadcast, outer, semi, range, bucketed-range)
+    # E4-E7 joins (equi broadcast, outer, semi, range)
     "join_broadcast_dims": relational.join_broadcast_dims,
     "join_left_outer": relational.join_left_outer,
     "join_semi": relational.join_semi,
     "join_range": relational.join_range,
-    "range_join_bucketed": relational.range_join_bucketed,
     # E5/E8 TPC-H Q13: outer-join count distribution
     "customer_order_distribution": advanced.customer_order_distribution,
-    # E9 distinct tiers (exact + HLL-sketch-with-bound)
-    "distinct_pairs": relational.distinct_pairs,
+    # E4/E6 TPC-H shapes (r5 rotation): Q8 two-level market-share agg,
+    # Q2 correlated-min-cost supplier, Q21 semi+anti sole-supplier
+    "nation_market_share": advanced.nation_market_share,
+    "min_cost_supplier": advanced.min_cost_supplier,
+    "sole_supplier_orders": advanced.sole_supplier_orders,
+    # E9 distinct (HLL-sketch-with-bound tier; exact tiers after window)
     "hll_sketch_users": sketches.hll_sketch_users,
     # E10 rollup
     "rollup_acctbal": relational.rollup_acctbal,
@@ -459,53 +468,59 @@ QUERIES: dict[str, QueryFn] = {
     "conditional_functions": scalar_funcs.conditional_functions,
     "array_functions": scalar_funcs.array_functions,
     "json_functions": scalar_funcs.json_functions,
-    # E21 UDF surface (pandas UDF + UDTF; applyInPandas variant after window)
+    # E21 UDF surface (pandas UDF; UDTF/applyInPandas variants after window)
     "pandas_udf_score": udfs.pandas_udf_score,
-    "python_udtf_word_expand": udfs.python_udtf_word_expand,
-    # E22-E23 streaming (genuine readStream executions)
+    # E22-E23 streaming (genuine readStream executions; r5 rotation:
+    # stream-stream LEFT OUTER join with watermark state eviction,
+    # dynamic-gap sessions, and the Spark 4 Python streaming DataSource)
     "streaming_tumbling_agg": streaming_tumbling_agg,
-    "streaming_session_window": streaming_session_window,
-    "streaming_dedup": streaming_dedup,
     "streaming_stateful_running_totals": streaming_stateful_running_totals,
+    "streaming_ss_left_outer_join": streaming_ss_left_outer_join,
+    "streaming_dynamic_session": streaming_dynamic_session,
+    "python_stream_source_agg": python_stream_source_agg,
     # E24 exact dedup
     "dedup_exact": dedup.dedup_exact,
-    # E25 near-dedup: exact n-gram Jaccard, md5-checkable MinHash-LSH /
-    # SimHash / connected-components (r4: simhash_dedup + dedup_components
-    # gained full md5-derived oracles and rotated in for chunk_near_dedup +
-    # union_snapshots), passage-level exact tier
-    "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+    # E25 near-dedup: md5-checkable MinHash-LSH / SimHash /
+    # connected-components, plus the passage-level exact + near tiers
+    # (r5 rotation: chunk_dedup, chunk_near_dedup)
     "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
     "simhash_dedup": dedup.simhash_dedup,
     "dedup_components": dedup.dedup_components,
+    "chunk_dedup": dedup.chunk_dedup,
+    "chunk_near_dedup": dedup.chunk_near_dedup,
     "semantic_dedup": similarity.semantic_dedup,
-    # E26 similarity search (brute-force baseline, GEMM tier, IVF index,
-    # iterative k-means, hyperplane-LSH — r4: the last three gained full
-    # oracles and rotated in for chunk_dedup / embedding_quantize /
-    # doc_chunking)
-    "knn_bruteforce": similarity.knn_bruteforce,
+    # E26 similarity search (GEMM top-k tier, IVF index with GEMM build,
+    # iterative k-means, hyperplane-LSH; brute-force baseline after window
+    # shares knn_gemm's oracle)
     "knn_gemm": similarity.knn_gemm,
     "knn_ivf": similarity.knn_ivf,
     "kmeans_embeddings": similarity.kmeans_embeddings,
     "embedding_lsh_near_dup": similarity.embedding_lsh_near_dup,
-    # E27 text analysis / corpus curation
+    # E27 text analysis / corpus curation (r5 rotation: BPE-tier packing)
     "doc_quality": text.doc_quality,
     "lang_id_heuristic": text.lang_id_heuristic,
-    "tfidf_top_terms": text.tfidf_top_terms,
     "bm25_scoring": text.bm25_scoring,
-    "repetition_stats": text.repetition_stats,
     "sequence_packing": curation.sequence_packing,
+    "sequence_packing_bpe": curation.sequence_packing_bpe,
     "contamination_check": curation.contamination_check,
     # graph analytics
     "part_cooccurrence_lift": graph.part_cooccurrence_lift,
     "pagerank_parts": graph.pagerank_parts,
     # E28 multimodal
     "multimodal_decode": multimodal.multimodal_decode,
-    "multimodal_partition_stats": multimodal.multimodal_partition_stats,
     # -- end of driver window (50) -----------------------------------------
     # additional variants, all locally oracle/pytest-verified
+    "multimodal_partition_stats": multimodal.multimodal_partition_stats,
+    "range_join_bucketed": relational.range_join_bucketed,
+    "distinct_pairs": relational.distinct_pairs,
+    "python_udtf_word_expand": udfs.python_udtf_word_expand,
+    "streaming_session_window": streaming_session_window,
+    "streaming_dedup": streaming_dedup,
+    "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+    "knn_bruteforce": similarity.knn_bruteforce,
+    "tfidf_top_terms": text.tfidf_top_terms,
+    "repetition_stats": text.repetition_stats,
     "union_snapshots": advanced.union_snapshots,
-    "chunk_near_dedup": dedup.chunk_near_dedup,
-    "chunk_dedup": dedup.chunk_dedup,
     "embedding_quantize": similarity.embedding_quantize,
     "doc_chunking": text.doc_chunking,
     "approx_percentiles": relational.approx_percentiles,
@@ -514,7 +529,6 @@ QUERIES: dict[str, QueryFn] = {
     "array_agg_ordered": advanced.array_agg_ordered,
     "apply_in_pandas_zscore": udfs.apply_in_pandas_zscore,
     "streaming_sliding_agg": streaming_sliding_agg,
-    "streaming_dynamic_session": streaming_dynamic_session,
     "streaming_dedup_within_watermark": streaming_dedup_within_watermark,
     "dedup_keep_first": dedup.dedup_keep_first,
     "dedup_incremental": dedup.dedup_incremental,
@@ -554,12 +568,9 @@ QUERIES: dict[str, QueryFn] = {
     "funnel_conversion": advanced.funnel_conversion,
     "order_priority_check": advanced.order_priority_check,
     "supplier_variety": advanced.supplier_variety,
-    "min_cost_supplier": advanced.min_cost_supplier,
     "large_volume_orders": advanced.large_volume_orders,
-    "sole_supplier_orders": advanced.sole_supplier_orders,
     "nation_volume_shipping": advanced.nation_volume_shipping,
     "local_supplier_volume": advanced.local_supplier_volume,
-    "nation_market_share": advanced.nation_market_share,
     "top_supplier_revenue": advanced.top_supplier_revenue,
     "small_quantity_revenue": advanced.small_quantity_revenue,
     "recursive_order_chain": advanced.recursive_order_chain,
@@ -587,9 +598,7 @@ QUERIES: dict[str, QueryFn] = {
     "arrow_udf_tier": udfs.arrow_udf_tier,
     "model_inference_scores": udfs.model_inference_scores,
     "streaming_stream_stream_join": streaming_stream_stream_join,
-    "streaming_ss_left_outer_join": streaming_ss_left_outer_join,
     "streaming_static_enrich": streaming_static_enrich,
-    "python_stream_source_agg": python_stream_source_agg,
     "minhash_ml_pairs": ml_feature.minhash_ml_pairs,
     "tfidf_ml_features": ml_feature.tfidf_ml_features,
     "knn_ivf_fold": similarity.knn_ivf_fold,
@@ -606,7 +615,6 @@ QUERIES: dict[str, QueryFn] = {
     "mode_argmax": advanced.mode_argmax,
     "corpus_mix_sample": curation.corpus_mix_sample,
     "bpe_token_count": curation.bpe_token_count,
-    "sequence_packing_bpe": curation.sequence_packing_bpe,
 }
 
 
@@ -624,10 +632,11 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "E4": ("join_broadcast_dims", "join_shuffle_multiway",
            "nation_volume_shipping", "local_supplier_volume",
            "nation_market_share", "top_supplier_revenue",
-           "small_quantity_revenue"),
+           "small_quantity_revenue", "min_cost_supplier"),
     "E5": ("join_left_outer", "join_full_outer",
            "customer_order_distribution"),
-    "E6": ("join_semi", "join_anti", "inactive_high_value_customers"),
+    "E6": ("join_semi", "join_anti", "inactive_high_value_customers",
+           "sole_supplier_orders"),
     "E7": ("join_range", "range_join_bucketed"),
     "E8": ("pricing_summary", "agg_stats", "corr_covar",
            "pivot_status_counts", "array_agg_ordered", "string_agg_ordered",
