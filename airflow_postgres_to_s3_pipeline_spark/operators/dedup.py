@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from airflow_postgres_to_s3_pipeline_spark.cache import tracked_persist
 from airflow_postgres_to_s3_pipeline_spark.catalog import table
 
 ORACLES: dict[str, str] = {}
@@ -321,9 +322,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     """
     if shards:
         df = df.repartition(shards)
-    sh = shingle_arrays(df, text_col, id_col, k).persist()
+    # shingles carry the corpus text as arrays -> corpus-sized cache;
+    # signatures are (doc_id, 32 longs) -> thin.  Both registered with the
+    # cache tracker so the terminal consumer releases them (cache.py).
+    sh = tracked_persist(shingle_arrays(df, text_col, id_col, k), corpus=True)
     sign = minhash_signatures_md5 if checkable else minhash_signatures
-    sig = sign(sh, n_hashes).persist()
+    sig = tracked_persist(sign(sh, n_hashes))
     cand = lsh_candidate_pairs(sig, n_hashes, bands, checkable=checkable)
     return verify_jaccard(cand, sh, threshold)
 
@@ -553,8 +557,8 @@ def connected_components(pairs: DataFrame, node_ids: DataFrame,
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
         .distinct()
-        .persist()
     )
+    edges = tracked_persist(edges)
     labels = node_ids.select(
         F.col("doc_id"), F.col("doc_id").alias("cluster_id")
     )
@@ -767,10 +771,10 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     """
     # persist: the chunked self-join consumes the signatures twice.
     if checkable:
-        sig = simhash_signatures_md5(df, text_col, id_col).persist()
+        sig = tracked_persist(simhash_signatures_md5(df, text_col, id_col))
         chunk_bits, n_chunks = 15, 4
     else:
-        sig = simhash_signatures(df, text_col, id_col).persist()
+        sig = tracked_persist(simhash_signatures(df, text_col, id_col))
         chunk_bits, n_chunks = 16, 4
     mask = (1 << chunk_bits) - 1
     chunks = sig.select(

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from airflow_postgres_to_s3_pipeline_spark.cache import tracked_persist
 from airflow_postgres_to_s3_pipeline_spark.catalog import table
 
 ORACLES: dict[str, str] = {}
@@ -176,7 +177,7 @@ def pagerank_parts(spark: SparkSession, sf_dir: str,
     variant follows dedup.connected_components (scalar convergence
     action + localCheckpoint lineage cuts).
     """
-    edges = _symmetric_edges(spark, sf_dir).persist()
+    edges = tracked_persist(_symmetric_edges(spark, sf_dir))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n_nodes = deg.count()  # scalar collection statistic
     teleport = (PR_SCALE * (100 - PR_DAMP_NUM) // 100) // n_nodes

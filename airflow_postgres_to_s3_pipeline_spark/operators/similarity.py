@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from airflow_postgres_to_s3_pipeline_spark.cache import tracked_persist
 from airflow_postgres_to_s3_pipeline_spark.catalog import table
 from airflow_postgres_to_s3_pipeline_spark.functions.vector import (
     cosine_similarity,
@@ -493,7 +494,7 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str,
     # tree is re-evaluated per CANDIDATE row (24 plane-dots x n^2/2^bits
     # matches — measured 4.2s vs 0.2s for the same join at sf0.1).  The
     # frame is (id, 4 longs) per vector — negligible memory at any scale.
-    sig = with_planes.select("vec_id", bands.alias("bands")).persist()
+    sig = tracked_persist(with_planes.select("vec_id", bands.alias("bands")))
     # The probe side drives the join's parallelism: a single-file corpus
     # arrives as ONE partition and would run candidate generation in one
     # task (same trap as embedding_near_dup).
@@ -776,9 +777,13 @@ def semantic_dedup(spark: SparkSession, sf_dir: str,
     )
     # persisted: the pair stage and the size count both consume it, and the
     # assignment fold is too expensive to re-evaluate per branch
-    assigned = kmeans_assign(e, centroids).select(
-        "vec_id", "v", "cluster_id"
-    ).persist()
+    # corpus=True: the frame carries the full 64-dim vectors — at 100 TB
+    # this cache is corpus-sized, so its level honours
+    # SPARK_GRAFT_PERSIST_LEVEL (DISK_ONLY at scale; see cache.py)
+    assigned = tracked_persist(
+        kmeans_assign(e, centroids).select("vec_id", "v", "cluster_id"),
+        corpus=True,
+    )
 
     # Within-cluster pairwise compare as a per-cluster GEMM under
     # applyInPandas: each cluster's vectors cross the executor boundary

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from airflow_postgres_to_s3_pipeline_spark.cache import tracked_persist
 from airflow_postgres_to_s3_pipeline_spark.catalog import table
 from airflow_postgres_to_s3_pipeline_spark.functions.numeric import dsum
 
@@ -609,8 +610,8 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         )
-        .persist()
     )
+    hourly = tracked_persist(hourly)
     daily = (
         hourly.groupBy(
             "event_type",

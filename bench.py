@@ -20,12 +20,18 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 # Headline set: one per operator family, weighted toward the shuffle/join/
-# window/LLM paths that dominate at scale.
+# window/LLM paths that dominate at scale.  Refreshed r5 so every
+# expensive family has a driver-visible trend line: +knn_gemm,
+# +semantic_dedup, +bm25_scoring, +pagerank_parts, +nation_market_share
+# (TPC-H Q8 multi-join); -knn_bruteforce (same oracle as knn_gemm, slower
+# tier by design), -tfidf_top_terms (cheap; covered by bm25's heavier
+# superset plan).  History per query: docs/SCALE.md bench-trend table.
 BENCH_QUERIES = [
     "pricing_summary",
     "join_broadcast_dims",
     "join_shuffle_multiway",
     "join_range",
+    "nation_market_share",
     "window_topk_per_customer",
     "window_running_total",
     "tumbling_window_agg",
@@ -36,10 +42,12 @@ BENCH_QUERIES = [
     "minhash_lsh_dedup",
     "dedup_components",
     "simhash_dedup",
-    "knn_bruteforce",
+    "semantic_dedup",
+    "knn_gemm",
     "kmeans_embeddings",
     "doc_quality",
-    "tfidf_top_terms",
+    "bm25_scoring",
+    "pagerank_parts",
     "multimodal_decode",
     "salted_agg_hot_key",
     "window_lag_lead",
@@ -54,6 +62,7 @@ def main() -> int:
 
     from airflow_postgres_to_s3_pipeline_spark.session import get_spark
     from airflow_postgres_to_s3_pipeline_spark import registry
+    from airflow_postgres_to_s3_pipeline_spark.cache import release_persisted
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -90,6 +99,9 @@ def main() -> int:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(round(time.time() - t0, 3))
+            # drain the persist tracker (documented cache policy), then
+            # clear anything untracked — run N+1 must not hit run N's cache
+            release_persisted()
             spark.catalog.clearCache()
         cold[name] = runs[0]
         timings[name] = min(runs)

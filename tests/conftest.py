@@ -7,6 +7,36 @@ from airflow_postgres_to_s3_pipeline_spark.session import get_spark
 SF_DIR = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _testdata_drift_tripwire():
+    """Fail the whole run with ONE actionable message if the driver
+    regenerated testdata with different parquet schemas (r3 lost three
+    CORRECTNESS rows to silent timestamp-unit drift that surfaced only as
+    red oracle value mismatches).  Footer-only reads — costs ~50ms."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from schema_snapshot import SNAPSHOT_PATH, diff_snapshot
+
+    try:
+        drift = diff_snapshot()
+    except FileNotFoundError:
+        pytest.fail(
+            f"testdata schema snapshot missing ({SNAPSHOT_PATH}); re-pin "
+            "with: python tools/schema_snapshot.py --write"
+        )
+    if drift:
+        pytest.fail(
+            "DRIVER TESTDATA CHANGED since the committed schema snapshot "
+            "— fix readers/oracles for the drift below, then re-pin with "
+            "`python tools/schema_snapshot.py --write`:\n  "
+            + "\n  ".join(drift)
+        )
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)

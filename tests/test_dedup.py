@@ -55,7 +55,7 @@ def test_minhash_md5_tier_matches_planted_pairs(spark):
 def test_minhash_md5_signature_bit_determinism(spark):
     # pin one signature slot against an independent hashlib computation:
     # h_i(s) = (x1 + i*x2) mod 2^31-1, x = first 60 bits of md5(s),
-    # x1 = x mod p, x2 = (x >> 30) mod (p-1) + 1
+    # x1 = x mod p, x2 = (x >> 29) mod (p-1) + 1 (31-bit slice spans the full step range)
     import hashlib
 
     doc = spark.createDataFrame([(1, BASE)], ["doc_id", "text"])
@@ -73,7 +73,7 @@ def test_minhash_md5_signature_bit_determinism(spark):
 
     for i in range(4):
         expected = min(
-            (xs(s) % p + i * ((xs(s) >> 30) % (p - 1) + 1)) % p
+            (xs(s) % p + i * ((xs(s) >> 29) % (p - 1) + 1)) % p
             for s in shingles
         )
         assert sig[f"h{i}"] == expected, f"slot {i}"

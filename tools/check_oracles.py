@@ -56,6 +56,7 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as e
+    from airflow_postgres_to_s3_pipeline_spark.cache import release_persisted
     from airflow_postgres_to_s3_pipeline_spark.session import get_spark
 
     # Partition count is env-overridable so the gate can be re-run at
@@ -87,6 +88,10 @@ def main() -> int:
             traceback.print_exc()
             failures.append(name)
             continue
+        finally:
+            # terminal consumer reached — release this query's tracked
+            # persists so a 155-entry sweep never accumulates caches
+            release_persisted()
         elapsed = time.time() - t0
         if name not in oracles:
             print(f"rows-only  {name}: {len(rows)} rows  ({elapsed:.1f}s)")

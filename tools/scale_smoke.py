@@ -148,6 +148,66 @@ def main() -> int:
                 spark, d, every=max(50, int(nv_km ** 0.5)),
                 assign_tier="gemm")))
 
+    # Skewed shuffle join: one key carries 10% of all rows (a hot customer /
+    # null-ish key — the classic 100 TB killer).  Run the SAME sort-merge
+    # join with AQE skew-split on vs off to quantify the runtime re-plan's
+    # win; thresholds are lowered (64MB) so local data sizes trigger the
+    # same OptimizeSkewedJoin rule tests/test_aqe_skew.py pins at plan
+    # level.  Broadcast is disabled on both runs — the comparison is
+    # split-vs-monolithic SMJ partition, nothing else.
+    skew_labels = {"skew_join_split", "skew_join_nosplit"}
+    if not only or (only & skew_labels):
+        hot = F.pmod(F.xxhash64("id", F.lit(9)), F.lit(10)) == 0
+        skew_fact = spark.range(0, n, 1, parallelism).select(
+            F.when(hot, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_500_000)))
+            .alias("custkey"),
+            (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(5000)) / 100.0).alias(
+                "price"
+            ),
+        )
+        cust = spark.range(0, 1_500_000).select(
+            F.col("id").alias("custkey"),
+            F.concat(F.lit("seg-"), F.pmod(F.col("id"), F.lit(100))).alias(
+                "segment"
+            ),
+        )
+        skew_confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64MB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64MB",
+        }
+
+        def run_skew(label: str, split_enabled: bool):
+            if only and label not in only:
+                return None
+            keys = list(skew_confs) + ["spark.sql.adaptive.skewJoin.enabled"]
+            saved = {k: spark.conf.get(k, None) for k in keys}
+            for k, v in skew_confs.items():
+                spark.conf.set(k, v)
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.enabled",
+                "true" if split_enabled else "false",
+            )
+            try:
+                t0 = time.time()
+                skew_fact.join(cust, "custkey").write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.time() - t0
+                return label, round(dt, 2), int(n / dt)
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, v)
+
+        results.append(run_skew("skew_join_split", True))
+        results.append(run_skew("skew_join_nosplit", False))
+
     # Text + graph shapes: run the REAL text-pipeline and graph operators
     # against synthetic corpora written once to a temp dir (same
     # catalog.table path as production).  Sizes capped independently of n.
