@@ -185,10 +185,18 @@ def pagerank_parts(spark: SparkSession, sf_dir: str,
         F.col("src").alias("node"),
         F.lit(PR_SCALE // n_nodes).cast("bigint").alias("r"),
     )
+    # The (edges x deg) join is iteration-INVARIANT — precompute the
+    # degree-weighted edge list once and persist it, so each iteration
+    # pays exactly one join (ranks) + one aggregate, the minimal
+    # distributed PageRank step (previously the deg join re-ran per
+    # iteration: one extra pass over the corpus-sized edge list x
+    # iterations).
+    wedges = tracked_persist(
+        edges.join(deg, "src").select("src", "dst", "deg")
+    )
     for _ in range(iterations):
         contrib = (
-            edges.join(deg, "src")
-            .join(ranks, edges.src == ranks.node)
+            wedges.join(ranks, wedges.src == ranks.node)
             .select("dst", F.expr("r div deg").alias("w"))
             .groupBy("dst")
             .agg(F.sum("w").alias("s"))
