@@ -1,0 +1,96 @@
+"""Layout-aware scan entries (E1/X-family): prove the write-side layouts
+in sources/sinks.py round-trip through a real read path.
+
+``tests/test_layout.py`` pins the physical property (parquet footer
+min/max stats are narrow on both Z-order dimensions); this module adds
+the END-TO-END evidence: write the layout, read it back cold, run a
+two-dimensional range scan, and hash-match the result against the
+original table — so a layout bug that corrupted, dropped, or duplicated
+rows (not just mis-sorted them) is caught by the driver gate, not only
+by footer inspection.
+
+Reference parity note: the reference's S3 sink
+(/root/reference/plugins/custom_operator/postgres_to_s3_operator.py:42)
+writes a single CSV object with no layout control; Z-ordering is part of
+this engine's 100 TB extension surface (SURVEY.md §2B E1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airflow_postgres_to_s3_pipeline_spark.catalog import table
+from airflow_postgres_to_s3_pipeline_spark.sources.sinks import (
+    write_zorder_layout,
+)
+
+ORACLES: dict[str, str] = {}
+
+
+def _oracle(name: str, sql: str):
+    ORACLES[name] = sql
+
+
+# Fixed two-dimensional predicate, non-empty at every test SF (orderkeys
+# and partkeys both start at 1 regardless of scale factor).
+ZORDER_MAX_ORDERKEY = 1500
+ZORDER_MAX_PARTKEY = 180
+
+
+def zorder_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write lineitem Z-ordered on (l_orderkey, l_partkey), read the
+    layout back, and run a range scan on BOTH interleaved dimensions.
+
+    The result aggregates the filtered read-back, so any row lost,
+    duplicated, or value-corrupted by the normalize -> interleave ->
+    range-partition -> sort -> write -> scan chain breaks the hash match
+    against the oracle (which reads the ORIGINAL table).  The float sum
+    goes through decimal(27,2) so it is partition-order independent.
+
+    Scale shape: the write is one extra stats aggregate (broadcast 1-row
+    frame) + one range shuffle — the same cost profile as a production
+    OPTIMIZE ZORDER pass; the read scans a layout whose per-file min/max
+    are narrow on both keys, so engines that prune on file/row-group
+    stats (Spark's parquet reader prunes row groups via pushed filters)
+    touch a fraction of the data for predicates on either dimension.
+    """
+    out = os.path.join(
+        "/tmp/spark_graft_zorder_rt", os.path.basename(os.path.normpath(sf_dir))
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag"
+    )
+    write_zorder_layout(li, out, "l_orderkey", "l_partkey", n_files=8)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(
+            (F.col("l_orderkey") <= ZORDER_MAX_ORDERKEY)
+            & (F.col("l_partkey") <= ZORDER_MAX_PARTKEY)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+_oracle(
+    "zorder_scan_roundtrip",
+    f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    WHERE l_orderkey <= {ZORDER_MAX_ORDERKEY}
+      AND l_partkey <= {ZORDER_MAX_PARTKEY}
+    GROUP BY l_returnflag
+    """,
+)

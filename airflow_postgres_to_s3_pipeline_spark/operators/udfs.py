@@ -155,6 +155,62 @@ _oracle(
 )
 
 
+def arrow_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ``applyInArrow`` (Spark 4): per-segment min-max
+    normalization computed directly on pyarrow RecordBatches — the
+    zero-copy tier below ``applyInPandas`` (no pandas conversion on
+    either side of the worker boundary; pyarrow.compute kernels are the
+    same vectorized C++ Arrow uses everywhere).
+
+    Output is floor((bal - lo) / (hi - lo) * 1e6) as a bigint: the ratio
+    is one IEEE divide of exactly-representable two-decimal inputs, so it
+    is bit-identical in any engine, and FLOOR (unlike rounding) has no
+    tie cases — the determinism rule from functions/numeric.py.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def normalize(t: pa.Table) -> pa.Table:
+        bal = pc.cast(t.column("c_acctbal"), pa.float64())
+        lo = pc.min(bal)
+        hi = pc.max(bal)
+        if pc.equal(hi, lo).as_py():
+            micro = pa.array([0] * len(t), pa.int64())
+        else:
+            ratio = pc.divide(pc.subtract(bal, lo), pc.subtract(hi, lo))
+            micro = pc.cast(
+                pc.floor(pc.multiply(ratio, pa.scalar(1e6))), pa.int64()
+            )
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_mktsegment": t.column("c_mktsegment"),
+                "norm_micro": micro,
+            }
+        )
+
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").applyInArrow(
+        normalize, "c_custkey long, c_mktsegment string, norm_micro long"
+    )
+
+
+_oracle(
+    "arrow_group_normalize",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CASE WHEN MAX(c_acctbal) OVER w = MIN(c_acctbal) OVER w THEN 0
+                ELSE CAST(FLOOR(
+                    (c_acctbal - MIN(c_acctbal) OVER w)
+                    / (MAX(c_acctbal) OVER w - MIN(c_acctbal) OVER w)
+                    * 1000000.0) AS BIGINT)
+           END AS norm_micro
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment)
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # E21d: Python UDTF (table function) — one input row -> many output rows
 # ---------------------------------------------------------------------------

@@ -16,6 +16,7 @@ from airflow_postgres_to_s3_pipeline_spark.operators import (
     curation,
     dedup,
     graph,
+    layout,
     ml_feature,
     multimodal,
     relational,
@@ -401,6 +402,7 @@ STREAMING_DYNAMIC_SESSION_ORACLE = """
 _MODULES = (
     relational,
     advanced,
+    layout,
     curation,
     graph,
     windows,
@@ -615,6 +617,8 @@ QUERIES: dict[str, QueryFn] = {
     "mode_argmax": advanced.mode_argmax,
     "corpus_mix_sample": curation.corpus_mix_sample,
     "bpe_token_count": curation.bpe_token_count,
+    "zorder_scan_roundtrip": layout.zorder_scan_roundtrip,
+    "arrow_group_normalize": udfs.arrow_group_normalize,
 }
 
 
@@ -626,7 +630,8 @@ QUERIES: dict[str, QueryFn] = {
 DRIVER_WINDOW = 50
 
 FAMILIES: dict[str, tuple[str, ...]] = {
-    "2A": ("export_projection_filter", "union_snapshots"),
+    "2A": ("export_projection_filter", "union_snapshots",
+           "zorder_scan_roundtrip"),
     "E2": ("computed_projection",),
     "E3": ("filter_compound", "disjunctive_filter_parts"),
     "E4": ("join_broadcast_dims", "join_shuffle_multiway",
@@ -659,7 +664,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "map_hof_functions"),
     "E21": ("pandas_udf_score", "apply_in_pandas_zscore",
             "python_udtf_word_expand", "python_udf_rowwise",
-            "arrow_udf_tier", "model_inference_scores"),
+            "arrow_udf_tier", "model_inference_scores",
+            "arrow_group_normalize"),
     "E22": ("streaming_tumbling_agg", "streaming_sliding_agg",
             "streaming_static_enrich", "python_stream_source_agg"),
     "E23": ("streaming_session_window", "streaming_dedup",

@@ -74,6 +74,12 @@ def main() -> int:
 
     qs = e.queries()
     oracles = e.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd/unregistered name must be a hard error — silently
+        # skipping it prints a vacuous "all queries match"
+        print(f"ERROR: not in queries(): {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
