@@ -234,3 +234,18 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old_scan,
         )
+
+
+def test_zorder_readback_pushes_both_dimensions(spark, sf_dir):
+    """The r5 Z-order round-trip entry: the read-back scan must push BOTH
+    interleaved-key predicates to the parquet reader (row-group pruning
+    against the narrow per-file min/max the layout produced) and prune to
+    the projected columns."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import layout
+
+    df = layout.zorder_scan_roundtrip(spark, sf_dir)
+    filters = " ".join(pushed_filters(df))
+    assert "l_orderkey" in filters and "l_partkey" in filters, filters
+    plan = explain_str(df)
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_quantity" in read_schema
