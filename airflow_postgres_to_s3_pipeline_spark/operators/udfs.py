@@ -211,6 +211,55 @@ _oracle(
 )
 
 
+def map_in_arrow_price_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` (Spark 4): streaming per-RecordBatch transform with
+    NO grouping — the partition-map sibling of ``arrow_group_normalize``
+    (grouped) and ``arrow_udf_tier`` (scalar), completing the Arrow UDF
+    surface.  Batches stream through the Python worker one at a time, so
+    peak memory is one Arrow batch regardless of partition size — the
+    property that matters when a 100 TB scan feeds Python feature
+    extraction (same execution shape as the multimodal mapInPandas
+    decoders, minus the pandas conversion on both edges).
+
+    The body is pure pyarrow.compute (floor-divide bucketing — exact
+    integer semantics, no rounding tie cases), so the entry keeps a full
+    SQL oracle like every other UDF-tier demonstration.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def tier(batches):
+        for b in batches:
+            price = pc.cast(b.column(1), pa.float64())
+            bucket = pc.cast(
+                pc.floor(pc.divide(price, pa.scalar(25000.0))), pa.int64()
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    bucket,
+                    pc.greater_equal(price, pa.scalar(200000.0)),
+                ],
+                names=["o_orderkey", "price_bucket", "is_high_value"],
+            )
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return o.mapInArrow(
+        tier, "o_orderkey long, price_bucket long, is_high_value boolean"
+    )
+
+
+_oracle(
+    "map_in_arrow_price_tier",
+    """
+    SELECT o_orderkey,
+           CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS price_bucket,
+           o_totalprice >= 200000.0 AS is_high_value
+    FROM orders
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # E21d: Python UDTF (table function) — one input row -> many output rows
 # ---------------------------------------------------------------------------

@@ -619,6 +619,7 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_token_count": curation.bpe_token_count,
     "zorder_scan_roundtrip": layout.zorder_scan_roundtrip,
     "arrow_group_normalize": udfs.arrow_group_normalize,
+    "map_in_arrow_price_tier": udfs.map_in_arrow_price_tier,
 }
 
 
@@ -665,7 +666,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "E21": ("pandas_udf_score", "apply_in_pandas_zscore",
             "python_udtf_word_expand", "python_udf_rowwise",
             "arrow_udf_tier", "model_inference_scores",
-            "arrow_group_normalize"),
+            "arrow_group_normalize", "map_in_arrow_price_tier"),
     "E22": ("streaming_tumbling_agg", "streaming_sliding_agg",
             "streaming_static_enrich", "python_stream_source_agg"),
     "E23": ("streaming_session_window", "streaming_dedup",
