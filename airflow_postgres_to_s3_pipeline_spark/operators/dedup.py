@@ -205,19 +205,11 @@ def minhash_signatures_md5(shingles: DataFrame, n_hashes: int = 32) -> DataFrame
     return hx.select("doc_id", *sig_cols)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 32,
-                        bands: int = 8, checkable: bool = False) -> DataFrame:
-    """Band the signatures and self-join on (band, band_hash) buckets.
-
-    The banded equi-join is the LSH trick that makes near-dedup scale: only
-    docs agreeing on a full band collide, so the join output is ~linear in
-    the number of true near-dups rather than quadratic in corpus size.
-
-    ``checkable=True`` keys the bands by the concatenated signature values
-    (exactly mirrorable in SQL) instead of murmur3 — band equality is the
-    same either way; murmur3 just packs the key into 4 bytes for the
-    shuffle, which is the right trade at 100 TB but opaque to the oracle.
-    """
+def banded_keys(signatures: DataFrame, n_hashes: int = 32,
+                bands: int = 8, checkable: bool = False) -> DataFrame:
+    """Explode a signature frame into (doc_id, band, band_hash) rows — the
+    shared banding step of the self-join (``lsh_candidate_pairs``) and
+    cross-set (``dedup_incremental_minhash``) LSH paths."""
     rows = n_hashes // bands
     if checkable:
         band_structs = F.array(
@@ -247,9 +239,29 @@ def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 32,
                 for b in range(bands)
             ]
         )
-    banded = signatures.select(
+    return signatures.select(
         "doc_id", F.explode(band_structs).alias("bh")
-    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+    ).select(
+        "doc_id",
+        F.col("bh.band").alias("band"),
+        F.col("bh.band_hash").alias("band_hash"),
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 32,
+                        bands: int = 8, checkable: bool = False) -> DataFrame:
+    """Band the signatures and self-join on (band, band_hash) buckets.
+
+    The banded equi-join is the LSH trick that makes near-dedup scale: only
+    docs agreeing on a full band collide, so the join output is ~linear in
+    the number of true near-dups rather than quadratic in corpus size.
+
+    ``checkable=True`` keys the bands by the concatenated signature values
+    (exactly mirrorable in SQL) instead of murmur3 — band equality is the
+    same either way; murmur3 just packs the key into 4 bytes for the
+    shuffle, which is the right trade at 100 TB but opaque to the oracle.
+    """
+    banded = banded_keys(signatures, n_hashes, bands, checkable)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -522,6 +534,69 @@ _oracle(
 )
 
 
+INCR_SPLIT = 400  # doc_id boundary: existing corpus vs incoming batch
+
+
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str,
+                              split: int = INCR_SPLIT,
+                              threshold: float = 0.6) -> DataFrame:
+    """Incremental near-dedup on the MinHash-banded index — the SCALE
+    tier of ``dedup_incremental``'s exact cross-set Jaccard.
+
+    A growing training corpus admits a new crawl batch daily; comparing
+    incoming docs against the full existing corpus exactly is
+    O(incoming x existing).  The production shape is this one: band BOTH
+    sides' MinHash signatures and equi-join incoming buckets against
+    existing buckets ONLY (no existing-existing or incoming-incoming
+    pairs are ever generated), then verify exact Jaccard on the candidate
+    set.  At 100 TB the existing side's signatures are a persisted index
+    (16 bytes x n_hashes per doc) that each day's batch joins against —
+    the corpus text is never re-read.
+
+    Returns the rejection evidence: (ex_id, in_id, jaccard) for every
+    incoming doc colliding with an existing doc at >= threshold.  The md5
+    signature tier makes the whole chain carry an exact SQL oracle — the
+    oracle runs the full self-join template and keeps only cross-set
+    pairs, which is pair-for-pair identical because banding and
+    verification are per-pair deterministic.
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = tracked_persist(shingle_arrays(d), corpus=True)
+    sig = minhash_signatures_md5(sh)
+    banded = tracked_persist(banded_keys(sig, checkable=True))
+    ex = banded.filter(F.col("doc_id") < split)
+    inc = banded.filter(F.col("doc_id") >= split)
+    cand = (
+        ex.alias("a")
+        .join(
+            inc.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return verify_jaccard(cand, sh, threshold).select(
+        F.col("doc_a").alias("ex_id"),
+        F.col("doc_b").alias("in_id"),
+        "jaccard",
+    )
+
+
+def _dedup_incremental_minhash_oracle() -> str:
+    inner = _minhash_lsh_oracle()
+    return f"""
+    SELECT doc_a AS ex_id, doc_b AS in_id, jaccard
+    FROM ({inner})
+    WHERE doc_a < {INCR_SPLIT} AND doc_b >= {INCR_SPLIT}
+    """
+
+
+_oracle("dedup_incremental_minhash", _dedup_incremental_minhash_oracle())
+
+
 # ---------------------------------------------------------------------------
 # E25a': near-dup clusters — connected components over candidate pairs
 # ---------------------------------------------------------------------------
@@ -766,8 +841,8 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     Splits the signature into 4 chunks (16 bits each for the 64-bit
     xxhash64 tier, 15 for the 60-bit md5 ``checkable`` tier); any pair
     within hamming distance 3 must agree on >= 1 chunk (pigeonhole), so
-    candidate generation is 4 equi-joins on chunk value instead of an
-    all-pairs scan.
+    candidate generation is ONE equi-join on (chunk_id, chunk value) over
+    the exploded chunk rows instead of an all-pairs scan.
     """
     # persist: the chunked self-join consumes the signatures twice.
     if checkable:

@@ -534,6 +534,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_dedup_within_watermark": streaming_dedup_within_watermark,
     "dedup_keep_first": dedup.dedup_keep_first,
     "dedup_incremental": dedup.dedup_incremental,
+    "dedup_incremental_minhash": dedup.dedup_incremental_minhash,
     "embedding_norms": similarity.embedding_norms,
     "embedding_near_dup": similarity.embedding_near_dup,
     "multimodal_resize": multimodal.multimodal_resize,
@@ -678,7 +679,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "E24": ("dedup_exact", "dedup_keep_first", "dedup_incremental"),
     "E25": ("ngram_jaccard_pairs", "minhash_lsh_dedup", "simhash_dedup",
             "dedup_components", "minhash_ml_pairs", "chunk_dedup",
-            "chunk_near_dedup"),
+            "chunk_near_dedup", "dedup_incremental_minhash"),
     "E26": ("knn_bruteforce", "embedding_norms", "embedding_near_dup",
             "embedding_quantize", "knn_ivf", "knn_ivf_fold", "knn_gemm",
             "semantic_dedup", "kmeans_embeddings", "embedding_lsh_near_dup",

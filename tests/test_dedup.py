@@ -161,3 +161,12 @@ def test_connected_components_converged_within_budget(spark):
     nodes = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
     labels = dedup.connected_components(pairs, nodes, max_iterations=6)
     assert {r["cluster_id"] for r in labels.collect()} == {0}
+
+
+def test_incremental_minhash_is_cross_set_only(spark, sf_dir):
+    # every emitted pair must straddle the corpus/batch boundary: an
+    # existing doc on the left, an incoming doc on the right — the banded
+    # join must never generate within-set pairs
+    rows = dedup.dedup_incremental_minhash(spark, sf_dir).collect()
+    assert all(r.ex_id < dedup.INCR_SPLIT <= r.in_id for r in rows)
+    assert all(r.jaccard >= 0.6 for r in rows)
