@@ -324,6 +324,105 @@ PYTHON_STREAM_SOURCE_ORACLE = """
 """
 
 
+def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP, demonstrated end-to-end with a full
+    oracle (the E23 capability no other entry isolates).
+
+    The synthetic stream source emits 4 hour-bucketed micro-batches where
+    a deterministic ~1/8 of final-batch rows arrive THREE HOURS LATE; the
+    source advances one batch per planned trigger, so the watermark
+    genuinely moves between micro-batches (python_datasource.py:
+    latestOffset — a per-call counter would let the engine merge batches
+    and silently defeat the mechanism).  With a 30-minute watermark delay
+    every late row targets an hour window whose end is below the
+    watermark under ANY trigger pacing (watermark propagation is
+    asynchronous and can lag a batch — rows exactly two hours late sit on
+    that boundary, both outcomes observed; three hours is unambiguous),
+    so Spark drops all of them, and the trailing no-data batches emit
+    exactly the windows whose end <= final watermark (the last hour stays
+    pending — emitting it would be wrong on an unbounded stream).
+
+    The oracle regenerates the rows via sha256 arithmetic and applies the
+    SAME two rules with per-batch lagged watermarks computed in SQL: drop
+    a row when its window end <= the conservative watermark of its
+    arrival batch; emit a window when its end <= the final watermark.
+    (sf_dir unused: the source IS the data.)
+    """
+    from airflow_postgres_to_s3_pipeline_spark.sources.python_datasource import (
+        SyntheticEventsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("partitions", "4")
+        .option("rows_per_batch", "256")
+        .option("max_batches", "4")
+        .option("with_ts", "true")
+        .load()
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    return stream_windows.run_stream_to_memory(agg, spark, output_mode="append")
+
+
+STREAMING_LATE_DROP_ORACLE = """
+    WITH rows AS (
+        SELECT b.b, p.p, i.i
+        FROM generate_series(0, 3) b(b),
+             generate_series(0, 3) p(p),
+             generate_series(0, 63) i(i)
+    ), r AS (
+        SELECT b,
+               CASE WHEN b >= 3
+                     AND ('0x' || substring(sha256(
+                             b::VARCHAR || ':' || p::VARCHAR || ':'
+                             || i::VARCHAR || ':late'), 1, 15))::BIGINT
+                         % 8 = 0
+                    THEN b - 3 ELSE b END AS hour,
+               ('0x' || substring(sha256(
+                   b::VARCHAR || ':' || p::VARCHAR || ':'
+                   || i::VARCHAR || ':ts'), 1, 15))::BIGINT % 3600 AS off
+        FROM rows
+    ), e AS (
+        SELECT b,
+               1699999200 + hour * 3600 AS win_start,
+               1699999200 + hour * 3600 + 3600 AS win_end,
+               1699999200 + hour * 3600 + off AS epoch
+        FROM r
+    ), bmax AS (
+        SELECT b, MAX(epoch) AS me FROM e GROUP BY b
+    ), wm AS (
+        -- CONSERVATIVE watermark in force while batch b processes: max
+        -- event time over batches <= b-2, minus the 30-minute delay.
+        -- Watermark propagation is asynchronous, so the effective value
+        -- during a trigger is somewhere between this lagged bound and
+        -- max(batches < b) - delay; the generator places every late row
+        -- BELOW the lagged bound and every on-time row above the eager
+        -- bound, so the mirror is trigger-schedule independent.
+        SELECT b,
+               MAX(me) OVER (ORDER BY b
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 2 PRECEDING) - 1800 AS wm_b
+        FROM bmax
+    ), kept AS (
+        SELECT e.* FROM e JOIN wm USING (b)
+        WHERE wm.wm_b IS NULL OR e.win_end > wm.wm_b
+    ), fin AS (
+        SELECT MAX(epoch) - 1800 AS wmf FROM e
+    )
+    SELECT make_timestamp(win_start * 1000000) AS window_start,
+           COUNT(*) AS n_events
+    FROM kept, fin
+    GROUP BY win_start, wmf
+    HAVING win_start + 3600 <= wmf
+"""
+
+
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_windows.read_events_stream(spark, sf_dir)
     stream = stream_windows.session_counts(events)
@@ -601,6 +700,7 @@ QUERIES: dict[str, QueryFn] = {
     "arrow_udf_tier": udfs.arrow_udf_tier,
     "model_inference_scores": udfs.model_inference_scores,
     "streaming_stream_stream_join": streaming_stream_stream_join,
+    "streaming_late_data_drop": streaming_late_data_drop,
     "streaming_static_enrich": streaming_static_enrich,
     "minhash_ml_pairs": ml_feature.minhash_ml_pairs,
     "tfidf_ml_features": ml_feature.tfidf_ml_features,
@@ -675,7 +775,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "streaming_stream_stream_join",
             "streaming_ss_left_outer_join",
             "streaming_dynamic_session",
-            "streaming_dedup_within_watermark"),
+            "streaming_dedup_within_watermark",
+            "streaming_late_data_drop"),
     "E24": ("dedup_exact", "dedup_keep_first", "dedup_incremental"),
     "E25": ("ngram_jaccard_pairs", "minhash_lsh_dedup", "simhash_dedup",
             "dedup_components", "minhash_ml_pairs", "chunk_dedup",
@@ -708,6 +809,7 @@ def _collect_oracles() -> dict[str, str]:
     oracles["streaming_ss_left_outer_join"] = STREAMING_SS_LEFT_OUTER_ORACLE
     oracles["python_stream_source_agg"] = PYTHON_STREAM_SOURCE_ORACLE
     oracles["streaming_dynamic_session"] = STREAMING_DYNAMIC_SESSION_ORACLE
+    oracles["streaming_late_data_drop"] = STREAMING_LATE_DROP_ORACLE
     oracles["streaming_dedup_within_watermark"] = STREAMING_DEDUP_ORACLE
     oracles["streaming_stateful_running_totals"] = STREAMING_STATEFUL_ORACLE
     oracles["streaming_static_enrich"] = STREAMING_STATIC_ENRICH_ORACLE

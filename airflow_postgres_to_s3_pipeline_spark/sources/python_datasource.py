@@ -75,13 +75,21 @@ class _EventsReader(DataSourceReader):
 
 
 class SyntheticEventsDataSource(DataSource):
-    """spark.read.format("synthetic_events") — deterministic event table."""
+    """spark.read.format("synthetic_events") — deterministic event table.
+
+    Option ``with_ts=true`` (stream reader only) appends an event-time
+    column: batch b's rows land in hour-bucket b at BASE_EPOCH, except a
+    deterministic ~1/8 subset of rows in batches >= 2 which carry
+    timestamps from hour b-2 — LATE data, used to demonstrate watermark
+    late-row dropping with an exactly-regenerable oracle."""
 
     @classmethod
     def name(cls) -> str:
         return "synthetic_events"
 
     def schema(self) -> str | StructType:
+        if self.options.get("with_ts", "false").lower() == "true":
+            return SCHEMA_DDL + ", ts timestamp"
         return SCHEMA_DDL
 
     def reader(self, schema: StructType) -> DataSourceReader:
@@ -117,23 +125,40 @@ class _EventsStreamPartition(InputPartition):
         self.start = start  # batch-local offset of this partition's first row
 
 
+# Fixed UTC base for the with_ts tier — EXACTLY hour-aligned
+# (472222 * 3600 = 2023-11-14 22:00:00 UTC), so batch b's on-time rows fall
+# entirely inside one tumbling 1-hour window and the late-drop oracle needs
+# no cross-window bookkeeping.
+BASE_EPOCH = 1_699_999_200
+
+
 class _EventsStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.n_partitions = int(options.get("partitions", "4"))
         self.rows_per_batch = int(options.get("rows_per_batch", "100"))
         self.max_batches = int(options.get("max_batches", "4"))
-        self._latest = 0
+        self.with_ts = options.get("with_ts", "false").lower() == "true"
+        self._planned = 0
 
     def initialOffset(self) -> dict:
         return {"batch": 0}
 
     def latestOffset(self) -> dict:
-        # advance one micro-batch per trigger until the cap
-        if self._latest < self.max_batches:
-            self._latest += 1
-        return {"batch": self._latest}
+        # Advance ONE source batch past the last batch the engine has
+        # PLANNED (partitions() call).  The engine may poll latestOffset
+        # any number of times per trigger (stream init, availability
+        # checks); a counter that increments per CALL lets several source
+        # batches merge into one micro-batch, which silently defeats
+        # watermark advancement between hours (the late-drop tier depends
+        # on it).  Keying off commit() instead races: commits land
+        # asynchronously after the batch, so processAllAvailable can see
+        # "no new data" before the commit registers and stop early.
+        # partitions() is called synchronously when a batch is
+        # constructed, so this is race-free AND one-batch-per-trigger.
+        return {"batch": min(self._planned + 1, self.max_batches)}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        self._planned = max(self._planned, end["batch"])
         # Even split, remainder to the LAST partition, so the source emits
         # exactly rows_per_batch rows for ANY (rows, partitions) combination
         # (ADVICE r4: floor division silently dropped the remainder and
@@ -153,6 +178,8 @@ class _EventsStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: _EventsStreamPartition) -> Iterator[tuple]:
+        from datetime import datetime, timezone
+
         b, p = partition.batch, partition.pid
         base = b * self.rows_per_batch + partition.start
         for i in range(partition.n_rows):
@@ -160,7 +187,27 @@ class _EventsStreamReader(DataSourceStreamReader):
             user_id = _hs(b, p, i, "user") % 1000
             event_type = _EVENT_TYPES[_hs(b, p, i, "type") % len(_EVENT_TYPES)]
             value = (_hs(b, p, i, "value") % 10_000) / 100.0
-            yield (event_id, user_id, event_type, value)
+            if not self.with_ts:
+                yield (event_id, user_id, event_type, value)
+                continue
+            # hour-bucket b, except a deterministic ~1/8 of rows in
+            # batches >= 3 arriving THREE HOURS LATE (hour b-3) —
+            # integer-second arithmetic so the SQL oracle regenerates it
+            # exactly.  Three hours (not two): watermark propagation is
+            # asynchronous, so the EFFECTIVE watermark during a trigger
+            # can lag the reported one by a full batch — rows exactly two
+            # batch-hours late sit on that boundary and are dropped or
+            # kept depending on trigger pacing (both observed).  Three
+            # hours puts the target window's end below the watermark
+            # under EITHER schedule, so the drop is deterministic.
+            hour = b
+            if b >= 3 and _hs(b, p, i, "late") % 8 == 0:
+                hour = b - 3
+            epoch = BASE_EPOCH + hour * 3600 + _hs(b, p, i, "ts") % 3600
+            ts = datetime.fromtimestamp(epoch, tz=timezone.utc).replace(
+                tzinfo=None
+            )
+            yield (event_id, user_id, event_type, value, ts)
 
     def commit(self, end: dict) -> None:
         pass
