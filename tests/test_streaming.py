@@ -392,3 +392,16 @@ def test_dynamic_session_multi_batch_equals_batch(spark, sf_dir, tmp_path):
         .collect())
     )
     assert got == batch
+
+
+def test_late_data_drop_is_discriminating(spark):
+    """The late-drop entry must actually discriminate: batch 3 carries 40
+    deterministic three-hour-late rows targeting the 22:00 window — if
+    Spark kept them the emitted count would be 296, not 256.  The last
+    hour's window must stay pending (its end is above the final
+    watermark)."""
+    from airflow_postgres_to_s3_pipeline_spark import registry
+
+    res = registry.streaming_late_data_drop(spark, "unused")
+    counts = {r.window_start.hour: r.n_events for r in res.collect()}
+    assert counts == {22: 256, 23: 256, 0: 256}
