@@ -303,6 +303,60 @@ _oracle(
 )
 
 
+@F.udtf
+class LeadingWords:
+    """POLYMORPHIC UDTF (Spark 4 ``analyze()``): output schema computed at
+    PLAN TIME from the constant ``k`` argument — k string columns
+    ``w1..wk``.  This is the table-function tier static ``returnType``
+    cannot express (a wide-format extractor whose arity is a query
+    parameter); Catalyst resolves the schema before execution, so
+    downstream projections/pushdowns see ordinary columns."""
+
+    @staticmethod
+    def analyze(text, k):
+        from pyspark.sql.types import StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if k.value is None:
+            raise ValueError("k must be a constant literal")
+        schema = StructType()
+        for j in range(int(k.value)):
+            schema = schema.add(f"w{j + 1}", StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text: str, k: int):  # noqa: D102
+        words = [w for w in text.split(" ") if w][: int(k)]
+        yield tuple(words + [None] * (int(k) - len(words)))
+
+
+def python_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-3-words wide extraction via the polymorphic UDTF: one output
+    row per document, column count decided by ``analyze()`` from the
+    constant argument."""
+    from airflow_postgres_to_s3_pipeline_spark.catalog import table as _table
+
+    d = _table(spark, sf_dir, "documents")
+    return d.lateralJoin(
+        LeadingWords(F.col("text").outer(), F.lit(3))
+    ).select("doc_id", "w1", "w2", "w3")
+
+
+_oracle(
+    "python_udtf_polymorphic",
+    """
+    SELECT doc_id,
+           CASE WHEN LEN(parts) >= 1 THEN parts[1] END AS w1,
+           CASE WHEN LEN(parts) >= 2 THEN parts[2] END AS w2,
+           CASE WHEN LEN(parts) >= 3 THEN parts[3] END AS w3
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> LEN(x) > 0) AS parts
+        FROM documents
+    )
+    """,
+)
+
+
 def model_inference_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch model inference over embeddings: a deterministic linear model
     scored with a vectorized pandas UDF (numpy matmul per Arrow batch) —

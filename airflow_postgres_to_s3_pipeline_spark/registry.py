@@ -615,6 +615,7 @@ QUERIES: dict[str, QueryFn] = {
     "range_join_bucketed": relational.range_join_bucketed,
     "distinct_pairs": relational.distinct_pairs,
     "python_udtf_word_expand": udfs.python_udtf_word_expand,
+    "python_udtf_polymorphic": udfs.python_udtf_polymorphic,
     "streaming_session_window": streaming_session_window,
     "streaming_dedup": streaming_dedup,
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -767,7 +768,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "E21": ("pandas_udf_score", "apply_in_pandas_zscore",
             "python_udtf_word_expand", "python_udf_rowwise",
             "arrow_udf_tier", "model_inference_scores",
-            "arrow_group_normalize", "map_in_arrow_price_tier"),
+            "arrow_group_normalize", "map_in_arrow_price_tier",
+            "python_udtf_polymorphic"),
     "E22": ("streaming_tumbling_agg", "streaming_sliding_agg",
             "streaming_static_enrich", "python_stream_source_agg"),
     "E23": ("streaming_session_window", "streaming_dedup",
