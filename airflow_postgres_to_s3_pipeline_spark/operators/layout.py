@@ -57,8 +57,12 @@ def zorder_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats (Spark's parquet reader prunes row groups via pushed filters)
     touch a fraction of the data for predicates on either dimension.
     """
+    # pid-suffixed so concurrent harnesses (pytest + oracle sweep + the
+    # driver) never overwrite a layout another process is mid-read on;
+    # within one process the write is idempotent (mode=overwrite)
     out = os.path.join(
-        "/tmp/spark_graft_zorder_rt", os.path.basename(os.path.normpath(sf_dir))
+        "/tmp/spark_graft_zorder_rt",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
     )
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_quantity", "l_returnflag"
