@@ -1,0 +1,256 @@
+"""Spark 4 SQL-surface operators: correlated LATERAL joins, SQL-defined
+functions (``CREATE FUNCTION``), collation-aware grouping, and XML
+functions (SURVEY.md §2B E4/E15/E20/E21 surface extensions).
+
+The reference's PostgresToS3Operator forwards arbitrary SQL to Postgres
+(plugins/custom_operator/postgres_to_s3_operator.py:21,42); these entries
+cover the modern-SQL constructs a Postgres user would expect to keep when
+switching engines: LATERAL derived tables (Postgres has had them since
+9.3), SQL-body functions (CREATE FUNCTION ... LANGUAGE SQL), collations,
+and XML serialization — each expressed through Spark's native support so
+Catalyst plans (and decorrelates) them rather than a UDF black box.
+
+Scale notes: the LATERAL top-k decorrelates into a ranking window over a
+single shuffle of the fact side (no per-row subquery execution — verify
+with .explain: a Window + filter, not a nested loop); SQL UDFs inline
+into the plan at analysis time, so they whole-stage-codegen exactly like
+the hand-written expression; collation comparisons stay JVM-side; XML
+round-trips run per-row with no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from airflow_postgres_to_s3_pipeline_spark.catalog import register_views
+
+ORACLES: dict[str, str] = {}
+
+
+def _oracle(name: str, sql: str):
+    ORACLES[name] = sql
+
+
+# ---------------------------------------------------------------------------
+# Correlated LATERAL derived table (top-2 orders per BUILDING customer).
+# ---------------------------------------------------------------------------
+
+def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI LATERAL correlated derived table: each customer's two most
+    expensive orders.  Catalyst decorrelates the LIMIT-inside-LATERAL into
+    a ranking window over one shuffle of ``orders`` — the 100 TB-safe plan
+    (a naive engine would re-run the subquery once per customer row).
+    Tie-break on o_orderkey keeps the emitted pair deterministic.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) l
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+_oracle(
+    "lateral_topk_orders",
+    """
+    SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) l
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# SQL-defined functions: scalar + table-valued (Spark 4 CREATE FUNCTION).
+# ---------------------------------------------------------------------------
+
+def sql_udf_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-body UDFs (Spark 4): a scalar ``price_band``, a scalar
+    ``urgency_rank``, and a table-valued ``big_orders(threshold)`` used in
+    FROM position.  All three inline at analysis time, so the optimized
+    plan is identical to hand-written expressions — pushdown, codegen, and
+    partial aggregation all survive (UNlike an opaque Python UDF).
+
+    The oracle inlines the same bodies: DuckDB macros would work too, but
+    inlining IS the semantics being asserted.
+    """
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p < 100000 THEN 'low'
+                    WHEN p < 250000 THEN 'mid'
+                    ELSE 'high' END
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION urgency_rank(pri STRING)
+        RETURNS INT
+        RETURN CAST(substring(pri, 1, 1) AS INT)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION big_orders(threshold DOUBLE)
+        RETURNS TABLE(o_orderkey BIGINT, o_totalprice DOUBLE,
+                      o_orderpriority STRING)
+        RETURN SELECT o_orderkey, o_totalprice, o_orderpriority
+               FROM orders WHERE o_totalprice >= threshold
+        """
+    )
+    return spark.sql(
+        """
+        SELECT price_band(o_totalprice) AS band,
+               urgency_rank(o_orderpriority) AS urgency,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+                   AS total_price
+        FROM big_orders(50000.0)
+        GROUP BY band, urgency
+        """
+    )
+
+
+_oracle(
+    "sql_udf_functions",
+    """
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+                WHEN o_totalprice < 250000 THEN 'mid'
+                ELSE 'high' END AS band,
+           CAST(substring(o_orderpriority, 1, 1) AS INT) AS urgency,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_totalprice >= 50000.0
+    GROUP BY band, urgency
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Collation-aware grouping (Spark 4 UTF8_LCASE).
+# ---------------------------------------------------------------------------
+
+def collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via a real collation (UTF8_LCASE), not a
+    lower() rewrite: the CASE deterministically mixes the case of p_type,
+    then grouping and the equality filter both run under the collation.
+    The emitted group key is ``lower(min(t))`` so output stays
+    deterministic (which case-variant "wins" a collated MIN is not).
+
+    Oracle maps the collation to lower()-grouping — equivalent on this
+    ASCII data; the entry asserts Spark's collated GROUP BY/filter land in
+    the same equivalence classes.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH src AS (
+            SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                        ELSE lower(p_type) END AS t,
+                   p_retailprice
+            FROM part
+        )
+        SELECT lower(min(t)) AS type_lc,
+               COUNT(*) AS n_parts,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(27,2))) AS DOUBLE)
+                   AS total_price
+        FROM src
+        WHERE NOT (t COLLATE UTF8_LCASE = 'STANDARD')
+        GROUP BY t COLLATE UTF8_LCASE
+        """
+    )
+
+
+_oracle(
+    "collation_group",
+    """
+    WITH src AS (
+        SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                    ELSE lower(p_type) END AS t,
+               p_retailprice
+        FROM part
+    )
+    SELECT lower(min(t)) AS type_lc,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(27,2))) AS DOUBLE)
+               AS total_price
+    FROM src
+    WHERE lower(t) <> 'standard'
+    GROUP BY lower(t)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# XML functions: to_xml / from_xml round-trip + XPath extraction (E20).
+# ---------------------------------------------------------------------------
+
+def xml_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML surface: serialize each order to XML (``to_xml``), parse it
+    back (``from_xml``) and re-extract the fields, plus an XPath aggregate
+    over a constructed fragment.  Row-local, no shuffle; the oracle
+    reconstructs Spark's exact serialization (ROW tag, 4-space indent)
+    with string concatenation and emits the round-tripped values from the
+    base columns.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH ser AS (
+            SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                   to_xml(named_struct(
+                       'k', o_orderkey,
+                       's', o_orderstatus,
+                       'p', o_orderpriority)) AS xml_doc
+            FROM orders
+        ), rt AS (
+            SELECT o_orderkey, xml_doc,
+                   from_xml(xml_doc, 'k BIGINT, s STRING, p STRING') AS parsed
+            FROM ser
+        )
+        SELECT o_orderkey,
+               xml_doc,
+               parsed.s AS rt_status,
+               parsed.p AS rt_priority,
+               xpath_long(concat('<r><a>', CAST(o_orderkey AS STRING),
+                                 '</a><a>', CAST(o_orderkey + 1 AS STRING),
+                                 '</a></r>'),
+                          'sum(r/a)') AS xp_sum
+        FROM rt
+        """
+    )
+
+
+_oracle(
+    "xml_functions",
+    """
+    SELECT o_orderkey,
+           '<ROW>' || chr(10) ||
+           '    <k>' || CAST(o_orderkey AS VARCHAR) || '</k>' || chr(10) ||
+           '    <s>' || o_orderstatus || '</s>' || chr(10) ||
+           '    <p>' || o_orderpriority || '</p>' || chr(10) ||
+           '</ROW>' AS xml_doc,
+           o_orderstatus AS rt_status,
+           o_orderpriority AS rt_priority,
+           o_orderkey * 2 + 1 AS xp_sum
+    FROM orders
+    """,
+)

@@ -23,6 +23,7 @@ from airflow_postgres_to_s3_pipeline_spark.operators import (
     scalar_funcs,
     sketches,
     similarity,
+    sql_surface,
     text,
     udfs,
     windows,
@@ -507,6 +508,7 @@ _MODULES = (
     windows,
     scalar_funcs,
     sketches,
+    sql_surface,
     udfs,
     dedup,
     similarity,
@@ -722,6 +724,10 @@ QUERIES: dict[str, QueryFn] = {
     "zorder_scan_roundtrip": layout.zorder_scan_roundtrip,
     "arrow_group_normalize": udfs.arrow_group_normalize,
     "map_in_arrow_price_tier": udfs.map_in_arrow_price_tier,
+    "lateral_topk_orders": sql_surface.lateral_topk_orders,
+    "sql_udf_functions": sql_surface.sql_udf_functions,
+    "collation_group": sql_surface.collation_group,
+    "xml_functions": sql_surface.xml_functions,
 }
 
 
@@ -740,7 +746,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "E4": ("join_broadcast_dims", "join_shuffle_multiway",
            "nation_volume_shipping", "local_supplier_volume",
            "nation_market_share", "top_supplier_revenue",
-           "small_quantity_revenue", "min_cost_supplier"),
+           "small_quantity_revenue", "min_cost_supplier",
+           "lateral_topk_orders"),
     "E5": ("join_left_outer", "join_full_outer",
            "customer_order_distribution"),
     "E6": ("join_semi", "join_anti", "inactive_high_value_customers",
@@ -758,18 +765,18 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "E12": ("window_lag_lead", "window_ignore_nulls", "window_nth_value"),
     "E13": ("global_topk", "returned_item_revenue"),
     "E14": ("set_operations",),
-    "E15": ("string_functions",),
+    "E15": ("string_functions", "collation_group"),
     "E16": ("date_functions",),
     "E17": ("math_functions",),
     "E18": ("conditional_functions",),
     "E19": ("array_functions", "explode_word_freq"),
     "E20": ("json_functions", "map_functions", "variant_json",
-            "map_hof_functions"),
+            "map_hof_functions", "xml_functions"),
     "E21": ("pandas_udf_score", "apply_in_pandas_zscore",
             "python_udtf_word_expand", "python_udf_rowwise",
             "arrow_udf_tier", "model_inference_scores",
             "arrow_group_normalize", "map_in_arrow_price_tier",
-            "python_udtf_polymorphic"),
+            "python_udtf_polymorphic", "sql_udf_functions"),
     "E22": ("streaming_tumbling_agg", "streaming_sliding_agg",
             "streaming_static_enrich", "python_stream_source_agg"),
     "E23": ("streaming_session_window", "streaming_dedup",
