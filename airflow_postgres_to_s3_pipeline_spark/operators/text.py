@@ -860,3 +860,123 @@ _oracle(
     LIMIT {BM25_TOP_N}
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Mount, Aiken — SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 8   # k-gram length (chars, over alnum-normalized text)
+WINNOW_W = 4   # winnowing window (guarantee: any match >= k+w-1 chars shares
+               # at least one selected fingerprint)
+
+
+def winnow_selected(d: DataFrame, k: int = WINNOW_K,
+                    w: int = WINNOW_W) -> DataFrame:
+    """(doc_id, text) -> (doc_id, sel: array<long>) of winnowing-selected
+    k-gram hashes — the postings a containment-dedup join would shuffle
+    on.  Split out so the guarantee (shared >= k+w-1 substring => shared
+    fingerprint) is testable on planted documents."""
+    norm = F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")
+    n_h = F.length("norm") - (k - 1)
+    hashes = F.when(
+        n_h >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_h),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.col("norm").substr(i, F.lit(k)).cast("binary")),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    n_w = F.size("hashes") - (w - 1)
+    sel = F.when(
+        n_w >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_w),
+                lambda j: F.array_min(F.slice(F.col("hashes"), j, w)),
+            )
+        ),
+    ).otherwise(
+        F.when(F.size("hashes") > 0, F.array(F.array_min("hashes")))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return (
+        d.select("doc_id", norm.alias("norm"))
+        .select("doc_id", hashes.alias("hashes"))
+        .select("doc_id", sel.alias("sel"))
+    )
+
+
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints: hash every k-char gram of the
+    alnum-normalized text, then keep the MINIMUM hash of each w-wide
+    sliding window — the classic local fingerprinting scheme (MOSS) whose
+    guarantee is that any two documents sharing a substring of at least
+    ``k + w - 1`` chars share at least one selected fingerprint, while
+    storing only ~2/(w+1) of all gram hashes.
+
+    Complements ``doc_fingerprint`` (whole-document md5: exact-dup only)
+    with partial-overlap detection; at 100 TB the (fingerprint -> doc)
+    postings this emits are the shuffle key for a containment-dedup join,
+    exactly like the MinHash band buckets.  Entirely row-local (HOFs over
+    per-document arrays, no shuffle, no UDF); hashes are md5-derived so
+    DuckDB mirrors them bit-for-bit.  Both sequence() calls carry the
+    n>0 guard (Spark walks sequences DESCENDING for negative spans).
+    Output: per-doc fingerprint count + order-insensitive XOR checksum
+    (int64-exact, unlike a float sum).
+    """
+    # local parquet is 1-3 row groups — spread the per-gram md5 CPU across
+    # all cores (the repo-wide pattern for heavy row-local map stages)
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return winnow_selected(d).select(
+            "doc_id",
+            F.size("sel").cast("bigint").alias("n_fp"),
+            F.aggregate(
+                "sel", F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x)
+            ).alias("fp_xor"),
+    )
+
+
+_oracle(
+    "winnowing_fingerprint",
+    f"""
+    WITH nrm AS (
+        SELECT doc_id,
+               regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+        FROM documents
+    ), h AS (
+        SELECT doc_id,
+               CASE WHEN length(norm) >= {WINNOW_K}
+                    THEN list_transform(
+                         range(1, length(norm) - {WINNOW_K} + 2),
+                         i -> ('0x' || substring(
+                                   md5(substring(norm, i, {WINNOW_K})),
+                                   1, 15))::BIGINT)
+                    ELSE [] END AS hashes
+        FROM nrm
+    ), m AS (
+        SELECT doc_id,
+               CASE WHEN len(hashes) >= {WINNOW_W}
+                    THEN list_distinct(list_transform(
+                         range(1, len(hashes) - {WINNOW_W} + 2),
+                         j -> list_min(hashes[j:j+{WINNOW_W}-1])))
+                    ELSE list_distinct(
+                         CASE WHEN len(hashes) > 0
+                              THEN [list_min(hashes)] ELSE [] END)
+               END AS sel
+        FROM h
+    )
+    SELECT doc_id,
+           CAST(len(sel) AS BIGINT) AS n_fp,
+           CASE WHEN len(sel) = 0 THEN 0
+                ELSE list_reduce(sel, (a, b) -> xor(a, b)) END AS fp_xor
+    FROM m
+    """,
+)

@@ -724,6 +724,7 @@ QUERIES: dict[str, QueryFn] = {
     "zorder_scan_roundtrip": layout.zorder_scan_roundtrip,
     "arrow_group_normalize": udfs.arrow_group_normalize,
     "map_in_arrow_price_tier": udfs.map_in_arrow_price_tier,
+    "winnowing_fingerprint": text.winnowing_fingerprint,
     "lateral_topk_orders": sql_surface.lateral_topk_orders,
     "sql_udf_functions": sql_surface.sql_udf_functions,
     "collation_group": sql_surface.collation_group,
@@ -798,7 +799,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "token_count", "bpe_token_count", "corpus_mix_sample",
             "contamination_check", "sequence_packing",
             "sequence_packing_bpe", "repetition_stats", "doc_chunking",
-            "ngram_lm_score", "bm25_scoring"),
+            "ngram_lm_score", "bm25_scoring", "winnowing_fingerprint"),
     "E28": ("multimodal_decode", "multimodal_resize",
             "multimodal_frame_sample", "multimodal_partition_stats",
             "multimodal_audio_energy"),

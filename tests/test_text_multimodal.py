@@ -179,3 +179,50 @@ def test_ngram_lm_score_orders_rare_docs_higher(spark, sf_dir):
         assert abs(
             -r["cross_entropy"] * r["n_tokens"] * 1e6 - r["score_micro"]
         ) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+def test_winnowing_guarantee_shared_substring(spark):
+    """Docs sharing a substring of >= k+w-1 normalized chars MUST share at
+    least one selected fingerprint (the winnowing guarantee); disjoint
+    docs over different alphabids should share none."""
+    from airflow_postgres_to_s3_pipeline_spark.operators.text import (
+        WINNOW_K, WINNOW_W, winnow_selected,
+    )
+
+    shared = "q" * (WINNOW_K + WINNOW_W - 1) + "zxcvbnmasd"  # > k+w-1 chars
+    rows = [
+        (0, "aaa bbb ccc " + shared + " ddd eee"),
+        (1, "fff ggg hhh iii " + shared + " jjj"),
+        (2, "k l m n o p r s t u v w x y"),  # 1-char tokens, disjoint
+    ]
+    d = spark.createDataFrame(rows, "doc_id: long, text: string")
+    sel = {r["doc_id"]: set(r["sel"]) for r in winnow_selected(d).collect()}
+    assert sel[0] & sel[1], "winnowing guarantee violated for shared substring"
+    assert not (sel[0] & sel[2])
+    assert not (sel[1] & sel[2])
+
+
+def test_winnowing_density_and_edge_cases(spark, sf_dir):
+    """Selected-count bounds: 1 <= n_fp <= n_windows for every real doc;
+    short/empty docs degrade gracefully (0 or 1 fingerprints)."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import text as t
+
+    out = {r["doc_id"]: r for r in
+           t.winnowing_fingerprint(spark, sf_dir).collect()}
+    docs = {r["doc_id"]: r["text"] for r in
+            table(spark, sf_dir, "documents").collect()}
+    assert set(out) == set(docs)
+    import re as _re
+    for doc_id, txt in docs.items():
+        norm = _re.sub(r"[^a-z0-9]", "", txt.lower())
+        n_grams = max(len(norm) - t.WINNOW_K + 1, 0)
+        n_windows = max(n_grams - t.WINNOW_W + 1, 0) or (1 if n_grams else 0)
+        r = out[doc_id]
+        if n_grams == 0:
+            assert r["n_fp"] == 0 and r["fp_xor"] == 0
+        else:
+            assert 1 <= r["n_fp"] <= n_windows
