@@ -725,6 +725,7 @@ QUERIES: dict[str, QueryFn] = {
     "arrow_group_normalize": udfs.arrow_group_normalize,
     "map_in_arrow_price_tier": udfs.map_in_arrow_price_tier,
     "winnowing_fingerprint": text.winnowing_fingerprint,
+    "knn_pq": similarity.knn_pq,
     "lateral_topk_orders": sql_surface.lateral_topk_orders,
     "sql_udf_functions": sql_surface.sql_udf_functions,
     "collation_group": sql_surface.collation_group,
@@ -794,7 +795,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "E26": ("knn_bruteforce", "embedding_norms", "embedding_near_dup",
             "embedding_quantize", "knn_ivf", "knn_ivf_fold", "knn_gemm",
             "semantic_dedup", "kmeans_embeddings", "embedding_lsh_near_dup",
-            "embedding_random_projection"),
+            "embedding_random_projection", "knn_pq"),
     "E27": ("doc_quality", "lang_id_heuristic", "tfidf_top_terms",
             "token_count", "bpe_token_count", "corpus_mix_sample",
             "contamination_check", "sequence_packing",

@@ -34,7 +34,11 @@ from airflow_postgres_to_s3_pipeline_spark.plans import explain_str
 # - ngram_lm_score: broadcasts the 1-row (total-tokens, vocab-size)
 #   aggregate onto the vocab frame for the smoothed log-prob.
 # - bm25_scoring: broadcasts the 1-row avgdl collection statistic.
+# - knn_pq: broadcasts the 1-row packed codebook (32 KB) onto the corpus
+#   scan for encoding, and the bounded query set onto the code stream for
+#   ADC scoring — both build sides are metadata-sized.
 ALLOWED_PRODUCT = {
+    "knn_pq",
     "ngram_lm_score",
     "bm25_scoring",
     "knn_gemm",

