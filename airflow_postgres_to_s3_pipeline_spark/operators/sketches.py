@@ -17,7 +17,7 @@ merge), re-usable across queries when persisted.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_postgres_to_s3_pipeline_spark.catalog import table
@@ -170,5 +170,65 @@ _oracle(
     SELECT term, freq, freq * 1000000 / CAST(total AS DOUBLE) AS ppm
     FROM counts, total
     WHERE freq * 1000000 >= 2000 * total
+    """,
+)
+
+
+APPROX_TOPK_K = 8
+
+
+def approx_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the ``approx_top_k`` sketch aggregate (Spark
+    4.1): one fixed-size mergeable sketch per partition, merged once — the
+    sketch answer to "top terms over 100 TB" that ``heavy_hitters_terms``
+    is the exact baseline for.
+
+    Item ORDER among equal counts is sketch-internal, so the contract
+    checked is item-order-free: the emitted rows are the top-k COUNTS
+    (descending — deterministic regardless of which tied item holds the
+    slot) plus an engine-side boolean that each sketched item's count
+    equals that item's exact corpus count (true whenever maxItemsTracked
+    covers the vocabulary, as here).  The oracle recomputes the exact
+    top-k count ladder and emits ``count_exact = true``.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+    )
+    sketch = words.agg(
+        F.expr(f"approx_top_k(word, {APPROX_TOPK_K})").alias("tk")
+    )
+    topk = sketch.select(
+        F.posexplode("tk").alias("pos", "entry")
+    ).select(
+        F.col("entry.item").alias("_item"),
+        F.col("entry.count").alias("approx_count"),
+    )
+    exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("_exact"))
+    joined = topk.join(exact, topk["_item"] == exact["word"], "left")
+    w = Window.orderBy(F.col("approx_count").desc(), F.col("_item").asc())
+    return joined.select(
+        F.row_number().over(w).alias("rnk"),
+        "approx_count",
+        (F.col("approx_count") == F.col("_exact")).alias("count_exact"),
+    )
+
+
+_oracle(
+    "approx_topk_terms",
+    f"""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), counts AS (
+        SELECT word, COUNT(*) AS c FROM words
+        WHERE LENGTH(word) > 0 GROUP BY word
+    ), ladder AS (
+        SELECT c FROM counts ORDER BY c DESC, word ASC LIMIT {APPROX_TOPK_K}
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC) AS INTEGER) AS rnk,
+           c AS approx_count,
+           true AS count_exact
+    FROM ladder
     """,
 )

@@ -254,3 +254,59 @@ _oracle(
     FROM orders
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# SQL scripting (Spark 4 BEGIN/DECLARE/WHILE) — procedural control flow
+# ---------------------------------------------------------------------------
+
+def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4): a BEGIN...END block DECLAREs a threshold
+    variable and doubles it in a WHILE loop until fewer than 25% of orders
+    exceed it, then aggregates above the converged threshold — the
+    procedural search-then-query pattern a Postgres user writes in
+    PL/pgSQL (the reference delegates arbitrary SQL to Postgres, where
+    DO-blocks are routine).
+
+    Each loop iteration is a full Catalyst-planned COUNT (pushdown and
+    partial aggregation apply per probe — this is driver-side control
+    flow over distributed queries, not a driver-side data loop).  The
+    loop is deterministic (fraction-of-total stop, price cap ~500k means
+    it converges in <=4 doublings at any SF); the oracle unrolls it as a
+    threshold ladder + correlated counts and picks the same stop.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE DEFAULT 50000.0;
+          WHILE (SELECT COUNT(*) FROM orders WHERE o_totalprice > thr)
+                >= 0.25 * (SELECT COUNT(*) FROM orders) DO
+            SET thr = thr * 2;
+          END WHILE;
+          SELECT o_orderpriority, COUNT(*) AS n_orders, thr AS threshold
+          FROM orders WHERE o_totalprice > thr GROUP BY o_orderpriority;
+        END
+        """
+    )
+
+
+_oracle(
+    "sql_scripting_threshold",
+    """
+    WITH steps AS (
+        SELECT 50000.0 * power(2, g) AS thr FROM generate_series(0, 30) t(g)
+    ), counts AS (
+        SELECT s.thr,
+               (SELECT COUNT(*) FROM orders WHERE o_totalprice > s.thr) AS c
+        FROM steps s
+    ), chosen AS (
+        SELECT MIN(thr) AS thr FROM counts
+        WHERE c < 0.25 * (SELECT COUNT(*) FROM orders)
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_orders, chosen.thr AS threshold
+    FROM orders, chosen
+    WHERE o_totalprice > chosen.thr
+    GROUP BY o_orderpriority, chosen.thr
+    """,
+)

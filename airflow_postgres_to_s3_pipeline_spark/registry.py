@@ -726,6 +726,8 @@ QUERIES: dict[str, QueryFn] = {
     "map_in_arrow_price_tier": udfs.map_in_arrow_price_tier,
     "winnowing_fingerprint": text.winnowing_fingerprint,
     "knn_pq": similarity.knn_pq,
+    "sql_scripting_threshold": sql_surface.sql_scripting_threshold,
+    "approx_topk_terms": sketches.approx_topk_terms,
     "lateral_topk_orders": sql_surface.lateral_topk_orders,
     "sql_udf_functions": sql_surface.sql_udf_functions,
     "collation_group": sql_surface.collation_group,
@@ -760,7 +762,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
            "mode_argmax"),
     "E9": ("distinct_pairs", "count_distinct_agg",
            "approx_count_distinct_users", "hll_sketch_users",
-           "approx_percentiles"),
+           "approx_percentiles", "approx_topk_terms"),
     "E10": ("rollup_acctbal", "cube_status_priority", "grouping_sets_agg"),
     "E11": ("window_topk_per_customer", "window_percent_rank",
             "window_ntile_quartiles"),

@@ -28,3 +28,19 @@ def test_heavy_hitters_threshold(spark, sf_dir):
     rows = sketches.heavy_hitters_terms(spark, sf_dir).collect()
     assert rows, "common stopwords should exceed 2000 ppm"
     assert all(r["ppm"] >= 2000 for r in rows)
+
+
+def test_approx_topk_terms_matches_exact_ladder(spark, sf_dir):
+    from airflow_postgres_to_s3_pipeline_spark.operators.sketches import (
+        APPROX_TOPK_K, approx_topk_terms,
+    )
+
+    out = sorted(
+        approx_topk_terms(spark, sf_dir).collect(), key=lambda r: r["rnk"]
+    )
+    assert len(out) == APPROX_TOPK_K
+    assert all(r["count_exact"] for r in out), (
+        "sketch count diverged from exact while tracking whole vocabulary"
+    )
+    counts = [r["approx_count"] for r in out]
+    assert counts == sorted(counts, reverse=True)

@@ -97,3 +97,22 @@ def test_xml_roundtrip_identity(spark, sf_dir):
     ).count()
     assert bad == 0
     assert joined.count() == table(spark, sf_dir, "orders").count()
+
+
+def test_sql_scripting_threshold_converges(spark, sf_dir):
+    """The WHILE loop must stop at the first threshold below the 25%
+    fraction — recompute the ladder driver-side and compare."""
+    out = sql_surface.sql_scripting_threshold(spark, sf_dir).collect()
+    assert out, "empty scripting result"
+    thr = {r["threshold"] for r in out}
+    assert len(thr) == 1
+    thr = thr.pop()
+    o = table(spark, sf_dir, "orders")
+    total = o.count()
+    t = 50000.0
+    while o.filter(F.col("o_totalprice") > t).count() >= 0.25 * total:
+        t *= 2
+    assert thr == t
+    assert sum(r["n_orders"] for r in out) == o.filter(
+        F.col("o_totalprice") > t
+    ).count()
