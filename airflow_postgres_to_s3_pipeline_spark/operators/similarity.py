@@ -1193,6 +1193,71 @@ def _pq_d2(a, b, subd: int = PQ_SUBD):
     )
 
 
+
+def _pq_codebook(e: DataFrame, ksub: int = PQ_KSUB, every: int = PQ_EVERY):
+    """1-row packed sub-codebook frame (broadcastable, ~32 KB)."""
+    cents = e.filter(
+        (F.col("vec_id") % every == 0) & (F.col("vec_id") / every < ksub)
+    ).select(
+        (F.col("vec_id") / every).cast("long").alias("code"),
+        F.col("v").alias("cv"),
+    )
+    return cents.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("code", "cv"))).alias("_cs")
+    )
+
+
+def _pq_cb_col(m: int = PQ_M, subd: int = PQ_SUBD):
+    """_cb[s+1][c+1] = sub-centroid slice, from the packed ``_cs``."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.col("_cs"), lambda c: F.slice(c["cv"], s * subd + 1, subd)
+        ),
+    )
+
+
+def _pq_codes_col(m: int = PQ_M, subd: int = PQ_SUBD):
+    """Per-row code list: argmin sub-centroid per subspace (first position
+    of the min -> lowest code on exact ties, the oracle's tie rule)."""
+    def dists(s):
+        return F.transform(
+            F.element_at(F.col("_cb"), (s + 1).cast("int")),
+            lambda cc: _pq_d2(F.slice(F.col("v"), s * subd + 1, subd), cc,
+                              subd),
+        )
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: (F.array_position(dists(s), F.array_min(dists(s))) - 1).cast(
+            "long"
+        ),
+    )
+
+
+def _pq_adist_col(m: int = PQ_M, subd: int = PQ_SUBD):
+    """Asymmetric distance: sum over subspaces of d2(query sub-slice,
+    coded sub-centroid) as a sequential fold (rounded to 4 for the
+    deterministic rank key, the knn convention)."""
+    return F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + _pq_d2(
+                F.slice(F.col("qv"), s * subd + 1, subd),
+                F.element_at(
+                    F.element_at(F.col("_cb"), (s + 1).cast("int")),
+                    (F.element_at(F.col("codes"), (s + 1).cast("int")) + 1)
+                    .cast("int"),
+                ),
+                subd,
+            ),
+        ),
+        4,
+    )
+
+
 def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors by squared-L2 over PQ codes: each
     corpus vector is encoded as ``PQ_M`` sub-codebook indices (argmin
@@ -1219,73 +1284,28 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping used here — sum over s of d2(q_s, cb[s][c_s]) — so the LUT
     rewrite preserves these exact values.
     """
-    m, subd, ksub, every = PQ_M, PQ_SUBD, PQ_KSUB, PQ_EVERY
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
-    cents = e.filter(
-        (F.col("vec_id") % every == 0) & (F.col("vec_id") / every < ksub)
-    ).select(
-        (F.col("vec_id") / every).cast("long").alias("code"),
-        F.col("v").alias("cv"),
-    )
-    # one tiny packed row -> broadcast; _cb[s+1][c+1] = 8-dim sub-centroid
-    packed = cents.groupBy().agg(
-        F.sort_array(F.collect_list(F.struct("code", "cv"))).alias("_cs")
-    )
-    cb = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: F.transform(
-            F.col("_cs"), lambda c: F.slice(c["cv"], s * subd + 1, subd)
-        ),
-    )
-
-    def dists(s):
-        return F.transform(
-            F.element_at(F.col("_cb"), (s + 1).cast("int")),
-            lambda cc: _pq_d2(F.slice(F.col("v"), s * subd + 1, subd), cc),
-        )
-
-    # argmin via first position of the min -> lowest code on exact ties
-    # (identical to the oracle's ORDER BY d2 ASC, code ASC)
-    codes_col = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: (F.array_position(dists(s), F.array_min(dists(s))) - 1).cast(
-            "long"
-        ),
-    )
+    packed = _pq_codebook(e)
     codes = (
         e.repartition(spark.sparkContext.defaultParallelism)
         .crossJoin(F.broadcast(packed))
-        .withColumn("_cb", cb)
-        .select("vec_id", codes_col.alias("codes"), "_cb")
+        .withColumn("_cb", _pq_cb_col())
+        .select("vec_id", _pq_codes_col().alias("codes"), "_cb")
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     cand = codes.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-    adist = F.round(
-        F.aggregate(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            F.lit(0.0),
-            lambda acc, s: acc
-            + _pq_d2(
-                F.slice(F.col("qv"), s * subd + 1, subd),
-                F.element_at(
-                    F.element_at(F.col("_cb"), (s + 1).cast("int")),
-                    (F.element_at(F.col("codes"), (s + 1).cast("int")) + 1)
-                    .cast("int"),
-                ),
-            ),
-        ),
-        4,
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc()
     )
     return (
         cand.select(
-            "query_id", F.col("vec_id").alias("neighbor_id"), adist.alias("adist")
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _pq_adist_col().alias("adist"),
         )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
@@ -1345,3 +1365,160 @@ def _knn_pq_oracle(m: int = PQ_M, subd: int = PQ_SUBD, ksub: int = PQ_KSUB,
 
 
 _oracle("knn_pq", _knn_pq_oracle())
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: both ANN levers composed (candidate count x bytes per candidate)
+# ---------------------------------------------------------------------------
+
+IVFPQ_EVERY = 50   # coarse stride -> corpus/50 cells (the knn_ivf index)
+IVFPQ_N_PROBE = 3  # coarse cells probed per query
+
+
+def knn_ivfpq(spark: SparkSession, sf_dir: str,
+              n_probe: int = IVFPQ_N_PROBE,
+              every: int = IVFPQ_EVERY) -> DataFrame:
+    """IVF-PQ: the coarse IVF index (``knn_ivf``'s cosine cells) prunes
+    CANDIDATES to the ``n_probe`` nearest cells, and PQ codes
+    (``knn_pq``'s 16-subspace codebook) shrink the BYTES scanned per
+    surviving candidate — the two levers compose multiplicatively, which
+    is how faiss-style billion-vector serving works: at 100 TB of fp64
+    embeddings, IVF with sqrt-scaled cells cuts the scan ~sqrt(n)/probe,
+    and the candidates stream as ~16-byte codes + one 32 KB broadcast
+    codebook instead of 512-byte vectors.
+
+    Simplification vs faiss: codes quantize the RAW vectors, not the
+    per-cell residuals (residual codebooks need per-cell training; the
+    plumbing — probe join + ADC over coded candidates — is identical).
+    Coarse probing uses the IVF index's own metric (cosine); fine ranking
+    is PQ asymmetric squared-L2.  Deterministic end-to-end, so the
+    composed pipeline carries a full SQL oracle assembled from the same
+    CTE generators as its two parents.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    cents = _centroids(e, every)
+    assigned = ivf_assign(e, cents)
+    packed = _pq_codebook(e)
+    coded = (
+        assigned.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(packed))
+        .withColumn("_cb", _pq_cb_col())
+        .select("vec_id", "centroid_id", _pq_codes_col().alias("codes"), "_cb")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qcsim").desc(), F.col("centroid_id").asc()
+    )
+    probe = (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qv",
+            "centroid_id",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("qcsim"),
+        )
+        .withColumn("prnk", F.row_number().over(wq))
+        .filter(F.col("prnk") <= n_probe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    cand = probe.join(coded, "centroid_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _pq_adist_col().alias("adist"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+def _knn_ivfpq_oracle(m: int = PQ_M, subd: int = PQ_SUBD,
+                      ksub: int = PQ_KSUB, pq_every: int = PQ_EVERY,
+                      every: int = IVFPQ_EVERY,
+                      n_probe: int = IVFPQ_N_PROBE) -> str:
+    """Composed mirror: knn_ivf's coarse CTEs (cosine cells + probe) +
+    knn_pq's code CTEs + ADC ranking, generated from the same constants
+    as the Spark signature."""
+    d2 = (
+        "list_reduce(list_transform(range(1, {subd} + 1), i -> "
+        "({a}[{off} + i] - {b}[i]) * ({a}[{off} + i] - {b}[i])), "
+        "(x, y) -> x + y)"
+    )
+    enc_d2 = d2.format(subd=subd, a="v", off=f"s * {subd}",
+                       b="cbn[s + 1][c + 1]")
+    adc_d2 = d2.format(subd=subd, a="p.qv", off=f"s * {subd}",
+                       b="cbn[s + 1][codes.codes[s + 1] + 1]")
+    return f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), cents AS (
+        SELECT vec_id // {every} AS centroid_id, v AS cv
+        FROM e WHERE vec_id % {every} = 0
+    ), assigned AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                c.centroid_id ASC) AS crnk
+            FROM e, cents c
+        ) WHERE crnk = 1
+    ), cb AS (
+        SELECT s.s AS sub, e.vec_id // {pq_every} AS code,
+               e.v[s.s * {subd} + 1 : s.s * {subd} + {subd}] AS cv
+        FROM e, range(0, {m}) s(s)
+        WHERE e.vec_id % {pq_every} = 0 AND e.vec_id // {pq_every} < {ksub}
+    ), cbl AS (
+        SELECT list(cl ORDER BY sub) AS cbn FROM (
+            SELECT sub, list(cv ORDER BY code) AS cl FROM cb GROUP BY sub)
+    ), codes AS (
+        SELECT vec_id,
+               list_transform(range(0, {m}), s ->
+                   list_indexof(
+                       list_transform(range(0, {ksub}), c -> {enc_d2}),
+                       list_min(
+                           list_transform(range(0, {ksub}), c -> {enc_d2})
+                       )) - 1) AS codes
+        FROM e, cbl
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
+    ), probe AS (
+        SELECT query_id, qv, centroid_id FROM (
+            SELECT q.query_id, q.qv, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+                                c.centroid_id ASC) AS prnk
+            FROM q, cents c
+        ) WHERE prnk <= {n_probe}
+    ), cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROUND(list_reduce(
+                   list_transform(range(0, {m}), s -> {adc_d2}),
+                   (x, y) -> x + y), 4) AS adist
+        FROM probe p
+        JOIN assigned a USING (centroid_id)
+        JOIN codes ON codes.vec_id = a.vec_id
+        CROSS JOIN cbl
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, adist, CAST(rnk AS INT) AS rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY adist ASC, neighbor_id ASC) AS rnk
+        FROM cand
+    ) WHERE rnk <= {TOP_K}
+    """
+
+
+_oracle("knn_ivfpq", _knn_ivfpq_oracle())

@@ -726,6 +726,7 @@ QUERIES: dict[str, QueryFn] = {
     "map_in_arrow_price_tier": udfs.map_in_arrow_price_tier,
     "winnowing_fingerprint": text.winnowing_fingerprint,
     "knn_pq": similarity.knn_pq,
+    "knn_ivfpq": similarity.knn_ivfpq,
     "sql_scripting_threshold": sql_surface.sql_scripting_threshold,
     "approx_topk_terms": sketches.approx_topk_terms,
     "lateral_topk_orders": sql_surface.lateral_topk_orders,
@@ -797,7 +798,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "E26": ("knn_bruteforce", "embedding_norms", "embedding_near_dup",
             "embedding_quantize", "knn_ivf", "knn_ivf_fold", "knn_gemm",
             "semantic_dedup", "kmeans_embeddings", "embedding_lsh_near_dup",
-            "embedding_random_projection", "knn_pq"),
+            "embedding_random_projection", "knn_pq", "knn_ivfpq"),
     "E27": ("doc_quality", "lang_id_heuristic", "tfidf_top_terms",
             "token_count", "bpe_token_count", "corpus_mix_sample",
             "contamination_check", "sequence_packing",

@@ -238,3 +238,32 @@ def test_knn_pq_codebook_vectors_have_zero_self_distance(spark, sf_dir):
     assert len(out) == similarity.N_QUERIES * similarity.TOP_K
     assert all(r["adist"] >= 0.0 for r in out)
     assert all(1 <= r["rnk"] <= similarity.TOP_K for r in out)
+
+
+def test_knn_ivfpq_candidates_subset_of_probed_cells(spark, sf_dir):
+    """Every IVF-PQ neighbor must come from one of the query's n_probe
+    nearest coarse cells — recompute assignment + probe driver-side."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = [int(r[0]) for r in rows]
+    E = np.array([r[1] for r in rows], dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    every = similarity.IVFPQ_EVERY
+    cent_rows = [i for i, vid in enumerate(ids) if vid % every == 0]
+    C = En[cent_rows]
+    cell_of = {ids[i]: int(np.argmax(C @ En[i])) for i in range(len(ids))}
+    out = similarity.knn_ivfpq(spark, sf_dir).collect()
+    assert len(out) == similarity.N_QUERIES * similarity.TOP_K
+    idx = {vid: i for i, vid in enumerate(ids)}
+    for r in out:
+        qsims = C @ En[idx[r["query_id"]]]
+        probed = set(np.argsort(-qsims)[: similarity.IVFPQ_N_PROBE].tolist())
+        assert cell_of[r["neighbor_id"]] in probed, (
+            f"neighbor {r['neighbor_id']} outside probed cells of "
+            f"query {r['query_id']}"
+        )
