@@ -105,6 +105,35 @@ def write_jdbc(
     writer.save()
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: StructType | None = None,
+) -> DataFrame:
+    """XML file scan (native in Spark 4 — the spark-xml package was folded
+    into core).  Explicit schema preferred for the same
+    no-inference-pass-at-100TB reason as CSV/JSON; row_tag picks the
+    repeating element.  (Avro, the remaining interchange format, ships as
+    an EXTERNAL module — its jar is not in this container, so there is no
+    read_avro here rather than an untestable stub.)"""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def read_text(spark: SparkSession, path: str,
+              whole_text: bool = False) -> DataFrame:
+    """Line-oriented text scan (one ``value`` column) — the raw-corpus
+    landing format for LLM text pipelines; whole_text=True reads each file
+    as ONE row (document-per-file layouts).  NOTE: must be passed as the
+    ``text()`` keyword — ``.option("wholetext", ...)`` is silently ignored
+    by the Python reader in Spark 4.1 (measured; the test pins the
+    working spelling)."""
+    return spark.read.text(path, wholetext=whole_text)
+
+
 def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
     """Binary-file source for multimodal payloads (E28): (path, modTime,
     length, content) rows with the bytes as a binary column."""

@@ -129,3 +129,44 @@ def test_orc_source_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     plan = explain_str(q)
     read_schema = plan.split("ReadSchema")[1].splitlines()[0]
     assert "o_totalprice" not in read_schema
+
+
+def test_xml_source_roundtrip(spark, tmp_path):
+    """Native XML datasource (Spark 4): schema'd write -> read round-trip
+    preserves values; explicit schema avoids the inference pass."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from airflow_postgres_to_s3_pipeline_spark.sources.readers import read_xml
+
+    df = spark.range(20).selectExpr(
+        "id", "concat('name_', id) AS name", "CAST(id * 1.5 AS DOUBLE) AS score"
+    )
+    path = str(tmp_path / "xml_roundtrip")
+    df.write.format("xml").option("rowTag", "rec").save(path)
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+    ])
+    back = read_xml(spark, path, row_tag="rec", schema=schema)
+    assert back.schema == schema, "explicit schema not honored (pruning)"
+    got = {(r["id"], r["name"]) for r in back.collect()}
+    exp = {(r["id"], r["name"]) for r in df.select("id", "name").collect()}
+    assert got == exp
+
+
+def test_text_source_line_and_wholetext(spark, tmp_path):
+    from airflow_postgres_to_s3_pipeline_spark.sources.readers import read_text
+
+    p = tmp_path / "docs"
+    p.mkdir()
+    (p / "a.txt").write_text("line1\nline2\n")
+    (p / "b.txt").write_text("solo\n")
+    lines = read_text(spark, str(p))
+    assert sorted(r["value"] for r in lines.collect()) == [
+        "line1", "line2", "solo",
+    ]
+    whole = read_text(spark, str(p), whole_text=True)
+    assert whole.count() == 2
+    assert {r["value"] for r in whole.collect()} == {"line1\nline2\n", "solo\n"}
