@@ -853,3 +853,64 @@ _oracle(
     GROUP BY p.event_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# E4 variant: null-safe equality join (<=>)
+# ---------------------------------------------------------------------------
+
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): customers
+    keyed by ``nullif(c_mktsegment, 'BUILDING')`` (so BUILDING rows carry
+    a NULL key) joined to the distinct key dim — a plain equality join
+    silently DROPS every NULL-keyed row; ``eqNullSafe`` matches them to
+    the dim's NULL row.  The NULL-vs-dropped distinction is the classic
+    silent-data-loss bug in dimension joins.
+
+    Scale note: EqualNullSafe is still a hash-join-able key (Catalyst
+    rewrites it to a coalesce-keyed equality), so the plan stays a
+    broadcast/sort-merge hash join — no nested loop (pinned by the plan
+    lint, which this entry is NOT exempted from).
+    """
+    c = table(spark, sf_dir, "customer").select(
+        F.expr("nullif(c_mktsegment, 'BUILDING')").alias("seg_key"),
+        "c_acctbal",
+    )
+    dim = (
+        c.select("seg_key")
+        .distinct()
+        .select(
+            "seg_key",
+            F.coalesce(F.col("seg_key"), F.lit("(none)")).alias("seg_label"),
+        )
+    )
+    return (
+        c.join(F.broadcast(dim), c["seg_key"].eqNullSafe(dim["seg_key"]))
+        .groupBy("seg_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+_oracle(
+    "join_null_safe",
+    """
+    WITH c AS (
+        SELECT nullif(c_mktsegment, 'BUILDING') AS seg_key, c_acctbal
+        FROM customer
+    ), dim AS (
+        SELECT seg_key, COALESCE(seg_key, '(none)') AS seg_label
+        FROM (SELECT DISTINCT seg_key FROM c)
+    )
+    SELECT seg_label,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE)
+               AS total_acctbal
+    FROM c JOIN dim ON c.seg_key IS NOT DISTINCT FROM dim.seg_key
+    GROUP BY seg_label
+    """,
+)

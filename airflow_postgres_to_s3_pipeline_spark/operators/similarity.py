@@ -1258,7 +1258,8 @@ def _pq_adist_col(m: int = PQ_M, subd: int = PQ_SUBD):
     )
 
 
-def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_pq(spark: SparkSession, sf_dir: str,
+           encode_tier: str = "gemm") -> DataFrame:
     """Approximate top-5 neighbors by squared-L2 over PQ codes: each
     corpus vector is encoded as ``PQ_M`` sub-codebook indices (argmin
     squared-L2 per subspace), and query-to-candidate distance is the
@@ -1274,9 +1275,16 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     COMPUTATION is fully deterministic: pseudo-codebook from strided
     vectors, sequential fp64 folds bit-identical in DuckDB, ties broken
     by (code ASC) / (neighbor_id ASC) — so the output carries a full SQL
-    oracle.  Everything after the one broadcast (8 KB codebook) is
-    row-local: encode is a HOF over the scan, candidate scoring re-reads
-    only (codes, id) — the fp64 vectors never shuffle.
+    oracle.  Everything after the one broadcast (32 KB codebook) is
+    row-local; candidate scoring re-reads only (codes, id) — the fp64
+    vectors never shuffle.
+
+    The corpus encode DEFAULTS to the numpy cogroup GEMM tier
+    (``pq_encode_gemm`` — measured 661.7s HOF vs 4.2s GEMM at 200k
+    vectors, 156x: the n x m x ksub x subd fold lambdas are
+    CodegenFallback, the knn_ivf r4 lesson again); ``encode_tier="fold"``
+    keeps the shuffle-free HOF reference semantics (bit-identical codes,
+    same oracle — ``knn_pq_fold``).
 
     A production serving path would precompute the per-query 16x64 lookup
     table (LUT) and score candidates with 16 table adds; that regroups
@@ -1288,12 +1296,19 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", to_double_array("embedding").alias("v")
     )
     packed = _pq_codebook(e)
-    codes = (
-        e.repartition(spark.sparkContext.defaultParallelism)
-        .crossJoin(F.broadcast(packed))
-        .withColumn("_cb", _pq_cb_col())
-        .select("vec_id", _pq_codes_col().alias("codes"), "_cb")
-    )
+    if encode_tier == "gemm":
+        codes = (
+            pq_encode_gemm(e, packed, spark.sparkContext.defaultParallelism)
+            .crossJoin(F.broadcast(packed))
+            .withColumn("_cb", _pq_cb_col())
+        )
+    else:
+        codes = (
+            e.repartition(spark.sparkContext.defaultParallelism)
+            .crossJoin(F.broadcast(packed))
+            .withColumn("_cb", _pq_cb_col())
+            .select("vec_id", _pq_codes_col().alias("codes"), "_cb")
+        )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -1399,13 +1414,17 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str,
         "vec_id", to_double_array("embedding").alias("v")
     )
     cents = _centroids(e, every)
-    assigned = ivf_assign(e, cents)
+    # both index builds on their GEMM cogroup tiers — the scale-safe
+    # defaults knn_ivf and knn_pq also ship (bit-identical to the folds);
+    # carry=centroid_id threads the coarse cell through the PQ encode so
+    # the composition costs no extra vec_id shuffle join
+    shards = spark.sparkContext.defaultParallelism
+    assigned = ivf_assign_gemm(e, cents, shards)
     packed = _pq_codebook(e)
     coded = (
-        assigned.repartition(spark.sparkContext.defaultParallelism)
+        pq_encode_gemm(assigned, packed, shards, carry=("centroid_id",))
         .crossJoin(F.broadcast(packed))
         .withColumn("_cb", _pq_cb_col())
-        .select("vec_id", "centroid_id", _pq_codes_col().alias("codes"), "_cb")
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -1522,3 +1541,90 @@ def _knn_ivfpq_oracle(m: int = PQ_M, subd: int = PQ_SUBD,
 
 
 _oracle("knn_ivfpq", _knn_ivfpq_oracle())
+
+
+def pq_encode_gemm(e: DataFrame, packed: DataFrame, n_shards: int,
+                   m: int = PQ_M, subd: int = PQ_SUBD,
+                   carry: tuple = ()) -> DataFrame:
+    """``_pq_codes_col`` at GEMM speed: the corpus is salted into shards
+    and cogrouped with the engine-replicated packed codebook (the
+    ``ivf_assign_gemm`` distribution pattern — no driver collect); each
+    Arrow batch computes all (chunk x ksub) sub-distances in numpy with
+    DIMENSION-ORDERED accumulation — ``acc += (A[:,d] - C[:,d])**2`` for
+    d in order — which is bit-identical to the sequential HOF fold and to
+    DuckDB's list_reduce, so the argmin (np.argmin keeps the FIRST
+    minimum = lowest code, the shared tie rule) picks the same code and
+    the result shares the same exact oracle.
+
+    This is the index-build tier you'd ship at 100x corpus size: the HOF
+    encode is n x m x ksub x subd interpreted lambda steps
+    (CodegenFallback — the knn_ivf r4 lesson), the GEMM tier does the
+    same arithmetic in vectorized batches.  Measured at 200k x 64-dim
+    vectors: 661.7s (HOF) vs 4.2s (GEMM) — 156x (docs/SCALE.md).
+
+    ``carry`` names extra LONG columns of ``e`` to pass through unchanged
+    (e.g. a precomputed IVF centroid_id), so composed pipelines avoid a
+    second vec_id shuffle join.
+    """
+    spark = e.sparkSession
+    corpus = e.withColumn(
+        "shard", F.pmod(F.hash("vec_id"), F.lit(n_shards)).cast("int")
+    )
+    cbs = packed.crossJoin(
+        F.broadcast(
+            spark.range(n_shards).select(F.col("id").cast("int").alias("shard"))
+        )
+    )
+
+    def encode(corpus_pdf, cb_pdf):
+        import numpy as np
+        import pandas as pd
+
+        if corpus_pdf.empty or cb_pdf.empty:
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype="int64"),
+                 **{c: pd.Series(dtype="int64") for c in carry},
+                 "codes": pd.Series(dtype="object")}
+            )
+        # packed row: list of (code, cv) structs sorted by code
+        cs = cb_pdf.iloc[0]["_cs"]
+        C = np.stack([np.asarray(c["cv"], dtype=np.float64) for c in cs])
+        A = np.stack(corpus_pdf["v"].to_numpy()).astype(np.float64)
+        codes = np.zeros((A.shape[0], m), dtype=np.int64)
+        for s in range(m):
+            As = A[:, s * subd:(s + 1) * subd]
+            Cs = C[:, s * subd:(s + 1) * subd]
+            acc = np.zeros((As.shape[0], Cs.shape[0]))
+            for d in range(subd):
+                diff = np.subtract.outer(As[:, d], Cs[:, d])
+                acc += diff * diff
+            codes[:, s] = acc.argmin(axis=1)
+        return pd.DataFrame(
+            {"vec_id": corpus_pdf["vec_id"].to_numpy(),
+             **{c: corpus_pdf[c].to_numpy() for c in carry},
+             "codes": list(codes)}
+        )
+
+    out_schema = "vec_id long, " + "".join(
+        f"{c} long, " for c in carry
+    ) + "codes array<long>"
+    return (
+        corpus.groupBy("shard")
+        .cogroup(cbs.groupBy("shard"))
+        .applyInPandas(encode, out_schema)
+    )
+
+
+def knn_pq_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``knn_pq`` with the corpus encode on the shuffle-free HOF fold
+    tier — the reference semantics the GEMM cogroup tier is verified
+    against (bit-identical codes: dimension-ordered accumulation,
+    first-min argmin; pinned by
+    tests/test_similarity.py::test_knn_pq_fold_bit_identical_to_gemm_tier).
+    Measured 156x slower than the GEMM build at 200k vectors
+    (docs/SCALE.md) — registered so both builds keep independent
+    end-to-end evidence, exactly like knn_ivf / knn_ivf_fold."""
+    return knn_pq(spark, sf_dir, encode_tier="fold")
+
+
+ORACLES["knn_pq_fold"] = ORACLES["knn_pq"]

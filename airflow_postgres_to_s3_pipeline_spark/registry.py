@@ -643,6 +643,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_frame_sample": multimodal.multimodal_frame_sample,
     "join_shuffle_multiway": relational.join_shuffle_multiway,
     "join_full_outer": relational.join_full_outer,
+    "join_null_safe": relational.join_null_safe,
     "join_anti": relational.join_anti,
     "agg_stats": relational.agg_stats,
     "corr_covar": relational.corr_covar,
@@ -727,6 +728,7 @@ QUERIES: dict[str, QueryFn] = {
     "winnowing_fingerprint": text.winnowing_fingerprint,
     "knn_pq": similarity.knn_pq,
     "knn_ivfpq": similarity.knn_ivfpq,
+    "knn_pq_fold": similarity.knn_pq_fold,
     "sql_scripting_threshold": sql_surface.sql_scripting_threshold,
     "approx_topk_terms": sketches.approx_topk_terms,
     "lateral_topk_orders": sql_surface.lateral_topk_orders,
@@ -748,7 +750,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
            "zorder_scan_roundtrip"),
     "E2": ("computed_projection",),
     "E3": ("filter_compound", "disjunctive_filter_parts"),
-    "E4": ("join_broadcast_dims", "join_shuffle_multiway",
+    "E4": ("join_broadcast_dims", "join_shuffle_multiway", "join_null_safe",
            "nation_volume_shipping", "local_supplier_volume",
            "nation_market_share", "top_supplier_revenue",
            "small_quantity_revenue", "min_cost_supplier",
@@ -798,7 +800,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "E26": ("knn_bruteforce", "embedding_norms", "embedding_near_dup",
             "embedding_quantize", "knn_ivf", "knn_ivf_fold", "knn_gemm",
             "semantic_dedup", "kmeans_embeddings", "embedding_lsh_near_dup",
-            "embedding_random_projection", "knn_pq", "knn_ivfpq"),
+            "embedding_random_projection", "knn_pq", "knn_ivfpq",
+            "knn_pq_fold"),
     "E27": ("doc_quality", "lang_id_heuristic", "tfidf_top_terms",
             "token_count", "bpe_token_count", "corpus_mix_sample",
             "contamination_check", "sequence_packing",

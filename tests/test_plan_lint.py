@@ -39,6 +39,7 @@ from airflow_postgres_to_s3_pipeline_spark.plans import explain_str
 #   ADC scoring — both build sides are metadata-sized.
 ALLOWED_PRODUCT = {
     "knn_pq",
+    "knn_pq_fold",
     "knn_ivfpq",  # same metadata-sized broadcasts (codebook, centroids,
     # query set); candidate pairing is the centroid_id equi-join
     "ngram_lm_score",

@@ -267,3 +267,12 @@ def test_knn_ivfpq_candidates_subset_of_probed_cells(spark, sf_dir):
             f"neighbor {r['neighbor_id']} outside probed cells of "
             f"query {r['query_id']}"
         )
+
+
+def test_knn_pq_fold_bit_identical_to_gemm_tier(spark, sf_dir):
+    """The GEMM encode (default) must produce byte-for-byte the same
+    ranked output as the HOF fold reference tier (dimension-ordered
+    accumulation + first-min argmin are the equivalence contract)."""
+    gemm = sorted(map(tuple, similarity.knn_pq(spark, sf_dir).collect()))
+    fold = sorted(map(tuple, similarity.knn_pq_fold(spark, sf_dir).collect()))
+    assert gemm == fold

@@ -84,7 +84,8 @@ def main() -> int:
     # shapes have their own scaling laws (see each operator's docstring).
     vector_labels = {"vector_knn_hof", "vector_knn_gemm",
                      "vector_lsh_near_dup", "vector_semantic_dedup",
-                     "vector_kmeans", "vector_knn_ivf"}
+                     "vector_kmeans", "vector_knn_ivf",
+                     "vector_pq_encode_hof", "vector_pq_encode_gemm"}
     if not only or (only & vector_labels):
         import shutil
         import tempfile
@@ -147,6 +148,39 @@ def main() -> int:
             lambda d: similarity.knn_ivf(
                 spark, d, every=max(50, int(nv_km ** 0.5)),
                 assign_tier="gemm")))
+
+        # r5: PQ corpus-encode build tiers — HOF fold (CodegenFallback,
+        # n x m x ksub x subd interpreted steps) vs numpy cogroup GEMM
+        # (bit-identical codes; the build you'd ship)
+        from airflow_postgres_to_s3_pipeline_spark.catalog import (
+            table as _table,
+        )
+
+        def _pq_vecs(d):
+            return _table(spark, d, "embeddings").select(
+                "vec_id", similarity.to_double_array("embedding").alias("v")
+            )
+
+        def pq_hof(d):
+            e = _pq_vecs(d)
+            packed = similarity._pq_codebook(e)
+            return (
+                e.repartition(spark.sparkContext.defaultParallelism)
+                .crossJoin(F.broadcast(packed))
+                .withColumn("_cb", similarity._pq_cb_col())
+                .select("vec_id", similarity._pq_codes_col().alias("codes"))
+            )
+
+        def pq_gemm(d):
+            e = _pq_vecs(d)
+            packed = similarity._pq_codebook(e)
+            return similarity.pq_encode_gemm(
+                e, packed, spark.sparkContext.defaultParallelism
+            )
+
+        nv_pq = min(n, 200_000)
+        results.append(run_vec("vector_pq_encode_hof", nv_pq, pq_hof))
+        results.append(run_vec("vector_pq_encode_gemm", nv_pq, pq_gemm))
 
     # Skewed shuffle join: one key carries 10% of all rows (a hot customer /
     # null-ish key — the classic 100 TB killer).  Run the SAME sort-merge
