@@ -385,3 +385,54 @@ def model_inference_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         score(F.col("embedding").cast("array<double>")).alias("model_score"),
     )
+
+
+@F.pandas_udf(DoubleType())
+def _median_udaf(v: pd.Series) -> float:
+    """GROUPED_AGG pandas UDF (Series -> scalar): exact median.
+    Order-independent by construction (pandas sorts internally), so the
+    result is deterministic under any shuffle/partitioning — the property
+    a float-sum UDAF would NOT have."""
+    return float(v.median())
+
+
+@F.pandas_udf(LongType())
+def _count_udaf(v: pd.Series) -> int:
+    return int(v.size)
+
+
+def pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the UDAF tier of the E21 surface: a
+    Series->scalar Arrow-batched aggregate usable directly inside
+    ``groupBy().agg(...)`` (and over unbounded windows), unlike
+    ``applyInPandas`` which replaces the whole group frame.
+
+    Scale shape: partial aggregation does NOT apply to a pandas UDAF (the
+    engine must gather each group's full Series), so the group key
+    shuffles raw rows — fine for medians (which need the full group
+    anyway), wrong for sums (use built-ins); the docstring IS the
+    guidance.  Median is chosen because pandas' sort-based median is
+    order-independent, keeping the entry deterministic under any
+    partitioning; DuckDB's interpolated median computes the identical
+    (a+b)/2 arithmetic.
+    """
+    c = table(spark, sf_dir, "customer")
+    # Spark forbids mixing a GROUPED_AGG pandas UDF with non-pandas
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the row
+    # count is a second pandas UDAF rather than F.count.
+    return c.groupBy("c_mktsegment").agg(
+        _median_udaf("c_acctbal").alias("median_acctbal"),
+        _count_udaf("c_acctbal").alias("n_customers"),
+    )
+
+
+_oracle(
+    "pandas_grouped_agg",
+    """
+    SELECT c_mktsegment,
+           MEDIAN(c_acctbal) AS median_acctbal,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)

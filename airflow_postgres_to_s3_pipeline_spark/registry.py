@@ -644,6 +644,7 @@ QUERIES: dict[str, QueryFn] = {
     "join_shuffle_multiway": relational.join_shuffle_multiway,
     "join_full_outer": relational.join_full_outer,
     "join_null_safe": relational.join_null_safe,
+    "pandas_grouped_agg": udfs.pandas_grouped_agg,
     "join_anti": relational.join_anti,
     "agg_stats": relational.agg_stats,
     "corr_covar": relational.corr_covar,
@@ -783,7 +784,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "python_udtf_word_expand", "python_udf_rowwise",
             "arrow_udf_tier", "model_inference_scores",
             "arrow_group_normalize", "map_in_arrow_price_tier",
-            "python_udtf_polymorphic", "sql_udf_functions"),
+            "python_udtf_polymorphic", "sql_udf_functions",
+            "pandas_grouped_agg"),
     "E22": ("streaming_tumbling_agg", "streaming_sliding_agg",
             "streaming_static_enrich", "python_stream_source_agg"),
     "E23": ("streaming_session_window", "streaming_dedup",
