@@ -436,3 +436,39 @@ _oracle(
     GROUP BY c_mktsegment
     """,
 )
+
+
+def pandas_udaf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WINDOW form of the GROUPED_AGG pandas UDF: the same exact-
+    median UDAF applied OVER an unbounded partition window, annotating
+    every customer row with its segment's median (WindowInPandasExec — a
+    genuinely different execution path from the groupBy form: per-window
+    Arrow transfer, no aggregation node).  Deviation-from-median is the
+    analytics idiom this enables in one pass."""
+    from pyspark.sql import Window as W
+
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment")
+    med = _median_udaf("c_acctbal").over(w)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        med.alias("segment_median"),
+        # raw IEEE difference — rounding a value that can tie at the
+        # rounding scale diverges between engines (functions/numeric.py)
+        (F.col("c_acctbal") - med).alias("dev_from_median"),
+    )
+
+
+_oracle(
+    "pandas_udaf_window",
+    """
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           MEDIAN(c_acctbal) OVER (PARTITION BY c_mktsegment)
+               AS segment_median,
+           c_acctbal - MEDIAN(c_acctbal)
+                 OVER (PARTITION BY c_mktsegment) AS dev_from_median
+    FROM customer
+    """,
+)

@@ -645,6 +645,7 @@ QUERIES: dict[str, QueryFn] = {
     "join_full_outer": relational.join_full_outer,
     "join_null_safe": relational.join_null_safe,
     "pandas_grouped_agg": udfs.pandas_grouped_agg,
+    "pandas_udaf_window": udfs.pandas_udaf_window,
     "join_anti": relational.join_anti,
     "agg_stats": relational.agg_stats,
     "corr_covar": relational.corr_covar,
@@ -785,7 +786,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "arrow_udf_tier", "model_inference_scores",
             "arrow_group_normalize", "map_in_arrow_price_tier",
             "python_udtf_polymorphic", "sql_udf_functions",
-            "pandas_grouped_agg"),
+            "pandas_grouped_agg", "pandas_udaf_window"),
     "E22": ("streaming_tumbling_agg", "streaming_sliding_agg",
             "streaming_static_enrich", "python_stream_source_agg"),
     "E23": ("streaming_session_window", "streaming_dedup",
