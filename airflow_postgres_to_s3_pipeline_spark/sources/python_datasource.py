@@ -211,3 +211,132 @@ class _EventsStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Writer tier (Spark 4 DataSourceWriter / DataSourceStreamWriter): a
+# two-phase-commit JSON-lines directory sink.  Executors stage each task's
+# rows under <path>/_staging/<uuid>.jsonl and return the staged name as
+# their WriterCommitMessage; the DRIVER's commit() promotes exactly the
+# acknowledged files and writes a _SUCCESS manifest — so a failed/retried
+# task can never leak half-written output into the committed set (the same
+# protocol FileFormatWriter implements for parquet).  abort() discards the
+# staging dir.  Local-FS paths here; on a cluster the path must be shared
+# storage (s3a://, hdfs://) exactly as with any file sink.
+# ---------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+import shutil as _shutil
+import uuid as _uuid
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class _StagedFile(WriterCommitMessage):
+    def __init__(self, name: str, n_rows: int):
+        self.name = name
+        self.n_rows = n_rows
+
+
+def _stage_rows(path: str, iterator) -> "_StagedFile":
+    staging = _os.path.join(path, "_staging")
+    _os.makedirs(staging, exist_ok=True)
+    name = f"{_uuid.uuid4().hex}.jsonl"
+    n = 0
+    with open(_os.path.join(staging, name), "w") as f:
+        for row in iterator:
+            f.write(_json.dumps(row.asDict()) + "\n")
+            n += 1
+    return _StagedFile(name, n)
+
+
+class _JsonDirWriter(DataSourceWriter):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.fail_on_partition = int(options.get("fail_on_partition", "-1"))
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        if pid == self.fail_on_partition:  # test hook: simulated task crash
+            raise RuntimeError(f"simulated failure on partition {pid}")
+        return _stage_rows(self.path, iterator)
+
+    def commit(self, messages):
+        staging = _os.path.join(self.path, "_staging")
+        names = []
+        total = 0
+        for m in messages:
+            _os.rename(
+                _os.path.join(staging, m.name),
+                _os.path.join(self.path, m.name),
+            )
+            names.append(m.name)
+            total += m.n_rows
+        with open(_os.path.join(self.path, "_SUCCESS"), "w") as f:
+            _json.dump({"files": sorted(names), "rows": total}, f)
+        _shutil.rmtree(staging, ignore_errors=True)
+
+    def abort(self, messages):
+        _shutil.rmtree(
+            _os.path.join(self.path, "_staging"), ignore_errors=True
+        )
+
+
+class _JsonDirStreamWriter(DataSourceStreamWriter):
+    """Streaming tier: per-micro-batch commit into batch=<id>/ with a
+    per-batch manifest — re-delivery of a batch (checkpoint replay)
+    REPLACES the batch directory, which is what makes the sink
+    effectively exactly-once downstream of Spark's at-least-once
+    delivery (the batchId-idempotent pattern foreachBatch users hand-roll)."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        return _stage_rows(self.path, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        staging = _os.path.join(self.path, "_staging")
+        batch_dir = _os.path.join(self.path, f"batch={batchId}")
+        if _os.path.isdir(batch_dir):  # replayed batch: replace, don't dup
+            _shutil.rmtree(batch_dir)
+        _os.makedirs(batch_dir)
+        names = []
+        total = 0
+        for m in messages:
+            _os.rename(
+                _os.path.join(staging, m.name),
+                _os.path.join(batch_dir, m.name),
+            )
+            names.append(m.name)
+            total += m.n_rows
+        with open(_os.path.join(batch_dir, "_MANIFEST"), "w") as f:
+            _json.dump({"files": sorted(names), "rows": total}, f)
+
+    def abort(self, messages, batchId: int) -> None:
+        _shutil.rmtree(
+            _os.path.join(self.path, "_staging"), ignore_errors=True
+        )
+
+
+class JsonDirSinkDataSource(DataSource):
+    """df.write.format("json_dir_sink").option("path", d).save() — batch
+    and streaming JSON-lines sink with a real two-phase commit."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "json_dir_sink"
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return _JsonDirWriter(self.options)
+
+    def streamWriter(self, schema: StructType,
+                     overwrite: bool) -> DataSourceStreamWriter:
+        return _JsonDirStreamWriter(self.options)

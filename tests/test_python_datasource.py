@@ -84,3 +84,122 @@ def test_stream_reader_bounded_batches_deterministic(spark):
     assert ids == list(range(150))
     again = run().collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------------------
+# Writer tier: two-phase-commit JSON-lines directory sink
+# ---------------------------------------------------------------------------
+
+def _read_committed(path):
+    import json as j
+    import os
+
+    with open(os.path.join(path, "_SUCCESS")) as f:
+        manifest = j.load(f)
+    rows = []
+    for name in manifest["files"]:
+        with open(os.path.join(path, name)) as f:
+            rows.extend(j.loads(line) for line in f)
+    return manifest, rows
+
+
+def test_json_dir_sink_batch_two_phase_commit(spark, tmp_path):
+    from airflow_postgres_to_s3_pipeline_spark.sources.python_datasource import (
+        JsonDirSinkDataSource,
+    )
+
+    spark.dataSource.register(JsonDirSinkDataSource)
+    out = str(tmp_path / "sink_ok")
+    df = spark.range(0, 100, 1, 4).selectExpr(
+        "id", "concat('u', id % 7) AS tag"
+    )
+    df.write.format("json_dir_sink").option("path", out).mode(
+        "append"
+    ).save()
+    manifest, rows = _read_committed(out)
+    assert manifest["rows"] == 100
+    assert sorted(r["id"] for r in rows) == list(range(100))
+    assert all(r["tag"] == f"u{r['id'] % 7}" for r in rows)
+    import os
+
+    assert not os.path.isdir(os.path.join(out, "_staging")), (
+        "staging must be cleaned after commit"
+    )
+
+
+def test_json_dir_sink_failed_task_commits_nothing(spark, tmp_path):
+    """Two-phase commit contract: a task failure means NO _SUCCESS and no
+    committed data files — partial task output stays in staging only."""
+    import os
+
+    import pytest as _pytest
+
+    from airflow_postgres_to_s3_pipeline_spark.sources.python_datasource import (
+        JsonDirSinkDataSource,
+    )
+
+    spark.dataSource.register(JsonDirSinkDataSource)
+    out = str(tmp_path / "sink_fail")
+    df = spark.range(0, 100, 1, 4).selectExpr("id")
+    with _pytest.raises(Exception):
+        (
+            df.write.format("json_dir_sink")
+            .option("path", out)
+            .option("fail_on_partition", "2")
+            .mode("append")
+            .save()
+        )
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+    committed = [
+        p for p in (os.listdir(out) if os.path.isdir(out) else [])
+        if p.endswith(".jsonl")
+    ]
+    assert committed == [], f"leaked committed files: {committed}"
+
+
+def test_json_dir_sink_streaming_per_batch_manifests(spark, tmp_path):
+    """Streaming writer: one committed batch=<id>/ dir per micro-batch,
+    manifest row counts summing to the full stream (4 batches x 256)."""
+    import json as j
+    import os
+
+    from airflow_postgres_to_s3_pipeline_spark.sources.python_datasource import (
+        JsonDirSinkDataSource,
+        SyntheticEventsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(JsonDirSinkDataSource)
+    out = str(tmp_path / "stream_sink")
+    ckpt = str(tmp_path / "stream_ckpt")
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("partitions", "4")
+        .option("rows_per_batch", "256")
+        .option("max_batches", "4")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("json_dir_sink")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batch_dirs = sorted(p for p in os.listdir(out) if p.startswith("batch="))
+    assert len(batch_dirs) >= 4
+    total = 0
+    seen_ids = set()
+    for b in batch_dirs:
+        with open(os.path.join(out, b, "_MANIFEST")) as f:
+            m = j.load(f)
+        total += m["rows"]
+        for name in m["files"]:
+            with open(os.path.join(out, b, name)) as f:
+                for line in f:
+                    seen_ids.add(j.loads(line)["event_id"])
+    assert total == 4 * 256
+    assert len(seen_ids) == 4 * 256, "duplicate or missing events across batches"
