@@ -1207,6 +1207,16 @@ def _pq_codebook(e: DataFrame, ksub: int = PQ_KSUB, every: int = PQ_EVERY):
     )
 
 
+def _pq_codebook_nested(packed: DataFrame) -> DataFrame:
+    """1-row frame holding the MATERIALIZED nested codebook ``_cb``.
+    Building _cb inside a post-join withColumn re-evaluates the 16x64
+    slice tree once per CONSUMER row (the repo-wide unmaterialized-HOF
+    trap — measured 6.3s vs 1.3s for knn_pq at sf0.1); computing it on
+    the broadcast side materializes it exactly once into the broadcast
+    relation."""
+    return packed.select(_pq_cb_col().alias("_cb"))
+
+
 def _pq_cb_col(m: int = PQ_M, subd: int = PQ_SUBD):
     """_cb[s+1][c+1] = sub-centroid slice, from the packed ``_cs``."""
     return F.transform(
@@ -1259,7 +1269,8 @@ def _pq_adist_col(m: int = PQ_M, subd: int = PQ_SUBD):
 
 
 def knn_pq(spark: SparkSession, sf_dir: str,
-           encode_tier: str = "gemm") -> DataFrame:
+           encode_tier: str = "gemm",
+           score_tier: str = "gemm") -> DataFrame:
     """Approximate top-5 neighbors by squared-L2 over PQ codes: each
     corpus vector is encoded as ``PQ_M`` sub-codebook indices (argmin
     squared-L2 per subspace), and query-to-candidate distance is the
@@ -1286,43 +1297,49 @@ def knn_pq(spark: SparkSession, sf_dir: str,
     keeps the shuffle-free HOF reference semantics (bit-identical codes,
     same oracle — ``knn_pq_fold``).
 
-    A production serving path would precompute the per-query 16x64 lookup
-    table (LUT) and score candidates with 16 table adds; that regroups
-    the fp sum (LUT entries are per-subspace folds), which is the same
-    grouping used here — sum over s of d2(q_s, cb[s][c_s]) — so the LUT
-    rewrite preserves these exact values.
+    Scoring DEFAULTS to the numpy LUT tier (``pq_score_gemm``): each
+    query's 16x64 lookup table is built once per Arrow batch and
+    candidates cost 16 table-gathers — measured 2.4x over the
+    interpreted HOF fold at sf0.1 and growing with candidate count
+    (~120us/candidate interpreted).  The LUT's per-subspace folds use
+    the SAME fp grouping as the HOF tier — sum over s of
+    d2(q_s, cb[s][c_s]) — so adist is bit-identical (verified under
+    SPARK_GRAFT_STRICT_FLOATS=1); ``score_tier="fold"`` keeps the
+    all-Catalyst reference path (``knn_pq_fold`` runs fold/fold).
     """
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
+    shards = spark.sparkContext.defaultParallelism
     packed = _pq_codebook(e)
-    if encode_tier == "gemm":
-        codes = (
-            pq_encode_gemm(e, packed, spark.sparkContext.defaultParallelism)
-            .crossJoin(F.broadcast(packed))
-            .withColumn("_cb", _pq_cb_col())
-        )
-    else:
-        codes = (
-            e.repartition(spark.sparkContext.defaultParallelism)
-            .crossJoin(F.broadcast(packed))
-            .withColumn("_cb", _pq_cb_col())
-            .select("vec_id", _pq_codes_col().alias("codes"), "_cb")
-        )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    cand = codes.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    if encode_tier == "gemm":
+        codes = pq_encode_gemm(e, packed, shards)
+    else:
+        codes = (
+            e.repartition(shards)
+            .crossJoin(F.broadcast(_pq_codebook_nested(packed)))
+            .select("vec_id", _pq_codes_col().alias("codes"))
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc()
     )
-    return (
-        cand.select(
+    if score_tier == "gemm":
+        pairs = pq_score_gemm(codes, q, packed, shards)
+    else:
+        cand = (
+            codes.crossJoin(F.broadcast(_pq_codebook_nested(packed)))
+            .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        )
+        pairs = cand.select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             _pq_adist_col().alias("adist"),
         )
-        .withColumn("rnk", F.row_number().over(w))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
     )
 
@@ -1423,8 +1440,7 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str,
     packed = _pq_codebook(e)
     coded = (
         pq_encode_gemm(assigned, packed, shards, carry=("centroid_id",))
-        .crossJoin(F.broadcast(packed))
-        .withColumn("_cb", _pq_cb_col())
+        .crossJoin(F.broadcast(_pq_codebook_nested(packed)))
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -1624,7 +1640,81 @@ def knn_pq_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured 156x slower than the GEMM build at 200k vectors
     (docs/SCALE.md) — registered so both builds keep independent
     end-to-end evidence, exactly like knn_ivf / knn_ivf_fold."""
-    return knn_pq(spark, sf_dir, encode_tier="fold")
+    return knn_pq(spark, sf_dir, encode_tier="fold", score_tier="fold")
 
 
 ORACLES["knn_pq_fold"] = ORACLES["knn_pq"]
+
+
+def pq_score_gemm(codes: DataFrame, q: DataFrame, packed: DataFrame,
+                  n_shards: int, m: int = PQ_M,
+                  subd: int = PQ_SUBD) -> DataFrame:
+    """ADC scoring at GEMM speed: the REAL lookup-table serving path.
+    Corpus codes are salted into shards and cogrouped with the
+    engine-replicated query set (each query row carries the packed
+    codebook via a broadcast crossJoin — ~32 KB x queries x shards, never
+    the corpus); each Arrow batch builds the per-query 16x64 LUT in numpy
+    with DIMENSION-ORDERED accumulation and scores candidates with m
+    table-gathers accumulated IN SUBSPACE ORDER — the same two-level fp64
+    grouping as the HOF fold ``sum_s d2(q_s, cb[s][c_s])``, so adist is
+    bit-identical to the interpreted tier and the shared oracle.
+
+    Per-candidate cost drops from ~120us of interpreted lambda steps
+    (measured at sf0.1: ~2.4s for 20k pairs) to m numpy gathers — the
+    difference between an ANN serving path and a demo.
+    """
+    salted = codes.withColumn(
+        "shard", F.pmod(F.hash("vec_id"), F.lit(n_shards)).cast("int")
+    )
+    spark = codes.sparkSession
+    q_rep = (
+        q.crossJoin(F.broadcast(packed))
+        .crossJoin(
+            F.broadcast(
+                spark.range(n_shards).select(
+                    F.col("id").cast("int").alias("shard")
+                )
+            )
+        )
+    )
+
+    def score(codes_pdf, q_pdf):
+        import numpy as np
+        import pandas as pd
+
+        if codes_pdf.empty or q_pdf.empty:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "adist": pd.Series(dtype="float64")}
+            )
+        cs = q_pdf.iloc[0]["_cs"]
+        C = np.stack([np.asarray(c["cv"], dtype=np.float64) for c in cs])
+        codes_mat = np.stack(codes_pdf["codes"].to_numpy()).astype(np.int64)
+        vec_ids = codes_pdf["vec_id"].to_numpy()
+        out = []
+        for _, qrow in q_pdf.drop_duplicates("query_id").iterrows():
+            qv = np.asarray(qrow["qv"], dtype=np.float64)
+            qid = qrow["query_id"]
+            adist = np.zeros(codes_mat.shape[0])
+            for s in range(m):
+                qs = qv[s * subd:(s + 1) * subd]
+                Cs = C[:, s * subd:(s + 1) * subd]
+                lut = np.zeros(C.shape[0])
+                for d in range(subd):
+                    diff = qs[d] - Cs[:, d]
+                    lut += diff * diff
+                adist += lut[codes_mat[:, s]]
+            keep = vec_ids != qid
+            out.append(pd.DataFrame(
+                {"query_id": qid,
+                 "neighbor_id": vec_ids[keep],
+                 "adist": np.round(adist[keep], 4)}
+            ))
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        salted.groupBy("shard")
+        .cogroup(q_rep.groupBy("shard"))
+        .applyInPandas(score, "query_id long, neighbor_id long, adist double")
+    )

@@ -25,7 +25,10 @@ sys.path.insert(0, REPO)
 # +semantic_dedup, +bm25_scoring, +pagerank_parts, +nation_market_share
 # (TPC-H Q8 multi-join); -knn_bruteforce (same oracle as knn_gemm, slower
 # tier by design), -tfidf_top_terms (cheap; covered by bm25's heavier
-# superset plan).  History per query: docs/SCALE.md bench-trend table.
+# superset plan).  Late r5: +knn_pq (GEMM encode + ADC), +knn_ivfpq
+# (composed ANN), +winnowing_fingerprint (per-gram hash HOF chain) — the
+# session's new expensive families, benched from their first driver
+# round.  History per query: docs/SCALE.md bench-trend table.
 BENCH_QUERIES = [
     "pricing_summary",
     "join_broadcast_dims",
@@ -44,8 +47,11 @@ BENCH_QUERIES = [
     "simhash_dedup",
     "semantic_dedup",
     "knn_gemm",
+    "knn_pq",
+    "knn_ivfpq",
     "kmeans_embeddings",
     "doc_quality",
+    "winnowing_fingerprint",
     "bm25_scoring",
     "pagerank_parts",
     "multimodal_decode",
