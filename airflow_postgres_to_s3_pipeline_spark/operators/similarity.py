@@ -1409,7 +1409,8 @@ IVFPQ_N_PROBE = 3  # coarse cells probed per query
 
 def knn_ivfpq(spark: SparkSession, sf_dir: str,
               n_probe: int = IVFPQ_N_PROBE,
-              every: int = IVFPQ_EVERY) -> DataFrame:
+              every: int = IVFPQ_EVERY,
+              score_tier: str = "gemm") -> DataFrame:
     """IVF-PQ: the coarse IVF index (``knn_ivf``'s cosine cells) prunes
     CANDIDATES to the ``n_probe`` nearest cells, and PQ codes
     (``knn_pq``'s 16-subspace codebook) shrink the BYTES scanned per
@@ -1438,10 +1439,7 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str,
     shards = spark.sparkContext.defaultParallelism
     assigned = ivf_assign_gemm(e, cents, shards)
     packed = _pq_codebook(e)
-    coded = (
-        pq_encode_gemm(assigned, packed, shards, carry=("centroid_id",))
-        .crossJoin(F.broadcast(_pq_codebook_nested(packed)))
-    )
+    coded = pq_encode_gemm(assigned, packed, shards, carry=("centroid_id",))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -1460,20 +1458,84 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str,
         .filter(F.col("prnk") <= n_probe)
         .select("query_id", "qv", "centroid_id")
     )
-    cand = probe.join(coded, "centroid_id").filter(
-        F.col("vec_id") != F.col("query_id")
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc()
     )
-    return (
-        cand.select(
+    if score_tier == "gemm":
+        pairs = pq_score_cells(coded, probe, packed)
+    else:
+        cand = (
+            probe.join(
+                coded.crossJoin(
+                    F.broadcast(_pq_codebook_nested(packed))
+                ),
+                "centroid_id",
+            ).filter(F.col("vec_id") != F.col("query_id"))
+        )
+        pairs = cand.select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             _pq_adist_col().alias("adist"),
         )
-        .withColumn("rnk", F.row_number().over(w))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+def pq_score_cells(coded: DataFrame, probe: DataFrame, packed: DataFrame,
+                   m: int = PQ_M, subd: int = PQ_SUBD) -> DataFrame:
+    """Cell-local ADC scoring for IVF-PQ: codes and probing queries
+    cogroup on ``centroid_id``, so each Arrow batch scores exactly one
+    cell's candidates against exactly the queries that probed it — the
+    IVF pruning IS the cogroup key, no per-pair join row ever
+    materializes in Catalyst.  Same numpy LUT arithmetic as
+    ``pq_score_gemm`` (subspace-ordered accumulation — bit-identical to
+    the HOF fold and the shared oracle).  The scoring body is duplicated
+    inline rather than shared because applyInPandas closures must stay
+    self-contained for executor shipping (the repo convention)."""
+    probe_cb = probe.crossJoin(F.broadcast(_pq_codebook_flat(packed)))
+
+    def score(codes_pdf, q_pdf):
+        import numpy as np
+        import pandas as pd
+
+        if codes_pdf.empty or q_pdf.empty:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "adist": pd.Series(dtype="float64")}
+            )
+        C = np.asarray(
+            q_pdf.iloc[0]["_cbflat"], dtype=np.float64
+        ).reshape(-1, m * subd)
+        codes_mat = np.stack(codes_pdf["codes"].to_numpy()).astype(np.int64)
+        vec_ids = codes_pdf["vec_id"].to_numpy()
+        out = []
+        for _, qrow in q_pdf.drop_duplicates("query_id").iterrows():
+            qv = np.asarray(qrow["qv"], dtype=np.float64)
+            qid = qrow["query_id"]
+            adist = np.zeros(codes_mat.shape[0])
+            for s in range(m):
+                qs = qv[s * subd:(s + 1) * subd]
+                Cs = C[:, s * subd:(s + 1) * subd]
+                lut = np.zeros(C.shape[0])
+                for d in range(subd):
+                    diff = qs[d] - Cs[:, d]
+                    lut += diff * diff
+                adist += lut[codes_mat[:, s]]
+            keep = vec_ids != qid
+            out.append(pd.DataFrame(
+                {"query_id": qid,
+                 "neighbor_id": vec_ids[keep],
+                 "adist": np.round(adist[keep], 4)}
+            ))
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        coded.groupBy("centroid_id")
+        .cogroup(probe_cb.groupBy("centroid_id"))
+        .applyInPandas(score, "query_id long, neighbor_id long, adist double")
     )
 
 
@@ -1646,6 +1708,20 @@ def knn_pq_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["knn_pq_fold"] = ORACLES["knn_pq"]
 
 
+def _pq_codebook_flat(packed: DataFrame) -> DataFrame:
+    """1-row frame with the codebook as ONE flat array<double> (ksub x
+    dim, row-major in code order).  The nested list<struct<code,
+    cv:list<double>>> form segfaults pyarrow's arrow_to_pandas when
+    shipped through a cogroup at some batch shapes (observed at sf0.1 in
+    pq_score_cells; worker dies in serializers.arrow_to_pandas) — a flat
+    double list round-trips safely and reshapes in one numpy call."""
+    return packed.select(
+        F.flatten(
+            F.transform(F.col("_cs"), lambda c: c["cv"])
+        ).alias("_cbflat")
+    )
+
+
 def pq_score_gemm(codes: DataFrame, q: DataFrame, packed: DataFrame,
                   n_shards: int, m: int = PQ_M,
                   subd: int = PQ_SUBD) -> DataFrame:
@@ -1668,7 +1744,7 @@ def pq_score_gemm(codes: DataFrame, q: DataFrame, packed: DataFrame,
     )
     spark = codes.sparkSession
     q_rep = (
-        q.crossJoin(F.broadcast(packed))
+        q.crossJoin(F.broadcast(_pq_codebook_flat(packed)))
         .crossJoin(
             F.broadcast(
                 spark.range(n_shards).select(
@@ -1688,8 +1764,9 @@ def pq_score_gemm(codes: DataFrame, q: DataFrame, packed: DataFrame,
                  "neighbor_id": pd.Series(dtype="int64"),
                  "adist": pd.Series(dtype="float64")}
             )
-        cs = q_pdf.iloc[0]["_cs"]
-        C = np.stack([np.asarray(c["cv"], dtype=np.float64) for c in cs])
+        C = np.asarray(
+            q_pdf.iloc[0]["_cbflat"], dtype=np.float64
+        ).reshape(-1, m * subd)
         codes_mat = np.stack(codes_pdf["codes"].to_numpy()).astype(np.int64)
         vec_ids = codes_pdf["vec_id"].to_numpy()
         out = []

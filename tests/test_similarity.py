@@ -276,3 +276,16 @@ def test_knn_pq_fold_bit_identical_to_gemm_tier(spark, sf_dir):
     gemm = sorted(map(tuple, similarity.knn_pq(spark, sf_dir).collect()))
     fold = sorted(map(tuple, similarity.knn_pq_fold(spark, sf_dir).collect()))
     assert gemm == fold
+
+
+def test_knn_ivfpq_score_tiers_bit_identical(spark, sf_dir):
+    """Cell-cogroup LUT scoring (default) must equal the interpreted
+    fold-scoring path byte for byte."""
+    gemm = sorted(map(tuple, similarity.knn_ivfpq(spark, sf_dir).collect()))
+    fold = sorted(
+        map(
+            tuple,
+            similarity.knn_ivfpq(spark, sf_dir, score_tier="fold").collect(),
+        )
+    )
+    assert gemm == fold
