@@ -289,3 +289,29 @@ def test_knn_ivfpq_score_tiers_bit_identical(spark, sf_dir):
         )
     )
     assert gemm == fold
+
+
+def test_knn_pq_stable_under_small_arrow_batches(spark, sf_dir):
+    """Force multi-record-batch Arrow transfers through the GEMM/LUT
+    cogroups (maxRecordsPerBatch=16): results must be identical — guards
+    batch-shape assumptions like iloc[0] codebook reads and np.stack over
+    re-assembled groups (and the pyarrow nested-struct segfault class the
+    flat-codebook transfer works around)."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    default = spark.conf.get(key)
+    baseline_pq = sorted(map(tuple, similarity.knn_pq(spark, sf_dir).collect()))
+    baseline_ivfpq = sorted(
+        map(tuple, similarity.knn_ivfpq(spark, sf_dir).collect())
+    )
+    spark.conf.set(key, "16")
+    try:
+        small_pq = sorted(
+            map(tuple, similarity.knn_pq(spark, sf_dir).collect())
+        )
+        small_ivfpq = sorted(
+            map(tuple, similarity.knn_ivfpq(spark, sf_dir).collect())
+        )
+    finally:
+        spark.conf.set(key, default)
+    assert small_pq == baseline_pq
+    assert small_ivfpq == baseline_ivfpq
