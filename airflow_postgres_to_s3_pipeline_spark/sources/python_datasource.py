@@ -140,6 +140,17 @@ class _EventsStreamReader(DataSourceStreamReader):
         self.with_ts = options.get("with_ts", "false").lower() == "true"
         self._planned = 0
 
+    # RESTART LIMITATION (documented, not a bug): this bounded generator's
+    # batch counter lives in memory, and the DataSourceStreamReader API has
+    # no offset-restore hook — after a checkpoint restart the fresh
+    # reader's latestOffset restarts at 1 while the committed offset may
+    # be higher, so the query idles instead of continuing.  A production
+    # source derives latestOffset from the EXTERNAL system (log end
+    # offset, file listing), which makes restart-continuation automatic;
+    # checkpoint-restart semantics are covered by the file-source test
+    # (tests/test_streaming_recovery.py).  This source is for
+    # single-run bounded drives (processAllAvailable), where offsets
+    # commit monotonically 0..max_batches.
     def initialOffset(self) -> dict:
         return {"batch": 0}
 
