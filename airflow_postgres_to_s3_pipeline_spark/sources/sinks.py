@@ -160,3 +160,39 @@ def write_zorder_layout(
         .format(fmt)
         .save(path)
     )
+
+
+def compact_small_files(spark: SparkSession, path: str, out_path: str,
+                        target_rows_per_file: int) -> dict:
+    """Small-file compaction: rewrite a fragmented parquet directory into
+    ~evenly-sized files (the maintenance pass every streaming/incremental
+    lake table needs — thousands of KB-sized micro-batch files destroy
+    scan throughput: per-file open cost, footer reads, and task-per-file
+    scheduling dominate at 100 TB; the metastore/driver also pays per
+    file).
+
+    Distributed end-to-end: count -> ceil(n/target) -> repartition(n_out)
+    -> write.  repartition (round-robin) gives evenly-SIZED output files,
+    which is the goal here; use write_sorted_layout/write_zorder_layout
+    instead when data-skipping locality matters more than file-count
+    hygiene.  Returns {files_before, files_after, rows} for the caller to
+    log/assert.
+    """
+    import math
+    import os
+
+    df = spark.read.parquet(path)
+    rows = df.count()
+    files_before = sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(rows / target_rows_per_file))
+    df.repartition(n_out).write.mode("overwrite").parquet(out_path)
+    files_after = sum(
+        1 for f in os.listdir(out_path) if f.endswith(".parquet")
+    )
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": rows,
+    }

@@ -123,3 +123,42 @@ def test_zorder_layout_skips_on_both_dimensions(spark, sf_dir, tmp_path):
         assert overlap < 0.8, (
             f"{col}: z-order gives no skipping (overlap {overlap:.2f})"
         )
+
+
+def test_compact_small_files_preserves_data(spark, tmp_path):
+    from airflow_postgres_to_s3_pipeline_spark.sources.sinks import (
+        compact_small_files,
+    )
+
+    frag = str(tmp_path / "fragmented")
+    compacted = str(tmp_path / "compacted")
+    # 64 micro-files of ~16 rows — the streaming-sink fragmentation shape
+    spark.range(1024).selectExpr(
+        "id", "id % 13 AS k"
+    ).repartition(64).write.parquet(frag)
+    stats = compact_small_files(spark, frag, compacted, target_rows_per_file=256)
+    assert stats["rows"] == 1024
+    assert stats["files_before"] >= 32
+    assert stats["files_after"] <= 8
+    back = spark.read.parquet(compacted)
+    assert back.count() == 1024
+    assert sorted(r["id"] for r in back.collect()) == list(range(1024))
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Lake-table schema evolution: batches written with a widening schema
+    read back as the union under mergeSchema; old rows carry nulls in new
+    columns.  (Default reads take ONE footer's schema — mergeSchema is an
+    explicit opt-in because it reads every footer; both behaviors are the
+    contract.)"""
+    p = str(tmp_path / "evolving")
+    spark.range(5).selectExpr("id", "id * 2 AS a").write.parquet(p)
+    spark.range(5, 10).selectExpr(
+        "id", "id * 2 AS a", "concat('x', id) AS b"
+    ).write.mode("append").parquet(p)
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "a", "b"}
+    rows = {r["id"]: (r["a"], r["b"]) for r in merged.collect()}
+    assert len(rows) == 10
+    assert rows[2] == (4, None)
+    assert rows[7] == (14, "x7")
