@@ -310,3 +310,82 @@ _oracle(
     GROUP BY o_orderpriority, chosen.thr
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4 |> operator chains)
+# ---------------------------------------------------------------------------
+
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4): the ``FROM t |> WHERE |> AGGREGATE``
+    operator-chain form of a classic filter->aggregate — the same
+    Catalyst plan as the nested-SELECT form (pushdown, partial
+    aggregation all identical; pipes are pure syntax), which is exactly
+    what the standard-SQL oracle asserts.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_totalprice > 100000
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+                          AS DOUBLE) AS total_price
+           GROUP BY o_orderpriority
+        """
+    )
+
+
+_oracle(
+    "sql_pipe_syntax",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_totalprice > 100000
+    GROUP BY o_orderpriority
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Parameterized SQL (named parameter markers)
+# ---------------------------------------------------------------------------
+
+def parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (``:name`` markers bound via
+    ``spark.sql(query, args=...)``): parameters bind as typed literals at
+    analysis time — they constant-fold and push down like any literal,
+    and the query text stays injection-safe (the reference's
+    PostgresToS3Operator interpolates raw strings into SQL; this is the
+    engine-native alternative).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_totalprice > :min_price AND c.c_mktsegment <> :excluded
+        GROUP BY c.c_mktsegment
+        """,
+        args={"min_price": 150000.0, "excluded": "MACHINERY"},
+    )
+
+
+_oracle(
+    "parameterized_query",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+               AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 150000.0 AND c.c_mktsegment <> 'MACHINERY'
+    GROUP BY c.c_mktsegment
+    """,
+)

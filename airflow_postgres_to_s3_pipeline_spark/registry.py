@@ -732,6 +732,8 @@ QUERIES: dict[str, QueryFn] = {
     "knn_ivfpq": similarity.knn_ivfpq,
     "knn_pq_fold": similarity.knn_pq_fold,
     "sql_scripting_threshold": sql_surface.sql_scripting_threshold,
+    "sql_pipe_syntax": sql_surface.sql_pipe_syntax,
+    "parameterized_query": sql_surface.parameterized_query,
     "approx_topk_terms": sketches.approx_topk_terms,
     "lateral_topk_orders": sql_surface.lateral_topk_orders,
     "sql_udf_functions": sql_surface.sql_udf_functions,
