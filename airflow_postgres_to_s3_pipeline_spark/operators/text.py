@@ -980,3 +980,103 @@ _oracle(
     FROM m
     """,
 )
+
+
+WINNOW_DF_CAP = 5     # drop fingerprints appearing in more than CAP docs
+WINNOW_PAIR_MIN = 5   # emit pairs sharing at least MIN surviving fps
+
+
+def winnowing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup detection on winnowing fingerprints: explode
+    each document's selected fingerprints into a posting list, DROP the
+    heavy postings (fingerprints present in more than ``WINNOW_DF_CAP``
+    docs — boilerplate phrases, the posting-list analog of stop-words;
+    without the cap one common 8-gram fans out into n^2 candidate pairs,
+    the classic posting-join blow-up), then pair documents sharing at
+    least ``WINNOW_PAIR_MIN`` surviving fingerprints.
+
+    This is the substring-overlap dedup tier the MinHash family cannot
+    express: MinHash estimates WHOLE-document Jaccard, while shared
+    winnowing fingerprints witness shared SUBSTRINGS (k+w-1 chars or
+    longer) — the contamination/quotation/boilerplate shape.  One
+    shuffle on the fingerprint key (posting build), one on the pair key
+    (count) — both scale-correct; md5-derived fingerprints keep the
+    whole chain DuckDB-mirrorable.
+    """
+    from airflow_postgres_to_s3_pipeline_spark.cache import tracked_persist
+
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # TWO materialization barriers, both mandatory (the repo-wide
+    # unmaterialized-HOF trap in a new costume):
+    # 1. the selected-fingerprint ARRAY must persist BEFORE exploding —
+    #    CollapseProject inlines the whole per-gram md5 chain into the
+    #    Generate node, which re-evaluates it once per OUTPUT ELEMENT
+    #    (~n_fps x n_grams md5s per doc; measured 341s vs 9s at sf0.01);
+    # 2. the thin (doc_id, fp) postings persist because the cap aggregate
+    #    and both join sides consume them.
+    # Both are released by the harness after the terminal consumer.
+    seldf = tracked_persist(winnow_selected(d), corpus=True)
+    post = tracked_persist(
+        seldf.select("doc_id", F.explode("sel").alias("fp"))
+    )
+    kept = (
+        post.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") <= WINNOW_DF_CAP)
+        .select("fp")
+    )
+    a = post.join(kept, "fp").select(F.col("doc_id").alias("id_a"), "fp")
+    b = post.join(kept, "fp").select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= WINNOW_PAIR_MIN)
+    )
+
+
+_oracle(
+    "winnowing_dedup",
+    f"""
+    WITH nrm AS (
+        SELECT doc_id,
+               regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+        FROM documents
+    ), h AS (
+        SELECT doc_id,
+               CASE WHEN length(norm) >= {WINNOW_K}
+                    THEN list_transform(
+                         range(1, length(norm) - {WINNOW_K} + 2),
+                         i -> ('0x' || substring(
+                                   md5(substring(norm, i, {WINNOW_K})),
+                                   1, 15))::BIGINT)
+                    ELSE [] END AS hashes
+        FROM nrm
+    ), m AS (
+        SELECT doc_id,
+               CASE WHEN len(hashes) >= {WINNOW_W}
+                    THEN list_distinct(list_transform(
+                         range(1, len(hashes) - {WINNOW_W} + 2),
+                         j -> list_min(hashes[j:j+{WINNOW_W}-1])))
+                    ELSE list_distinct(
+                         CASE WHEN len(hashes) > 0
+                              THEN [list_min(hashes)] ELSE [] END)
+               END AS sel
+        FROM h
+    ), post AS (
+        SELECT doc_id, UNNEST(sel) AS fp FROM m
+    ), dfq AS (
+        SELECT fp, COUNT(*) AS nd FROM post GROUP BY fp
+    ), kept AS (
+        SELECT fp FROM dfq WHERE nd <= {WINNOW_DF_CAP}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
+    FROM post a JOIN kept USING (fp) JOIN post b USING (fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {WINNOW_PAIR_MIN}
+    """,
+)

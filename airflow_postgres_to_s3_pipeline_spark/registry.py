@@ -728,6 +728,7 @@ QUERIES: dict[str, QueryFn] = {
     "arrow_group_normalize": udfs.arrow_group_normalize,
     "map_in_arrow_price_tier": udfs.map_in_arrow_price_tier,
     "winnowing_fingerprint": text.winnowing_fingerprint,
+    "winnowing_dedup": text.winnowing_dedup,
     "knn_pq": similarity.knn_pq,
     "knn_ivfpq": similarity.knn_ivfpq,
     "knn_pq_fold": similarity.knn_pq_fold,
@@ -801,7 +802,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "E24": ("dedup_exact", "dedup_keep_first", "dedup_incremental"),
     "E25": ("ngram_jaccard_pairs", "minhash_lsh_dedup", "simhash_dedup",
             "dedup_components", "minhash_ml_pairs", "chunk_dedup",
-            "chunk_near_dedup", "dedup_incremental_minhash"),
+            "chunk_near_dedup", "dedup_incremental_minhash", "winnowing_dedup"),
     "E26": ("knn_bruteforce", "embedding_norms", "embedding_near_dup",
             "embedding_quantize", "knn_ivf", "knn_ivf_fold", "knn_gemm",
             "semantic_dedup", "kmeans_embeddings", "embedding_lsh_near_dup",

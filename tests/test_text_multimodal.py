@@ -226,3 +226,39 @@ def test_winnowing_density_and_edge_cases(spark, sf_dir):
             assert r["n_fp"] == 0 and r["fp_xor"] == 0
         else:
             assert 1 <= r["n_fp"] <= n_windows
+
+
+def test_winnowing_dedup_pairs_recomputable_driver_side(spark, sf_dir):
+    """Each emitted pair's shared_fps must equal the driver-side count of
+    shared capped fingerprints; no pair below the threshold or with
+    id_a >= id_b may appear."""
+    from collections import Counter
+
+    from airflow_postgres_to_s3_pipeline_spark.operators.text import (
+        WINNOW_DF_CAP, WINNOW_PAIR_MIN, winnow_selected, winnowing_dedup,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    sel = {r["doc_id"]: set(r["sel"]) for r in winnow_selected(d).collect()}
+    df_count = Counter(fp for fps in sel.values() for fp in fps)
+    capped = {
+        doc: {fp for fp in fps if df_count[fp] <= WINNOW_DF_CAP}
+        for doc, fps in sel.items()
+    }
+    out = winnowing_dedup(spark, sf_dir).collect()
+    assert out, "no pairs emitted (vacuous test)"
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+        expect = len(capped[r["id_a"]] & capped[r["id_b"]])
+        assert r["shared_fps"] == expect >= WINNOW_PAIR_MIN
+    # completeness: every qualifying pair is emitted
+    emitted = {(r["id_a"], r["id_b"]) for r in out}
+    docs = sorted(capped)
+    missing = [
+        (x, y)
+        for i, x in enumerate(docs)
+        for y in docs[i + 1:]
+        if len(capped[x] & capped[y]) >= WINNOW_PAIR_MIN
+        and (x, y) not in emitted
+    ]
+    assert not missing
