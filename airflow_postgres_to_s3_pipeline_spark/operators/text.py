@@ -1010,10 +1010,13 @@ def winnowing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # TWO materialization barriers, both mandatory (the repo-wide
     # unmaterialized-HOF trap in a new costume):
-    # 1. the selected-fingerprint ARRAY must persist BEFORE exploding —
-    #    CollapseProject inlines the whole per-gram md5 chain into the
-    #    Generate node, which re-evaluates it once per OUTPUT ELEMENT
-    #    (~n_fps x n_grams md5s per doc; measured 341s vs 9s at sf0.01);
+    # 1. the selected-fingerprint ARRAY must persist BEFORE exploding:
+    #    with it unmaterialized the whole query ran 341s vs 7.9s at
+    #    sf0.01 even though a SINGLE pass over the chain costs ~4s — the
+    #    md5 chain was re-evaluated many times across the Generate and
+    #    the downstream aggregate/join branches (persisting the postings
+    #    alone did NOT fix it: 340.7s — the barrier must sit below the
+    #    explode);
     # 2. the thin (doc_id, fp) postings persist because the cap aggregate
     #    and both join sides consume them.
     # Both are released by the harness after the terminal consumer.
