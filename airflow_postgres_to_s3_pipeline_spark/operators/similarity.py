@@ -1420,6 +1420,14 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str,
     and the candidates stream as ~16-byte codes + one 32 KB broadcast
     codebook instead of 512-byte vectors.
 
+    Measured top-5 recall vs exact L2 on the near-random testdata:
+    0.44 at sf0.01 (3 of 10 cells probed), 0.20 at sf0.1 (3 of 40 —
+    the probed FRACTION shrinks as cells grow, and unclustered data has
+    no locality for the coarse quantizer to exploit; real embedding
+    corpora cluster, and production fixes n_probe as a fraction of
+    cells).  The composition multiplies both approximations' losses —
+    the price of the multiplied savings.
+
     Simplification vs faiss: codes quantize the RAW vectors, not the
     per-cell residuals (residual codebooks need per-cell training; the
     plumbing — probe join + ADC over coded candidates — is identical).

@@ -315,3 +315,34 @@ def test_knn_pq_stable_under_small_arrow_batches(spark, sf_dir):
         spark.conf.set(key, default)
     assert small_pq == baseline_pq
     assert small_ivfpq == baseline_ivfpq
+
+
+def test_knn_ivfpq_recall_reasonable(spark, sf_dir):
+    """IVF-PQ composes two approximations; require >= 15% top-5 recall vs
+    exact squared-L2 (measured 0.44 at sf0.01 / 0.20 at sf0.1 on
+    unclustered random data — this guards the plumbing, not the data
+    distribution)."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    E = np.array([r[1] for r in rows], dtype=np.float64)
+    exact = {}
+    for qi in range(similarity.N_QUERIES):
+        d = ((E - E[qi]) ** 2).sum(axis=1)
+        order = sorted(
+            (round(float(d[j]), 4), int(ids[j]))
+            for j in range(len(ids))
+            if j != qi
+        )[: similarity.TOP_K]
+        exact[qi] = {v for _, v in order}
+    got = {}
+    for r in similarity.knn_ivfpq(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(got.get(q, set()) & exact[q]) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.15, f"IVF-PQ recall {hits}/{total}"
