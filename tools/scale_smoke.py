@@ -246,6 +246,7 @@ def main() -> int:
     # against synthetic corpora written once to a temp dir (same
     # catalog.table path as production).  Sizes capped independently of n.
     text_labels = {"text_chunking", "text_lm_score", "text_bm25",
+                   "text_winnow_fp", "text_winnow_dedup",
                    "graph_pagerank"}
     if not only or (only & text_labels):
         import shutil
@@ -304,6 +305,15 @@ def main() -> int:
         results.append(run_dir(
             "text_bm25", nd, lambda: write_docs(nd),
             lambda d: text.bm25_scoring(spark, d)))
+        # winnowing: per-gram md5 map work (~5 chars/gram over the whole
+        # corpus) + for the dedup tier the posting-key shuffles
+        nw = min(n, 500_000)
+        results.append(run_dir(
+            "text_winnow_fp", nw, lambda: write_docs(nw),
+            lambda d: text.winnowing_fingerprint(spark, d)))
+        results.append(run_dir(
+            "text_winnow_dedup", nw, lambda: write_docs(nw),
+            lambda d: text.winnowing_dedup(spark, d)))
 
         def write_edges(no: int, lines_per_order: int = 4) -> str:
             d = tempfile.mkdtemp(prefix="scale_graph_")
