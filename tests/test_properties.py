@@ -198,3 +198,37 @@ def test_connected_components_random_graphs(spark, edges):
         for r in connected_components(pairs_df, nodes_df, max_iterations=25).collect()
     }
     assert got == expected_root
+
+
+# lowercase-alnum docs so normalization is the identity — the guarantee
+# statement is about the normalized stream
+_alnum_text = st.text(alphabet="abcdefghij0123456789", min_size=0, max_size=60)
+
+
+@given(
+    shared=st.text(
+        alphabet="qrstuvwxyz",  # disjoint alphabet from the padding
+        min_size=11, max_size=25,  # >= WINNOW_K + WINNOW_W - 1
+    ),
+    pad_a=_alnum_text,
+    pad_b=_alnum_text,
+)
+@settings(**_SETTINGS)
+def test_winnowing_guarantee_property(spark, shared, pad_a, pad_b):
+    """For ANY shared substring of >= k+w-1 normalized chars, the two
+    documents share at least one selected fingerprint (Schleimer-Mount-
+    Aiken theorem 1) — the planted-pair fixture generalized to random
+    paddings and shared strings."""
+    from airflow_postgres_to_s3_pipeline_spark.operators.text import (
+        winnow_selected,
+    )
+
+    d = spark.createDataFrame(
+        [(0, pad_a + shared + pad_a), (1, pad_b + shared + pad_b)],
+        "doc_id: long, text: string",
+    )
+    sel = {r["doc_id"]: set(r["sel"]) for r in winnow_selected(d).collect()}
+    assert sel[0] & sel[1], (
+        f"guarantee violated for shared={shared!r} pads="
+        f"({pad_a!r}, {pad_b!r})"
+    )
