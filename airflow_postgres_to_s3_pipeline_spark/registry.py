@@ -15,6 +15,7 @@ from airflow_postgres_to_s3_pipeline_spark.operators import (
     advanced,
     curation,
     dedup,
+    entity,
     graph,
     layout,
     ml_feature,
@@ -514,6 +515,7 @@ _MODULES = (
     similarity,
     text,
     multimodal,
+    entity,
 )
 
 # Registry order is CURATED, not arbitrary: the driver's correctness run
@@ -740,6 +742,8 @@ QUERIES: dict[str, QueryFn] = {
     "sql_udf_functions": sql_surface.sql_udf_functions,
     "collation_group": sql_surface.collation_group,
     "xml_functions": sql_surface.xml_functions,
+    "fuzzy_match_parts": entity.fuzzy_match_parts,
+    "fuzzy_canonicalize_parts": entity.fuzzy_canonicalize_parts,
 }
 
 
@@ -802,7 +806,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "E24": ("dedup_exact", "dedup_keep_first", "dedup_incremental"),
     "E25": ("ngram_jaccard_pairs", "minhash_lsh_dedup", "simhash_dedup",
             "dedup_components", "minhash_ml_pairs", "chunk_dedup",
-            "chunk_near_dedup", "dedup_incremental_minhash", "winnowing_dedup"),
+            "chunk_near_dedup", "dedup_incremental_minhash", "winnowing_dedup",
+            "fuzzy_match_parts", "fuzzy_canonicalize_parts"),
     "E26": ("knn_bruteforce", "embedding_norms", "embedding_near_dup",
             "embedding_quantize", "knn_ivf", "knn_ivf_fold", "knn_gemm",
             "semantic_dedup", "kmeans_embeddings", "embedding_lsh_near_dup",
