@@ -41,10 +41,16 @@ def get_spark(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", default_parallelism)
     )
 
+    # Robustness axis: SPARK_GRAFT_AQE=0 runs the whole engine with adaptive
+    # execution OFF — results must be identical (AQE is a physical-planning
+    # lever, never semantics).  tools/check_oracles.py re-runs the full gate
+    # under it.
+    aqe = "false" if os.environ.get("SPARK_GRAFT_AQE") == "0" else "true"
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(sp))
@@ -71,7 +77,10 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set(
+        "spark.sql.adaptive.enabled",
+        "false" if os.environ.get("SPARK_GRAFT_AQE") == "0" else "true",
+    )
     # Outer/stateful streaming determinism on bounded sources: the trailing
     # no-data micro-batch applies the final watermark, flushing closed
     # outer-join state and timed-out sessions (default-on, pinned here

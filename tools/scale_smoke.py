@@ -247,7 +247,7 @@ def main() -> int:
     # catalog.table path as production).  Sizes capped independently of n.
     text_labels = {"text_chunking", "text_lm_score", "text_bm25",
                    "text_winnow_fp", "text_winnow_dedup",
-                   "graph_pagerank"}
+                   "entity_fuzzy_match", "graph_pagerank"}
     if not only or (only & text_labels):
         import shutil
         import tempfile
@@ -314,6 +314,29 @@ def main() -> int:
         results.append(run_dir(
             "text_winnow_dedup", nw, lambda: write_docs(nw),
             lambda d: text.winnowing_dedup(spark, d)))
+
+        # entity resolution: vocabulary-scale multi-pass blocking.  ~1M
+        # records collapse to ~950k DISTINCT two-token names over a
+        # 10k-token vocabulary, so each blocking pass shuffles ~95-name
+        # blocks and the edit-distance filter runs on ~45M candidate pairs
+        # per pass — the blocked-quadratic cost profile ER systems budget
+        # for, with zero cartesian anywhere.
+        from airflow_postgres_to_s3_pipeline_spark.operators import entity
+
+        def write_names(nr: int, vocab: int = 10_000) -> str:
+            d = tempfile.mkdtemp(prefix="scale_entity_")
+            t1 = F.pmod(F.xxhash64("id", F.lit(7)), F.lit(vocab))
+            t2 = F.pmod(F.xxhash64("id", F.lit(8)), F.lit(vocab))
+            spark.range(0, nr, 1, parallelism).select(
+                F.col("id").alias("p_partkey"),
+                F.concat(F.lit("w"), t1, F.lit(" x"), t2).alias("p_name"),
+            ).write.mode("overwrite").parquet(f"{d}/part.parquet")
+            return d
+
+        ne = min(n, 1_000_000)
+        results.append(run_dir(
+            "entity_fuzzy_match", ne, lambda: write_names(ne),
+            lambda d: entity.fuzzy_match_parts(spark, d)))
 
         def write_edges(no: int, lines_per_order: int = 4) -> str:
             d = tempfile.mkdtemp(prefix="scale_graph_")
