@@ -589,7 +589,10 @@ QUERIES: dict[str, QueryFn] = {
     # connected-components, plus the passage-level exact + near tiers
     # (r5 rotation: chunk_dedup, chunk_near_dedup)
     "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
-    "simhash_dedup": dedup.simhash_dedup,
+    # session-3 rotation: fuzzy_match_parts (entity resolution — multi-pass
+    # blocked levenshtein) IN for simhash_dedup (r04 driver-green, demoted
+    # to keep prior-round evidence; minhash stays as the banded-LSH rep)
+    "fuzzy_match_parts": entity.fuzzy_match_parts,
     "dedup_components": dedup.dedup_components,
     "chunk_dedup": dedup.chunk_dedup,
     "chunk_near_dedup": dedup.chunk_near_dedup,
@@ -742,8 +745,8 @@ QUERIES: dict[str, QueryFn] = {
     "sql_udf_functions": sql_surface.sql_udf_functions,
     "collation_group": sql_surface.collation_group,
     "xml_functions": sql_surface.xml_functions,
-    "fuzzy_match_parts": entity.fuzzy_match_parts,
     "fuzzy_canonicalize_parts": entity.fuzzy_canonicalize_parts,
+    "simhash_dedup": dedup.simhash_dedup,
 }
 
 

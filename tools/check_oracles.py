@@ -62,9 +62,20 @@ def main() -> int:
     # Partition count is env-overridable so the gate can be re-run at
     # different parallelism — results must be identical at ANY setting
     # (the determinism-under-partitioning design rule).
-    spark = get_spark(
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
-    )
+    # SPARK_GRAFT_VANILLA=1 replicates the DRIVER's execution mode: a bare
+    # SparkSession with none of our session-factory confs (catalog.table's
+    # tune_runtime must supply everything correctness needs) — the window
+    # pre-flight before each rotation.
+    if os.environ.get("SPARK_GRAFT_VANILLA") == "1":
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
+        ).getOrCreate()
+    else:
+        spark = get_spark(
+            shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
+        )
 
     con = duckdb.connect()
     for t in TABLES:
