@@ -188,6 +188,109 @@ _oracle(
 )
 
 
+def funnel_ordered_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel (view -> click -> purchase): per step, how many
+    users reached it IN ORDER, and the mean latency from funnel entry.
+
+    Step k's earliest qualifying time is the min event time at-or-after the
+    user's step-(k-1) time, so out-of-order events (a purchase before the
+    first view) never count — the property a naive per-type min would get
+    wrong.
+
+    Scale shape: a cascade of filtered aggregates, one user-keyed shuffle
+    per step, each stage's frame shrinking to the surviving users; no
+    windows over the raw fact, no per-user event lists.  Latency is an
+    exact integer-microsecond sum with integer division (truncation on
+    non-negative values matches DuckDB's floor division), so the result is
+    bit-deterministic under any partitioning.
+    """
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2.select("user_id", "t2", "t1"), "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t1").alias("t1"))
+    )
+
+    def step_row(df: DataFrame, label: str, end_col: str | None) -> DataFrame:
+        if end_col is None:
+            agg = df.agg(F.count(F.lit(1)).alias("n_users"))
+            return agg.select(
+                F.lit(label).alias("step"),
+                "n_users",
+                F.lit(None).cast("long").alias("avg_latency_us"),
+            )
+        lat = F.unix_micros(F.col(end_col)) - F.unix_micros(F.col("t1"))
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(lat).alias("lat_total"),
+        )
+        return agg.select(
+            F.lit(label).alias("step"),
+            "n_users",
+            F.when(
+                F.col("n_users") > 0,
+                F.expr("lat_total div n_users"),
+            ).alias("avg_latency_us"),
+        )
+
+    return (
+        step_row(s1, "1_view", None)
+        .unionByName(step_row(s2, "2_click", "t2"))
+        .unionByName(step_row(s3, "3_purchase", "t3"))
+    )
+
+
+_oracle(
+    "funnel_ordered_3step",
+    """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2, MIN(s1.t1) AS t1
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3, MIN(s2.t1) AS t1
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT '1_view' AS step, COUNT(*) AS n_users,
+           CAST(NULL AS BIGINT) AS avg_latency_us
+    FROM s1
+    UNION ALL
+    SELECT '2_click', COUNT(*),
+           CASE WHEN COUNT(*) > 0 THEN
+               CAST(SUM(epoch_us(t2) - epoch_us(t1)) AS BIGINT) // COUNT(*)
+           END
+    FROM s2
+    UNION ALL
+    SELECT '3_purchase', COUNT(*),
+           CASE WHEN COUNT(*) > 0 THEN
+               CAST(SUM(epoch_us(t3) - epoch_us(t1)) AS BIGINT) // COUNT(*)
+           END
+    FROM s3
+    """,
+)
+
+
 def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hourly rollup per user with zero-filled gaps (hypertable-style).
 

@@ -694,6 +694,7 @@ QUERIES: dict[str, QueryFn] = {
     "timeseries_gapfill": windows.timeseries_gapfill,
     "sessionize_events": windows.sessionize_events,
     "cohort_retention": windows.cohort_retention,
+    "funnel_ordered_3step": windows.funnel_ordered_3step,
     "window_ntile_quartiles": windows.window_ntile_quartiles,
     "window_running_total": windows.window_running_total,
     "window_range_frame": windows.window_range_frame,
