@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from airflow_postgres_to_s3_pipeline_spark.cache import tracked_persist
 from airflow_postgres_to_s3_pipeline_spark.catalog import table
 
 ORACLES: dict[str, str] = {}
@@ -73,7 +74,10 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     and how many part records carry each spelling (the dedup-impact
     measure).
     """
-    names = _name_counts(spark, sf_dir)
+    # the pre-aggregation is referenced six times downstream (two passes x
+    # (two join sides + block sizes)); without a barrier each reference
+    # re-runs the full fact scan+agg — vocabulary-sized, so a thin persist
+    names = tracked_persist(_name_counts(spark, sf_dir))
 
     def blocked_pass(token_pos: int) -> DataFrame:
         key = F.split(F.col("name"), " ").getItem(token_pos)
@@ -170,7 +174,12 @@ def fuzzy_canonicalize_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (name, canonical_name, cluster_records) for every name in a
     non-singleton cluster.
     """
-    pairs = fuzzy_match_parts(spark, sf_dir).select("name_a", "name_b")
+    # persist the match pairs: the undirected edge list references them
+    # twice and every propagation round references the edge list again —
+    # unmaterialized, each round would re-run the whole blocked match
+    pairs = tracked_persist(
+        fuzzy_match_parts(spark, sf_dir).select("name_a", "name_b")
+    )
     names = _name_counts(spark, sf_dir)
 
     # undirected edge list over names appearing in any pair
@@ -207,7 +216,9 @@ def fuzzy_canonicalize_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    member = labels.join(names, "name")
+    # member feeds four consumers (argmax votes, canonical pick, cluster
+    # size, final join) — vocabulary-sized thin rows, so persist once
+    member = tracked_persist(labels.join(names, "name"))
     # survivorship: per label, max votes, then min name among the argmax —
     # window-free and deterministic under any partitioning
     votes = member.select("label", "name", "n_records")
