@@ -617,6 +617,96 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCD2_CUTOFF = "1998-01-01"
+SCD2_EPOCH = "1992-01-01"
+
+
+def scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension apply: close out changed rows with a
+    validity end, append the new version, keep history.
+
+    ``merge_upsert`` is the SCD1 (overwrite) tier; warehouses that need
+    AS-OF queries keep SCD2 instead — every dimension row carries
+    [valid_from, valid_to) and an is_current flag.  The change batch here is
+    each customer's LATEST post-cutoff order (deterministic argmax via a
+    lexicographic struct max on (orderdate, orderkey)), whose totalprice
+    becomes the new tracked balance.
+
+    Scale shape: one equi-join of the dimension against the change batch
+    (AQE picks broadcast when the batch is small — the common case: daily
+    changes are a sliver of the dimension) plus a union; history grows by
+    exactly one row per actual change, and the whole apply is a single pass
+    with no windows over the dimension.
+    """
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    latest = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(SCD2_CUTOFF).cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.struct("o_orderdate", "o_orderkey", "o_totalprice")
+            ).alias("m")
+        )
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("m.o_orderdate").alias("change_ts"),
+            F.col("m.o_totalprice").alias("new_balance"),
+        )
+    )
+    joined = c.join(latest, "c_custkey", "left")
+    old_rows = joined.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("balance"),
+        F.lit(SCD2_EPOCH).cast("timestamp").alias("valid_from"),
+        F.col("change_ts").alias("valid_to"),
+        F.col("change_ts").isNull().alias("is_current"),
+    )
+    new_rows = joined.filter(F.col("change_ts").isNotNull()).select(
+        "c_custkey",
+        F.col("new_balance").alias("balance"),
+        F.col("change_ts").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return old_rows.unionByName(new_rows)
+
+
+_oracle(
+    "scd2_apply",
+    f"""
+    WITH latest AS (
+        SELECT o_custkey AS c_custkey,
+               o_orderdate AS change_ts,
+               o_totalprice AS new_balance
+        FROM (
+            SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC
+                   ) AS rn
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '{SCD2_CUTOFF}'
+        )
+        WHERE rn = 1
+    )
+    SELECT c.c_custkey,
+           c.c_acctbal AS balance,
+           TIMESTAMP '{SCD2_EPOCH}' AS valid_from,
+           l.change_ts AS valid_to,
+           l.change_ts IS NULL AS is_current
+    FROM customer c LEFT JOIN latest l USING (c_custkey)
+    UNION ALL
+    SELECT c.c_custkey,
+           l.new_balance,
+           l.change_ts,
+           CAST(NULL AS TIMESTAMP),
+           TRUE
+    FROM customer c JOIN latest l USING (c_custkey)
+    """,
+)
+
+
 _oracle(
     "merge_upsert",
     """

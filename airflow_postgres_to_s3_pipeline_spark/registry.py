@@ -673,6 +673,7 @@ QUERIES: dict[str, QueryFn] = {
     "unpivot_metrics": advanced.unpivot_metrics,
     "deterministic_sample": advanced.deterministic_sample,
     "merge_upsert": advanced.merge_upsert,
+    "scd2_apply": advanced.scd2_apply,
     "snapshot_diff": advanced.snapshot_diff,
     "profile_table": advanced.profile_table,
     "price_histogram": advanced.price_histogram,
