@@ -846,6 +846,161 @@ _oracle(
 # Data-quality column profiling
 # ---------------------------------------------------------------------------
 
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality audit: declared constraints -> one row per
+    check with its violation count (completeness, ranges, key uniqueness,
+    referential integrity).
+
+    ``profile_table`` describes the data; this VALIDATES it — the gate a
+    warehouse load (reference: the typed-Postgres ingest) runs before
+    publishing a batch.  Scale shape: per-table checks fuse into ONE
+    conditional-aggregate scan per table (no per-check re-scan); uniqueness
+    is a keyed two-phase aggregate (sum of per-key excess, avoiding the
+    Expand a COUNT DISTINCT alongside other aggregates would trigger);
+    referential checks are LEFT ANTI equi-joins that AQE turns into
+    broadcasts when the key side is small.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+
+    def check_row(name, df):
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").alias("n_violations"),
+            (F.col("n") == 0).alias("passed"),
+        )
+
+    viol = F.count(F.lit(1))
+    lineitem_checks = l.agg(
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).alias(
+            "null_orderkey"
+        ),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+            ).otherwise(0)
+        ).alias("quantity_range"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+            ).otherwise(0)
+        ).alias("discount_range"),
+    )
+    order_checks = o.agg(
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "nonpositive_price"
+        ),
+    )
+    dup_orders = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("n"))
+    )
+    orphan_orders = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(viol.alias("n"))
+    )
+    orphan_lines = (
+        l.join(o, l.l_orderkey == o.o_orderkey, "left_anti").agg(viol.alias("n"))
+    )
+
+    # one aggregate execution -> three check rows via explode (a second
+    # .select on the agg frame would re-run the whole lineitem scan)
+    l_rows = (
+        lineitem_checks.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("lineitem.l_orderkey_not_null").alias("check_name"),
+                        F.col("null_orderkey").alias("n"),
+                    ),
+                    F.struct(
+                        F.lit("lineitem.l_quantity_in_1_50").alias("check_name"),
+                        F.col("quantity_range").alias("n"),
+                    ),
+                    F.struct(
+                        F.lit("lineitem.l_discount_in_0_1").alias("check_name"),
+                        F.col("discount_range").alias("n"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.check_name").alias("check_name"),
+            F.col("p.n").alias("n_violations"),
+            (F.col("p.n") == 0).alias("passed"),
+        )
+    )
+    rows = [
+        l_rows,
+        check_row(
+            "orders.o_totalprice_positive",
+            order_checks.select(F.col("nonpositive_price").alias("n")),
+        ),
+        check_row("orders.o_orderkey_unique", dup_orders),
+        check_row("orders.o_custkey_refs_customer", orphan_orders),
+        check_row("lineitem.l_orderkey_refs_orders", orphan_lines),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+_oracle(
+    "dq_audit",
+    """
+    WITH l_checks AS (
+        SELECT
+            CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS null_orderkey,
+            CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                          THEN 1 ELSE 0 END) AS BIGINT) AS quantity_range,
+            CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                          THEN 1 ELSE 0 END) AS BIGINT) AS discount_range
+        FROM lineitem
+    ),
+    o_checks AS (
+        SELECT CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nonpositive_price
+        FROM orders
+    ),
+    dup_orders AS (
+        SELECT CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS n
+        FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey)
+    ),
+    orphan_orders AS (
+        SELECT COUNT(*) AS n FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)
+    ),
+    orphan_lines AS (
+        SELECT COUNT(*) AS n FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)
+    )
+    SELECT 'lineitem.l_orderkey_not_null' AS check_name,
+           null_orderkey AS n_violations, null_orderkey = 0 AS passed
+    FROM l_checks
+    UNION ALL
+    SELECT 'lineitem.l_quantity_in_1_50', quantity_range,
+           quantity_range = 0 FROM l_checks
+    UNION ALL
+    SELECT 'lineitem.l_discount_in_0_1', discount_range,
+           discount_range = 0 FROM l_checks
+    UNION ALL
+    SELECT 'orders.o_totalprice_positive', nonpositive_price,
+           nonpositive_price = 0 FROM o_checks
+    UNION ALL
+    SELECT 'orders.o_orderkey_unique', n, n = 0 FROM dup_orders
+    UNION ALL
+    SELECT 'orders.o_custkey_refs_customer', n, n = 0 FROM orphan_orders
+    UNION ALL
+    SELECT 'lineitem.l_orderkey_refs_orders', n, n = 0 FROM orphan_lines
+    """,
+)
+
+
 def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column profile of orders: nulls, distincts, min/max as strings.
 

@@ -674,6 +674,7 @@ QUERIES: dict[str, QueryFn] = {
     "deterministic_sample": advanced.deterministic_sample,
     "merge_upsert": advanced.merge_upsert,
     "scd2_apply": advanced.scd2_apply,
+    "dq_audit": advanced.dq_audit,
     "snapshot_diff": advanced.snapshot_diff,
     "profile_table": advanced.profile_table,
     "price_histogram": advanced.price_histogram,
