@@ -743,6 +743,95 @@ def _dedup_components_oracle() -> str:
 _oracle("dedup_components", _dedup_components_oracle())
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based survivorship: within each near-dup cluster keep the
+    HIGHEST-quality document (ties -> lowest doc_id), not the arbitrary
+    min-id that ``dedup_components`` keeps.
+
+    This is the missing half of a production dedup pass: clustering decides
+    WHICH docs are duplicates, survivorship decides WHICH COPY trains the
+    model — pretraining pipelines keep the cleanest copy (SemDeDup,
+    Gopher), so the cluster labels are joined with the deterministic
+    ``doc_quality`` score and reduced by argmax.  Scale shape: the argmax
+    is the window-free two-step (per-cluster max, then min doc_id among the
+    ties) over the persisted member frame — two thin-key shuffles on
+    cluster_id, nothing driver-side.
+    """
+    from airflow_postgres_to_s3_pipeline_spark.operators.text import doc_quality
+
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, shards=spark.sparkContext.defaultParallelism, checkable=True
+    ).select("doc_a", "doc_b")
+    labels = connected_components(pairs, d.select("doc_id"), max_iterations=10)
+    quality = doc_quality(spark, sf_dir).select("doc_id", "quality_score")
+    member = tracked_persist(labels.join(quality, "doc_id"))
+    stats = member.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max("quality_score").alias("kept_quality"),
+    )
+    kept = (
+        member.join(stats, "cluster_id")
+        .filter(F.col("quality_score") == F.col("kept_quality"))
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("kept_doc_id"))
+    )
+    return (
+        kept.join(stats, "cluster_id")
+        .filter(F.col("cluster_size") > 1)
+        .select("kept_doc_id", "kept_quality", "cluster_size")
+    )
+
+
+def _dedup_keep_best_oracle() -> str:
+    pair_sql = _minhash_lsh_oracle()
+    return rf"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({pair_sql})
+    ), edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b AS s, doc_a AS d FROM pairs
+    ), reach AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ), labels AS (
+        SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+        FROM reach GROUP BY s
+    ), quality AS (
+        SELECT doc_id,
+               CASE WHEN LEN(string_split(text, ' ')) < 5 THEN 0.0
+                    ELSE (1.0 - (LENGTH(text) - LENGTH(regexp_replace(text, '[^\w\s]', '', 'g')))
+                                / CAST(LENGTH(text) AS DOUBLE))
+                         * (0.5 + (LEN(list_filter(string_split(text, ' '),
+                                        w -> w IN ('the','a','of','and','in','to','is')))
+                                   / CAST(LEN(string_split(text, ' ')) AS DOUBLE)) / 2)
+               END AS quality_score
+        FROM documents
+    ), member AS (
+        SELECT l.doc_id, l.cluster_id, q.quality_score
+        FROM labels l JOIN quality q USING (doc_id)
+    ), stats AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size,
+               MAX(quality_score) AS kept_quality
+        FROM member GROUP BY cluster_id
+    ), kept AS (
+        SELECT m.cluster_id, MIN(m.doc_id) AS kept_doc_id
+        FROM member m JOIN stats s
+          ON m.cluster_id = s.cluster_id
+         AND m.quality_score = s.kept_quality
+        GROUP BY m.cluster_id
+    )
+    SELECT k.kept_doc_id, s.kept_quality, s.cluster_size
+    FROM kept k JOIN stats s USING (cluster_id)
+    WHERE s.cluster_size > 1
+    """
+
+
+_oracle("dedup_keep_best", _dedup_keep_best_oracle())
+
+
 # ---------------------------------------------------------------------------
 # E25b: SimHash near-dedup
 # ---------------------------------------------------------------------------

@@ -750,6 +750,7 @@ QUERIES: dict[str, QueryFn] = {
     "xml_functions": sql_surface.xml_functions,
     "fuzzy_canonicalize_parts": entity.fuzzy_canonicalize_parts,
     "simhash_dedup": dedup.simhash_dedup,
+    "dedup_keep_best": dedup.dedup_keep_best,
 }
 
 
@@ -813,7 +814,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "E25": ("ngram_jaccard_pairs", "minhash_lsh_dedup", "simhash_dedup",
             "dedup_components", "minhash_ml_pairs", "chunk_dedup",
             "chunk_near_dedup", "dedup_incremental_minhash", "winnowing_dedup",
-            "fuzzy_match_parts", "fuzzy_canonicalize_parts"),
+            "fuzzy_match_parts", "fuzzy_canonicalize_parts",
+            "dedup_keep_best"),
     "E26": ("knn_bruteforce", "embedding_norms", "embedding_near_dup",
             "embedding_quantize", "knn_ivf", "knn_ivf_fold", "knn_gemm",
             "semantic_dedup", "kmeans_embeddings", "embedding_lsh_near_dup",
