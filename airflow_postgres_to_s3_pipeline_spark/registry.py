@@ -326,6 +326,36 @@ PYTHON_STREAM_SOURCE_ORACLE = """
 """
 
 
+def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful aggregations (hourly -> daily) in one streaming
+    query via window_time (Spark >= 3.4) — see
+    streaming.windows.chained_hourly_daily.  Append mode: only days fully
+    below the final watermark emit; the oracle applies the same gate."""
+    events = stream_windows.read_events_stream(spark, sf_dir)
+    out = stream_windows.chained_hourly_daily(events)
+    return stream_windows.run_stream_to_memory(out, spark, output_mode="append")
+
+
+STREAMING_CHAINED_ORACLE = """
+    WITH wm AS (
+        -- final watermark: ms-floored max event time minus the 2h delay
+        SELECT make_timestamp(epoch_ms(MAX(ts)) * 1000) - INTERVAL 2 HOUR
+                   AS wm_final
+        FROM events
+    ), hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS day_start,
+           event_type,
+           MAX(n) AS max_hourly,
+           CAST(SUM(n) AS BIGINT) AS total
+    FROM hourly, wm
+    WHERE date_trunc('day', h) + INTERVAL 1 DAY <= wm.wm_final
+    GROUP BY 1, 2
+"""
+
+
 def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark LATE-DATA DROP, demonstrated end-to-end with a full
     oracle (the E23 capability no other entry isolates).
@@ -715,6 +745,7 @@ QUERIES: dict[str, QueryFn] = {
     "model_inference_scores": udfs.model_inference_scores,
     "streaming_stream_stream_join": streaming_stream_stream_join,
     "streaming_late_data_drop": streaming_late_data_drop,
+    "streaming_chained_windows": streaming_chained_windows,
     "streaming_static_enrich": streaming_static_enrich,
     "minhash_ml_pairs": ml_feature.minhash_ml_pairs,
     "tfidf_ml_features": ml_feature.tfidf_ml_features,
@@ -809,7 +840,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "streaming_ss_left_outer_join",
             "streaming_dynamic_session",
             "streaming_dedup_within_watermark",
-            "streaming_late_data_drop"),
+            "streaming_late_data_drop", "streaming_chained_windows"),
     "E24": ("dedup_exact", "dedup_keep_first", "dedup_incremental"),
     "E25": ("ngram_jaccard_pairs", "minhash_lsh_dedup", "simhash_dedup",
             "dedup_components", "minhash_ml_pairs", "chunk_dedup",
@@ -846,6 +877,7 @@ def _collect_oracles() -> dict[str, str]:
     oracles["python_stream_source_agg"] = PYTHON_STREAM_SOURCE_ORACLE
     oracles["streaming_dynamic_session"] = STREAMING_DYNAMIC_SESSION_ORACLE
     oracles["streaming_late_data_drop"] = STREAMING_LATE_DROP_ORACLE
+    oracles["streaming_chained_windows"] = STREAMING_CHAINED_ORACLE
     oracles["streaming_dedup_within_watermark"] = STREAMING_DEDUP_ORACLE
     oracles["streaming_stateful_running_totals"] = STREAMING_STATEFUL_ORACLE
     oracles["streaming_static_enrich"] = STREAMING_STATIC_ENRICH_ORACLE

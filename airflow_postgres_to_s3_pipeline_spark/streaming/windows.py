@@ -120,6 +120,39 @@ def dynamic_session_counts(events: DataFrame,
     )
 
 
+def chained_hourly_daily(events: DataFrame,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Chained stateful aggregations in ONE streaming query (Spark >= 3.4):
+    watermarked hourly counts per event type, re-aggregated into daily
+    max-hourly/total rows via ``window_time`` — the continuous-rollup shape
+    (hypertable_rollup's streaming dual) that previously required two
+    queries bridged by an external sink.
+
+    State: the hourly layer holds <= watermark/1h open windows per type;
+    the daily layer one open day per type.  A daily row emits (append mode)
+    once the watermark passes its day end; every hourly window inside a
+    closed day is itself closed, so emitted daily rows aggregate complete
+    days only — the rule the oracle mirrors.
+    """
+    hourly = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.window(F.window_time("w"), "1 day").alias("d"), "event_type"
+        )
+        .agg(F.max("n").alias("max_hourly"), F.sum("n").alias("total"))
+    )
+    return daily.select(
+        F.col("d.start").alias("day_start"),
+        "event_type",
+        "max_hourly",
+        F.col("total").cast("long").alias("total"),
+    )
+
+
 def dedup_stream(events: DataFrame, keys: list[str] | None = None,
                  watermark: str = "2 hours",
                  within_watermark: bool = False) -> DataFrame:
