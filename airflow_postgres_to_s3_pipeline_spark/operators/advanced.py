@@ -1001,6 +1001,73 @@ _oracle(
 )
 
 
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-segment outlier audit: median + MAD (median absolute
+    deviation) instead of mean + stddev, so the thresholds themselves are
+    not dragged by the outliers they hunt (the flaw of z-scores on skewed
+    money columns).
+
+    Two exact-median passes per segment — Spark's median and DuckDB's
+    MEDIAN interpolate identically on even counts (pinned by the
+    pandas_grouped_agg entry) — then a row-local |x - med| > 3*MAD flag
+    folded into a conditional count.  Scale shape: medians need the full
+    group (two shuffles on the segment key, each with column-pruned input);
+    the flag pass re-joins the 5-row stats broadcast-side, so the fact
+    table is scanned twice and shuffled never for the flagging itself.
+    """
+    c = table(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    med = c.groupBy("c_mktsegment").agg(
+        F.median("c_acctbal").alias("seg_median")
+    )
+    dev = c.join(F.broadcast(med), "c_mktsegment").select(
+        "c_mktsegment",
+        "c_acctbal",
+        "seg_median",
+        F.abs(F.col("c_acctbal") - F.col("seg_median")).alias("adev"),
+    )
+    mad = dev.groupBy("c_mktsegment").agg(
+        F.median("adev").alias("seg_mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("seg_median").alias("seg_median"),
+            F.min("seg_mad").alias("seg_mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("seg_mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+_oracle(
+    "mad_outliers",
+    """
+    WITH med AS (
+        SELECT c_mktsegment, MEDIAN(c_acctbal) AS seg_median
+        FROM customer GROUP BY c_mktsegment
+    ), dev AS (
+        SELECT c.c_mktsegment, c.c_acctbal, m.seg_median,
+               ABS(c.c_acctbal - m.seg_median) AS adev
+        FROM customer c JOIN med m USING (c_mktsegment)
+    ), mad AS (
+        SELECT c_mktsegment, MEDIAN(adev) AS seg_mad
+        FROM dev GROUP BY c_mktsegment
+    )
+    SELECT d.c_mktsegment,
+           COUNT(*) AS n_customers,
+           MIN(d.seg_median) AS seg_median,
+           MIN(m.seg_mad) AS seg_mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * m.seg_mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (c_mktsegment)
+    GROUP BY d.c_mktsegment
+    """,
+)
+
+
 def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column profile of orders: nulls, distincts, min/max as strings.
 

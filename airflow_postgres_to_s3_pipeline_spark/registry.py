@@ -782,6 +782,7 @@ QUERIES: dict[str, QueryFn] = {
     "fuzzy_canonicalize_parts": entity.fuzzy_canonicalize_parts,
     "simhash_dedup": dedup.simhash_dedup,
     "dedup_keep_best": dedup.dedup_keep_best,
+    "mad_outliers": advanced.mad_outliers,
 }
 
 
