@@ -348,6 +348,79 @@ _oracle(
 )
 
 
+def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of the event value (TWAP): each
+    reading is weighted by how long it was current — the correct mean for
+    irregularly-sampled telemetry/prices, where the plain AVG over-weights
+    bursts.
+
+    Each interval is [ts, next ts) via lead(); the last reading has no
+    interval and drops out (standard left-continuous TWAP).  Determinism:
+    values are exact 2-decimal quantities, so each weight accumulates as an
+    INT64 of hundredth-microseconds (value x 100 is exact via a decimal
+    hop; max ~1.3e17 per user against the 9.2e18 ceiling) — a giant
+    DECIMAL sum cast to double diverges from DuckDB in the last ulp,
+    whereas int64 -> double is the same well-defined round-to-nearest in
+    both engines.  One shuffle on user_id shared by the window and the
+    aggregate.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+    hundredths = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+    spans = e.select(
+        "user_id",
+        hundredths.alias("v_h"),
+        dt.alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    agg = spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt_us").alias("total_micros"),
+        F.sum(F.col("v_h") * F.col("dt_us")).alias("wsum_h"),
+    )
+    return (
+        agg.filter(F.col("total_micros") > 0)
+        .select(
+            "user_id",
+            "n_intervals",
+            "total_micros",
+            (
+                F.col("wsum_h").cast("double")
+                / F.col("total_micros").cast("double")
+                / F.lit(100.0)
+            ).alias("twap"),
+        )
+    )
+
+
+_oracle(
+    "time_weighted_average",
+    """
+    WITH spans AS (
+        SELECT user_id,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v_h,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+                   - epoch_us(ts) AS dt_us
+        FROM events
+    ), agg AS (
+        SELECT user_id,
+               COUNT(*) AS n_intervals,
+               CAST(SUM(dt_us) AS BIGINT) AS total_micros,
+               CAST(SUM(v_h * dt_us) AS BIGINT) AS wsum_h
+        FROM spans
+        WHERE dt_us IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id, n_intervals, total_micros,
+           CAST(wsum_h AS DOUBLE) / CAST(total_micros AS DOUBLE) / 100.0
+               AS twap
+    FROM agg
+    WHERE total_micros > 0
+    """,
+)
+
+
 def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist of customer balances within each nation.
 

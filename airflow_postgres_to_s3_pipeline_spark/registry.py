@@ -783,6 +783,7 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_dedup": dedup.simhash_dedup,
     "dedup_keep_best": dedup.dedup_keep_best,
     "mad_outliers": advanced.mad_outliers,
+    "time_weighted_average": windows.time_weighted_average,
 }
 
 
