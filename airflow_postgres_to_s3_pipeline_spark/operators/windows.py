@@ -421,6 +421,69 @@ _oracle(
 )
 
 
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    counts and conditional probabilities of event_type -> next event_type.
+
+    The product-analytics companion to the funnel: instead of fixed steps
+    it measures EVERY adjacent pair under the deterministic (ts, event_id)
+    total order.  One shuffle on user_id for the lead() window, one
+    narrow-key shuffle on (from_type, to_type); the probability is a ratio
+    of two int64 counts (single double division, bit-deterministic).
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    outgoing = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("n_out")
+    )
+    return (
+        counts.join(outgoing, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            (
+                F.col("n_transitions").cast("double")
+                / F.col("n_out").cast("double")
+            ).alias("p_transition"),
+        )
+    )
+
+
+_oracle(
+    "event_transitions",
+    """
+    WITH pairs AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ), counts AS (
+        SELECT from_type, to_type, COUNT(*) AS n_transitions
+        FROM pairs WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    ), outgoing AS (
+        SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS n_out
+        FROM counts GROUP BY from_type
+    )
+    SELECT c.from_type, c.to_type, c.n_transitions,
+           CAST(c.n_transitions AS DOUBLE) / CAST(o.n_out AS DOUBLE)
+               AS p_transition
+    FROM counts c JOIN outgoing o USING (from_type)
+    """,
+)
+
+
 def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist of customer balances within each nation.
 

@@ -784,6 +784,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_keep_best": dedup.dedup_keep_best,
     "mad_outliers": advanced.mad_outliers,
     "time_weighted_average": windows.time_weighted_average,
+    "event_transitions": windows.event_transitions,
 }
 
 
