@@ -29,6 +29,9 @@ sys.path.insert(0, REPO)
 # (composed ANN), +winnowing_fingerprint (per-gram hash HOF chain) — the
 # session's new expensive families, benched from their first driver
 # round.  History per query: docs/SCALE.md bench-trend table.
+# Session 3: +fuzzy_match_parts (entity resolution — multi-pass blocked
+# levenshtein), +dedup_keep_best (clusters + quality survivorship chain,
+# the heaviest new composition).
 BENCH_QUERIES = [
     "pricing_summary",
     "join_broadcast_dims",
@@ -58,6 +61,8 @@ BENCH_QUERIES = [
     "salted_agg_hot_key",
     "window_lag_lead",
     "exact_percentiles",
+    "fuzzy_match_parts",
+    "dedup_keep_best",
 ]
 
 
