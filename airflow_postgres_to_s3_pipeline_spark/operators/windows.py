@@ -484,6 +484,97 @@ _oracle(
 )
 
 
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend (slope + intercept) of event value over
+    time — grouped linear regression, the per-key ML-lite aggregate
+    engines expose as REGR_SLOPE/REGR_INTERCEPT.
+
+    The built-in regr_* aggregates accumulate doubles (order-dependent at
+    scale), so this computes the closed form from EXACT integer sums:
+    x = whole seconds since the user's first event (shift-invariant slope),
+    y = value in exact hundredths; sum(x), sum(y), sum(xy), sum(x^2) are
+    all int64 within proven bounds (sxy <= ~4e14, sxx <= ~2e16 vs the
+    9.2e18 ceiling).  The cross terms n*sxy and sx*sy WOULD overflow
+    int64 (~6e19), so the closed form is evaluated in doubles from the
+    exact sums — every int64 -> double cast, multiply, and subtract is
+    IEEE round-to-nearest, identical in both engines, so the result is
+    still bit-deterministic under any partitioning.  Slope unit: value
+    per second (hundredths cancel in the ratio).  One user_id shuffle for
+    the min-ts window, one for the aggregate.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    x = (
+        (F.unix_micros("ts") - F.min(F.unix_micros("ts")).over(w))
+        / F.lit(1_000_000)
+    ).cast("long")
+    y = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+    obs = e.select("user_id", x.alias("x"), y.alias("y"))
+    agg = obs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    num = n_d * F.col("sxy").cast("double") - sx_d * sy_d
+    den = n_d * F.col("sxx").cast("double") - sx_d * sx_d
+    slope = num / den / F.lit(100.0)
+    intercept = sy_d / n_d / F.lit(100.0) - slope * (sx_d / n_d)
+    return (
+        agg.filter((F.col("n") >= 2) & (den != 0))
+        .select(
+            "user_id",
+            "n",
+            slope.alias("slope_per_sec"),
+            intercept.alias("intercept"),
+        )
+    )
+
+
+_oracle(
+    "user_value_trend",
+    """
+    WITH obs AS (
+        SELECT user_id,
+               CAST((epoch_us(ts)
+                     - MIN(epoch_us(ts)) OVER (PARTITION BY user_id))
+                    // 1000000 AS BIGINT) AS x,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        FROM events
+    ), agg AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM obs GROUP BY user_id
+    )
+    SELECT user_id, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0
+               AS slope_per_sec,
+           CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+               - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0)
+                 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               AS intercept
+    FROM agg
+    WHERE n >= 2
+      AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+    """,
+)
+
+
 def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist of customer balances within each nation.
 

@@ -785,6 +785,7 @@ QUERIES: dict[str, QueryFn] = {
     "mad_outliers": advanced.mad_outliers,
     "time_weighted_average": windows.time_weighted_average,
     "event_transitions": windows.event_transitions,
+    "user_value_trend": windows.user_value_trend,
 }
 
 
