@@ -270,3 +270,95 @@ def _pagerank_oracle() -> str:
 
 
 _oracle("pagerank_parts", _pagerank_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+TRI_SUPPORT = 1
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph — the third
+    classic distributed graph kernel beside lift (local edge weights) and
+    PageRank (global iteration): triangles measure neighborhood closure
+    (clustering), the standard community-density signal.
+
+    Algorithm: orient every edge small-id -> large-id, build wedges with one
+    self-join on the middle vertex, close them with a second join on the
+    (a, c) edge — each triangle a<b<c is counted exactly once.  Two
+    equi-join shuffles over the edge list; the edge list itself is persisted
+    (three consumers).  At 100 TB the id-orientation is replaced by
+    degree-orientation (low-degree vertex first), which bounds per-vertex
+    wedge fan-out by sqrt(|E|) on skewed graphs — same plan shape, different
+    sort key; the testdata graph is near-uniform so id-orientation keeps the
+    oracle trivially mirrorable.
+
+    Returns (l_partkey, n_triangles) for every part in >= 1 triangle.
+    """
+    b = _baskets(spark, sf_dir)
+    a = b.alias("a")
+    c = b.alias("c")
+    edges = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("c.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= TRI_SUPPORT)
+        .select("pa", "pb")
+    )
+    edges = tracked_persist(edges)
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    wedges = e1.join(e2, F.col("e1.pb") == F.col("e2.pa")).select(
+        F.col("e1.pa").alias("ta"),
+        F.col("e1.pb").alias("tb"),
+        F.col("e2.pb").alias("tc"),
+    )
+    tri = wedges.join(
+        e3,
+        (F.col("ta") == F.col("e3.pa")) & (F.col("tc") == F.col("e3.pb")),
+    ).select("ta", "tb", "tc")
+    members = (
+        tri.select(F.col("ta").alias("l_partkey"))
+        .unionAll(tri.select(F.col("tb").alias("l_partkey")))
+        .unionAll(tri.select(F.col("tc").alias("l_partkey")))
+    )
+    return members.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+_oracle(
+    "triangle_count",
+    f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+        SELECT a.l_partkey AS pa, c.l_partkey AS pb
+        FROM b a JOIN b c
+          ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {TRI_SUPPORT}
+    ), tri AS (
+        SELECT e1.pa AS ta, e1.pb AS tb, e2.pb AS tc
+        FROM e e1
+        JOIN e e2 ON e1.pb = e2.pa
+        JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ), members AS (
+        SELECT ta AS l_partkey FROM tri
+        UNION ALL SELECT tb FROM tri
+        UNION ALL SELECT tc FROM tri
+    )
+    SELECT l_partkey, COUNT(*) AS n_triangles
+    FROM members GROUP BY l_partkey
+    """,
+)

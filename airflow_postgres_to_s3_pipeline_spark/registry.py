@@ -786,6 +786,7 @@ QUERIES: dict[str, QueryFn] = {
     "time_weighted_average": windows.time_weighted_average,
     "event_transitions": windows.event_transitions,
     "user_value_trend": windows.user_value_trend,
+    "triangle_count": graph.triangle_count,
 }
 
 
@@ -864,7 +865,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "E28": ("multimodal_decode", "multimodal_resize",
             "multimodal_frame_sample", "multimodal_partition_stats",
             "multimodal_audio_energy"),
-    "G1": ("part_cooccurrence_lift", "pagerank_parts"),
+    "G1": ("part_cooccurrence_lift", "pagerank_parts", "triangle_count"),
 }
 
 
