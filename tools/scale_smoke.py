@@ -247,7 +247,8 @@ def main() -> int:
     # catalog.table path as production).  Sizes capped independently of n.
     text_labels = {"text_chunking", "text_lm_score", "text_bm25",
                    "text_winnow_fp", "text_winnow_dedup",
-                   "entity_fuzzy_match", "graph_pagerank"}
+                   "entity_fuzzy_match", "graph_pagerank",
+                   "graph_triangles"}
     if not only or (only & text_labels):
         import shutil
         import tempfile
@@ -350,6 +351,15 @@ def main() -> int:
         results.append(run_dir(
             "graph_pagerank", no, lambda: write_edges(no),
             lambda d: graph.pagerank_parts(spark, d)))
+
+        # triangles: at 500k orders the hash-random basket graph has ~3M
+        # oriented edges, mean degree ~30 -> ~9e7 wedges through the
+        # closure join — the quadratic-in-degree cost profile the
+        # degree-orientation note in the docstring is about
+        nt = min(n, 500_000)
+        results.append(run_dir(
+            "graph_triangles", nt, lambda: write_edges(nt),
+            lambda d: graph.triangle_count(spark, d)))
 
     results = [r for r in results if r is not None]
     print(json.dumps({
