@@ -356,6 +356,56 @@ STREAMING_CHAINED_ORACLE = """
 """
 
 
+def streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom sessionization on applyInPandasWithState with
+    EventTimeTimeout — the state.hasTimedOut emission path (see
+    streaming.stateful.session_close_on_timeout).  Sessions closed by a
+    later event emit immediately; each user's final open session emits
+    only when the watermark passes last_event + gap (the timeout)."""
+    from airflow_postgres_to_s3_pipeline_spark.streaming import stateful
+
+    events = stream_windows.read_events_stream(spark, sf_dir)
+    out = stateful.session_close_on_timeout(events)
+    return stream_windows.run_stream_to_memory(out, spark, output_mode="update")
+
+
+STREAMING_SESSION_TIMEOUT_ORACLE = """
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+    ), flagged AS (
+        SELECT user_id, us, event_id,
+               CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), s AS (
+        SELECT user_id, us,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ), sess AS (
+        SELECT user_id, sid,
+               MIN(us) AS session_start_us,
+               MAX(us) AS session_end_us,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id, sid
+    ), wm AS (
+        -- final watermark in ms: ms-floored max event time minus 2h
+        SELECT MAX(us) // 1000 - 7200000 AS wm_ms FROM ev
+    ), last AS (
+        SELECT user_id, MAX(sid) AS last_sid FROM sess GROUP BY user_id
+    )
+    -- a session closed by a later event always emits; the per-user final
+    -- session emits via timeout, scheduled at (end + gap) ms + 1, once
+    -- the watermark reaches it
+    SELECT se.user_id, se.session_start_us, se.session_end_us, se.n_events
+    FROM sess se JOIN last l USING (user_id), wm
+    WHERE se.sid < l.last_sid
+       OR (se.session_end_us + 1800000000) // 1000 + 1 <= wm.wm_ms
+"""
+
+
 def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark LATE-DATA DROP, demonstrated end-to-end with a full
     oracle (the E23 capability no other entry isolates).
@@ -746,6 +796,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_stream_stream_join": streaming_stream_stream_join,
     "streaming_late_data_drop": streaming_late_data_drop,
     "streaming_chained_windows": streaming_chained_windows,
+    "streaming_session_timeout": streaming_session_timeout,
     "streaming_static_enrich": streaming_static_enrich,
     "minhash_ml_pairs": ml_feature.minhash_ml_pairs,
     "tfidf_ml_features": ml_feature.tfidf_ml_features,
@@ -845,7 +896,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "streaming_ss_left_outer_join",
             "streaming_dynamic_session",
             "streaming_dedup_within_watermark",
-            "streaming_late_data_drop", "streaming_chained_windows"),
+            "streaming_late_data_drop", "streaming_chained_windows",
+            "streaming_session_timeout"),
     "E24": ("dedup_exact", "dedup_keep_first", "dedup_incremental"),
     "E25": ("ngram_jaccard_pairs", "minhash_lsh_dedup", "simhash_dedup",
             "dedup_components", "minhash_ml_pairs", "chunk_dedup",
@@ -883,6 +935,7 @@ def _collect_oracles() -> dict[str, str]:
     oracles["streaming_dynamic_session"] = STREAMING_DYNAMIC_SESSION_ORACLE
     oracles["streaming_late_data_drop"] = STREAMING_LATE_DROP_ORACLE
     oracles["streaming_chained_windows"] = STREAMING_CHAINED_ORACLE
+    oracles["streaming_session_timeout"] = STREAMING_SESSION_TIMEOUT_ORACLE
     oracles["streaming_dedup_within_watermark"] = STREAMING_DEDUP_ORACLE
     oracles["streaming_stateful_running_totals"] = STREAMING_STATEFUL_ORACLE
     oracles["streaming_static_enrich"] = STREAMING_STATIC_ENRICH_ORACLE

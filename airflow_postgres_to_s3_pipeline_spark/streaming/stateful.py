@@ -86,6 +86,111 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
 
 
 # ---------------------------------------------------------------------------
+# Custom sessionization with EventTimeTimeout: the full GroupStateTimeout
+# API surface — setTimeoutTimestamp + state.hasTimedOut emission.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_SECONDS = 30 * 60
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint"
+
+
+def _close_user_sessions(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Gap-based sessionizer with watermark timeouts.
+
+    Sessions close two ways: (a) a later event of the same user arrives
+    more than the gap after the session's last event (intra-stream
+    closure, emitted immediately), or (b) no event arrives and the
+    watermark passes last_event + gap (``state.hasTimedOut`` — the path
+    the built-in session_window uses internally and this operator makes
+    explicit).  State per key: one open session (start, last, count).
+    """
+    (user_id,) = key
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+
+    def row(start_us: int, end_us: int, n: int) -> dict:
+        return {
+            "user_id": user_id,
+            "session_start_us": start_us,
+            "session_end_us": end_us,
+            "n_events": n,
+        }
+
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        state.remove()
+        yield pd.DataFrame([row(start_us, last_us, n)])
+        return
+
+    closed: list[dict] = []
+    start_us: int | None
+    start_us, last_us, n = state.get if state.exists else (None, None, 0)
+    ts_us = (
+        pd.concat([pdf["ts"] for pdf in pdfs])
+        .sort_values()
+        .astype("int64")  # pandas datetime64[ns] -> ns; convert to us below
+        // 1000
+    )
+    for t in ts_us:
+        t = int(t)
+        if start_us is None:
+            start_us, last_us, n = t, t, 1
+        elif t - last_us <= gap_us:
+            last_us, n = t, n + 1
+        else:
+            closed.append(row(start_us, last_us, n))
+            start_us, last_us, n = t, t, 1
+    state.update((start_us, last_us, n))
+    # Arrange eviction when the watermark passes last + gap.  The timeout
+    # must sit strictly beyond the current watermark; if the open session
+    # is already older than that (possible when the watermark jumped
+    # within this batch), schedule it one ms ahead so it times out on the
+    # next (possibly no-data) micro-batch.
+    timeout_ms = max(
+        (last_us + gap_us) // 1000 + 1, state.getCurrentWatermarkMs() + 1
+    )
+    state.setTimeoutTimestamp(timeout_ms)
+    if closed:
+        yield pd.DataFrame(closed)
+
+
+def session_close_on_timeout(events: DataFrame,
+                             watermark: str = "2 hours") -> DataFrame:
+    """Custom gap sessions via applyInPandasWithState + EventTimeTimeout.
+
+    Equivalent semantics to the built-in ``session_window`` for completed
+    sessions, but with the closure mechanics exposed: idle keys are
+    evicted by the event-time timeout, so state is bounded by ACTIVE
+    sessions only — the property that makes custom sessionization viable
+    on an unbounded user space at 100 TB.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _close_user_sessions,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # transformWithStateInPandas (Spark 4): the successor API to
 # applyInPandasWithState — typed state handles (value/list/map state,
 # timers, TTL) managed by the operator instead of one opaque tuple.
