@@ -249,3 +249,59 @@ def test_zorder_readback_pushes_both_dimensions(spark, sf_dir):
     plan = explain_str(df)
     read_schema = plan.split("ReadSchema")[1].splitlines()[0]
     assert "l_quantity" in read_schema
+
+
+# ---------------------------------------------------------------------------
+# Session-3 operators: plan properties at a glance
+# ---------------------------------------------------------------------------
+
+def test_funnel_pushes_event_type_filters_to_scan(spark, sf_dir):
+    """Each funnel step scans events with its event_type predicate pushed
+    to parquet (row-group pruning at scale) — three narrow scans, never one
+    wide scan re-filtered in memory."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import windows as w
+
+    df = w.funnel_ordered_3step(spark, sf_dir)
+    filters = " ".join(pushed_filters(df))
+    assert "event_type" in filters, f"pushdown missing: {filters}"
+
+
+def test_dq_audit_fk_checks_are_anti_joins(spark, sf_dir):
+    """Referential checks must plan as LeftAnti hash joins (broadcast or
+    shuffled), never as NOT IN subquery BNLJ shapes."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import advanced
+
+    plan = explain_str(advanced.dq_audit(spark, sf_dir), "simple")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_match_blocking_is_equi_join(spark, sf_dir):
+    """Both blocking passes must be hash equi-joins on the token key; the
+    levenshtein threshold is a post-join row-local Filter, not a join
+    condition that would force a nested-loop."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import entity
+
+    plan = explain_str(entity.fuzzy_match_parts(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan.lower()
+
+
+def test_scd2_is_single_pass_union(spark, sf_dir):
+    """SCD2 apply: one join of dim x changes feeding both union branches —
+    no window over the dimension, no cartesian."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import advanced
+
+    plan = explain_str(advanced.scd2_apply(spark, sf_dir), "simple")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_closure_is_hash_joins(spark, sf_dir):
+    from airflow_postgres_to_s3_pipeline_spark.operators import graph
+
+    plan = explain_str(graph.triangle_count(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
