@@ -31,7 +31,7 @@ Oracle: DuckDB has the same `levenshtein` function, so the mirror is exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_postgres_to_s3_pipeline_spark.cache import tracked_persist
@@ -154,6 +154,149 @@ _oracle(
            records_a, records_b
     FROM candidates
     WHERE levenshtein(name_a, name_b) BETWEEN 1 AND 2
+    """,
+)
+
+
+SNM_WINDOW = 4  # compare each name with its w-1 successors per sort pass
+
+
+def fuzzy_match_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER classic ER blocking paradigm: sorted-neighborhood (SNM).
+
+    Instead of equi-join blocking keys, sort the names and compare each
+    with its next ``SNM_WINDOW - 1`` neighbors in sort order.  A single
+    sort key misses pairs that diverge early in the string (cold/old sort
+    far apart), so — as with multi-pass token blocking — we run TWO passes:
+    sorted by the name and sorted by its REVERSAL (suffix order), and
+    union the candidate neighborhoods.
+
+    MEASURED RECALL on the test vocabulary: 16 of 24 true pairs (67%) —
+    the new<->red family diverges under BOTH orderings ('new X' and
+    'red X' differ in the first character, and their reversals 'wen'/'der'
+    sort 7 window slots apart inside the suffix partition, beyond w-1=3).
+    That is the inherent SNM trade-off (window-bounded candidates, recall
+    depends on the sort keys) and exactly why ``fuzzy_match_parts``'
+    multi-pass token blocking — 100% recall here — is the default tier;
+    SNM earns its keep on data where no discrete blocking token exists.
+    tests/test_entity.py pins both the subset property and the precise
+    missed set so a silent recall change fails loudly.
+
+    Scale shape: the sort is expressed as a row_number window PARTITIONED
+    by the sort key's first character (a global-order window would collapse
+    to one task — the anti-pattern this repo bans), then each row emits its
+    w-1 successor ranks and the pairing is a pure (partition, rank)
+    EQUI-join — no range join, no cartesian.  Cross-partition boundary
+    pairs are the documented SNM trade-off; the second pass's different
+    ordering is the standard mitigation.
+    """
+    names = tracked_persist(_name_counts(spark, sf_dir))
+
+    def snm_pass(sort_col):
+        ranked = names.select(
+            "name",
+            "n_records",
+            sort_col.alias("sk"),
+            F.substring(sort_col, 1, 1).alias("pt"),
+        ).withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("pt").orderBy("sk", "name")
+            ),
+        )
+        left = ranked.select(
+            "pt",
+            F.col("name").alias("name_l"),
+            F.col("n_records").alias("records_l"),
+            F.explode(
+                F.array(*[F.col("rn") + k for k in range(1, SNM_WINDOW)])
+            ).alias("nbr"),
+        )
+        right = ranked.select(
+            "pt",
+            F.col("rn").alias("nbr"),
+            F.col("name").alias("name_r"),
+            F.col("n_records").alias("records_r"),
+        )
+        paired = left.join(right, ["pt", "nbr"])
+        # canonicalize the unordered pair before the cross-pass dedup
+        return paired.select(
+            F.least("name_l", "name_r").alias("name_a"),
+            F.greatest("name_l", "name_r").alias("name_b"),
+            F.when(F.col("name_l") < F.col("name_r"), F.col("records_l"))
+            .otherwise(F.col("records_r"))
+            .alias("records_a"),
+            F.when(F.col("name_l") < F.col("name_r"), F.col("records_r"))
+            .otherwise(F.col("records_l"))
+            .alias("records_b"),
+        )
+
+    candidates = snm_pass(F.col("name")).unionByName(
+        snm_pass(F.reverse(F.col("name")))
+    )
+    return (
+        candidates.filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= MAX_DIST
+        )
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("name_a"), F.col("name_b"), MAX_DIST),
+        )
+        .filter(F.col("edit_dist") >= 1)
+        .dropDuplicates(["name_a", "name_b"])
+        .select("name_a", "name_b", "edit_dist", "records_a", "records_b")
+    )
+
+
+def _snm_pass_sql(sort_expr: str) -> str:
+    return f"""
+        SELECT LEAST(r1.name, r2.name) AS name_a,
+               GREATEST(r1.name, r2.name) AS name_b,
+               CASE WHEN r1.name < r2.name THEN r1.n_records
+                    ELSE r2.n_records END AS records_a,
+               CASE WHEN r1.name < r2.name THEN r2.n_records
+                    ELSE r1.n_records END AS records_b
+        FROM (
+            SELECT name, n_records, {sort_expr} AS sk,
+                   substring({sort_expr}, 1, 1) AS pt,
+                   row_number() OVER (
+                       PARTITION BY substring({sort_expr}, 1, 1)
+                       ORDER BY {sort_expr}, name
+                   ) AS rn
+            FROM names
+        ) r1
+        JOIN (
+            SELECT name, n_records, {sort_expr} AS sk,
+                   substring({sort_expr}, 1, 1) AS pt,
+                   row_number() OVER (
+                       PARTITION BY substring({sort_expr}, 1, 1)
+                       ORDER BY {sort_expr}, name
+                   ) AS rn
+            FROM names
+        ) r2
+          ON r1.pt = r2.pt
+         AND r2.rn - r1.rn BETWEEN 1 AND {SNM_WINDOW - 1}
+    """
+
+
+_oracle(
+    "fuzzy_match_sorted_neighborhood",
+    f"""
+    WITH names AS (
+        SELECT p_name AS name, count(*) AS n_records
+        FROM part GROUP BY p_name
+    ),
+    candidates AS (
+        {_snm_pass_sql("name")}
+        UNION
+        {_snm_pass_sql("reverse(name)")}
+    )
+    SELECT DISTINCT name_a, name_b,
+           levenshtein(name_a, name_b) AS edit_dist,
+           records_a, records_b
+    FROM candidates
+    WHERE abs(length(name_a) - length(name_b)) <= {MAX_DIST}
+      AND levenshtein(name_a, name_b) BETWEEN 1 AND {MAX_DIST}
     """,
 )
 

@@ -838,6 +838,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_transitions": windows.event_transitions,
     "user_value_trend": windows.user_value_trend,
     "triangle_count": graph.triangle_count,
+    "fuzzy_match_sorted_neighborhood": entity.fuzzy_match_sorted_neighborhood,
 }
 
 
@@ -903,7 +904,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "dedup_components", "minhash_ml_pairs", "chunk_dedup",
             "chunk_near_dedup", "dedup_incremental_minhash", "winnowing_dedup",
             "fuzzy_match_parts", "fuzzy_canonicalize_parts",
-            "dedup_keep_best"),
+            "dedup_keep_best", "fuzzy_match_sorted_neighborhood"),
     "E26": ("knn_bruteforce", "embedding_norms", "embedding_near_dup",
             "embedding_quantize", "knn_ivf", "knn_ivf_fold", "knn_gemm",
             "semantic_dedup", "kmeans_embeddings", "embedding_lsh_near_dup",

@@ -106,3 +106,32 @@ def test_stop_token_cap_bounds_hot_blocks(spark, monkeypatch):
     the candidate set is empty — the skew bound actually gates."""
     monkeypatch.setattr(entity, "MAX_BLOCK", 1)
     assert entity.fuzzy_match_parts(spark, SF_DIR).count() == 0
+
+
+def test_snm_recall_tradeoff_is_pinned(spark):
+    """Sorted-neighborhood matching: every pair it finds is a true pair
+    (subset of the unblocked ground truth), and the pairs it misses are
+    EXACTLY the new<->red family — the documented both-orderings-diverge
+    case.  If vocabulary or window changes silently alter recall, this
+    fails loudly."""
+    truth = {
+        (r.name_a, r.name_b): r.edit_dist
+        for r in _ground_truth_pairs(spark).collect()
+    }
+    snm = {
+        (r.name_a, r.name_b): r.edit_dist
+        for r in entity.fuzzy_match_sorted_neighborhood(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(snm) <= set(truth)
+    for pair, dist in snm.items():
+        assert truth[pair] == dist
+    missed = set(truth) - set(snm)
+    assert missed == {
+        (f"new {noun}", f"red {noun}")
+        for noun in (
+            "anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod",
+            "widget",
+        )
+    }
