@@ -279,7 +279,8 @@ _oracle("pagerank_parts", _pagerank_oracle())
 TRI_SUPPORT = 1
 
 
-def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def triangle_count(spark: SparkSession, sf_dir: str,
+                   orient: str = "degree") -> DataFrame:
     """Per-part triangle participation in the co-purchase graph — the third
     classic distributed graph kernel beside lift (local edge weights) and
     PageRank (global iteration): triangles measure neighborhood closure
@@ -314,6 +315,36 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= TRI_SUPPORT)
         .select("pa", "pb")
     )
+    if orient == "degree":
+        # Re-orient every edge low-(degree, id) -> high-(degree, id): the
+        # compact-forward orientation that bounds per-vertex wedge fan-out
+        # by O(sqrt(|E|)) on skewed graphs (a hub only FANS OUT to the few
+        # vertices of even higher degree).  The per-part triangle counts
+        # are orientation-invariant, so this tier shares the id-oriented
+        # oracle bit-for-bit (pinned by test).
+        deg = (
+            edges.select(F.col("pa").alias("v"))
+            .unionAll(edges.select(F.col("pb").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        da = deg.select(F.col("v").alias("pa"), F.col("deg").alias("deg_a"))
+        db = deg.select(F.col("v").alias("pb"), F.col("deg").alias("deg_b"))
+        a_first = (F.col("deg_a") < F.col("deg_b")) | (
+            (F.col("deg_a") == F.col("deg_b")) & (F.col("pa") < F.col("pb"))
+        )
+        edges = (
+            edges.join(da, "pa")
+            .join(db, "pb")
+            .select(
+                F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+                F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+            )
+            .withColumnRenamed("src", "pa")
+            .withColumnRenamed("dst", "pb")
+        )
+    elif orient != "id":
+        raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
     edges = tracked_persist(edges)
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")

@@ -305,3 +305,20 @@ def test_triangle_closure_is_hash_joins(spark, sf_dir):
     plan = explain_str(graph.triangle_count(spark, sf_dir), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_orientations_bit_identical(spark, sf_dir):
+    """Degree orientation (the skew-safe default) must produce the same
+    per-part counts as id orientation — triangle membership is
+    orientation-invariant."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import graph
+
+    a = {
+        (r.l_partkey, r.n_triangles)
+        for r in graph.triangle_count(spark, sf_dir, orient="degree").collect()
+    }
+    b = {
+        (r.l_partkey, r.n_triangles)
+        for r in graph.triangle_count(spark, sf_dir, orient="id").collect()
+    }
+    assert a and a == b

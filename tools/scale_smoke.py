@@ -248,7 +248,8 @@ def main() -> int:
     text_labels = {"text_chunking", "text_lm_score", "text_bm25",
                    "text_winnow_fp", "text_winnow_dedup",
                    "entity_fuzzy_match", "graph_pagerank",
-                   "graph_triangles"}
+                   "graph_triangles", "graph_triangles_skew_degree",
+                   "graph_triangles_skew_id"}
     if not only or (only & text_labels):
         import shutil
         import tempfile
@@ -360,6 +361,33 @@ def main() -> int:
         results.append(run_dir(
             "graph_triangles", nt, lambda: write_edges(nt),
             lambda d: graph.triangle_count(spark, d)))
+
+        # skewed co-purchase graph: one MID-ID hub part appears in ~2% of
+        # all lines.  Under id-orientation a mid-id hub has in-deg ~= out-deg
+        # ~= deg/2, so the path join generates in*out ~= deg^2/4 wedges
+        # through it; degree-orientation points every hub edge INTO the hub
+        # (neighbors all have lower degree), making in*out ~= 0 — the
+        # reason degree is the default at scale.  (A hub at id 0 or id max
+        # is the accidental best case for id-orientation: one of in/out is
+        # zero — measured 4.6s vs 9.4s the WRONG way before the hub id was
+        # moved mid-range.)
+        def write_skew_edges(no: int, lines_per_order: int = 4) -> str:
+            d = tempfile.mkdtemp(prefix="scale_graph_skew_")
+            base = F.pmod(F.xxhash64("id"), F.lit(200_000))
+            hub = F.pmod(F.xxhash64("id", F.lit(9)), F.lit(50)) == 0
+            spark.range(0, no * lines_per_order, 1, parallelism).select(
+                (F.col("id") % no).alias("l_orderkey"),
+                F.when(hub, F.lit(100_000)).otherwise(base).alias("l_partkey"),
+            ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+            return d
+
+        ns = min(n, 200_000)
+        results.append(run_dir(
+            "graph_triangles_skew_degree", ns, lambda: write_skew_edges(ns),
+            lambda d: graph.triangle_count(spark, d, orient="degree")))
+        results.append(run_dir(
+            "graph_triangles_skew_id", ns, lambda: write_skew_edges(ns),
+            lambda d: graph.triangle_count(spark, d, orient="id")))
 
     results = [r for r in results if r is not None]
     print(json.dumps({
