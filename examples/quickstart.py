@@ -54,6 +54,12 @@ def main() -> int:
     )
     n_parts = len([f for f in os.listdir(out) if f.endswith(".csv")])
     print(f"   wrote {n_parts} csv part files to {out}")
+
+    print("== 7. entity resolution (blocked fuzzy match -> canonical names)")
+    matches = registry.QUERIES["fuzzy_match_parts"](spark, sf_dir)
+    canon = registry.QUERIES["fuzzy_canonicalize_parts"](spark, sf_dir)
+    print(f"   near-duplicate name pairs (edit distance <= 2): {matches.count()}")
+    canon.orderBy("canonical_name", "name").show(5)
     return 0
 
 
