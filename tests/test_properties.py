@@ -232,3 +232,74 @@ def test_winnowing_guarantee_property(spark, shared, pad_a, pad_b):
         f"guarantee violated for shared={shared!r} pads="
         f"({pad_a!r}, {pad_b!r})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity-resolution blocking: the honest general property.  Multi-pass
+# token blocking is NOT universally 100%-recall (a pair can differ in BOTH
+# tokens with total edit distance <= 2 and slip every pass); what IS
+# guaranteed, for any vocabulary: (a) every blocked match is a true match
+# with the exact distance, and (b) every missed true pair differs in BOTH
+# blocking tokens — single-token-divergent pairs are always caught.
+# ---------------------------------------------------------------------------
+
+_token = st.text(alphabet="abcd", min_size=1, max_size=4)
+
+
+@given(
+    vocab=st.lists(
+        st.tuples(_token, _token).map(lambda t: f"{t[0]} {t[1]}"),
+        min_size=2,
+        max_size=24,
+        unique=True,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_token_blocking_misses_only_both_token_divergent_pairs(
+    spark, tmp_path_factory, vocab
+):
+    import uuid
+
+    from airflow_postgres_to_s3_pipeline_spark.operators import entity
+
+    d = str(tmp_path_factory.mktemp(f"er_{uuid.uuid4().hex[:8]}"))
+    spark.createDataFrame(
+        [(i, name) for i, name in enumerate(vocab)],
+        "p_partkey long, p_name string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/part.parquet")
+
+    blocked = {
+        (r.name_a, r.name_b): r.edit_dist
+        for r in entity.fuzzy_match_parts(spark, d).collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    truth = {}
+    names = sorted(set(vocab))
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            dist = lev(a, b)
+            if 1 <= dist <= entity.MAX_DIST:
+                truth[(a, b)] = dist
+
+    # (a) soundness: exact subset with exact distances
+    assert set(blocked) <= set(truth)
+    for pair, dist in blocked.items():
+        assert truth[pair] == dist
+    # (b) completeness modulo the documented gap: a missed pair must
+    # differ in BOTH tokens
+    for (a, b) in set(truth) - set(blocked):
+        ta, tb = a.split(" ", 1), b.split(" ", 1)
+        assert ta[0] != tb[0] and ta[1] != tb[1], (
+            f"pair {(a, b)} shares a blocking token but was missed"
+        )
