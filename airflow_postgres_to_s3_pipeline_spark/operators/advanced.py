@@ -846,6 +846,83 @@ _oracle(
 # Data-quality column profiling
 # ---------------------------------------------------------------------------
 
+def orders_asof_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join: enrich each order with the SCD2
+    dimension version valid AT its order date — the lookup that makes the
+    type-2 history useful (feature stores call it the point-in-time-correct
+    join; it prevents leaking future attribute values into training rows).
+
+    Joins orders to ``scd2_apply``'s history on the customer key, keeping
+    the version whose [valid_from, valid_to) interval covers o_orderdate.
+    Plan: a hash equi-join on c_custkey with the interval predicate as a
+    row-local post-join filter; the history is ~1-2x the dimension size,
+    so AQE broadcasts it against the fact scan.  Validity intervals
+    partition the timeline (pinned by tests/test_scd2.py), so each order
+    matches exactly one version — count-preserving, asserted here by the
+    oracle's row count.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    hist = scd2_apply(spark, sf_dir)
+    return (
+        o.join(hist, o.o_custkey == hist.c_custkey)
+        .filter(
+            (F.col("valid_from") <= F.col("o_orderdate"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("valid_to") > F.col("o_orderdate"))
+            )
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.col("balance").alias("balance_at_order"),
+            "is_current",
+        )
+    )
+
+
+_oracle(
+    "orders_asof_dimension",
+    f"""
+    WITH latest AS (
+        SELECT o_custkey AS c_custkey,
+               o_orderdate AS change_ts,
+               o_totalprice AS new_balance
+        FROM (
+            SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC
+                   ) AS rn
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '{SCD2_CUTOFF}'
+        )
+        WHERE rn = 1
+    ), hist AS (
+        SELECT c.c_custkey,
+               c.c_acctbal AS balance,
+               TIMESTAMP '{SCD2_EPOCH}' AS valid_from,
+               l.change_ts AS valid_to,
+               l.change_ts IS NULL AS is_current
+        FROM customer c LEFT JOIN latest l USING (c_custkey)
+        UNION ALL
+        SELECT c.c_custkey, l.new_balance, l.change_ts,
+               CAST(NULL AS TIMESTAMP), TRUE
+        FROM customer c JOIN latest l USING (c_custkey)
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           h.balance AS balance_at_order,
+           h.is_current
+    FROM orders o JOIN hist h ON o.o_custkey = h.c_custkey
+    WHERE h.valid_from <= o.o_orderdate
+      AND (h.valid_to IS NULL OR h.valid_to > o.o_orderdate)
+    """,
+)
+
+
 def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style data-quality audit: declared constraints -> one row per
     check with its violation count (completeness, ranges, key uniqueness,

@@ -839,6 +839,7 @@ QUERIES: dict[str, QueryFn] = {
     "user_value_trend": windows.user_value_trend,
     "triangle_count": graph.triangle_count,
     "fuzzy_match_sorted_neighborhood": entity.fuzzy_match_sorted_neighborhood,
+    "orders_asof_dimension": advanced.orders_asof_dimension,
 }
 
 

@@ -59,3 +59,33 @@ def test_scd2_asof_lookup_resolves_to_one_version(spark):
     assert per_key.filter(F.col("count") != 1).count() == 0
     # AS-OF after every change: resolved balances equal the current rows
     assert versions.count() == hist.filter("is_current").count()
+
+
+def test_asof_join_is_count_preserving_and_time_correct(spark):
+    """Every order resolves to exactly one dimension version, and the
+    resolved version's interval genuinely covers the order date."""
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_to_s3_pipeline_spark.catalog import table
+
+    enriched = advanced.orders_asof_dimension(spark, SF_DIR)
+    n_orders = table(spark, SF_DIR, "orders").count()
+    assert enriched.count() == n_orders
+    assert enriched.select("o_orderkey").distinct().count() == n_orders
+    # time-correctness spot check: any order BEFORE the SCD2 cutoff must
+    # resolve to the original (epoch-valid_from) version, i.e. the row
+    # whose balance equals the customer's c_acctbal
+    pre = (
+        enriched.join(
+            table(spark, SF_DIR, "customer").select(
+                F.col("c_custkey").alias("o_custkey"), "c_acctbal"
+            ),
+            "o_custkey",
+        )
+        .filter(
+            F.col("o_orderdate")
+            < F.lit(advanced.SCD2_CUTOFF).cast("timestamp")
+        )
+    )
+    assert pre.count() > 0
+    assert pre.filter(F.col("balance_at_order") != F.col("c_acctbal")).count() == 0
