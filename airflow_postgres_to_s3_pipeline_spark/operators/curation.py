@@ -48,6 +48,69 @@ MIX_WEIGHTS: dict[str, str] = {
 }
 
 
+STRATA_K = 40
+
+
+def stratified_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-K-per-stratum sampling: keep precisely K documents per
+    (lang, source) cell, chosen by deterministic md5 rank — the quota form
+    of stratified sampling (per-domain caps, eval-set carve-outs), as
+    opposed to ``corpus_mix_sample``'s proportional rates.
+
+    Rank = row_number over (md5(doc_id), doc_id) inside the stratum: a pure
+    function of the rows, so the SAME K docs are chosen on any engine or
+    partitioning.  One shuffle on the stratum key; the rank is a
+    WindowGroupLimit candidate (top-K pushdown) because the filter bounds
+    rn.  Returns the kept docs' per-stratum count and char volume plus the
+    stratum's original size — the quota audit a curation run logs.
+    """
+    d = table(spark, sf_dir, "documents")
+    rank_key = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit("-strat")).cast("binary")
+    )
+    w = Window.partitionBy("lang", "source").orderBy(rank_key, "doc_id")
+    ranked = d.select(
+        "lang", "source", "n_chars", F.row_number().over(w).alias("rn")
+    )
+    kept = ranked.filter(F.col("rn") <= STRATA_K)
+    totals = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("stratum_size")
+    )
+    return (
+        kept.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .join(totals, ["lang", "source"])
+    )
+
+
+_oracle(
+    "stratified_sample_k_per_group",
+    f"""
+    WITH ranked AS (
+        SELECT lang, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || '-strat'), doc_id
+               ) AS rn
+        FROM documents
+    ), totals AS (
+        SELECT lang, source, COUNT(*) AS stratum_size
+        FROM documents GROUP BY lang, source
+    )
+    SELECT r.lang, r.source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+           MIN(t.stratum_size) AS stratum_size
+    FROM ranked r JOIN totals t USING (lang, source)
+    WHERE r.rn <= {STRATA_K}
+    GROUP BY r.lang, r.source
+    """,
+)
+
+
 def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted mixture sampling: down-sample each language to
     a target rate (the data-mixing step of a training-corpus build).

@@ -840,6 +840,7 @@ QUERIES: dict[str, QueryFn] = {
     "triangle_count": graph.triangle_count,
     "fuzzy_match_sorted_neighborhood": entity.fuzzy_match_sorted_neighborhood,
     "orders_asof_dimension": advanced.orders_asof_dimension,
+    "stratified_sample_k_per_group": curation.stratified_sample_k_per_group,
 }
 
 
@@ -915,7 +916,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "token_count", "bpe_token_count", "corpus_mix_sample",
             "contamination_check", "sequence_packing",
             "sequence_packing_bpe", "repetition_stats", "doc_chunking",
-            "ngram_lm_score", "bm25_scoring", "winnowing_fingerprint"),
+            "ngram_lm_score", "bm25_scoring", "winnowing_fingerprint",
+            "stratified_sample_k_per_group"),
     "E28": ("multimodal_decode", "multimodal_resize",
             "multimodal_frame_sample", "multimodal_partition_stats",
             "multimodal_audio_energy"),
