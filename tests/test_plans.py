@@ -322,3 +322,15 @@ def test_triangle_orientations_bit_identical(spark, sf_dir):
         for r in graph.triangle_count(spark, sf_dir, orient="id").collect()
     }
     assert a and a == b
+
+
+def test_stratified_k_sampling_gets_window_group_limit(spark, sf_dir):
+    """rn <= K over a ranked window must trigger WindowGroupLimit (top-K
+    pushdown: partial limit before the shuffle, final after) — without it
+    every stratum's full contents sort through the window at scale."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import curation
+
+    plan = explain_str(
+        curation.stratified_sample_k_per_group(spark, sf_dir), "simple"
+    )
+    assert "WindowGroupLimit" in plan

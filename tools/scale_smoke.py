@@ -249,7 +249,8 @@ def main() -> int:
                    "text_winnow_fp", "text_winnow_dedup",
                    "entity_fuzzy_match", "graph_pagerank",
                    "graph_triangles", "graph_triangles_skew_degree",
-                   "graph_triangles_skew_id"}
+                   "graph_triangles_skew_id", "events_funnel",
+                   "events_twap", "events_trend"}
     if not only or (only & text_labels):
         import shutil
         import tempfile
@@ -339,6 +340,49 @@ def main() -> int:
         results.append(run_dir(
             "entity_fuzzy_match", ne, lambda: write_names(ne),
             lambda d: entity.fuzzy_match_parts(spark, d)))
+
+        # event-analytics shapes (funnel / TWAP / trend) over a synthetic
+        # events table: 1M users x ~50 events, 2-decimal values, 30-day span
+        from airflow_postgres_to_s3_pipeline_spark.operators import (
+            advanced as adv_ops,
+            windows as win_ops,
+        )
+
+        def write_events(ne: int) -> str:
+            d = tempfile.mkdtemp(prefix="scale_events_")
+            etype = F.element_at(
+                F.array(*[F.lit(t) for t in
+                          ("view", "click", "purchase", "signup", "error")]),
+                F.pmod(F.xxhash64("id", F.lit(3)), F.lit(5)).cast("int") + 1,
+            )
+            ts = F.timestamp_seconds(
+                F.lit(1704067200)
+                + F.pmod(F.xxhash64("id", F.lit(4)), F.lit(2_592_000))
+            )
+            value = (
+                (F.pmod(F.xxhash64("id", F.lit(5)), F.lit(49000)) + 1) / 100.0
+            )
+            spark.range(0, ne, 1, parallelism).select(
+                F.col("id").alias("event_id"),
+                ts.alias("ts"),
+                F.pmod(F.xxhash64("id", F.lit(6)), F.lit(1_000_000)).alias(
+                    "user_id"
+                ),
+                etype.alias("event_type"),
+                value.alias("value"),
+            ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+            return d
+
+        nev = min(n, 50_000_000)
+        results.append(run_dir(
+            "events_funnel", nev, lambda: write_events(nev),
+            lambda d: win_ops.funnel_ordered_3step(spark, d)))
+        results.append(run_dir(
+            "events_twap", nev, lambda: write_events(nev),
+            lambda d: win_ops.time_weighted_average(spark, d)))
+        results.append(run_dir(
+            "events_trend", nev, lambda: write_events(nev),
+            lambda d: win_ops.user_value_trend(spark, d)))
 
         def write_edges(no: int, lines_per_order: int = 4) -> str:
             d = tempfile.mkdtemp(prefix="scale_graph_")
