@@ -334,3 +334,49 @@ def test_stratified_k_sampling_gets_window_group_limit(spark, sf_dir):
         curation.stratified_sample_k_per_group(spark, sf_dir), "simple"
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_parquet_aggregate_pushdown_answers_from_footers(spark, sf_dir):
+    """MIN/MAX/COUNT with no filter can be answered from parquet footer
+    statistics alone (DSv2 + spark.sql.parquet.aggregatePushdown): the
+    scan's ReadSchema becomes the aggregate results, not the column — at
+    100 TB that is the difference between reading footers and reading
+    600 TB of pages.  Values must equal the DSv1 full-scan aggregate."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.parquet.aggregatePushdown",
+            "spark.sql.sources.useV1SourceList",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        df = (
+            spark.read.format("parquet")
+            .load(f"{sf_dir}/lineitem.parquet")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("l_quantity").alias("qmin"),
+                F.max("l_quantity").alias("qmax"),
+            )
+        )
+        row = df.collect()[0]
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation: [COUNT(*), MIN(l_quantity), MAX(l_quantity)]" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    base = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_quantity").alias("qmin"),
+            F.max("l_quantity").alias("qmax"),
+        )
+        .collect()[0]
+    )
+    assert (row.n, row.qmin, row.qmax) == (base.n, base.qmin, base.qmax)
