@@ -380,3 +380,19 @@ def test_parquet_aggregate_pushdown_answers_from_footers(spark, sf_dir):
         .collect()[0]
     )
     assert (row.n, row.qmin, row.qmax) == (base.n, base.qmin, base.qmax)
+
+
+def test_nested_schema_pruning_reads_only_the_subfield(spark, tmp_path):
+    """Selecting one struct subfield must prune the ReadSchema to that leaf
+    — on wide nested telemetry (the multimodal metadata shape) reading the
+    whole struct for one field is a silent multi-x scan cost."""
+    path = str(tmp_path / "nested")
+    spark.sql(
+        "SELECT id, named_struct('a', id + 1, 'b', repeat('x', 100), "
+        "'c', id * 2) AS payload FROM range(1000)"
+    ).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path).select(F.col("payload.a").alias("a"))
+    plan = explain_str(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0].strip()
+    assert read_schema == "struct<payload:struct<a:bigint>>", read_schema
+    assert df.agg(F.sum("a")).collect()[0][0] == sum(i + 1 for i in range(1000))
