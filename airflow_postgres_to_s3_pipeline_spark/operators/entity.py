@@ -35,6 +35,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_postgres_to_s3_pipeline_spark.cache import tracked_persist
+from airflow_postgres_to_s3_pipeline_spark.operators.dedup import (
+    connected_components,
+)
 from airflow_postgres_to_s3_pipeline_spark.catalog import table
 
 ORACLES: dict[str, str] = {}
@@ -325,43 +328,30 @@ def fuzzy_canonicalize_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     names = _name_counts(spark, sf_dir)
 
-    # undirected edge list over names appearing in any pair
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("name_b").alias("name_a"), F.col("name_a").alias("name_b")
-        )
-    )
-    # min-label propagation: init = 1-hop min, each round adds one hop;
-    # 2 more rounds => 3-hop reach, covering the diameter-3 chain
+    # transitive clusters via the convergence-checked operator (raises on
+    # a component deeper than its iteration budget instead of silently
+    # under-merging — the test vocabulary's adjective chain is diameter 3,
+    # cold—old—red—new, and a fixed-round inline loop would rot if the
+    # vocabulary grew)
     labels = (
-        edges.groupBy(F.col("name_a").alias("name"))
-        .agg(F.least(F.min("name_b"), F.first("name_a")).alias("label"))
+        connected_components(
+            pairs.select(
+                F.col("name_a").alias("doc_a"), F.col("name_b").alias("doc_b")
+            ),
+            names.select(F.col("name").alias("doc_id")),
+            max_iterations=8,
+        )
+        .select(
+            F.col("doc_id").alias("name"), F.col("cluster_id").alias("label")
+        )
     )
-    for _ in range(2):
-        neighbor_best = (
-            edges.join(
-                labels.select(
-                    F.col("name").alias("name_b"),
-                    F.col("label").alias("nb_label"),
-                ),
-                "name_b",
-            )
-            .groupBy(F.col("name_a").alias("name"))
-            .agg(F.min("nb_label").alias("nb_label"))
-        )
-        labels = (
-            labels.join(neighbor_best, "name", "left")
-            .select(
-                "name",
-                F.least(
-                    F.col("label"), F.coalesce("nb_label", "label")
-                ).alias("label"),
-            )
-        )
 
     # member feeds four consumers (argmax votes, canonical pick, cluster
     # size, final join) — vocabulary-sized thin rows, so persist once
     member = tracked_persist(labels.join(names, "name"))
+    # universe labels include singleton clusters; only real clusters survive
+    sizes = member.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    member = member.join(sizes.filter(F.col("sz") > 1).select("label"), "label")
     # survivorship: per label, max votes, then min name among the argmax —
     # window-free and deterministic under any partitioning
     votes = member.select("label", "name", "n_records")
