@@ -10,8 +10,9 @@ accumulate corpus-sized caches until executors OOM (judge finding, r4).
 Policy:
 
 - Every such persist goes through :func:`tracked_persist`, which records a
-  weak reference to the frame.
-- :func:`release_persisted` unpersists every tracked frame still alive.
+  STRONG reference to the frame (the tracker is the owner — GC never
+  releases an executor cache on its own; see the _TRACKED comment below).
+- :func:`release_persisted` unpersists every tracked frame.
   Call it after the TERMINAL consumer of a query's result — ``bench.py``
   and ``tools/check_oracles.py`` call it between queries; a production
   batch job calls it (or ``spark.catalog.clearCache()``) between corpus

@@ -64,7 +64,8 @@ def _name_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fuzzy_match_parts(spark: SparkSession, sf_dir: str,
+                      names: DataFrame | None = None) -> DataFrame:
     """Near-duplicate part names via multi-pass blocking + levenshtein <= 2.
 
     Two blocking passes — on the first and on the second name token — then
@@ -76,11 +77,16 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns one row per matched unordered name pair with the edit distance
     and how many part records carry each spelling (the dedup-impact
     measure).
+
+    ``names`` lets a caller that already holds the persisted name-counts
+    frame (fuzzy_canonicalize_parts) share it instead of re-scanning the
+    fact table.
     """
     # the pre-aggregation is referenced six times downstream (two passes x
     # (two join sides + block sizes)); without a barrier each reference
     # re-runs the full fact scan+agg — vocabulary-sized, so a thin persist
-    names = tracked_persist(_name_counts(spark, sf_dir))
+    if names is None:
+        names = tracked_persist(_name_counts(spark, sf_dir))
 
     def blocked_pass(token_pos: int) -> DataFrame:
         key = F.split(F.col("name"), " ").getItem(token_pos)
@@ -147,9 +153,12 @@ _oracle(
           ON split_part(a.name, ' ', 1) = split_part(b.name, ' ', 1)
          AND a.name < b.name
         UNION
+        -- NULLIF mirrors Spark's split().getItem(1), which is NULL (not '')
+        -- for single-token names, so those never equi-join in pass 2
         SELECT a.name, b.name, a.n_records, b.n_records
         FROM names a JOIN names b
-          ON split_part(a.name, ' ', 2) = split_part(b.name, ' ', 2)
+          ON NULLIF(split_part(a.name, ' ', 2), '')
+               = NULLIF(split_part(b.name, ' ', 2), '')
          AND a.name < b.name
     )
     SELECT name_a, name_b,
@@ -320,13 +329,17 @@ def fuzzy_canonicalize_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (name, canonical_name, cluster_records) for every name in a
     non-singleton cluster.
     """
+    # one persisted name-counts frame shared across the match passes AND
+    # the clustering/survivorship consumers below (it is referenced by the
+    # blocking passes, the component universe, and the member join — each
+    # unshared reference would re-run the full fact scan+agg)
+    names = tracked_persist(_name_counts(spark, sf_dir))
     # persist the match pairs: the undirected edge list references them
     # twice and every propagation round references the edge list again —
     # unmaterialized, each round would re-run the whole blocked match
     pairs = tracked_persist(
-        fuzzy_match_parts(spark, sf_dir).select("name_a", "name_b")
+        fuzzy_match_parts(spark, sf_dir, names=names).select("name_a", "name_b")
     )
-    names = _name_counts(spark, sf_dir)
 
     # transitive clusters via the convergence-checked operator (raises on
     # a component deeper than its iteration budget instead of silently
@@ -375,7 +388,7 @@ def fuzzy_canonicalize_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _oracle(
     "fuzzy_canonicalize_parts",
     """
-    WITH names AS (
+    WITH RECURSIVE names AS (
         SELECT p_name AS name, count(*) AS n_records
         FROM part GROUP BY p_name
     ),
@@ -386,9 +399,11 @@ _oracle(
               ON split_part(a.name, ' ', 1) = split_part(b.name, ' ', 1)
              AND a.name < b.name
             UNION
+            -- NULLIF mirrors Spark's NULL second token for one-token names
             SELECT a.name, b.name
             FROM names a JOIN names b
-              ON split_part(a.name, ' ', 2) = split_part(b.name, ' ', 2)
+              ON NULLIF(split_part(a.name, ' ', 2), '')
+                   = NULLIF(split_part(b.name, ' ', 2), '')
              AND a.name < b.name
         )
         WHERE levenshtein(name_a, name_b) BETWEEN 1 AND 2
@@ -398,17 +413,15 @@ _oracle(
         UNION ALL
         SELECT name_b, name_a FROM pairs
     ),
-    -- transitive closure over the (tiny) name-pair graph
+    -- FULL transitive closure (any component diameter), mirroring the
+    -- convergence-checked connected_components the Spark side runs — a
+    -- fixed-hop unrolling here would rot if the vocabulary's edit chains
+    -- ever grew deeper
     closure AS (
         SELECT name_a, name_b FROM edges
         UNION
-        SELECT e1.name_a, e2.name_b
-        FROM edges e1 JOIN edges e2 ON e1.name_b = e2.name_a
-        UNION
-        SELECT e1.name_a, e3.name_b
-        FROM edges e1
-        JOIN edges e2 ON e1.name_b = e2.name_a
-        JOIN edges e3 ON e2.name_b = e3.name_a
+        SELECT c.name_a, e.name_b
+        FROM closure c JOIN edges e ON c.name_b = e.name_a
     ),
     labels AS (
         SELECT name_a AS name,

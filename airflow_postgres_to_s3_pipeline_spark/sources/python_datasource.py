@@ -79,9 +79,11 @@ class SyntheticEventsDataSource(DataSource):
 
     Option ``with_ts=true`` (stream reader only) appends an event-time
     column: batch b's rows land in hour-bucket b at BASE_EPOCH, except a
-    deterministic ~1/8 subset of rows in batches >= 2 which carry
-    timestamps from hour b-2 — LATE data, used to demonstrate watermark
-    late-row dropping with an exactly-regenerable oracle."""
+    deterministic ~1/8 subset of rows in batches >= 3 which carry
+    timestamps from hour b-3 — unambiguously LATE data (two hours sits on
+    the asynchronous-watermark boundary; see the read() comment), used to
+    demonstrate watermark late-row dropping with an exactly-regenerable
+    oracle."""
 
     @classmethod
     def name(cls) -> str:

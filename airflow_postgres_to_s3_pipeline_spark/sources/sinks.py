@@ -179,18 +179,26 @@ def compact_small_files(spark: SparkSession, path: str, out_path: str,
     log/assert.
     """
     import math
-    import os
+
+    def count_parquet_files(p: str) -> int:
+        # Hadoop FileSystem API, not os.listdir: the fragmented tables this
+        # pass exists for live on shared storage (s3a://, hdfs://) where the
+        # driver's local filesystem can't see the path
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return sum(
+            1
+            for st in fs.listStatus(hpath)
+            if st.getPath().getName().endswith(".parquet")
+        )
 
     df = spark.read.parquet(path)
     rows = df.count()
-    files_before = sum(
-        1 for f in os.listdir(path) if f.endswith(".parquet")
-    )
+    files_before = count_parquet_files(path)
     n_out = max(1, math.ceil(rows / target_rows_per_file))
     df.repartition(n_out).write.mode("overwrite").parquet(out_path)
-    files_after = sum(
-        1 for f in os.listdir(out_path) if f.endswith(".parquet")
-    )
+    files_after = count_parquet_files(out_path)
     return {
         "files_before": files_before,
         "files_after": files_after,

@@ -117,6 +117,16 @@ def _close_user_sessions(
     watermark passes last_event + gap (``state.hasTimedOut`` — the path
     the built-in session_window uses internally and this operator makes
     explicit).  State per key: one open session (start, last, count).
+
+    Out-of-order (late-but-within-watermark) delivery is handled by
+    INTERVAL MERGE: the open session and the batch's events are treated
+    as [t, t] intervals sorted by start and coalesced wherever the next
+    start is within the gap of the previous end, so a late event extends
+    start/end with min/max instead of dragging the session end backward.
+    The remaining contract — shared with session_window's update mode and
+    the registered oracle — is that a late event cannot re-open an
+    ALREADY-EMITTED session (immediate emission of gap-closed sessions
+    trades that reopening for per-session latency).
     """
     (user_id,) = key
     gap_us = SESSION_GAP_SECONDS * 1_000_000
@@ -135,24 +145,31 @@ def _close_user_sessions(
         yield pd.DataFrame([row(start_us, last_us, n)])
         return
 
-    closed: list[dict] = []
-    start_us: int | None
-    start_us, last_us, n = state.get if state.exists else (None, None, 0)
     ts_us = (
         pd.concat([pdf["ts"] for pdf in pdfs])
         .sort_values()
         .astype("int64")  # pandas datetime64[ns] -> ns; convert to us below
         // 1000
     )
-    for t in ts_us:
-        t = int(t)
-        if start_us is None:
-            start_us, last_us, n = t, t, 1
-        elif t - last_us <= gap_us:
-            last_us, n = t, n + 1
+    # interval merge: open-session state + each event as a [t, t] singleton,
+    # sorted by start, coalesced while the next start is within the gap of
+    # the running end (min/max extension — late events never move the
+    # session end backward or split a session they belong inside)
+    intervals: list[list[int]] = []
+    if state.exists:
+        s0, l0, n0 = state.get
+        intervals.append([s0, l0, n0])
+    intervals.extend([int(t), int(t), 1] for t in ts_us)
+    intervals.sort(key=lambda iv: iv[0])
+    merged: list[list[int]] = []
+    for s0, l0, n0 in intervals:
+        if merged and s0 - merged[-1][1] <= gap_us:
+            merged[-1][1] = max(merged[-1][1], l0)
+            merged[-1][2] += n0
         else:
-            closed.append(row(start_us, last_us, n))
-            start_us, last_us, n = t, t, 1
+            merged.append([s0, l0, n0])
+    closed = [row(s0, l0, n0) for s0, l0, n0 in merged[:-1]]
+    start_us, last_us, n = merged[-1]
     state.update((start_us, last_us, n))
     # Arrange eviction when the watermark passes last + gap.  The timeout
     # must sit strictly beyond the current watermark; if the open session

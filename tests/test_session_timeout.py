@@ -38,6 +38,52 @@ def _run(spark, src_dir, max_files=None):
     }
 
 
+def _write_events(path, rows):
+    """rows: list of (event_id, ts_us, user_id)."""
+    import pyarrow as pa
+
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(table, str(path))
+
+
+def test_late_within_watermark_event_merges_into_open_session(
+    spark, tmp_path
+):
+    """A late-but-within-watermark event older than the open session's
+    last event must extend the session with min/max interval semantics —
+    not drag the session end backward (which would later mis-split the
+    session; the pre-fix state machine did exactly that)."""
+    src = tmp_path / "ooo"
+    src.mkdir()
+    h = 3_600_000_000  # 1 hour in us
+    base = 1_700_000_000_000_000
+    # batch 0: user 1 at 10:00 and 10:10
+    _write_events(src / "events_b0.parquet", [(1, base, 1), (2, base + h // 6, 1)])
+    # batch 1: LATE event at 09:55 (within the 2h watermark), then 10:40
+    # (30min40s after 10:10 would split if the end moved back to 09:55 —
+    # 45min — but must merge: 10:40 - 10:10 = 30min <= gap)
+    _write_events(
+        src / "events_b1.parquet",
+        [(3, base - h // 12, 1), (4, base + h * 2 // 3, 1)],
+    )
+    # batch 2: an event far past the gap closes the session immediately,
+    # plus a high-ts event to push the watermark
+    _write_events(
+        src / "events_b2.parquet", [(5, base + 6 * h, 1), (6, base + 12 * h, 2)]
+    )
+    out = _run(spark, str(src), max_files=1)
+    assert (1, base - h // 12, base + h * 2 // 3, 4) in out
+
+
 @pytest.mark.parametrize("n_files", [4])
 def test_timeout_sessions_invariant_under_batch_split(
     spark, sf_dir, tmp_path, n_files
