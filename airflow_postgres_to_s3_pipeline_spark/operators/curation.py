@@ -461,3 +461,129 @@ _oracle(
     GROUP BY 1, 2
     """,
 )
+
+
+# Systematic (stochastic-universal) weighted sampling: SUS_SAMPLES pointers
+# spaced W/n apart over the integer cumulative-weight line.  4096 docs per
+# prefix-sum bucket keeps bucket boundaries data-independent (pure doc_id
+# arithmetic), so the selected set is identical under any partitioning.
+SUS_SAMPLES = 500
+SUS_BUCKET = 4096
+
+
+def weighted_sample_sus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional corpus sampling via systematic selection
+    (stochastic universal sampling) on an INTEGER cumulative-weight line.
+
+    The training-data use: sample documents proportional to size (here
+    ``n_chars``; any integer quality/token weight drops in) so the drawn
+    set is uniform over *content* rather than over documents — the
+    denomination that matters when the budget is tokens, not rows.  Unlike
+    rejection or A-ES exponential-key sampling, SUS is exact integer
+    arithmetic end-to-end: no ln/pow calls whose last-ulp differences
+    across engines (see functions/numeric.py) would make the selected set
+    engine-dependent.  A document may be drawn more than once when its
+    weight exceeds the pointer stride W/n (``n_copies`` — the with-
+    multiplicity semantics every SUS implementation has).
+
+    Selection rule: with total weight W, n = SUS_SAMPLES pointers sit at
+    positions (off + k*W)/n, off = md5-derived in [0, W).  Document i
+    covering the cumulative interval [c_lo, c_hi) is drawn
+    ``ceil((n*c_hi - off)/W) - ceil((n*c_lo - off)/W)`` times — every
+    operand is a nonnegative int64, so floor/truncating division agree and
+    DuckDB mirrors the arithmetic exactly.
+
+    Scale shape (100 TB): the global prefix sum is the textbook two-phase
+    scan — (1) per-bucket totals (bucket = doc_id DIV 4096, one shuffle of
+    n/4096 thin rows), (2) an ordered cumsum over the tiny bucket frame,
+    (3) a bucket-partitioned within-bucket cumsum; no global-order window
+    ever sees corpus-sized input.  At 10^12 docs the bucket frame itself
+    (2.4e8 rows) gets one more level of the same bucketing.  Precondition:
+    n * W < 2^63 — beyond that, shard by source and allocate per-shard
+    pointer budgets (which is how corpus mixes are specified anyway).
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", F.col("n_chars").cast("long").alias("w")
+    )
+    b = d.withColumn("bucket", F.expr(f"doc_id DIV {SUS_BUCKET}"))
+    bucket_offsets = (
+        b.groupBy("bucket")
+        .agg(F.sum("w").alias("bw"))
+        .withColumn(
+            "boff",
+            F.coalesce(
+                F.sum("bw").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .select("bucket", "boff")
+    )
+    within = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        b.join(F.broadcast(bucket_offsets), "bucket")
+        .withColumn("c_hi", F.col("boff") + F.sum("w").over(within))
+        .withColumn("c_lo", F.col("c_hi") - F.col("w"))
+    )
+    totals = d.agg(F.sum("w").alias("tw")).withColumn(
+        "off",
+        F.conv(
+            F.substring(F.md5(F.lit("sus-offset-v1").cast("binary")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % F.col("tw"),
+    )
+    n = F.lit(SUS_SAMPLES).cast("long")
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "n_copies",
+            F.expr(
+                f"(({SUS_SAMPLES} * c_hi - off + tw - 1) DIV tw)"
+                f" - (({SUS_SAMPLES} * c_lo - off + tw - 1) DIV tw)"
+            ),
+        )
+        .filter(F.col("n_copies") >= 1)
+        .select(
+            "doc_id", "source", "lang",
+            F.col("w").alias("n_chars"), "n_copies",
+        )
+    )
+
+
+_oracle(
+    "weighted_sample_sus",
+    f"""
+    WITH d AS (
+        SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS w
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source, lang, w,
+               CAST(SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS c_hi
+        FROM d
+    ), t AS (
+        SELECT CAST(SUM(w) AS BIGINT) AS tw FROM d
+    ), o AS (
+        SELECT tw,
+               ('0x' || substring(md5('sus-offset-v1'), 1, 15))::BIGINT % tw
+                   AS off
+        FROM t
+    )
+    SELECT doc_id, source, lang, w AS n_chars,
+           CAST((({SUS_SAMPLES} * c_hi - off + tw - 1) // tw)
+                - (({SUS_SAMPLES} * (c_hi - w) - off + tw - 1) // tw)
+                AS BIGINT) AS n_copies
+    FROM c, o
+    WHERE (({SUS_SAMPLES} * c_hi - off + tw - 1) // tw)
+          - (({SUS_SAMPLES} * (c_hi - w) - off + tw - 1) // tw) >= 1
+    """,
+)

@@ -841,6 +841,7 @@ QUERIES: dict[str, QueryFn] = {
     "fuzzy_match_sorted_neighborhood": entity.fuzzy_match_sorted_neighborhood,
     "orders_asof_dimension": advanced.orders_asof_dimension,
     "stratified_sample_k_per_group": curation.stratified_sample_k_per_group,
+    "weighted_sample_sus": curation.weighted_sample_sus,
 }
 
 
@@ -916,6 +917,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "token_count", "bpe_token_count", "corpus_mix_sample",
             "contamination_check", "sequence_packing",
             "sequence_packing_bpe", "repetition_stats", "doc_chunking",
+            "weighted_sample_sus",
             "ngram_lm_score", "bm25_scoring", "winnowing_fingerprint",
             "stratified_sample_k_per_group"),
     "E28": ("multimodal_decode", "multimodal_resize",

@@ -150,3 +150,51 @@ def test_sequence_packing_bpe_matches_python_recompute(spark, sf_dir):
         for r in curation.sequence_packing_bpe(spark, sf_dir).collect()
     }
     assert packed == expected
+
+
+def test_weighted_sample_sus_invariants(spark, sf_dir):
+    """SUS draws exactly SUS_SAMPLES pointers, each doc at most
+    ceil(w*n/W)+ish copies; the full Python recompute over the sorted
+    cumulative line must match the distributed two-phase prefix-sum
+    selection exactly."""
+    import hashlib
+
+    rows = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("n_chars").cast("long").alias("w"))
+        .collect()
+    )
+    docs = sorted((r["doc_id"], r["w"]) for r in rows)
+    W = sum(w for _, w in docs)
+    n = curation.SUS_SAMPLES
+    off = int(hashlib.md5(b"sus-offset-v1").hexdigest()[:15], 16) % W
+    expected = {}
+    c = 0
+    for doc_id, w in docs:
+        lo, hi = c, c + w
+        hits = (n * hi - off + W - 1) // W - (n * lo - off + W - 1) // W
+        if hits >= 1:
+            expected[doc_id] = hits
+        c = hi
+    got = {
+        r["doc_id"]: r["n_copies"]
+        for r in curation.weighted_sample_sus(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert sum(got.values()) == n
+
+
+def test_weighted_sample_sus_multiplicity(spark, tmp_path):
+    """A document heavier than the pointer stride W/n must be drawn
+    multiple times (with-multiplicity SUS semantics)."""
+    rows = [(i, "x", "en", "src0", 1) for i in range(100)]
+    rows.append((100, "y", "en", "src0", 1000))  # ~91% of total weight
+    out = _write_docs(spark, tmp_path, rows)
+    got = {
+        r["doc_id"]: r["n_copies"]
+        for r in curation.weighted_sample_sus(spark, out).collect()
+    }
+    n = curation.SUS_SAMPLES
+    assert sum(got.values()) == n
+    # the heavy doc owns 1000/1100 of the line -> floor/ceil of n*10/11
+    assert got[100] in (n * 1000 // 1100, n * 1000 // 1100 + 1)

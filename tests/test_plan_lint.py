@@ -57,6 +57,8 @@ ALLOWED_PRODUCT = {
     "kmeans_embeddings",
     "embedding_lsh_near_dup",
     "hll_sketch_users",
+    "weighted_sample_sus",  # broadcasts the 1-row (total-weight, offset)
+    # frame onto the cumulative line — scalar collection statistic
 }
 
 # Streaming queries execute eagerly on build (memory-sink materialization);
