@@ -375,3 +375,109 @@ _oracle(
     FROM s
     """,
 )
+
+
+# Tile-fingerprint near-dup: 8 x 16-byte tiles cover the leading 128 bytes
+# (the synthetic payload size); MIN_MATCH=2 separates near-dups from
+# single-tile coincidences.  A hot (tile_idx, hash) bucket — e.g. a shared
+# letterbox/watermark tile at corpus scale — is the skew case; buckets above
+# MAX_TILE_BUCKET are dropped (their pairs surface via their OTHER tiles),
+# the same stop-key bound entity.MAX_BLOCK applies to ER blocking.
+TILE_BYTES = 16
+N_TILES = 8
+MIN_MATCH = 2
+MAX_TILE_BUCKET = 10_000
+
+
+def multimodal_tile_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-duplicate pairs via per-tile fingerprint banding — the
+    image-dedup shape (PDQ/pHash tile banding) over opaque binary payloads.
+
+    A real pipeline decodes pixels and fingerprints spatial tiles
+    (resize -> grid -> per-tile perceptual hash); the codec is stubbed to
+    byte-range tiles (see fake_decoder), which keeps every downstream
+    stage — banding, candidate join, match-count verification — the real
+    distributed shape, oracle-checked end-to-end:
+
+    1. Row-local: explode each payload into (tile_idx, md5(tile)) thin
+       rows, skipping tiles past the payload end (an empty-tile hash would
+       "match" every other short image at that index).
+    2. Candidates: equi-join on (tile_idx, tile_hash) with doc_a < doc_b —
+       pigeonhole banding, never an all-pairs product.  Bucket sizes are
+       capped (MAX_TILE_BUCKET) to bound the worst-case hot tile.
+    3. Verify: one groupBy over candidate pairs counts matching tiles;
+       pairs with >= MIN_MATCH matches survive.  The aggregate doubles as
+       the pair-dedup, so the chain is two shuffles total (band join +
+       pair count) regardless of corpus size.
+    """
+    payload = F.col("text").cast("binary")
+    d = table(spark, sf_dir, "documents").select("doc_id", payload.alias("p"))
+    idx = F.filter(
+        F.sequence(F.lit(0), F.lit(N_TILES - 1)),
+        lambda i: i * TILE_BYTES < F.length(F.col("p")),
+    )
+    tiles = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("tile_idx"),
+                    F.md5(
+                        F.substring(
+                            F.col("p"), i * TILE_BYTES + 1, TILE_BYTES
+                        )
+                    ).alias("tile_hash"),
+                ),
+            )
+        ).alias("t"),
+    ).select("doc_id", "t.tile_idx", "t.tile_hash")
+    sizes = tiles.groupBy("tile_idx", "tile_hash").agg(
+        F.count(F.lit(1)).alias("bsz")
+    )
+    capped = (
+        tiles.join(sizes, ["tile_idx", "tile_hash"])
+        .filter(F.col("bsz") <= MAX_TILE_BUCKET)
+        .drop("bsz")
+    )
+    a = capped.select(
+        "tile_idx", "tile_hash", F.col("doc_id").alias("doc_a")
+    )
+    b = capped.select(
+        "tile_idx", "tile_hash", F.col("doc_id").alias("doc_b")
+    )
+    return (
+        a.join(b, ["tile_idx", "tile_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_match_tiles"))
+        .filter(F.col("n_match_tiles") >= MIN_MATCH)
+    )
+
+
+_oracle(
+    "multimodal_tile_near_dup",
+    f"""
+    -- ascii payloads: VARCHAR substring == byte substring
+    WITH tiles AS (
+        SELECT doc_id, i AS tile_idx,
+               md5(substring(text, i*{TILE_BYTES} + 1, {TILE_BYTES}))
+                   AS tile_hash
+        FROM documents, UNNEST(generate_series(0, {N_TILES - 1})) AS t(i)
+        WHERE i*{TILE_BYTES} < LENGTH(text)
+    ), capped AS (
+        SELECT doc_id, tile_idx, tile_hash
+        FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY tile_idx, tile_hash) AS bsz
+            FROM tiles
+        ) WHERE bsz <= {MAX_TILE_BUCKET}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_match_tiles
+    FROM capped a JOIN capped b
+      ON a.tile_idx = b.tile_idx AND a.tile_hash = b.tile_hash
+     AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {MIN_MATCH}
+    """,
+)

@@ -842,6 +842,7 @@ QUERIES: dict[str, QueryFn] = {
     "orders_asof_dimension": advanced.orders_asof_dimension,
     "stratified_sample_k_per_group": curation.stratified_sample_k_per_group,
     "weighted_sample_sus": curation.weighted_sample_sus,
+    "multimodal_tile_near_dup": multimodal.multimodal_tile_near_dup,
 }
 
 
@@ -922,7 +923,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "stratified_sample_k_per_group"),
     "E28": ("multimodal_decode", "multimodal_resize",
             "multimodal_frame_sample", "multimodal_partition_stats",
-            "multimodal_audio_energy"),
+            "multimodal_audio_energy", "multimodal_tile_near_dup"),
     "G1": ("part_cooccurrence_lift", "pagerank_parts", "triangle_count"),
 }
 
