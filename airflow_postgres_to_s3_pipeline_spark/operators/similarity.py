@@ -424,11 +424,46 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str,
       n_planes x dim literal expressions on the driver, costing ~6s of
       pure plan construction per call (docs/ROADMAP.md).
     """
-    dim = 64
-    bits_per_band = n_planes // n_bands
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
+    sig = tracked_persist(_lsh_band_signatures(spark, e, n_planes, n_bands))
+    # The probe side drives the join's parallelism: a single-file corpus
+    # arrives as ONE partition and would run candidate generation in one
+    # task (same trap as embedding_near_dup).
+    a = sig.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("id_a"), F.col("bands").alias("bands_a")
+    ).select(
+        "id_a", "bands_a", F.posexplode("bands_a").alias("band_idx", "band_val")
+    )
+    b = sig.select(
+        F.col("vec_id").alias("id_b"), F.col("bands").alias("bands_b")
+    ).select(
+        "id_b", "bands_b", F.posexplode("bands_b").alias("band_idx", "band_val")
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(_first_match_band("bands_a", "bands_b"))
+        .select("id_a", "id_b")
+    )
+    va = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
+    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 4)
+    return pairs.select("id_a", "id_b", sim.alias("sim")).filter(
+        F.col("sim") >= threshold
+    )
+
+
+def _lsh_band_signatures(spark: SparkSession, e: DataFrame,
+                         n_planes: int = 24, n_bands: int = 4,
+                         dim: int = 64) -> DataFrame:
+    """(vec_id, bands) hyperplane-LSH band signatures — the shared index
+    stage of embedding_lsh_near_dup and embedding_incremental_dedup.
+    Callers persist the result (an unmaterialized HOF tree re-evaluates
+    the 24 plane-dots per CANDIDATE row — see embedding_lsh_near_dup)."""
+    bits_per_band = n_planes // n_bands
     # flat plane matrix, element [p*dim + j] = (md5_60bit("p:j:plane")
     # % 20001 - 10000) / 10000.0 in [-1, 1]; integer-derived, so both
     # engines round the SAME rational to the SAME double.  Materialized
@@ -483,53 +518,26 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str,
             lambda acc, bit: acc * 2 + bit,
         ),
     )
-    # Candidate generation runs on THIN rows (id + band array only): a raw
-    # hash-join match that still carries both 64-dim vectors materializes
-    # ~1 KB per match before any filter runs — on n^2/2^bits matches that
-    # row-copy traffic dominated the whole query (measured 4.7s -> ~1s at
-    # sf0.1).  Vectors are re-attached by equi-join only for the surviving
-    # candidate pairs.
-    # Persist the signature frame: both join sides and the first-match
-    # predicate reference `bands`, and an unmaterialized HOF expression
-    # tree is re-evaluated per CANDIDATE row (24 plane-dots x n^2/2^bits
-    # matches — measured 4.2s vs 0.2s for the same join at sf0.1).  The
-    # frame is (id, 4 longs) per vector — negligible memory at any scale.
-    sig = tracked_persist(with_planes.select("vec_id", bands.alias("bands")))
-    # The probe side drives the join's parallelism: a single-file corpus
-    # arrives as ONE partition and would run candidate generation in one
-    # task (same trap as embedding_near_dup).
-    a = sig.repartition(spark.sparkContext.defaultParallelism).select(
-        F.col("vec_id").alias("id_a"), F.col("bands").alias("bands_a")
-    ).select(
-        "id_a", "bands_a", F.posexplode("bands_a").alias("band_idx", "band_val")
-    )
-    b = sig.select(
-        F.col("vec_id").alias("id_b"), F.col("bands").alias("bands_b")
-    ).select(
-        "id_b", "bands_b", F.posexplode("bands_b").alias("band_idx", "band_val")
-    )
-    # first-matching-band emission: all earlier bands must DISAGREE, a
-    # row-local predicate over the two band arrays — no pair-dedup shuffle.
-    first_match = F.forall(
+    # Candidate generation downstream runs on THIN rows (id + band array
+    # only): a raw hash-join match that still carries both 64-dim vectors
+    # materializes ~1 KB per match before any filter runs — on
+    # n^2/2^bits matches that row-copy traffic dominated the whole query
+    # (measured 4.7s -> ~1s at sf0.1).  Vectors are re-attached by
+    # equi-join only for the surviving candidate pairs.
+    return with_planes.select("vec_id", bands.alias("bands"))
+
+
+def _first_match_band(bands_a: str, bands_b: str):
+    """First-matching-band emission predicate: all earlier bands must
+    DISAGREE — row-local over the two band arrays, so banded-join pair
+    dedup needs no extra shuffle."""
+    return F.forall(
         F.zip_with(
-            F.slice("bands_a", F.lit(1), F.col("band_idx")),
-            F.slice("bands_b", F.lit(1), F.col("band_idx")),
+            F.slice(bands_a, F.lit(1), F.col("band_idx")),
+            F.slice(bands_b, F.lit(1), F.col("band_idx")),
             lambda x, y: x != y,
         ),
         lambda d: d,
-    )
-    cand = (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(first_match)
-        .select("id_a", "id_b")
-    )
-    va = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    vb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    pairs = cand.join(va, "id_a").join(vb, "id_b")
-    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 4)
-    return pairs.select("id_a", "id_b", sim.alias("sim")).filter(
-        F.col("sim") >= threshold
     )
 
 
@@ -575,6 +583,140 @@ _oracle(
     JOIN e x ON x.vec_id = id_a
     JOIN e y ON y.vec_id = id_b
     WHERE ROUND(list_cosine_similarity(x.v, y.v), 4) >= {NEAR_DUP_THRESHOLD}
+    """,
+)
+
+
+def embedding_incremental_dedup(spark: SparkSession, sf_dir: str,
+                                n_planes: int = 24, n_bands: int = 4,
+                                threshold: float = NEAR_DUP_THRESHOLD
+                                ) -> DataFrame:
+    """Embedding-side ADMISSION dedup: a new batch of vectors is checked
+    against the EXISTING corpus, and only vectors with no near-duplicate
+    already indexed are admitted — the daily-crawl ingestion shape
+    (the SemDeDup/near-dup analog of dedup_incremental_minhash, which does
+    the same for text).
+
+    Membership is a deterministic content split (md5(vec_id || '-adm')
+    prefix, ~1/16 new) so the oracle can regenerate it.  Candidates come
+    from the shared hyperplane-LSH band index (_lsh_band_signatures):
+    the join is new-side bands vs old-side bands — at steady state the old
+    corpus signatures are a PRECOMPUTED index (100 TB posture: the batch
+    only pays signatures for its own rows + an equi-join against the
+    index), and crucially new x new pairs never form (within-batch dedup
+    is a separate concern, handled by embedding_lsh_near_dup).  Exact
+    cosine verifies candidates; one groupBy per new id counts confirmed
+    duplicates.
+
+    Returns (vec_id, n_dups, admitted) for every NEW vector.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    is_new = F.md5(
+        F.concat(F.col("vec_id").cast("string"), F.lit("-adm")).cast("binary")
+    ).like("0%")
+    sig = tracked_persist(
+        _lsh_band_signatures(spark, e, n_planes, n_bands).withColumn(
+            "is_new", is_new
+        )
+    )
+    new_side = (
+        sig.filter(F.col("is_new"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col("vec_id").alias("id_new"), F.col("bands").alias("bands_a"))
+        .select(
+            "id_new", "bands_a",
+            F.posexplode("bands_a").alias("band_idx", "band_val"),
+        )
+    )
+    old_side = (
+        sig.filter(~F.col("is_new"))
+        .select(F.col("vec_id").alias("id_old"), F.col("bands").alias("bands_b"))
+        .select(
+            "id_old", "bands_b",
+            F.posexplode("bands_b").alias("band_idx", "band_val"),
+        )
+    )
+    cand = (
+        new_side.join(old_side, ["band_idx", "band_val"])
+        .filter(_first_match_band("bands_a", "bands_b"))
+        .select("id_new", "id_old")
+    )
+    vn = e.select(F.col("vec_id").alias("id_new"), F.col("v").alias("vn"))
+    vo = e.select(F.col("vec_id").alias("id_old"), F.col("v").alias("vo"))
+    dups = (
+        cand.join(vn, "id_new")
+        .join(vo, "id_old")
+        .filter(
+            F.round(cosine_similarity(F.col("vn"), F.col("vo")), 4)
+            >= threshold
+        )
+        .groupBy("id_new")
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+    )
+    return (
+        sig.filter(F.col("is_new"))
+        .select(F.col("vec_id"))
+        .join(dups.withColumnRenamed("id_new", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("n_dups"), F.lit(0).cast("long")).alias("n_dups"),
+            (F.coalesce(F.col("n_dups"), F.lit(0)) == 0).alias("admitted"),
+        )
+    )
+
+
+_oracle(
+    "embedding_incremental_dedup",
+    f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               md5(vec_id::VARCHAR || '-adm') LIKE '0%' AS is_new
+        FROM embeddings
+    ), pj AS (
+        SELECT p.p, j.j,
+               ((('0x' || substring(md5(
+                    p.p::VARCHAR || ':' || j.j::VARCHAR || ':plane'
+                ), 1, 15))::BIGINT % 20001) - 10000) / 10000.0 AS w
+        FROM generate_series(0, 23) p(p), generate_series(0, 63) j(j)
+    ), planes AS (
+        SELECT p, list(w ORDER BY j) AS pv FROM pj GROUP BY p
+    ), bits AS (
+        SELECT e.vec_id, e.is_new, pl.p,
+               CASE WHEN list_reduce(
+                        list_transform(generate_series(1, 64),
+                                       k -> e.v[k] * pl.pv[k]),
+                        (a, b) -> a + b) >= 0
+                    THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        FROM e, planes pl
+    ), bandvals AS (
+        SELECT vec_id, is_new, p // 6 AS band_idx,
+               list_reduce(list(bit ORDER BY p),
+                           (acc, b) -> acc * 2 + b) AS band_val
+        FROM bits GROUP BY vec_id, is_new, p // 6
+    ), cand AS (
+        -- first-match-band emission dedups (new, old) pairs engine-side;
+        -- the SET equals DISTINCT over any-band collisions
+        SELECT DISTINCT n.vec_id AS id_new, o.vec_id AS id_old
+        FROM bandvals n JOIN bandvals o
+          ON n.band_idx = o.band_idx AND n.band_val = o.band_val
+        WHERE n.is_new AND NOT o.is_new
+    ), dups AS (
+        SELECT id_new, COUNT(*) AS n_dups
+        FROM cand
+        JOIN e x ON x.vec_id = id_new
+        JOIN e y ON y.vec_id = id_old
+        WHERE ROUND(list_cosine_similarity(x.v, y.v), 4)
+                  >= {NEAR_DUP_THRESHOLD}
+        GROUP BY id_new
+    )
+    SELECT e.vec_id,
+           COALESCE(d.n_dups, 0) AS n_dups,
+           COALESCE(d.n_dups, 0) = 0 AS admitted
+    FROM e LEFT JOIN dups d ON d.id_new = e.vec_id
+    WHERE e.is_new
     """,
 )
 

@@ -843,6 +843,7 @@ QUERIES: dict[str, QueryFn] = {
     "stratified_sample_k_per_group": curation.stratified_sample_k_per_group,
     "weighted_sample_sus": curation.weighted_sample_sus,
     "multimodal_tile_near_dup": multimodal.multimodal_tile_near_dup,
+    "embedding_incremental_dedup": similarity.embedding_incremental_dedup,
 }
 
 
@@ -913,6 +914,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "embedding_quantize", "knn_ivf", "knn_ivf_fold", "knn_gemm",
             "semantic_dedup", "kmeans_embeddings", "embedding_lsh_near_dup",
             "embedding_random_projection", "knn_pq", "knn_ivfpq",
+            "embedding_incremental_dedup",
             "knn_pq_fold"),
     "E27": ("doc_quality", "lang_id_heuristic", "tfidf_top_terms",
             "token_count", "bpe_token_count", "corpus_mix_sample",

@@ -59,6 +59,8 @@ ALLOWED_PRODUCT = {
     "hll_sketch_users",
     "weighted_sample_sus",  # broadcasts the 1-row (total-weight, offset)
     # frame onto the cumulative line — scalar collection statistic
+    "embedding_incremental_dedup",  # same 1-row plane-matrix broadcast as
+    # embedding_lsh_near_dup; candidate pairing is the banded equi-join
 }
 
 # Streaming queries execute eagerly on build (memory-sink materialization);

@@ -346,3 +346,38 @@ def test_knn_ivfpq_recall_reasonable(spark, sf_dir):
     hits = sum(len(got.get(q, set()) & exact[q]) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.15, f"IVF-PQ recall {hits}/{total}"
+
+
+def test_incremental_dedup_ignores_new_new_pairs(spark, tmp_path):
+    """A new vector whose only near-duplicate is ANOTHER NEW vector must
+    still be admitted (within-batch dedup is embedding_lsh_near_dup's
+    job); a new vector duplicating an OLD corpus vector is rejected."""
+    import math
+
+    # md5("<id>-adm") starts with '0' => NEW: 2, 37, 41 are new; 0, 1 old
+    def unit(seed, dim=64):
+        vals = [math.sin(seed * 97 + j) for j in range(dim)]
+        n = math.sqrt(sum(x * x for x in vals))
+        return [x / n for x in vals]
+
+    va = unit(1)
+    vb = unit(2)
+    rows = [
+        (2, va, "a"),     # NEW, duplicate of old vec 0 -> rejected
+        (0, va, "a"),     # OLD
+        (37, vb, "b"),    # NEW, duplicate of new vec 41 only -> admitted
+        (41, vb, "b"),    # NEW
+        (1, unit(3), "c"),  # OLD, unrelated
+    ]
+    out = str(tmp_path / "emb")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label string"
+    ).write.parquet(out + "/embeddings.parquet")
+    got = {
+        r["vec_id"]: (r["n_dups"], r["admitted"])
+        for r in similarity.embedding_incremental_dedup(spark, out).collect()
+    }
+    assert set(got) == {2, 37, 41}
+    assert got[2][1] is False and got[2][0] >= 1
+    assert got[37] == (0, True)
+    assert got[41] == (0, True)
