@@ -250,7 +250,8 @@ def main() -> int:
                    "entity_fuzzy_match", "graph_pagerank",
                    "graph_triangles", "graph_triangles_skew_degree",
                    "graph_triangles_skew_id", "events_funnel",
-                   "events_twap", "events_trend"}
+                   "events_twap", "events_trend",
+                   "sus_two_phase", "sus_global_window"}
     if not only or (only & text_labels):
         import shutil
         import tempfile
@@ -432,6 +433,59 @@ def main() -> int:
         results.append(run_dir(
             "graph_triangles_skew_id", ns, lambda: write_skew_edges(ns),
             lambda d: graph.triangle_count(spark, d, orient="id")))
+
+        # SUS weighted sampling: the two-phase bucketed prefix sum (the
+        # real operator) vs the naive single global-order window doing the
+        # same cumsum — the difference IS the scale story (one task scans
+        # the whole corpus in the naive tier).
+        from airflow_postgres_to_s3_pipeline_spark.operators import curation
+
+        def write_lean_docs(nd: int) -> str:
+            d = tempfile.mkdtemp(prefix="scale_sus_")
+            spark.range(0, nd, 1, parallelism).select(
+                F.col("id").alias("doc_id"),
+                F.lit("").alias("text"),
+                F.lit("en").alias("lang"),
+                F.pmod(F.col("id"), F.lit(20)).cast("string").alias("source"),
+                (F.pmod(F.xxhash64("id"), F.lit(500)) + 1)
+                    .cast("int").alias("n_chars"),
+            ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+            return d
+
+        def sus_naive(d: str):
+            docs = spark.read.parquet(f"{d}/documents.parquet").select(
+                "doc_id", F.col("n_chars").cast("long").alias("w")
+            )
+            cum = docs.withColumn(
+                "c_hi",
+                F.sum("w").over(
+                    Window.orderBy("doc_id").rowsBetween(
+                        Window.unboundedPreceding, 0
+                    )
+                ),
+            )
+            totals = docs.agg(F.sum("w").alias("tw")).withColumn(
+                "off",
+                F.conv(F.substring(F.md5(F.lit("sus-offset-v1").cast(
+                    "binary")), 1, 15), 16, 10).cast("long") % F.col("tw"),
+            )
+            k = curation.SUS_SAMPLES
+            return (
+                cum.crossJoin(F.broadcast(totals))
+                .withColumn("n_copies", F.expr(
+                    f"(({k} * c_hi - off + tw - 1) DIV tw)"
+                    f" - (({k} * (c_hi - w) - off + tw - 1) DIV tw)"))
+                .filter(F.col("n_copies") >= 1)
+                .select("doc_id", "n_copies")
+            )
+
+        nsus = min(n, 50_000_000)
+        results.append(run_dir(
+            "sus_two_phase", nsus, lambda: write_lean_docs(nsus),
+            lambda d: curation.weighted_sample_sus(spark, d)))
+        results.append(run_dir(
+            "sus_global_window", nsus, lambda: write_lean_docs(nsus),
+            sus_naive))
 
     results = [r for r in results if r is not None]
     print(json.dumps({
