@@ -1083,3 +1083,117 @@ _oracle(
     HAVING COUNT(*) >= {WINNOW_PAIR_MIN}
     """,
 )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def token_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information over adjacent
+    token pairs — the distributional-statistics pass a corpus pipeline
+    runs to find multiword expressions (and, inverted, to spot boilerplate
+    n-grams worth stripping).
+
+    PMI(a,b) = ln( p(ab) / (p(a) p(b)) ) with p(ab) over the bigram
+    stream (B pairs) and p(·) over the token stream (T tokens).
+    Determinism: the log is DECOMPOSED — pmi_micro = r(ln c_ab) + 2 r(ln T)
+    - r(ln B) - r(ln c_a) - r(ln c_b), each r(·) an integer micro-nat
+    (round(ln x * 1e6), the ngram_lm_score pattern), so the combination is
+    exact int64 arithmetic, never a product like c_ab*T^2 that would
+    overflow int64 at corpus scale (T = 10^12 -> T^2 = 10^24).
+
+    Scale shape: bigrams are built ROW-LOCALLY (zip_with of two slices —
+    no self-join, no shuffle), then one count shuffle each for bigrams and
+    unigrams, two broadcast joins of the (thin) unigram counts onto the
+    surviving bigram counts (AQE broadcasts; at web scale the unigram side
+    stays a shuffle join), a 1-row totals broadcast, and a global
+    TakeOrderedAndProject for the top-K — no full sort.  The
+    PMI_MIN_COUNT filter runs BEFORE the unigram joins, so rare-pair noise
+    never reaches the join stage.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    base = d.select(words.alias("ws"), F.size(words).alias("nw"))
+    bigrams = F.when(
+        F.col("nw") >= 2,
+        F.zip_with(
+            F.slice("ws", F.lit(1), F.col("nw") - 1),
+            F.slice("ws", F.lit(2), F.col("nw") - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    pair_counts = (
+        base.select(F.explode(bigrams).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_COUNT)
+    )
+    unigrams = (
+        base.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    totals = base.agg(
+        F.sum("nw").alias("_t"),
+        F.sum(F.greatest(F.col("nw") - 1, F.lit(0))).alias("_b"),
+    )
+
+    def micro_ln(col):
+        return F.round(F.log(col.cast("double")) * 1000000.0).cast("bigint")
+
+    return (
+        pair_counts.join(
+            unigrams.select(F.col("w").alias("a"),
+                            F.col("c_w").alias("c_a")), "a")
+        .join(unigrams.select(F.col("w").alias("b"),
+                              F.col("c_w").alias("c_b")), "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "a", "b", "c_ab",
+            (
+                micro_ln(F.col("c_ab")) + F.lit(2) * micro_ln(F.col("_t"))
+                - micro_ln(F.col("_b")) - micro_ln(F.col("c_a"))
+                - micro_ln(F.col("c_b"))
+            ).alias("pmi_micro"),
+        )
+        .orderBy(F.col("pmi_micro").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(PMI_TOP_K)
+    )
+
+
+_oracle(
+    "token_pmi_top_pairs",
+    f"""
+    WITH base AS (
+        SELECT list_filter(string_split(text, ' '), t -> length(t) > 0) AS ws
+        FROM documents
+    ), pairs AS (
+        SELECT ws[i] AS a, ws[i+1] AS b
+        FROM base, UNNEST(generate_series(1, GREATEST(len(ws) - 1, 0))) AS t(i)
+    ), pair_counts AS (
+        SELECT a, b, COUNT(*) AS c_ab FROM pairs GROUP BY a, b
+        HAVING COUNT(*) >= {PMI_MIN_COUNT}
+    ), unigrams AS (
+        SELECT w, COUNT(*) AS c_w
+        FROM (SELECT UNNEST(ws) AS w FROM base) GROUP BY w
+    ), totals AS (
+        SELECT CAST(SUM(len(ws)) AS BIGINT) AS t,
+               CAST(SUM(GREATEST(len(ws) - 1, 0)) AS BIGINT) AS b
+        FROM base
+    )
+    SELECT p.a, p.b, p.c_ab,
+           CAST(round(ln(CAST(p.c_ab AS DOUBLE)) * 1000000.0) AS BIGINT)
+           + 2 * CAST(round(ln(CAST(t.t AS DOUBLE)) * 1000000.0) AS BIGINT)
+           - CAST(round(ln(CAST(t.b AS DOUBLE)) * 1000000.0) AS BIGINT)
+           - CAST(round(ln(CAST(ua.c_w AS DOUBLE)) * 1000000.0) AS BIGINT)
+           - CAST(round(ln(CAST(ub.c_w AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS pmi_micro
+    FROM pair_counts p
+    JOIN unigrams ua ON ua.w = p.a
+    JOIN unigrams ub ON ub.w = p.b
+    CROSS JOIN totals t
+    ORDER BY pmi_micro DESC, p.a ASC, p.b ASC
+    LIMIT {PMI_TOP_K}
+    """,
+)

@@ -844,6 +844,7 @@ QUERIES: dict[str, QueryFn] = {
     "weighted_sample_sus": curation.weighted_sample_sus,
     "multimodal_tile_near_dup": multimodal.multimodal_tile_near_dup,
     "embedding_incremental_dedup": similarity.embedding_incremental_dedup,
+    "token_pmi_top_pairs": text.token_pmi_top_pairs,
 }
 
 
@@ -922,6 +923,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "sequence_packing_bpe", "repetition_stats", "doc_chunking",
             "weighted_sample_sus",
             "ngram_lm_score", "bm25_scoring", "winnowing_fingerprint",
+            "token_pmi_top_pairs",
             "stratified_sample_k_per_group"),
     "E28": ("multimodal_decode", "multimodal_resize",
             "multimodal_frame_sample", "multimodal_partition_stats",

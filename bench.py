@@ -32,6 +32,8 @@ sys.path.insert(0, REPO)
 # Session 3: +fuzzy_match_parts (entity resolution — multi-pass blocked
 # levenshtein), +dedup_keep_best (clusters + quality survivorship chain,
 # the heaviest new composition).
+# Session 4: +embedding_incremental_dedup (batch-vs-corpus LSH admission —
+# the new vector-ingestion family).
 BENCH_QUERIES = [
     "pricing_summary",
     "join_broadcast_dims",
@@ -63,6 +65,7 @@ BENCH_QUERIES = [
     "exact_percentiles",
     "fuzzy_match_parts",
     "dedup_keep_best",
+    "embedding_incremental_dedup",
 ]
 
 

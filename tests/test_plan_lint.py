@@ -61,6 +61,8 @@ ALLOWED_PRODUCT = {
     # frame onto the cumulative line — scalar collection statistic
     "embedding_incremental_dedup",  # same 1-row plane-matrix broadcast as
     # embedding_lsh_near_dup; candidate pairing is the banded equi-join
+    "token_pmi_top_pairs",  # broadcasts the 1-row (T tokens, B bigrams)
+    # totals — same scalar-statistic shape as ngram_lm_score
 }
 
 # Streaming queries execute eagerly on build (memory-sink materialization);
