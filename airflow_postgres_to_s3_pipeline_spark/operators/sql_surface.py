@@ -389,3 +389,58 @@ _oracle(
     GROUP BY c.c_mktsegment
     """,
 )
+
+
+_CHAIN_SQL = """
+    WITH RECURSIVE seq AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS pos
+        FROM orders
+    ),
+    chain(o_custkey, pos, cum_spend) AS (
+        SELECT o_custkey, pos, o_totalprice FROM seq WHERE pos = 1
+        UNION ALL
+        SELECT s.o_custkey, s.pos, c.cum_spend + s.o_totalprice
+        FROM chain c JOIN seq s
+          ON s.o_custkey = c.o_custkey AND s.pos = c.pos + 1
+    )
+    SELECT o_custkey AS custkey,
+           MAX(pos) AS chain_len,
+           MAX_BY(cum_spend, pos) AS total_spend
+    FROM chain GROUP BY o_custkey
+"""
+
+
+def recursive_cte_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 RECURSIVE CTE (WITH RECURSIVE ... UNION ALL): walk each
+    customer's order chain in date order, accumulating spend step by step.
+
+    The construct a Postgres user reaching for ``WITH RECURSIVE`` expects
+    to keep — demonstrated on an ACYCLIC recursion (chains, strictly
+    increasing rank), because Spark 4.1 supports UNION ALL recursion only:
+    cycle-safe UNION closure is rejected at analysis time
+    ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]), which is exactly why the
+    engine's connected-components tier is the iterative DataFrame loop
+    (dedup.connected_components), not a recursive CTE.
+
+    Determinism: cum_spend is a SEQUENTIAL float accumulation, but the
+    recursion defines the addition order (chain position), so both engines
+    compute the identical ((p1+p2)+p3)... fold — bit-exact without any
+    rounding.
+
+    Scale shape: each recursion level joins the (one-thin-row-per-
+    customer) frontier against the ranked orders on (custkey, pos) — depth
+    = max orders per customer, total work linear in orders.  That
+    per-level shuffle is the honest cost of linked-list traversal in SQL;
+    when the aggregate is windowable (as this demo's is), the single
+    window shuffle wins — the recursion tier exists for the traversals
+    that are NOT windowable (variable-step state machines, graph walks).
+    Guardrails at larger inputs: spark.sql.cteRecursionLevelLimit /
+    cteRecursionRowLimit (defaults 100 / 1e6 rows).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_CHAIN_SQL)
+
+
+_oracle("recursive_cte_order_chains", _CHAIN_SQL)

@@ -845,6 +845,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_tile_near_dup": multimodal.multimodal_tile_near_dup,
     "embedding_incremental_dedup": similarity.embedding_incremental_dedup,
     "token_pmi_top_pairs": text.token_pmi_top_pairs,
+    "recursive_cte_order_chains": sql_surface.recursive_cte_order_chains,
 }
 
 
@@ -928,7 +929,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "E28": ("multimodal_decode", "multimodal_resize",
             "multimodal_frame_sample", "multimodal_partition_stats",
             "multimodal_audio_energy", "multimodal_tile_near_dup"),
-    "G1": ("part_cooccurrence_lift", "pagerank_parts", "triangle_count"),
+    "G1": ("part_cooccurrence_lift", "pagerank_parts", "triangle_count",
+           "recursive_cte_order_chains"),
 }
 
 
