@@ -239,6 +239,91 @@ STREAMING_SS_LEFT_OUTER_ORACLE = """
 """
 
 
+def streaming_ss_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join — completes the outer
+    matrix: unmatched clicks null-extend as in the left-outer tier, AND
+    unmatched purchases null-extend once the watermark passes their event
+    time.  Eviction boundaries empirically pinned with sub-ms probes
+    (streaming/windows.py click_purchase_stream_join docstring): the
+    purchase side emits at ts <= wm INCLUDING exact equality — reachable
+    on second-aligned data, so the oracle uses `<=` while the click side
+    keeps the strict bound."""
+    clicks = stream_windows.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = stream_windows.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_windows.click_purchase_stream_join(
+        clicks, purchases, how="fullOuter"
+    )
+    return stream_windows.run_stream_to_memory(joined, spark, output_mode="append")
+
+
+STREAMING_SS_FULL_OUTER_ORACLE = """
+    WITH wm AS (
+        SELECT CASE
+                   WHEN MAX(ts) FILTER (event_type = 'click') IS NULL
+                     OR MAX(ts) FILTER (event_type = 'purchase') IS NULL
+                   THEN NULL
+                   ELSE LEAST(
+                       make_timestamp(epoch_ms(MAX(ts) FILTER (event_type = 'click')) * 1000),
+                       make_timestamp(epoch_ms(MAX(ts) FILTER (event_type = 'purchase')) * 1000)
+                   ) - INTERVAL 2 HOUR
+               END AS wm_final
+        FROM events
+    ), clicks AS (
+        SELECT * FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT * FROM events WHERE event_type = 'purchase'
+    ), matched AS (
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.ts AS click_ts,
+               p.ts AS purchase_ts,
+               p.value AS purchase_value
+        FROM clicks c JOIN purchases p
+          ON c.user_id = p.user_id
+         AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ), unmatched_clicks AS (
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               CAST(NULL AS BIGINT) AS purchase_id,
+               c.ts AS click_ts,
+               CAST(NULL AS TIMESTAMP) AS purchase_ts,
+               CAST(NULL AS DOUBLE) AS purchase_value
+        FROM clicks c, wm
+        WHERE c.ts + INTERVAL 1 HOUR < wm.wm_final
+          AND NOT EXISTS (
+              SELECT 1 FROM purchases p
+              WHERE p.user_id = c.user_id
+                AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+          )
+    ), unmatched_purchases AS (
+        -- purchase-side eviction INCLUDES the exact-equality boundary
+        SELECT p.user_id,
+               CAST(NULL AS BIGINT) AS click_id,
+               p.event_id AS purchase_id,
+               CAST(NULL AS TIMESTAMP) AS click_ts,
+               p.ts AS purchase_ts,
+               p.value AS purchase_value
+        FROM purchases p, wm
+        WHERE p.ts <= wm.wm_final
+          AND NOT EXISTS (
+              SELECT 1 FROM clicks c
+              WHERE c.user_id = p.user_id
+                AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+          )
+    )
+    SELECT * FROM matched
+    UNION ALL
+    SELECT * FROM unmatched_clicks
+    UNION ALL
+    SELECT * FROM unmatched_purchases
+"""
+
+
 def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join then windowed agg: events enriched with the
     static customer dim (broadcast per micro-batch, stateless), then
@@ -846,6 +931,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_incremental_dedup": similarity.embedding_incremental_dedup,
     "token_pmi_top_pairs": text.token_pmi_top_pairs,
     "recursive_cte_order_chains": sql_surface.recursive_cte_order_chains,
+    "streaming_ss_full_outer_join": streaming_ss_full_outer_join,
 }
 
 
@@ -902,6 +988,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "streaming_stateful_running_totals",
             "streaming_stream_stream_join",
             "streaming_ss_left_outer_join",
+            "streaming_ss_full_outer_join",
             "streaming_dynamic_session",
             "streaming_dedup_within_watermark",
             "streaming_late_data_drop", "streaming_chained_windows",
@@ -944,6 +1031,7 @@ def _collect_oracles() -> dict[str, str]:
     oracles["streaming_session_window"] = STREAMING_SESSION_ORACLE
     oracles["streaming_stream_stream_join"] = STREAMING_SS_JOIN_ORACLE
     oracles["streaming_ss_left_outer_join"] = STREAMING_SS_LEFT_OUTER_ORACLE
+    oracles["streaming_ss_full_outer_join"] = STREAMING_SS_FULL_OUTER_ORACLE
     oracles["python_stream_source_agg"] = PYTHON_STREAM_SOURCE_ORACLE
     oracles["streaming_dynamic_session"] = STREAMING_DYNAMIC_SESSION_ORACLE
     oracles["streaming_late_data_drop"] = STREAMING_LATE_DROP_ORACLE

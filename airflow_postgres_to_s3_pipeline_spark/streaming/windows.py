@@ -188,6 +188,18 @@ def click_purchase_stream_join(clicks: DataFrame, purchases: DataFrame,
     tune_runtime) applies the final watermark max(ts) - delay, which makes
     the emitted set deterministic and batch-split-independent: every
     unmatched click with click_ts + within < max(ts) - delay.
+
+    ``how="fullOuter"`` also emits unmatched PURCHASES once the watermark
+    proves no earlier click can arrive.  Empirically pinned eviction
+    boundaries (sub-ms probes, tests/test_stream_join_boundaries.py):
+    clicks evict when click_ts + within + 1ms <= wm (Spark's state-value
+    watermark carries a 1 ms safety margin, so a click exactly at the
+    bound is WITHHELD), purchases when purchase_ts <= wm INCLUDING exact
+    equality.  On second-aligned event data the click rule collapses to
+    the strict `click_ts + within < wm` the oracles use; the purchase
+    rule's equality case is reachable (wm is second-aligned too) and the
+    oracle uses `<=`.  user_id is COALESCEd across sides so right-
+    unmatched rows keep their user.
     """
     c = (
         clicks.withWatermark("ts", "2 hours")
@@ -213,7 +225,7 @@ def click_purchase_stream_join(clicks: DataFrame, purchases: DataFrame,
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
         how,
     ).select(
-        F.col("c_user").alias("user_id"),
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
         "click_id",
         "purchase_id",
         "click_ts",
