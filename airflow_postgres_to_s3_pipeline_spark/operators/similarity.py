@@ -1945,3 +1945,73 @@ def pq_score_gemm(codes: DataFrame, q: DataFrame, packed: DataFrame,
         .cogroup(q_rep.groupBy("shard"))
         .applyInPandas(score, "query_id long, neighbor_id long, adist double")
     )
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION corpus statistics over the embedding column — the
+    vector-QA pass run before building any index: a dimension with ~zero
+    variance is dead weight in every distance computation (and a symptom
+    of a broken encoder export), and extreme per-dim ranges motivate
+    per-dim scaling for quantizers (knn_pq's sub-codebooks).
+
+    Determinism: sums use the exact-decimal discipline (kmeans_update) —
+    a float SUM over a shuffled group is order-dependent in the last
+    ULPs.  x*x is exact IEEE (same product both engines), its decimal
+    cast rounds deterministically, and mean/variance come out of the
+    exact sums with a fixed expression tree, so doubles compare
+    bit-for-bit cross-engine.
+
+    Scale shape: posexplode to (dim, x) scalars, ONE map-side-combined
+    groupBy on dim (64 groups) — the corpus never shuffles more than
+    dim-keyed partial aggregates.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        to_double_array("embedding").alias("v")
+    )
+    exploded = e.select(F.posexplode("v").alias("pos", "x"))
+    n = F.count(F.lit(1))
+    s = F.sum(F.col("x").cast("decimal(27,12)")).cast("double")
+    ssq = F.sum((F.col("x") * F.col("x")).cast("decimal(27,12)")).cast(
+        "double"
+    )
+    mean = s / n
+    var = ssq / n - mean * mean
+    return (
+        exploded.groupBy("pos")
+        .agg(
+            n.alias("n"),
+            mean.alias("mean_v"),
+            var.alias("var_v"),
+            F.min("x").alias("min_v"),
+            F.max("x").alias("max_v"),
+            (var < F.lit(1e-6)).alias("is_degenerate"),
+        )
+        .orderBy("pos")
+    )
+
+
+_oracle(
+    "embedding_dim_stats",
+    """
+    WITH x AS (
+        SELECT i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings,
+             UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ), agg AS (
+        SELECT pos,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE) AS ssq,
+               MIN(x) AS min_v,
+               MAX(x) AS max_v
+        FROM x GROUP BY pos
+    )
+    SELECT pos, n,
+           s / n AS mean_v,
+           ssq / n - (s / n) * (s / n) AS var_v,
+           min_v, max_v,
+           (ssq / n - (s / n) * (s / n)) < 1e-6 AS is_degenerate
+    FROM agg
+    ORDER BY pos
+    """,
+)

@@ -932,6 +932,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_pmi_top_pairs": text.token_pmi_top_pairs,
     "recursive_cte_order_chains": sql_surface.recursive_cte_order_chains,
     "streaming_ss_full_outer_join": streaming_ss_full_outer_join,
+    "embedding_dim_stats": similarity.embedding_dim_stats,
 }
 
 
@@ -1003,7 +1004,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "embedding_quantize", "knn_ivf", "knn_ivf_fold", "knn_gemm",
             "semantic_dedup", "kmeans_embeddings", "embedding_lsh_near_dup",
             "embedding_random_projection", "knn_pq", "knn_ivfpq",
-            "embedding_incremental_dedup",
+            "embedding_incremental_dedup", "embedding_dim_stats",
             "knn_pq_fold"),
     "E27": ("doc_quality", "lang_id_heuristic", "tfidf_top_terms",
             "token_count", "bpe_token_count", "corpus_mix_sample",
