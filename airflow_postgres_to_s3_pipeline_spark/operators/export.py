@@ -58,3 +58,67 @@ class QueryToStorageOperator:
         result = spark.sql(sql)
         export_to_storage(result, out_path, self.fmt, self.single_file)
         return out_path
+
+
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive per-date table fingerprint — the integrity check
+    a Postgres->S3 handoff needs on BOTH ends (the reference ships CSVs
+    with no way to prove the lake copy equals the source;
+    dags/airbnb_postgres_to_s3.py:149 just uploads).  Rows are
+    canonically serialized, hashed, and combined with BIT_XOR — a
+    commutative/associative fold, so the checksum is independent of row
+    order, partitioning, and engine, and two sides can each compute it
+    locally and compare one number per export partition.
+
+    Serialization discipline: every column is cast to a type with ONE
+    cross-engine string form — ints/strings/dates verbatim, the money
+    column through its original DECIMAL(15,2) (a raw DOUBLE's string form
+    differs between engines: 1.5E4 vs 15000.0).  NULLs map to a sentinel
+    distinct from any real value.
+
+    Scale shape: map-side BIT_XOR partials per o_orderdate group — one
+    thin shuffle of (date, 64-bit) partials regardless of table size.
+    """
+    from airflow_postgres_to_s3_pipeline_spark.catalog import table
+    from pyspark.sql import functions as F
+
+    o = table(spark, sf_dir, "orders")
+    row_ser = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.coalesce(F.col("o_orderstatus"), F.lit("\\N")),
+        F.col("o_totalprice").cast("decimal(15,2)").cast("string"),
+        F.col("o_orderdate").cast("string"),
+        F.coalesce(F.col("o_orderpriority"), F.lit("\\N")),
+    )
+    row_hash = F.conv(
+        F.substring(F.md5(row_ser.cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        o.select(F.col("o_orderdate").alias("export_date"),
+                 row_hash.alias("h"))
+        .groupBy("export_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("fingerprint"),
+        )
+    )
+
+
+ORACLES: dict[str, str] = {
+    "table_fingerprint": r"""
+    SELECT o_orderdate AS export_date,
+           COUNT(*) AS n_rows,
+           BIT_XOR(('0x' || substring(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               COALESCE(o_orderstatus, '\N') || '|' ||
+               CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR) || '|' ||
+               CAST(o_orderdate AS VARCHAR) || '|' ||
+               COALESCE(o_orderpriority, '\N')
+           ), 1, 15))::BIGINT) AS fingerprint
+    FROM orders
+    GROUP BY o_orderdate
+    """,
+}

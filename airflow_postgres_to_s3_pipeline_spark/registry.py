@@ -30,6 +30,7 @@ from airflow_postgres_to_s3_pipeline_spark.operators import (
     windows,
 )
 from airflow_postgres_to_s3_pipeline_spark.catalog import table
+from airflow_postgres_to_s3_pipeline_spark.operators import export as export_ops
 from airflow_postgres_to_s3_pipeline_spark.streaming import windows as stream_windows
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -666,6 +667,7 @@ STREAMING_DYNAMIC_SESSION_ORACLE = """
 # ---------------------------------------------------------------------------
 
 _MODULES = (
+    export_ops,
     relational,
     advanced,
     layout,
@@ -933,6 +935,7 @@ QUERIES: dict[str, QueryFn] = {
     "recursive_cte_order_chains": sql_surface.recursive_cte_order_chains,
     "streaming_ss_full_outer_join": streaming_ss_full_outer_join,
     "embedding_dim_stats": similarity.embedding_dim_stats,
+    "table_fingerprint": export_ops.table_fingerprint,
 }
 
 
@@ -945,7 +948,7 @@ DRIVER_WINDOW = 50
 
 FAMILIES: dict[str, tuple[str, ...]] = {
     "2A": ("export_projection_filter", "union_snapshots",
-           "zorder_scan_roundtrip"),
+           "zorder_scan_roundtrip", "table_fingerprint"),
     "E2": ("computed_projection",),
     "E3": ("filter_compound", "disjunctive_filter_parts"),
     "E4": ("join_broadcast_dims", "join_shuffle_multiway", "join_null_safe",
