@@ -1954,12 +1954,16 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a broken encoder export), and extreme per-dim ranges motivate
     per-dim scaling for quantizers (knn_pq's sub-codebooks).
 
-    Determinism: sums use the exact-decimal discipline (kmeans_update) —
-    a float SUM over a shuffled group is order-dependent in the last
-    ULPs.  x*x is exact IEEE (same product both engines), its decimal
-    cast rounds deterministically, and mean/variance come out of the
-    exact sums with a fixed expression tree, so doubles compare
-    bit-for-bit cross-engine.
+    Determinism: the repetition_stats pattern — fixed-point integer sums
+    with SINGLE divisions at the end.  x and x*x are quantized with
+    ROUND(v * 10^k): the product is the identical double in both engines
+    and round-half-away-from-zero agrees everywhere, unlike a
+    double->DECIMAL cast, whose exact-expansion vs float-multiply
+    rounding algorithms diverge by one unit-in-last-place on ~1/4000
+    values (measured: a first decimal-cast version failed the
+    STRICT_FLOATS gate by exactly 1e-12/n in one dim's mean).  The int64
+    sums are exact (bound: n * 5e8 per shard — shard the pass beyond
+    ~10^9 rows) and every emitted double is a fixed expression over them.
 
     Scale shape: posexplode to (dim, x) scalars, ONE map-side-combined
     groupBy on dim (64 groups) — the corpus never shuffles more than
@@ -1970,24 +1974,30 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exploded = e.select(F.posexplode("v").alias("pos", "x"))
     n = F.count(F.lit(1))
-    s = F.sum(F.col("x").cast("decimal(27,12)")).cast("double")
-    ssq = F.sum((F.col("x") * F.col("x")).cast("decimal(27,12)")).cast(
-        "double"
+    s = F.sum(F.round(F.col("x") * F.lit(1e9)).cast("bigint"))
+    ssq = F.sum(
+        F.round(F.col("x") * F.col("x") * F.lit(1e12)).cast("bigint")
     )
-    mean = s / n
-    var = ssq / n - mean * mean
-    return (
-        exploded.groupBy("pos")
-        .agg(
-            n.alias("n"),
-            mean.alias("mean_v"),
-            var.alias("var_v"),
-            F.min("x").alias("min_v"),
-            F.max("x").alias("max_v"),
-            (var < F.lit(1e-6)).alias("is_degenerate"),
-        )
-        .orderBy("pos")
+    agg = exploded.groupBy("pos").agg(
+        n.alias("n"),
+        s.alias("s9"),
+        ssq.alias("ssq12"),
+        F.min("x").alias("min_v"),
+        F.max("x").alias("max_v"),
     )
+    mean = (F.col("s9").cast("double") / F.col("n")) / F.lit(1e9)
+    var = (F.col("ssq12").cast("double") / F.col("n")) / F.lit(
+        1e12
+    ) - mean * mean
+    return agg.select(
+        "pos",
+        "n",
+        mean.alias("mean_v"),
+        var.alias("var_v"),
+        "min_v",
+        "max_v",
+        (var < F.lit(1e-6)).alias("is_degenerate"),
+    ).orderBy("pos")
 
 
 _oracle(
@@ -2000,17 +2010,22 @@ _oracle(
     ), agg AS (
         SELECT pos,
                COUNT(*) AS n,
-               CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS s,
-               CAST(SUM(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE) AS ssq,
+               CAST(SUM(CAST(round(x * 1e9) AS BIGINT)) AS BIGINT) AS s9,
+               CAST(SUM(CAST(round(x * x * 1e12) AS BIGINT)) AS BIGINT)
+                   AS ssq12,
                MIN(x) AS min_v,
                MAX(x) AS max_v
         FROM x GROUP BY pos
     )
     SELECT pos, n,
-           s / n AS mean_v,
-           ssq / n - (s / n) * (s / n) AS var_v,
+           (CAST(s9 AS DOUBLE) / n) / 1e9 AS mean_v,
+           (CAST(ssq12 AS DOUBLE) / n) / 1e12
+               - ((CAST(s9 AS DOUBLE) / n) / 1e9)
+               * ((CAST(s9 AS DOUBLE) / n) / 1e9) AS var_v,
            min_v, max_v,
-           (ssq / n - (s / n) * (s / n)) < 1e-6 AS is_degenerate
+           ((CAST(ssq12 AS DOUBLE) / n) / 1e12
+               - ((CAST(s9 AS DOUBLE) / n) / 1e9)
+               * ((CAST(s9 AS DOUBLE) / n) / 1e9)) < 1e-6 AS is_degenerate
     FROM agg
     ORDER BY pos
     """,
