@@ -698,6 +698,17 @@ _MODULES = (
 # sequence_packing_bpe; OUT range_join_bucketed, distinct_pairs,
 # python_udtf_word_expand, streaming_session_window, streaming_dedup,
 # ngram_jaccard_pairs, knn_bruteforce, tfidf_top_terms, repetition_stats.
+# Round-5 session-4 rotation (eight more never-driver-tested entries; all
+# eight demotions are r4-green, every incoming entry verified at
+# sf0.001/0.01/0.1 + vanilla session + STRICT_FLOATS + AQE=0):
+# IN streaming_ss_full_outer_join, table_fingerprint,
+# embedding_incremental_dedup, embedding_dim_stats, weighted_sample_sus,
+# token_pmi_top_pairs, recursive_cte_order_chains,
+# multimodal_tile_near_dup; OUT join_left_outer (E5 keeps
+# customer_order_distribution), minhash_lsh_dedup, semantic_dedup,
+# embedding_lsh_near_dup, lang_id_heuristic, contamination_check,
+# part_cooccurrence_lift (G1 keeps pagerank_parts), multimodal_decode
+# (E28 keeps the tile tier).
 # Entries past #50 are additional variants of families already represented
 # above; all are still locally verified by tools/check_oracles.py and
 # pytest regardless of driver coverage.
@@ -712,7 +723,7 @@ QUERIES: dict[str, QueryFn] = {
     "pricing_summary": relational.pricing_summary,
     # E4-E7 joins (equi broadcast, outer, semi, range)
     "join_broadcast_dims": relational.join_broadcast_dims,
-    "join_left_outer": relational.join_left_outer,
+    "streaming_ss_full_outer_join": streaming_ss_full_outer_join,
     "join_semi": relational.join_semi,
     "join_range": relational.join_range,
     # E5/E8 TPC-H Q13: outer-join count distribution
@@ -755,7 +766,7 @@ QUERIES: dict[str, QueryFn] = {
     # E25 near-dedup: md5-checkable MinHash-LSH / SimHash /
     # connected-components, plus the passage-level exact + near tiers
     # (r5 rotation: chunk_dedup, chunk_near_dedup)
-    "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
+    "table_fingerprint": export_ops.table_fingerprint,
     # session-3 rotation: fuzzy_match_parts (entity resolution — multi-pass
     # blocked levenshtein) IN for simhash_dedup (r04 driver-green, demoted
     # to keep prior-round evidence; minhash stays as the banded-LSH rep)
@@ -763,29 +774,37 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_components": dedup.dedup_components,
     "chunk_dedup": dedup.chunk_dedup,
     "chunk_near_dedup": dedup.chunk_near_dedup,
-    "semantic_dedup": similarity.semantic_dedup,
+    "embedding_incremental_dedup": similarity.embedding_incremental_dedup,
     # E26 similarity search (GEMM top-k tier, IVF index with GEMM build,
     # iterative k-means, hyperplane-LSH; brute-force baseline after window
     # shares knn_gemm's oracle)
     "knn_gemm": similarity.knn_gemm,
     "knn_ivf": similarity.knn_ivf,
     "kmeans_embeddings": similarity.kmeans_embeddings,
-    "embedding_lsh_near_dup": similarity.embedding_lsh_near_dup,
+    "embedding_dim_stats": similarity.embedding_dim_stats,
     # E27 text analysis / corpus curation (r5 rotation: BPE-tier packing)
     "doc_quality": text.doc_quality,
-    "lang_id_heuristic": text.lang_id_heuristic,
+    "weighted_sample_sus": curation.weighted_sample_sus,
     "bm25_scoring": text.bm25_scoring,
     "sequence_packing": curation.sequence_packing,
     "sequence_packing_bpe": curation.sequence_packing_bpe,
-    "contamination_check": curation.contamination_check,
+    "token_pmi_top_pairs": text.token_pmi_top_pairs,
     # graph analytics
-    "part_cooccurrence_lift": graph.part_cooccurrence_lift,
+    "recursive_cte_order_chains": sql_surface.recursive_cte_order_chains,
     "pagerank_parts": graph.pagerank_parts,
     # E28 multimodal
-    "multimodal_decode": multimodal.multimodal_decode,
+    "multimodal_tile_near_dup": multimodal.multimodal_tile_near_dup,
     # -- end of driver window (50) -----------------------------------------
     # additional variants, all locally oracle/pytest-verified
     "multimodal_partition_stats": multimodal.multimodal_partition_stats,
+    "join_left_outer": relational.join_left_outer,
+    "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
+    "semantic_dedup": similarity.semantic_dedup,
+    "embedding_lsh_near_dup": similarity.embedding_lsh_near_dup,
+    "lang_id_heuristic": text.lang_id_heuristic,
+    "contamination_check": curation.contamination_check,
+    "part_cooccurrence_lift": graph.part_cooccurrence_lift,
+    "multimodal_decode": multimodal.multimodal_decode,
     "range_join_bucketed": relational.range_join_bucketed,
     "distinct_pairs": relational.distinct_pairs,
     "python_udtf_word_expand": udfs.python_udtf_word_expand,
@@ -928,14 +947,6 @@ QUERIES: dict[str, QueryFn] = {
     "fuzzy_match_sorted_neighborhood": entity.fuzzy_match_sorted_neighborhood,
     "orders_asof_dimension": advanced.orders_asof_dimension,
     "stratified_sample_k_per_group": curation.stratified_sample_k_per_group,
-    "weighted_sample_sus": curation.weighted_sample_sus,
-    "multimodal_tile_near_dup": multimodal.multimodal_tile_near_dup,
-    "embedding_incremental_dedup": similarity.embedding_incremental_dedup,
-    "token_pmi_top_pairs": text.token_pmi_top_pairs,
-    "recursive_cte_order_chains": sql_surface.recursive_cte_order_chains,
-    "streaming_ss_full_outer_join": streaming_ss_full_outer_join,
-    "embedding_dim_stats": similarity.embedding_dim_stats,
-    "table_fingerprint": export_ops.table_fingerprint,
 }
 
 
