@@ -1913,7 +1913,10 @@ def recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.connected_components, but declared in pure SQL.  Depth is
     bounded by max lines per order (~7); the running sum accumulates in
     linenumber order, so the doubles are bit-deterministic and the SAME
-    SQL text runs on DuckDB as the oracle.
+    SQL text runs on DuckDB as the oracle.  See also
+    sql_surface.recursive_cte_order_chains — the deeper (~25-level)
+    variant whose successor relation is derived by a ranking window and
+    which documents Spark 4.1's UNION-recursion rejection.
     """
     from airflow_postgres_to_s3_pipeline_spark.catalog import register_views
 

@@ -416,6 +416,13 @@ def recursive_cte_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 RECURSIVE CTE (WITH RECURSIVE ... UNION ALL): walk each
     customer's order chain in date order, accumulating spend step by step.
 
+    Complements advanced.recursive_order_chain (intra-order linenumber
+    walk, natural key, depth ~7): here the successor relation is DERIVED
+    (a ranking window builds (custkey, pos) edges), depth is data-driven
+    (~25 orders for the busiest customer — a quarter of the default
+    cteRecursionLevelLimit), and the docstring below records the
+    UNION-recursion limitation that keeps cyclic closures out of SQL.
+
     The construct a Postgres user reaching for ``WITH RECURSIVE`` expects
     to keep — demonstrated on an ACYCLIC recursion (chains, strictly
     increasing rank), because Spark 4.1 supports UNION ALL recursion only:
