@@ -383,6 +383,10 @@ _oracle(
 # letterbox/watermark tile at corpus scale — is the skew case; buckets above
 # MAX_TILE_BUCKET are dropped (their pairs surface via their OTHER tiles),
 # the same stop-key bound entity.MAX_BLOCK applies to ER blocking.
+# MEASURED (docs/SCALE.md): on a low-entropy 2M-doc corpus cap=200 is 3x
+# faster than cap=10,000 (22.2s vs 63.9s warm) — tiles shared by hundreds
+# of payloads are boilerplate, not near-dup signal; tune the cap DOWN on
+# repetitive corpora.
 TILE_BYTES = 16
 N_TILES = 8
 MIN_MATCH = 2

@@ -85,7 +85,8 @@ def main() -> int:
     vector_labels = {"vector_knn_hof", "vector_knn_gemm",
                      "vector_lsh_near_dup", "vector_semantic_dedup",
                      "vector_kmeans", "vector_knn_ivf",
-                     "vector_pq_encode_hof", "vector_pq_encode_gemm"}
+                     "vector_pq_encode_hof", "vector_pq_encode_gemm",
+                     "vector_incremental_dedup"}
     if not only or (only & vector_labels):
         import shutil
         import tempfile
@@ -133,6 +134,12 @@ def main() -> int:
         results.append(run_vec(
             "vector_lsh_near_dup", nv_lsh,
             lambda d: similarity.embedding_lsh_near_dup(
+                spark, d, n_planes=64, n_bands=4)))
+        # admission dedup at the lsh_near_dup scale: same wide-band
+        # settings; the batch side is ~1/16 of the corpus
+        results.append(run_vec(
+            "vector_incremental_dedup", nv_lsh,
+            lambda d: similarity.embedding_incremental_dedup(
                 spark, d, n_planes=64, n_bands=4)))
         nv_sem = min(n, 100_000)
         results.append(run_vec(
@@ -251,7 +258,7 @@ def main() -> int:
                    "graph_triangles", "graph_triangles_skew_degree",
                    "graph_triangles_skew_id", "events_funnel",
                    "events_twap", "events_trend",
-                   "sus_two_phase", "sus_global_window"}
+                   "sus_two_phase", "sus_global_window", "tile_near_dup"}
     if not only or (only & text_labels):
         import shutil
         import tempfile
@@ -478,6 +485,13 @@ def main() -> int:
                 .filter(F.col("n_copies") >= 1)
                 .select("doc_id", "n_copies")
             )
+
+        from airflow_postgres_to_s3_pipeline_spark.operators import multimodal
+
+        ntile = min(n, 2_000_000)
+        results.append(run_dir(
+            "tile_near_dup", ntile, lambda: write_docs(ntile),
+            lambda d: multimodal.multimodal_tile_near_dup(spark, d)))
 
         nsus = min(n, 50_000_000)
         results.append(run_dir(
