@@ -405,3 +405,73 @@ def test_late_data_drop_is_discriminating(spark):
     res = registry.streaming_late_data_drop(spark, "unused")
     counts = {r.window_start.hour: r.n_events for r in res.collect()}
     assert counts == {22: 256, 23: 256, 0: 256}
+
+
+def test_streaming_full_outer_join_multi_batch_equals_final_watermark(
+        spark, sf_dir, tmp_path):
+    """FULL OUTER over a time-ordered multi-batch split: matched pairs,
+    plus unmatched clicks under the strict click rule, plus unmatched
+    purchases under the INCLUSIVE purchase rule (p.ts <= wm) — the
+    boundary semantics pinned in tests/test_stream_join_boundaries.py,
+    invariant under batch splitting."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from airflow_postgres_to_s3_pipeline_spark.catalog import normalize_events_ts
+
+    split_dir = str(tmp_path / "time_split_fo")
+    os.makedirs(split_dir)
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    t = t.sort_by("ts")
+    n = t.num_rows
+    for b, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3),
+                                  (2 * n // 3, n)]):
+        pq.write_table(t.slice(lo, hi - lo),
+                       os.path.join(split_dir, f"events_{b}.parquet"))
+    clicks = sw.read_events_stream(
+        spark, split_dir, max_files_per_trigger=1
+    ).filter(F.col("event_type") == "click")
+    purchases = sw.read_events_stream(
+        spark, split_dir, max_files_per_trigger=1
+    ).filter(F.col("event_type") == "purchase")
+    j = sw.click_purchase_stream_join(clicks, purchases, how="fullOuter")
+    res = sw.run_stream_to_memory(j, spark, "append").collect()
+    got = {(r["click_id"], r["purchase_id"]) for r in res}
+    assert all(r["user_id"] is not None for r in res)
+
+    ev = normalize_events_ts(
+        spark.read.parquet(f"{split_dir}/events_*.parquet")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"))
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    matched = c.join(p, cond)
+    wm = min(
+        c.agg(F.max("click_ts")).first()[0],
+        p.agg(F.max("purchase_ts")).first()[0],
+    )
+    wm = wm.replace(microsecond=wm.microsecond // 1000 * 1000)
+    wm = wm - datetime.timedelta(hours=2)
+    un_c = (
+        c.join(p, cond, "left_anti")
+        .filter(F.col("click_ts") + F.expr("INTERVAL 1 HOUR") < F.lit(wm))
+    )
+    un_p = (
+        p.join(c, cond, "left_anti")
+        .filter(F.col("purchase_ts") <= F.lit(wm))
+    )
+    want = (
+        {(r["click_id"], r["purchase_id"]) for r in matched.collect()}
+        | {(r["click_id"], None) for r in un_c.collect()}
+        | {(None, r["purchase_id"]) for r in un_p.collect()}
+    )
+    assert got == want
