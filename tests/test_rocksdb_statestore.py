@@ -113,3 +113,30 @@ def test_rocksdb_changelog_checkpointing_roundtrip(spark):
     with _provider(spark, None):
         base = _canon(_run_session_counts(spark))
     assert base and rocks == base
+
+
+def _run_full_outer_join(spark):
+    from pyspark.sql import functions as F
+
+    clicks = windows.read_events_stream(spark, SF_DIR).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = windows.read_events_stream(spark, SF_DIR).filter(
+        F.col("event_type") == "purchase"
+    )
+    return windows.run_stream_to_memory(
+        windows.click_purchase_stream_join(clicks, purchases, how="fullOuter"),
+        spark,
+        output_mode="append",
+    )
+
+
+def test_rocksdb_full_outer_join_matches_default(spark):
+    """The symmetric-hash join keeps BOTH sides' rows in keyed state and
+    the outer-emission path reads eviction order out of the store — the
+    state-backend-sensitive surface; results must be byte-identical."""
+    with _provider(spark, None):
+        base = _canon(_run_full_outer_join(spark))
+    with _provider(spark, ROCKSDB):
+        rocks = _canon(_run_full_outer_join(spark))
+    assert base == rocks and base
