@@ -2030,3 +2030,158 @@ _oracle(
     ORDER BY pos
     """,
 )
+
+
+N_NEGATIVES = 3
+
+
+def contrastive_triplets(spark: SparkSession, sf_dir: str,
+                         n_negatives: int = N_NEGATIVES,
+                         threshold: float = NEAR_DUP_THRESHOLD) -> DataFrame:
+    """Contrastive / triplet mining for embedding-model training: one
+    (anchor, positive, negative) row per negative slot, where positives
+    come from NEAR-DUP MINING (the hyperplane-LSH banded join) and
+    negatives are deterministic uniform draws with collision exclusion.
+
+    The training-data shape behind contrastive fine-tuning (SimCSE-style
+    hard-positive pairs + random negatives): every anchor with at least
+    one verified near-duplicate gets its minimum-id partner as the
+    positive (deterministic), and ``n_negatives`` pseudo-random corpus
+    ids drawn row-locally from md5(anchor || '-neg-' || slot) mod n.  A
+    drawn negative that IS the anchor, the positive, or a true near-dup
+    partner of the anchor is DROPPED rather than resampled — resampling
+    loops are not SQL-mirrorable, and at corpus scale the collision
+    probability is ~dup_degree/n, so the lost slots are negligible (and
+    honest: a production miner filters, it does not loop either).
+
+    Scale shape: positives ride the already-sublinear LSH banding; the
+    negative draw is row-local hash arithmetic plus ONE anti-join of the
+    (anchor, negative) candidates against the thin symmetric pair list.
+    vec_ids are assumed dense 0..n-1 (the testdata layout); a sparse id
+    space would draw via an id-rank dimension table instead.
+    """
+    pairs = embedding_lsh_near_dup(spark, sf_dir, threshold=threshold).select(
+        "id_a", "id_b"
+    )
+    sym = tracked_persist(
+        pairs.select(F.col("id_a").alias("anchor"),
+                     F.col("id_b").alias("partner"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("anchor"),
+                         F.col("id_a").alias("partner"))
+        )
+    )
+    pos = sym.groupBy("anchor").agg(F.min("partner").alias("positive_id"))
+    n_vecs = table(spark, sf_dir, "embeddings").agg(
+        (F.max("vec_id") + 1).alias("n_vecs")
+    )
+    draws = (
+        pos.crossJoin(F.broadcast(n_vecs))
+        .select(
+            "anchor",
+            "positive_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_negatives - 1)),
+                    lambda i: F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("anchor").cast("string"),
+                                    F.lit("-neg-"),
+                                    i.cast("string"),
+                                ).cast("binary")
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % F.col("n_vecs"),
+                )
+            ).alias("neg_slot", "negative_id"),
+        )
+    )
+    return (
+        draws.filter(F.col("negative_id") != F.col("anchor"))
+        .filter(F.col("negative_id") != F.col("positive_id"))
+        .join(
+            sym.select("anchor", F.col("partner").alias("negative_id")),
+            ["anchor", "negative_id"],
+            "left_anti",
+        )
+        .select(
+            F.col("anchor").alias("anchor_id"),
+            "positive_id",
+            "negative_id",
+            "neg_slot",
+        )
+    )
+
+
+_oracle(
+    "contrastive_triplets",
+    f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), pj AS (
+        SELECT p.p, j.j,
+               ((('0x' || substring(md5(
+                    p.p::VARCHAR || ':' || j.j::VARCHAR || ':plane'
+                ), 1, 15))::BIGINT % 20001) - 10000) / 10000.0 AS w
+        FROM generate_series(0, 23) p(p), generate_series(0, 63) j(j)
+    ), planes AS (
+        SELECT p, list(w ORDER BY j) AS pv FROM pj GROUP BY p
+    ), bits AS (
+        SELECT e.vec_id, pl.p,
+               CASE WHEN list_reduce(
+                        list_transform(generate_series(1, 64),
+                                       k -> e.v[k] * pl.pv[k]),
+                        (a, b) -> a + b) >= 0
+                    THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        FROM e, planes pl
+    ), bandvals AS (
+        SELECT vec_id, p // 6 AS band_idx,
+               list_reduce(list(bit ORDER BY p),
+                           (acc, b) -> acc * 2 + b) AS band_val
+        FROM bits GROUP BY vec_id, p // 6
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bandvals a JOIN bandvals b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.vec_id < b.vec_id
+    ), dup_pairs AS (
+        SELECT id_a, id_b
+        FROM cand JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b
+        WHERE ROUND(list_cosine_similarity(x.v, y.v), 4)
+                  >= {NEAR_DUP_THRESHOLD}
+    ), sym AS (
+        SELECT id_a AS anchor, id_b AS partner FROM dup_pairs
+        UNION ALL
+        SELECT id_b, id_a FROM dup_pairs
+    ), pos AS (
+        SELECT anchor, MIN(partner) AS positive_id FROM sym GROUP BY anchor
+    ), n AS (
+        SELECT MAX(vec_id) + 1 AS n_vecs FROM embeddings
+    ), draws AS (
+        SELECT pos.anchor, pos.positive_id, i AS neg_slot,
+               ('0x' || substring(md5(
+                   pos.anchor::VARCHAR || '-neg-' || i::VARCHAR
+               ), 1, 15))::BIGINT % n.n_vecs AS negative_id
+        FROM pos, n, UNNEST(generate_series(0, {N_NEGATIVES - 1})) AS t(i)
+    )
+    SELECT d.anchor AS anchor_id, d.positive_id,
+           CAST(d.negative_id AS BIGINT) AS negative_id,
+           CAST(d.neg_slot AS INTEGER) AS neg_slot
+    FROM draws d
+    WHERE d.negative_id <> d.anchor
+      AND d.negative_id <> d.positive_id
+      AND NOT EXISTS (
+          SELECT 1 FROM sym s
+          WHERE s.anchor = d.anchor AND s.partner = d.negative_id
+      )
+    """,
+)

@@ -874,6 +874,7 @@ QUERIES: dict[str, QueryFn] = {
     "local_supplier_volume": advanced.local_supplier_volume,
     "top_supplier_revenue": advanced.top_supplier_revenue,
     "small_quantity_revenue": advanced.small_quantity_revenue,
+    "contrastive_triplets": similarity.contrastive_triplets,
     "recursive_order_chain": advanced.recursive_order_chain,
     "returned_item_revenue": advanced.returned_item_revenue,
     "disjunctive_filter_parts": advanced.disjunctive_filter_parts,
@@ -1019,6 +1020,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "semantic_dedup", "kmeans_embeddings", "embedding_lsh_near_dup",
             "embedding_random_projection", "knn_pq", "knn_ivfpq",
             "embedding_incremental_dedup", "embedding_dim_stats",
+            "contrastive_triplets",
             "knn_pq_fold"),
     "E27": ("doc_quality", "lang_id_heuristic", "tfidf_top_terms",
             "token_count", "bpe_token_count", "corpus_mix_sample",

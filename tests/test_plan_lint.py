@@ -63,6 +63,8 @@ ALLOWED_PRODUCT = {
     # embedding_lsh_near_dup; candidate pairing is the banded equi-join
     "token_pmi_top_pairs",  # broadcasts the 1-row (T tokens, B bigrams)
     # totals — same scalar-statistic shape as ngram_lm_score
+    "contrastive_triplets",  # rides embedding_lsh_near_dup's plane
+    # broadcast + a 1-row n_vecs broadcast; negatives are row-local draws
 }
 
 # Streaming queries execute eagerly on build (memory-sink materialization);

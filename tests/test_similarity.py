@@ -381,3 +381,24 @@ def test_incremental_dedup_ignores_new_new_pairs(spark, tmp_path):
     assert got[2][1] is False and got[2][0] >= 1
     assert got[37] == (0, True)
     assert got[41] == (0, True)
+
+
+def test_contrastive_triplets_invariants(spark, sf_dir):
+    """Every triplet: the positive is a verified near-dup partner (the
+    minimum-id one), and the negative is neither the anchor, the
+    positive, nor ANY near-dup partner of the anchor."""
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_lsh_near_dup(spark, sf_dir).collect()
+    }
+    partners = {}
+    for a, b in pairs:
+        partners.setdefault(a, set()).add(b)
+        partners.setdefault(b, set()).add(a)
+    rows = similarity.contrastive_triplets(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        a, p, n = r["anchor_id"], r["positive_id"], r["negative_id"]
+        assert p == min(partners[a])
+        assert n != a and n != p
+        assert n not in partners[a]
