@@ -587,3 +587,69 @@ _oracle(
           - (({SUS_SAMPLES} * (c_hi - w) - off + tw - 1) // tw) >= 1
     """,
 )
+
+
+def sequence_packing_ffd(spark: SparkSession, sf_dir: str,
+                         budget: int = PACK_BUDGET) -> DataFrame:
+    """First-fit-decreasing sequence packing: whole documents only (no
+    straddling), each placed into the first bin with room, largest first
+    — the padding-minimizing batch constructor used when documents must
+    not be split across training sequences (instruction tuning, anything
+    with per-document loss masking).
+
+    Complements ``sequence_packing`` (contiguous stream cut, documents
+    straddle bins, bin count = ceil(total/budget) by construction): FFD
+    trades that optimal density for document integrity, with the classic
+    11/9·OPT + 6/9 worst-case guarantee.
+
+    This is the engine's honest STATEFUL-ALGORITHM tier: first-fit is
+    inherently sequential over all open bins, which no SQL window or
+    recursion expresses — so it runs as applyInPandas per language group
+    (Arrow-batched; at 100 TB pack within (lang, shard) exactly like the
+    contiguous tier's scale note).  Deterministic: the (tokens desc,
+    doc_id) sort is total, so bin assignment is partition-independent.
+    No SQL oracle exists for the same reason the algorithm needs Python —
+    the driver records the rows-only check; tests/test_curation.py
+    recomputes the packing exactly.
+    """
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.least(
+        F.size(F.filter(F.split("text", " "), lambda t: F.length(t) > 0)),
+        F.lit(budget),
+    )
+    docs = d.select("lang", "doc_id", n_tokens.alias("n_tokens"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        lang = pdf["lang"].iloc[0]
+        remaining: list[int] = []
+        n_docs: list[int] = []
+        totals: list[int] = []
+        for tok in pdf["n_tokens"]:
+            tok = int(tok)
+            for i, r in enumerate(remaining):
+                if r >= tok:
+                    remaining[i] -= tok
+                    n_docs[i] += 1
+                    totals[i] += tok
+                    break
+            else:
+                remaining.append(budget - tok)
+                n_docs.append(1)
+                totals.append(tok)
+        return pd.DataFrame(
+            {
+                "lang": lang,
+                "bin_id": range(len(totals)),
+                "n_docs": n_docs,
+                "total_tokens": totals,
+            }
+        )
+
+    return docs.groupBy("lang").applyInPandas(
+        pack, "lang string, bin_id long, n_docs long, total_tokens long"
+    )

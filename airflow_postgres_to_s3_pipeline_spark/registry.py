@@ -875,6 +875,7 @@ QUERIES: dict[str, QueryFn] = {
     "top_supplier_revenue": advanced.top_supplier_revenue,
     "small_quantity_revenue": advanced.small_quantity_revenue,
     "contrastive_triplets": similarity.contrastive_triplets,
+    "sequence_packing_ffd": curation.sequence_packing_ffd,
     "recursive_order_chain": advanced.recursive_order_chain,
     "returned_item_revenue": advanced.returned_item_revenue,
     "disjunctive_filter_parts": advanced.disjunctive_filter_parts,
@@ -1025,7 +1026,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "E27": ("doc_quality", "lang_id_heuristic", "tfidf_top_terms",
             "token_count", "bpe_token_count", "corpus_mix_sample",
             "contamination_check", "sequence_packing",
-            "sequence_packing_bpe", "repetition_stats", "doc_chunking",
+            "sequence_packing_bpe", "sequence_packing_ffd",
+            "repetition_stats", "doc_chunking",
             "weighted_sample_sus",
             "ngram_lm_score", "bm25_scoring", "winnowing_fingerprint",
             "token_pmi_top_pairs",

@@ -198,3 +198,53 @@ def test_weighted_sample_sus_multiplicity(spark, tmp_path):
     assert sum(got.values()) == n
     # the heavy doc owns 1000/1100 of the line -> floor/ceil of n*10/11
     assert got[100] in (n * 1000 // 1100, n * 1000 // 1100 + 1)
+
+
+def test_sequence_packing_ffd_matches_python_recompute(spark, sf_dir):
+    """Bin layout must equal an exact FFD recompute, no bin may exceed
+    the budget, and (since the contiguous tier splits documents) the FFD
+    bin count per lang is >= the contiguous optimum ceil(total/budget)."""
+    import math
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "lang", "doc_id",
+            F.least(
+                F.size(F.filter(F.split("text", " "),
+                                lambda t: F.length(t) > 0)),
+                F.lit(curation.PACK_BUDGET),
+            ).alias("n_tokens"),
+        )
+        .collect()
+    )
+    by_lang = {}
+    for r in docs:
+        by_lang.setdefault(r["lang"], []).append((r["n_tokens"], r["doc_id"]))
+    expected = {}
+    for lang, items in by_lang.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        remaining, nd, tot = [], [], []
+        for tok, _ in items:
+            for i, rcap in enumerate(remaining):
+                if rcap >= tok:
+                    remaining[i] -= tok
+                    nd[i] += 1
+                    tot[i] += tok
+                    break
+            else:
+                remaining.append(curation.PACK_BUDGET - tok)
+                nd.append(1)
+                tot.append(tok)
+        for b in range(len(tot)):
+            expected[(lang, b)] = (nd[b], tot[b])
+    got = {
+        (r["lang"], r["bin_id"]): (r["n_docs"], r["total_tokens"])
+        for r in curation.sequence_packing_ffd(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert all(t <= curation.PACK_BUDGET for _, t in got.values())
+    for lang, items in by_lang.items():
+        n_bins = 1 + max(b for (l, b) in got if l == lang)
+        opt = math.ceil(sum(t for t, _ in items) / curation.PACK_BUDGET)
+        assert n_bins >= opt
