@@ -122,3 +122,4 @@ ORACLES: dict[str, str] = {
     GROUP BY o_orderdate
     """,
 }
+
