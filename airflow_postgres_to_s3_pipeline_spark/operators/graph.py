@@ -393,3 +393,76 @@ _oracle(
     FROM members GROUP BY l_partkey
     """,
 )
+
+
+BFS_MAX_HOPS = 6
+
+
+def bfs_hops(spark: SparkSession, sf_dir: str,
+             max_hops: int = BFS_MAX_HOPS) -> DataFrame:
+    """Single-source BFS hop distances over the co-purchase graph — the
+    fourth graph kernel (after components / PageRank / triangles): "how
+    far is every part from the best-connected hub" is the reachability
+    question behind related-item exploration depth and graph QA.
+
+    Source = the globally minimum part id (deterministic, no parameter).
+    The loop is frontier expansion with a visited set: per hop one edge
+    join (frontier-keyed) + one anti-join against visited + a distinct —
+    each O(|frontier edges|), never the whole graph re-traversed.  The
+    frontier is re-persisted and lineage-cut per hop (localCheckpoint,
+    the connected_components discipline); the loop stops early on an
+    empty frontier (scalar count — the only driver action) or at
+    ``max_hops`` (bounded so the recursive-CTE oracle can mirror it;
+    nodes beyond max_hops are reported unreachable-within-bound by
+    omission, exactly like the oracle).
+
+    Returns (node, hops) for every node reachable within max_hops.
+    """
+    edges = tracked_persist(_symmetric_edges(spark, sf_dir))
+    source = edges.agg(F.min("src").alias("node")).select(
+        "node", F.lit(0).cast("int").alias("hops")
+    )
+    visited = source.localCheckpoint(eager=True)
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("node").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).cast("int").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+_oracle(
+    "bfs_hops",
+    f"""
+    WITH RECURSIVE b AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), half AS (
+        SELECT DISTINCT a.l_partkey AS src, c.l_partkey AS dst
+        FROM b a JOIN b c
+          ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+    ), edges AS (
+        SELECT src, dst FROM half
+        UNION ALL
+        SELECT dst, src FROM half
+    ), reach(node, hops) AS (
+        SELECT MIN(src), 0 FROM edges
+        UNION
+        SELECT e.dst, r.hops + 1
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.hops < {BFS_MAX_HOPS}
+    )
+    SELECT node, CAST(MIN(hops) AS INTEGER) AS hops
+    FROM reach GROUP BY node
+    """,
+)

@@ -876,6 +876,7 @@ QUERIES: dict[str, QueryFn] = {
     "small_quantity_revenue": advanced.small_quantity_revenue,
     "contrastive_triplets": similarity.contrastive_triplets,
     "sequence_packing_ffd": curation.sequence_packing_ffd,
+    "bfs_hops": graph.bfs_hops,
     "recursive_order_chain": advanced.recursive_order_chain,
     "returned_item_revenue": advanced.returned_item_revenue,
     "disjunctive_filter_parts": advanced.disjunctive_filter_parts,
@@ -1036,7 +1037,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "multimodal_frame_sample", "multimodal_partition_stats",
             "multimodal_audio_energy", "multimodal_tile_near_dup"),
     "G1": ("part_cooccurrence_lift", "pagerank_parts", "triangle_count",
-           "recursive_cte_order_chains"),
+           "recursive_cte_order_chains", "bfs_hops"),
 }
 
 

@@ -50,3 +50,25 @@ def test_pagerank_deterministic_under_partitioning(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     assert a == b
+
+
+def test_bfs_hops_invariants(spark, sf_dir):
+    """Source is the minimum node at hops 0; every hop-k node has at
+    least one neighbor at hop k-1; no node appears twice."""
+    from collections import defaultdict
+
+    edges = {(r["src"], r["dst"])
+             for r in graph._symmetric_edges(spark, sf_dir).collect()}
+    nbrs = defaultdict(set)
+    for s, d in edges:
+        nbrs[s].add(d)
+    rows = graph.bfs_hops(spark, sf_dir).collect()
+    hops = {}
+    for r in rows:
+        assert r["node"] not in hops
+        hops[r["node"]] = r["hops"]
+    src = min(n for n, _ in edges)
+    assert hops[src] == 0
+    for node, h in hops.items():
+        if h > 0:
+            assert any(hops.get(p) == h - 1 for p in nbrs[node])
