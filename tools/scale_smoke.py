@@ -256,7 +256,7 @@ def main() -> int:
                    "text_winnow_fp", "text_winnow_dedup",
                    "entity_fuzzy_match", "graph_pagerank",
                    "graph_triangles", "graph_triangles_skew_degree",
-                   "graph_triangles_skew_id", "events_funnel",
+                   "graph_triangles_skew_id", "graph_bfs", "events_funnel",
                    "events_twap", "events_trend",
                    "sus_two_phase", "sus_global_window", "tile_near_dup"}
     if not only or (only & text_labels):
@@ -409,6 +409,11 @@ def main() -> int:
         # oriented edges, mean degree ~30 -> ~9e7 wedges through the
         # closure join — the quadratic-in-degree cost profile the
         # degree-orientation note in the docstring is about
+        nb = min(n, 2_000_000)
+        results.append(run_dir(
+            "graph_bfs", nb, lambda: write_edges(nb),
+            lambda d: graph.bfs_hops(spark, d)))
+
         nt = min(n, 500_000)
         results.append(run_dir(
             "graph_triangles", nt, lambda: write_edges(nt),
