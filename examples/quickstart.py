@@ -60,6 +60,16 @@ def main() -> int:
     canon = registry.QUERIES["fuzzy_canonicalize_parts"](spark, sf_dir)
     print(f"   near-duplicate name pairs (edit distance <= 2): {matches.count()}")
     canon.orderBy("canonical_name", "name").show(5)
+
+    print("== 8. training-data construction (admission dedup -> weighted "
+          "sample -> triplets)")
+    adm = registry.QUERIES["embedding_incremental_dedup"](spark, sf_dir)
+    admitted = adm.filter("admitted").count()
+    print(f"   new-batch vectors admitted vs indexed corpus: {admitted} "
+          f"of {adm.count()}")
+    sus = registry.QUERIES["weighted_sample_sus"](spark, sf_dir)
+    print(f"   size-weighted SUS corpus draw: {sus.count()} documents")
+    registry.QUERIES["contrastive_triplets"](spark, sf_dir).show(5)
     return 0
 
 
