@@ -7,7 +7,7 @@ group-bys, so these scale linearly with corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_postgres_to_s3_pipeline_spark.catalog import table
@@ -1195,5 +1195,169 @@ _oracle(
     CROSS JOIN totals t
     ORDER BY pmi_micro DESC, p.a ASC, p.b ASC
     LIMIT {PMI_TOP_K}
+    """,
+)
+
+
+RRF_K = 60          # the standard reciprocal-rank-fusion constant
+RRF_LIST_LEN = 20   # depth of each retrieval list
+RRF_TOP_N = 10      # fused results returned
+HASH_DIM = 64       # hashing-trick bucket count for the dense tier
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the RAG-serving
+    pattern: a LEXICAL list (the BM25 ranking) and a "DENSE" list
+    (inner-product retrieval over hashing-trick bag-of-words vectors)
+    are fused by rrf(d) = sum over lists of 1/(K + rank_d).
+
+    The dense tier is honest about what the container can build: with no
+    text-embedding model available, doc vectors are tf-weighted md5-hash
+    buckets (the hashing trick — a real degenerate dense retriever), and
+    scoring is INTEGER dot product via a bucket equi-join with the <=3
+    query-bucket rows broadcast: no norms, no floats, so the ranking key
+    is exact int64.  A production deployment swaps in real embeddings +
+    the knn_* tiers; every downstream stage (per-list ranking, fusion
+    arithmetic, tie-breaks) is identical.
+
+    Determinism: both lists rank by (score desc, doc_id); RRF is summed
+    integer micro-points 1_000_000 div (K + rank).  Scale shape: the two
+    lists are TakeOrderedAndProject top-20s; ranks are row_numbered on
+    the already-truncated 20-row frames (constant-size window input —
+    never a global window over the corpus); the fusion is a full outer
+    join of two 20-row frames.
+    """
+    d = table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "),
+                           lambda w: F.length(w) > 0)).alias("term"),
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+    def bucket(col):
+        return (
+            F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10)
+            .cast("long") % HASH_DIM
+        )
+
+    doc_buckets = tf.groupBy(
+        "doc_id", bucket(F.col("term")).alias("b")
+    ).agg(F.sum("tf").alias("dv"))
+    q = spark.createDataFrame(
+        [(t,) for t in BM25_QUERY_TERMS], "term string"
+    ).groupBy(bucket(F.col("term")).alias("b")).agg(
+        F.count(F.lit(1)).alias("qv")
+    )
+    dense = (
+        doc_buckets.join(F.broadcast(q), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("dv") * F.col("qv")).alias("dot"))
+        .orderBy(F.col("dot").desc(), F.col("doc_id").asc())
+        .limit(RRF_LIST_LEN)
+    )
+    lex = bm25_scoring(spark, sf_dir).select("doc_id", "bm25_micro")
+
+    def ranked(df, score, name):
+        w = Window.orderBy(F.col(score).desc(), F.col("doc_id").asc())
+        return df.select(
+            "doc_id", F.row_number().over(w).alias(name)
+        )
+
+    fused = ranked(lex, "bm25_micro", "lex_rank").join(
+        ranked(dense, "dot", "dense_rank"), "doc_id", "full_outer"
+    )
+    rrf = (
+        F.when(
+            F.col("lex_rank").isNotNull(),
+            F.expr(f"1000000 div ({RRF_K} + lex_rank)"),
+        ).otherwise(F.lit(0))
+        + F.when(
+            F.col("dense_rank").isNotNull(),
+            F.expr(f"1000000 div ({RRF_K} + dense_rank)"),
+        ).otherwise(F.lit(0))
+    ).cast("long")
+    return (
+        fused.select("doc_id", "lex_rank", "dense_rank",
+                     rrf.alias("rrf_micro"))
+        .orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+        .limit(RRF_TOP_N)
+    )
+
+
+_oracle(
+    "hybrid_search_rrf",
+    f"""
+    WITH tok AS (
+        SELECT doc_id,
+               UNNEST(list_filter(string_split(text, ' '),
+                                  x -> len(x) > 0)) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1
+    ), stats AS (
+        SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+    ), idf AS (
+        SELECT term,
+               round(ln((CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                         - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf
+        FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+        WHERE term IN {BM25_QUERY_TERMS!r}
+    ), contrib AS (
+        SELECT tf.doc_id,
+               CAST(round(idf.idf * (tf.tf * ({BM25_K1} + 1.0))
+                          / (tf.tf + {BM25_K1}
+                             * (1.0 - {BM25_B}
+                                + {BM25_B} * dl.dl / stats.avgdl))
+                          * 1000000.0) AS BIGINT) AS c_micro
+        FROM tf
+        JOIN idf ON tf.term = idf.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+    ), lex_top AS (
+        SELECT doc_id, CAST(SUM(c_micro) AS BIGINT) AS bm25_micro
+        FROM contrib GROUP BY doc_id
+        ORDER BY bm25_micro DESC, doc_id ASC
+        LIMIT {BM25_TOP_N}
+    ), lex AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id ASC)
+                   AS lex_rank
+        FROM lex_top
+    ), doc_buckets AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(term), 1, 15))::BIGINT % {HASH_DIM}
+                   AS b,
+               CAST(SUM(tf) AS BIGINT) AS dv
+        FROM tf GROUP BY 1, 2
+    ), qb AS (
+        SELECT ('0x' || substring(md5(t.term), 1, 15))::BIGINT % {HASH_DIM}
+                   AS b,
+               COUNT(*) AS qv
+        FROM (SELECT UNNEST({list(BM25_QUERY_TERMS)!r}) AS term) t
+        GROUP BY 1
+    ), dense_top AS (
+        SELECT doc_id, CAST(SUM(dv * qv) AS BIGINT) AS dot
+        FROM doc_buckets JOIN qb USING (b)
+        GROUP BY doc_id
+        ORDER BY dot DESC, doc_id ASC
+        LIMIT {RRF_LIST_LEN}
+    ), dense AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY dot DESC, doc_id ASC)
+                   AS dense_rank
+        FROM dense_top
+    )
+    SELECT COALESCE(l.doc_id, de.doc_id) AS doc_id,
+           CAST(l.lex_rank AS INTEGER) AS lex_rank,
+           CAST(de.dense_rank AS INTEGER) AS dense_rank,
+           CAST(COALESCE(1000000 // ({RRF_K} + l.lex_rank), 0)
+                + COALESCE(1000000 // ({RRF_K} + de.dense_rank), 0)
+                AS BIGINT) AS rrf_micro
+    FROM lex l FULL OUTER JOIN dense de USING (doc_id)
+    ORDER BY rrf_micro DESC, COALESCE(l.doc_id, de.doc_id) ASC
+    LIMIT {RRF_TOP_N}
     """,
 )

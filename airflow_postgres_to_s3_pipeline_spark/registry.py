@@ -877,6 +877,7 @@ QUERIES: dict[str, QueryFn] = {
     "contrastive_triplets": similarity.contrastive_triplets,
     "sequence_packing_ffd": curation.sequence_packing_ffd,
     "bfs_hops": graph.bfs_hops,
+    "hybrid_search_rrf": text.hybrid_search_rrf,
     "recursive_order_chain": advanced.recursive_order_chain,
     "returned_item_revenue": advanced.returned_item_revenue,
     "disjunctive_filter_parts": advanced.disjunctive_filter_parts,
@@ -1030,7 +1031,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "sequence_packing_bpe", "sequence_packing_ffd",
             "repetition_stats", "doc_chunking",
             "weighted_sample_sus",
-            "ngram_lm_score", "bm25_scoring", "winnowing_fingerprint",
+            "ngram_lm_score", "bm25_scoring", "hybrid_search_rrf",
+            "winnowing_fingerprint",
             "token_pmi_top_pairs",
             "stratified_sample_k_per_group"),
     "E28": ("multimodal_decode", "multimodal_resize",

@@ -65,6 +65,8 @@ ALLOWED_PRODUCT = {
     # totals — same scalar-statistic shape as ngram_lm_score
     "contrastive_triplets",  # rides embedding_lsh_near_dup's plane
     # broadcast + a 1-row n_vecs broadcast; negatives are row-local draws
+    "hybrid_search_rrf",  # inherits bm25_scoring's 1-row avgdl broadcast;
+    # dense scoring is a bucket equi-join, fusion joins two 20-row frames
 }
 
 # Streaming queries execute eagerly on build (memory-sink materialization);
