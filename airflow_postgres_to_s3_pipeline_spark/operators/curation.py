@@ -541,7 +541,6 @@ def weighted_sample_sus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % F.col("tw"),
     )
-    n = F.lit(SUS_SAMPLES).cast("long")
     return (
         cum.crossJoin(F.broadcast(totals))
         .withColumn(

@@ -73,8 +73,11 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Serialization discipline: every column is cast to a type with ONE
     cross-engine string form — ints/strings/dates verbatim, the money
     column through its original DECIMAL(15,2) (a raw DOUBLE's string form
-    differs between engines: 1.5E4 vs 15000.0).  NULLs map to a sentinel
-    distinct from any real value.
+    differs between engines: 1.5E4 vs 15000.0).  EVERY column's string
+    form is coalesced to the '\\N' sentinel — concat_ws silently SKIPS
+    null operands (shifting field alignment and making distinct rows
+    serialize identically), so per-column coalesce is load-bearing, not
+    defensive.
 
     Scale shape: map-side BIT_XOR partials per o_orderdate group — one
     thin shuffle of (date, 64-bit) partials regardless of table size.
@@ -83,14 +86,17 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     o = table(spark, sf_dir, "orders")
+    def ser(col):
+        return F.coalesce(col.cast("string"), F.lit("\\N"))
+
     row_ser = F.concat_ws(
         "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.coalesce(F.col("o_orderstatus"), F.lit("\\N")),
-        F.col("o_totalprice").cast("decimal(15,2)").cast("string"),
-        F.col("o_orderdate").cast("string"),
-        F.coalesce(F.col("o_orderpriority"), F.lit("\\N")),
+        ser(F.col("o_orderkey")),
+        ser(F.col("o_custkey")),
+        ser(F.col("o_orderstatus")),
+        ser(F.col("o_totalprice").cast("decimal(15,2)")),
+        ser(F.col("o_orderdate")),
+        ser(F.col("o_orderpriority")),
     )
     row_hash = F.conv(
         F.substring(F.md5(row_ser.cast("binary")), 1, 15), 16, 10
@@ -111,15 +117,15 @@ ORACLES: dict[str, str] = {
     SELECT o_orderdate AS export_date,
            COUNT(*) AS n_rows,
            BIT_XOR(('0x' || substring(md5(
-               CAST(o_orderkey AS VARCHAR) || '|' ||
-               CAST(o_custkey AS VARCHAR) || '|' ||
+               COALESCE(CAST(o_orderkey AS VARCHAR), '\N') || '|' ||
+               COALESCE(CAST(o_custkey AS VARCHAR), '\N') || '|' ||
                COALESCE(o_orderstatus, '\N') || '|' ||
-               CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR) || '|' ||
-               CAST(o_orderdate AS VARCHAR) || '|' ||
+               COALESCE(CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR),
+                        '\N') || '|' ||
+               COALESCE(CAST(o_orderdate AS VARCHAR), '\N') || '|' ||
                COALESCE(o_orderpriority, '\N')
            ), 1, 15))::BIGINT) AS fingerprint
     FROM orders
     GROUP BY o_orderdate
     """,
 }
-

@@ -742,7 +742,22 @@ BM25_B = 0.75
 BM25_TOP_N = 20
 
 
-def bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_tf(d: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) over whitespace tokens — the stage bm25_scoring
+    and hybrid_search_rrf share (factored so the hybrid query pays the
+    corpus token-explode + count shuffle ONCE)."""
+    tokens = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "),
+                           lambda w: F.length(w) > 0)).alias("term"),
+    )
+    return tokens.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def bm25_scoring(spark: SparkSession, sf_dir: str,
+                 tf: DataFrame | None = None) -> DataFrame:
     """Okapi BM25 ranking of documents against a fixed query — the
     retrieval-quality tier next to ``tfidf_top_terms``.
 
@@ -762,12 +777,8 @@ def bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint as collection statistics.
     """
     d = table(spark, sf_dir, "documents")
-    tokens = d.select(
-        "doc_id",
-        F.explode(F.filter(F.split("text", " "),
-                           lambda w: F.length(w) > 0)).alias("term"),
-    )
-    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    if tf is None:
+        tf = _doc_tf(d)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     n_docs = d.count()  # collection statistic (metadata-scale)
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -1227,13 +1238,13 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a global window over the corpus); the fusion is a full outer
     join of two 20-row frames.
     """
+    from airflow_postgres_to_s3_pipeline_spark.cache import tracked_persist
+
     d = table(spark, sf_dir, "documents")
-    tokens = d.select(
-        "doc_id",
-        F.explode(F.filter(F.split("text", " "),
-                           lambda w: F.length(w) > 0)).alias("term"),
-    )
-    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # ONE tokens->tf pass shared by both tiers (the lexical tier consumes
+    # it inside bm25_scoring via the tf= parameter); persisted because the
+    # two tiers are separate plan branches over the same frame
+    tf = tracked_persist(_doc_tf(d))
 
     def bucket(col):
         return (
@@ -1256,7 +1267,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dot").desc(), F.col("doc_id").asc())
         .limit(RRF_LIST_LEN)
     )
-    lex = bm25_scoring(spark, sf_dir).select("doc_id", "bm25_micro")
+    lex = bm25_scoring(spark, sf_dir, tf=tf).select("doc_id", "bm25_micro")
 
     def ranked(df, score, name):
         w = Window.orderBy(F.col(score).desc(), F.col("doc_id").asc())

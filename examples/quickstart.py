@@ -22,6 +22,8 @@ sys.path.insert(0, REPO)
 
 
 def main() -> int:
+    from pyspark.sql import functions as F
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
     from airflow_postgres_to_s3_pipeline_spark import get_spark
@@ -64,9 +66,12 @@ def main() -> int:
     print("== 8. training-data construction (admission dedup -> weighted "
           "sample -> triplets)")
     adm = registry.QUERIES["embedding_incremental_dedup"](spark, sf_dir)
-    admitted = adm.filter("admitted").count()
-    print(f"   new-batch vectors admitted vs indexed corpus: {admitted} "
-          f"of {adm.count()}")
+    counts = adm.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count_if("admitted").alias("admitted"),
+    ).collect()[0]
+    print(f"   new-batch vectors admitted vs indexed corpus: "
+          f"{counts['admitted']} of {counts['total']}")
     sus = registry.QUERIES["weighted_sample_sus"](spark, sf_dir)
     print(f"   size-weighted SUS corpus draw: {sus.count()} documents")
     registry.QUERIES["contrastive_triplets"](spark, sf_dir).show(5)

@@ -46,3 +46,42 @@ def test_table_fingerprint_detects_single_value_change(spark, tmp_path):
           for r in ex.table_fingerprint(spark, d2).collect()}
     diff = [d for d in f1 if f1[d] != f2.get(d)]
     assert len(diff) == 1
+
+
+def test_table_fingerprint_null_fields_are_unambiguous(spark, tmp_path):
+    """concat_ws silently skips NULL operands — the serialization must
+    coalesce EVERY column so (a) a NULL field changes the fingerprint vs
+    the same row with a value and (b) rows that differ only in WHICH
+    field is NULL do not collide."""
+    import os
+
+    import pyarrow as pa
+    from airflow_postgres_to_s3_pipeline_spark.operators import export as ex
+
+    def write(path, price, prio):
+        os.makedirs(path)
+        t = pa.table(
+            {
+                "o_orderkey": pa.array([1], pa.int64()),
+                "o_custkey": pa.array([2], pa.int64()),
+                "o_orderstatus": pa.array(["O"]),
+                "o_totalprice": pa.array([price], pa.float64()),
+                "o_orderdate": pa.array(
+                    [1_600_000_000_000_000], pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array([prio]),
+            }
+        )
+        import pyarrow.parquet as pq
+
+        pq.write_table(t, path + "/orders.parquet")
+
+    d1, d2, d3 = (str(tmp_path / x) for x in "abc")
+    write(d1, 10.0, "1-URGENT")
+    write(d2, None, "1-URGENT")   # NULL price
+    write(d3, 10.0, None)         # NULL priority instead
+    fps = [
+        ex.table_fingerprint(spark, d).collect()[0]["fingerprint"]
+        for d in (d1, d2, d3)
+    ]
+    assert len(set(fps)) == 3
