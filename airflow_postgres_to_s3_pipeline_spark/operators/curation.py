@@ -652,3 +652,309 @@ def sequence_packing_ffd(spark: SparkSession, sf_dir: str,
     return docs.groupBy("lang").applyInPandas(
         pack, "lang string, bin_id long, n_docs long, total_tokens long"
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (hashed n-gram importance weights)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256          # hashed feature space (DSIR uses 10^4; scale-free)
+DSIR_TARGET_SOURCE = "src0" # proxy for the curated/high-quality target domain
+DSIR_TOP_K = 100
+
+
+def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    score every raw-pool document by how target-like its hashed n-gram
+    features are, and keep the top-K — the importance-weighting way to
+    tilt a 100 TB crawl toward a small curated target domain without
+    training a classifier.
+
+    Two bag-of-ngrams models over a B-bucket hashed feature space
+    (unigrams + adjacent bigrams, md5-hashed):  p = target (source =
+    DSIR_TARGET_SOURCE), q = raw pool (every other source).  A document's
+    log importance weight is  sum over its feature occurrences of
+    ln p_b - ln q_b  with add-one smoothing.  DSIR then samples by
+    weight + Gumbel noise; the engine's deterministic variant takes the
+    top-K by weight (ties by doc_id) — same tilt, reproducible.
+
+    Determinism: per-bucket log-ratios are snapped to integer micro-nats
+    (the ngram_lm_score pattern — one cross-engine-safe ln per bucket,
+    everything after is exact int64 sums).
+
+    Scale shape (100 TB): features are built ROW-LOCALLY (split + slice
+    zip — no shuffle); fitting both models is one B-row aggregate each
+    side over a map-side-combined groupBy (B = 256 keys, so the partials
+    collapse to <= B rows per task before the shuffle); the per-bucket
+    log-ratio table is <= B rows and BROADCASTS onto the feature stream;
+    scoring is one doc_id-keyed sum shuffle; the top-K is a
+    TakeOrderedAndProject, never a global sort.  Nothing here grows with
+    the corpus except the two map-side-combined shuffles.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    base = d.select(
+        "doc_id", "source", words.alias("ws"), F.size(words).alias("nw")
+    )
+    bigrams = F.when(
+        F.col("nw") >= 2,
+        F.zip_with(
+            F.slice("ws", F.lit(1), F.col("nw") - 1),
+            F.slice("ws", F.lit(2), F.col("nw") - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = base.select(
+        "doc_id",
+        "source",
+        F.explode(F.concat(F.col("ws"), bigrams)).alias("feat"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.col("feat").cast("binary")), 1, 15),
+                   16, 10).cast("long") % DSIR_BUCKETS
+        ).alias("b"),
+    )
+    is_target = F.col("source") == DSIR_TARGET_SOURCE
+    tgt = feats.filter(is_target).groupBy("b").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    raw = feats.filter(~is_target).groupBy("b").agg(
+        F.count(F.lit(1)).alias("rc")
+    )
+    lam = (
+        tgt.join(raw, "b", "full_outer")
+        .select(
+            "b",
+            F.coalesce("tc", F.lit(0)).alias("tc"),
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+        )
+    )
+    tot = lam.agg(F.sum("tc").alias("_tt"), F.sum("rc").alias("_rt"))
+    lam = lam.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.round(
+                F.log((F.col("tc") + F.lit(1.0))
+                      / (F.col("_tt") + F.lit(float(DSIR_BUCKETS))))
+                * F.lit(1000000.0)
+            ).cast("bigint")
+            - F.round(
+                F.log((F.col("rc") + F.lit(1.0))
+                      / (F.col("_rt") + F.lit(float(DSIR_BUCKETS))))
+                * F.lit(1000000.0)
+            ).cast("bigint")
+        ).alias("lam_micro"),
+    )
+    scored = (
+        feats.filter(~is_target)
+        .join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("lam_micro").alias("score_micro"),
+        )
+    )
+    return (
+        scored.select("doc_id", "n_feats", "score_micro")
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+        .limit(DSIR_TOP_K)
+    )
+
+
+_oracle(
+    "dsir_importance_sample",
+    f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+        FROM documents
+    ), uni AS (
+        SELECT doc_id, source, UNNEST(ws) AS feat FROM base
+    ), bi AS (
+        SELECT doc_id, source, ws[i] || ' ' || ws[i+1] AS feat
+        FROM base,
+             UNNEST(generate_series(1, GREATEST(len(ws) - 1, 0))) AS t(i)
+    ), feats AS (
+        SELECT doc_id, source,
+               ('0x' || substring(md5(feat), 1, 15))::BIGINT % {DSIR_BUCKETS}
+                   AS b
+        FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+    ), tgt AS (
+        SELECT b, COUNT(*) AS tc FROM feats
+        WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY 1
+    ), raw AS (
+        SELECT b, COUNT(*) AS rc FROM feats
+        WHERE source <> '{DSIR_TARGET_SOURCE}' GROUP BY 1
+    ), lam AS (
+        SELECT COALESCE(t.b, r.b) AS b,
+               CAST(round(ln((COALESCE(tc, 0) + 1.0)
+                             / ((SELECT SUM(tc) FROM tgt)
+                                + {DSIR_BUCKETS}.0)) * 1000000.0) AS BIGINT)
+               - CAST(round(ln((COALESCE(rc, 0) + 1.0)
+                               / ((SELECT SUM(rc) FROM raw)
+                                  + {DSIR_BUCKETS}.0)) * 1000000.0) AS BIGINT)
+                   AS lam_micro
+        FROM tgt t FULL OUTER JOIN raw r ON t.b = r.b
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_feats,
+           CAST(SUM(lam_micro) AS BIGINT) AS score_micro
+    FROM feats f JOIN lam USING (b)
+    WHERE f.source <> '{DSIR_TARGET_SOURCE}'
+    GROUP BY f.doc_id
+    ORDER BY score_micro DESC, f.doc_id ASC
+    LIMIT {DSIR_TOP_K}
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle (training-order shard assignment)
+# ---------------------------------------------------------------------------
+
+SHUFFLE_EPOCH_SEED = "epoch-1"
+SHUFFLE_N_SHARDS = 8
+
+
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: every
+    document gets a shard and an in-shard position from a seeded content
+    hash — the "shuffle the corpus once per epoch" step of a training
+    pipeline, reproducible across re-runs and resumable mid-epoch
+    (position is a pure function of (seed, doc_id), never RNG state).
+
+    Changing SHUFFLE_EPOCH_SEED re-deals the entire order (a new epoch);
+    the hash key makes placement independent of input partitioning.
+
+    Scale shape (100 TB): the shard assignment is row-local; the in-shard
+    position is a row_number per shard, i.e. ONE task per shard — which is
+    exactly the write pattern for training shards (one task sorts and
+    writes one shard file), so N_SHARDS scales with the corpus (~1 GB of
+    tokens per shard) and each task stays bounded.  No global sort, no
+    driver collect; the only shuffle is the hash repartition to shards.
+    """
+    d = table(spark, sf_dir, "documents")
+    skey = F.md5(
+        F.concat_ws(":", F.lit(SHUFFLE_EPOCH_SEED),
+                    F.col("doc_id").cast("string"))
+    )
+    shard = (
+        F.conv(F.substring(skey, 1, 15), 16, 10).cast("long")
+        % SHUFFLE_N_SHARDS
+    )
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return (
+        d.select("doc_id", skey.alias("skey"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+_oracle(
+    "epoch_shuffle_order",
+    f"""
+    WITH k AS (
+        SELECT doc_id,
+               md5('{SHUFFLE_EPOCH_SEED}:' || CAST(doc_id AS VARCHAR))
+                   AS skey
+        FROM documents
+    ), s AS (
+        SELECT doc_id, skey,
+               ('0x' || substring(skey, 1, 15))::BIGINT % {SHUFFLE_N_SHARDS}
+                   AS shard
+        FROM k
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY skey, doc_id) AS BIGINT) AS pos
+    FROM s
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture allocation (multilingual sampling rates)
+# ---------------------------------------------------------------------------
+
+MIX_TEMPERATURE_ALPHA = 0.5   # w_l ∝ n_l^alpha  (alpha=1 natural, 0 uniform)
+MIX_TOKEN_BUDGET = 1_000_000  # tokens to allocate across languages
+
+
+def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixture (the multilingual-pretraining
+    allocation rule, Conneau & Lample 2019): language l receives a share
+    of the token budget proportional to n_l^alpha, flattening the head so
+    low-resource languages are not drowned out (alpha=1 keeps natural
+    proportions; alpha->0 approaches uniform).
+
+    Determinism: n_l^0.5 is one sqrt per language snapped to integer
+    micro-units, the share denominator is an exact int64 sum of those, and
+    each budget is an integer floor-division — no float summation
+    anywhere.  The per-language oversample factor (budget vs natural
+    tokens) comes out as one exact-int division.
+
+    Scale shape: one map-side-combined groupBy over the corpus (per-lang
+    token counts), then all arithmetic happens on a <=n_langs-row frame —
+    the corpus is scanned exactly once, nothing else scales with data.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split("text", " "),
+                               lambda t: F.length(t) > 0))
+    per_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).alias("n_tokens"),
+    )
+    s_micro = F.round(
+        F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1000000.0)
+    ).cast("bigint")
+    weighted = per_lang.select("lang", "n_docs", "n_tokens",
+                               s_micro.alias("s_micro"))
+    tot = weighted.agg(F.sum("s_micro").alias("_ts"))
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "s_micro",
+            F.expr(f"CAST(({MIX_TOKEN_BUDGET} * s_micro) div _ts AS BIGINT)")
+                .alias("token_budget"),
+            (
+                F.expr(f"CAST(({MIX_TOKEN_BUDGET} * s_micro) div _ts AS BIGINT)")
+                .cast("double") / F.col("n_tokens").cast("double")
+            ).alias("oversample_factor"),
+        )
+        .orderBy("lang")
+    )
+
+
+_oracle(
+    "temperature_mix_allocation",
+    f"""
+    WITH per_lang AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(list_filter(string_split(text, ' '),
+                                        t -> len(t) > 0))) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+        GROUP BY lang
+    ), w AS (
+        SELECT lang, n_docs, n_tokens,
+               CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+                    AS BIGINT) AS s_micro
+        FROM per_lang
+    ), t AS (
+        SELECT CAST(SUM(s_micro) AS BIGINT) AS ts FROM w
+    )
+    SELECT lang, n_docs, n_tokens, s_micro,
+           CAST(({MIX_TOKEN_BUDGET} * s_micro) // ts AS BIGINT)
+               AS token_budget,
+           CAST(CAST(({MIX_TOKEN_BUDGET} * s_micro) // ts AS BIGINT)
+                AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oversample_factor
+    FROM w, t
+    ORDER BY lang
+    """,
+)

@@ -951,6 +951,9 @@ QUERIES: dict[str, QueryFn] = {
     "fuzzy_match_sorted_neighborhood": entity.fuzzy_match_sorted_neighborhood,
     "orders_asof_dimension": advanced.orders_asof_dimension,
     "stratified_sample_k_per_group": curation.stratified_sample_k_per_group,
+    "dsir_importance_sample": curation.dsir_importance_sample,
+    "epoch_shuffle_order": curation.epoch_shuffle_order,
+    "temperature_mix_allocation": curation.temperature_mix_allocation,
 }
 
 
@@ -1034,7 +1037,9 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "ngram_lm_score", "bm25_scoring", "hybrid_search_rrf",
             "winnowing_fingerprint",
             "token_pmi_top_pairs",
-            "stratified_sample_k_per_group"),
+            "stratified_sample_k_per_group",
+            "dsir_importance_sample", "epoch_shuffle_order",
+            "temperature_mix_allocation"),
     "E28": ("multimodal_decode", "multimodal_resize",
             "multimodal_frame_sample", "multimodal_partition_stats",
             "multimodal_audio_energy", "multimodal_tile_near_dup"),
