@@ -67,6 +67,11 @@ ALLOWED_PRODUCT = {
     # broadcast + a 1-row n_vecs broadcast; negatives are row-local draws
     "hybrid_search_rrf",  # inherits bm25_scoring's 1-row avgdl broadcast;
     # dense scoring is a bucket equi-join, fusion joins two 20-row frames
+    "dsir_importance_sample",  # broadcasts the 1-row (target-total,
+    # raw-total) token-count frame onto the 256-bucket ratio table —
+    # scalar collection statistic, same shape as ngram_lm_score
+    "temperature_mix_allocation",  # broadcasts the 1-row sum-of-weights
+    # aggregate onto the per-group frame for budget normalization
 }
 
 # Streaming queries execute eagerly on build (memory-sink materialization);
