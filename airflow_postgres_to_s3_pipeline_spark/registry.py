@@ -709,6 +709,21 @@ _MODULES = (
 # embedding_lsh_near_dup, lang_id_heuristic, contamination_check,
 # part_cooccurrence_lift (G1 keeps pagerank_parts), multimodal_decode
 # (E28 keeps the tile tier).
+# Round-6 rotation (twelve never-driver-tested entries; all twelve
+# demotions are r5-green, every incoming entry re-verified vs its DuckDB
+# oracle at sf0.01 before the swap): IN triangle_count + bfs_hops (G1),
+# hybrid_search_rrf, dsir_importance_sample (E27), contrastive_triplets,
+# knn_ivfpq (E26), winnowing_dedup, dedup_keep_best (E25),
+# lateral_topk_orders (E4 lateral SQL surface), sql_udf_functions (E21
+# SQL-UDF surface), streaming_late_data_drop, streaming_session_timeout
+# (E23); OUT recursive_cte_order_chains + pagerank_parts (G1 reps swap),
+# sequence_packing_bpe, weighted_sample_sus (E27 keeps sequence_packing,
+# token_pmi_top_pairs), embedding_dim_stats, knn_ivf (E26 keeps knn_gemm,
+# kmeans, incremental-dedup), chunk_dedup, fuzzy_match_parts (E25 keeps
+# chunk_near_dedup, dedup_components), min_cost_supplier (E4 keeps
+# join_broadcast_dims, nation_market_share), pandas_udf_score (E21 rep
+# becomes sql_udf_functions), streaming_dynamic_session,
+# streaming_ss_left_outer_join (E23 keeps stateful totals + full-outer).
 # Entries past #50 are additional variants of families already represented
 # above; all are still locally verified by tools/check_oracles.py and
 # pytest regardless of driver coverage.
@@ -728,10 +743,10 @@ QUERIES: dict[str, QueryFn] = {
     "join_range": relational.join_range,
     # E5/E8 TPC-H Q13: outer-join count distribution
     "customer_order_distribution": advanced.customer_order_distribution,
-    # E4/E6 TPC-H shapes (r5 rotation): Q8 two-level market-share agg,
-    # Q2 correlated-min-cost supplier, Q21 semi+anti sole-supplier
+    # E4/E6 TPC-H shapes: Q8 two-level market-share agg, Q21 semi+anti
+    # sole-supplier; r6 rotation swaps Q2 for the LATERAL top-k SQL surface
     "nation_market_share": advanced.nation_market_share,
-    "min_cost_supplier": advanced.min_cost_supplier,
+    "lateral_topk_orders": sql_surface.lateral_topk_orders,
     "sole_supplier_orders": advanced.sole_supplier_orders,
     # E9 distinct (HLL-sketch-with-bound tier; exact tiers after window)
     "hll_sketch_users": sketches.hll_sketch_users,
@@ -751,15 +766,16 @@ QUERIES: dict[str, QueryFn] = {
     "conditional_functions": scalar_funcs.conditional_functions,
     "array_functions": scalar_funcs.array_functions,
     "json_functions": scalar_funcs.json_functions,
-    # E21 UDF surface (pandas UDF; UDTF/applyInPandas variants after window)
-    "pandas_udf_score": udfs.pandas_udf_score,
-    # E22-E23 streaming (genuine readStream executions; r5 rotation:
-    # stream-stream LEFT OUTER join with watermark state eviction,
-    # dynamic-gap sessions, and the Spark 4 Python streaming DataSource)
+    # E21 UDF surface (r6 rotation: the SQL-UDF tier — CREATE FUNCTION /
+    # SQL-body functions; pandas/Arrow/UDTF tiers retain prior-round green)
+    "sql_udf_functions": sql_surface.sql_udf_functions,
+    # E22-E23 streaming (genuine readStream executions; r6 rotation:
+    # watermark late-data drop accounting and session-gap timeout
+    # eviction, the two state-expiry semantics not yet driver-tested)
     "streaming_tumbling_agg": streaming_tumbling_agg,
     "streaming_stateful_running_totals": streaming_stateful_running_totals,
-    "streaming_ss_left_outer_join": streaming_ss_left_outer_join,
-    "streaming_dynamic_session": streaming_dynamic_session,
+    "streaming_late_data_drop": streaming_late_data_drop,
+    "streaming_session_timeout": streaming_session_timeout,
     "python_stream_source_agg": python_stream_source_agg,
     # E24 exact dedup
     "dedup_exact": dedup.dedup_exact,
@@ -767,31 +783,33 @@ QUERIES: dict[str, QueryFn] = {
     # connected-components, plus the passage-level exact + near tiers
     # (r5 rotation: chunk_dedup, chunk_near_dedup)
     "table_fingerprint": export_ops.table_fingerprint,
-    # session-3 rotation: fuzzy_match_parts (entity resolution — multi-pass
-    # blocked levenshtein) IN for simhash_dedup (r04 driver-green, demoted
-    # to keep prior-round evidence; minhash stays as the banded-LSH rep)
-    "fuzzy_match_parts": entity.fuzzy_match_parts,
+    # r6 rotation: keep-best survivorship (cluster + quality argmax — the
+    # production dedup shape) and winnowing containment near-dup IN for
+    # fuzzy_match_parts / chunk_dedup (both r5-green)
+    "dedup_keep_best": dedup.dedup_keep_best,
     "dedup_components": dedup.dedup_components,
-    "chunk_dedup": dedup.chunk_dedup,
+    "winnowing_dedup": text.winnowing_dedup,
     "chunk_near_dedup": dedup.chunk_near_dedup,
     "embedding_incremental_dedup": similarity.embedding_incremental_dedup,
-    # E26 similarity search (GEMM top-k tier, IVF index with GEMM build,
-    # iterative k-means, hyperplane-LSH; brute-force baseline after window
-    # shares knn_gemm's oracle)
+    # E26 similarity search (GEMM top-k tier, IVF-PQ composed index,
+    # iterative k-means, contrastive-pair mining; plain-IVF and PQ tiers
+    # retain prior-round green)
     "knn_gemm": similarity.knn_gemm,
-    "knn_ivf": similarity.knn_ivf,
+    "knn_ivfpq": similarity.knn_ivfpq,
     "kmeans_embeddings": similarity.kmeans_embeddings,
-    "embedding_dim_stats": similarity.embedding_dim_stats,
-    # E27 text analysis / corpus curation (r5 rotation: BPE-tier packing)
+    "contrastive_triplets": similarity.contrastive_triplets,
+    # E27 text analysis / corpus curation (r6 rotation: DSIR importance
+    # resampling and hybrid BM25+dense RRF retrieval)
     "doc_quality": text.doc_quality,
-    "weighted_sample_sus": curation.weighted_sample_sus,
+    "dsir_importance_sample": curation.dsir_importance_sample,
     "bm25_scoring": text.bm25_scoring,
     "sequence_packing": curation.sequence_packing,
-    "sequence_packing_bpe": curation.sequence_packing_bpe,
+    "hybrid_search_rrf": text.hybrid_search_rrf,
     "token_pmi_top_pairs": text.token_pmi_top_pairs,
-    # graph analytics
-    "recursive_cte_order_chains": sql_surface.recursive_cte_order_chains,
-    "pagerank_parts": graph.pagerank_parts,
+    # graph analytics (r6 rotation: triangle counting via degree
+    # orientation and BFS frontier expansion IN for pagerank/CTE)
+    "triangle_count": graph.triangle_count,
+    "bfs_hops": graph.bfs_hops,
     # E28 multimodal
     "multimodal_tile_near_dup": multimodal.multimodal_tile_near_dup,
     # -- end of driver window (50) -----------------------------------------
@@ -874,10 +892,10 @@ QUERIES: dict[str, QueryFn] = {
     "local_supplier_volume": advanced.local_supplier_volume,
     "top_supplier_revenue": advanced.top_supplier_revenue,
     "small_quantity_revenue": advanced.small_quantity_revenue,
-    "contrastive_triplets": similarity.contrastive_triplets,
+    "embedding_dim_stats": similarity.embedding_dim_stats,
     "sequence_packing_ffd": curation.sequence_packing_ffd,
-    "bfs_hops": graph.bfs_hops,
-    "hybrid_search_rrf": text.hybrid_search_rrf,
+    "pagerank_parts": graph.pagerank_parts,
+    "sequence_packing_bpe": curation.sequence_packing_bpe,
     "recursive_order_chain": advanced.recursive_order_chain,
     "returned_item_revenue": advanced.returned_item_revenue,
     "disjunctive_filter_parts": advanced.disjunctive_filter_parts,
@@ -904,9 +922,9 @@ QUERIES: dict[str, QueryFn] = {
     "arrow_udf_tier": udfs.arrow_udf_tier,
     "model_inference_scores": udfs.model_inference_scores,
     "streaming_stream_stream_join": streaming_stream_stream_join,
-    "streaming_late_data_drop": streaming_late_data_drop,
+    "streaming_dynamic_session": streaming_dynamic_session,
     "streaming_chained_windows": streaming_chained_windows,
-    "streaming_session_timeout": streaming_session_timeout,
+    "streaming_ss_left_outer_join": streaming_ss_left_outer_join,
     "streaming_static_enrich": streaming_static_enrich,
     "minhash_ml_pairs": ml_feature.minhash_ml_pairs,
     "tfidf_ml_features": ml_feature.tfidf_ml_features,
@@ -928,30 +946,30 @@ QUERIES: dict[str, QueryFn] = {
     "arrow_group_normalize": udfs.arrow_group_normalize,
     "map_in_arrow_price_tier": udfs.map_in_arrow_price_tier,
     "winnowing_fingerprint": text.winnowing_fingerprint,
-    "winnowing_dedup": text.winnowing_dedup,
+    "chunk_dedup": dedup.chunk_dedup,
     "knn_pq": similarity.knn_pq,
-    "knn_ivfpq": similarity.knn_ivfpq,
+    "knn_ivf": similarity.knn_ivf,
     "knn_pq_fold": similarity.knn_pq_fold,
     "sql_scripting_threshold": sql_surface.sql_scripting_threshold,
     "sql_pipe_syntax": sql_surface.sql_pipe_syntax,
     "parameterized_query": sql_surface.parameterized_query,
     "approx_topk_terms": sketches.approx_topk_terms,
-    "lateral_topk_orders": sql_surface.lateral_topk_orders,
-    "sql_udf_functions": sql_surface.sql_udf_functions,
+    "min_cost_supplier": advanced.min_cost_supplier,
+    "pandas_udf_score": udfs.pandas_udf_score,
     "collation_group": sql_surface.collation_group,
     "xml_functions": sql_surface.xml_functions,
     "fuzzy_canonicalize_parts": entity.fuzzy_canonicalize_parts,
     "simhash_dedup": dedup.simhash_dedup,
-    "dedup_keep_best": dedup.dedup_keep_best,
+    "fuzzy_match_parts": entity.fuzzy_match_parts,
     "mad_outliers": advanced.mad_outliers,
     "time_weighted_average": windows.time_weighted_average,
     "event_transitions": windows.event_transitions,
     "user_value_trend": windows.user_value_trend,
-    "triangle_count": graph.triangle_count,
+    "weighted_sample_sus": curation.weighted_sample_sus,
     "fuzzy_match_sorted_neighborhood": entity.fuzzy_match_sorted_neighborhood,
     "orders_asof_dimension": advanced.orders_asof_dimension,
     "stratified_sample_k_per_group": curation.stratified_sample_k_per_group,
-    "dsir_importance_sample": curation.dsir_importance_sample,
+    "recursive_cte_order_chains": sql_surface.recursive_cte_order_chains,
     "epoch_shuffle_order": curation.epoch_shuffle_order,
     "temperature_mix_allocation": curation.temperature_mix_allocation,
 }
