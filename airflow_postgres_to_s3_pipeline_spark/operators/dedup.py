@@ -148,46 +148,46 @@ def minhash_signatures_md5(shingles: DataFrame, n_hashes: int = 32) -> DataFrame
     """MinHash signatures derived from ONE md5 per shingle — the
     DuckDB-oracle-checkable tier.
 
-    Kirsch-Mitzenmacher double hashing: take the first 60 bits of the md5
-    as x, derive x1 = x mod p and x2 = (x >> 29) mod (p-1) + 1, and build
-    slot i as ``h_i = (x1 + i*x2) mod p`` with p = 2^31-1.  The 31-bit
-    slice (x >> 29) spans the full step range [1, p-1] (ADVICE r4: a
-    30-bit slice only reached half of it); x1 and x2 still share md5 bits
-    29-59 — KM tolerates that dependence, and staying within ONE 60-bit
-    conv keeps the hot projection at a single hex->bigint per shingle (a
-    second conv measured ~60% slower for marginal extra entropy).  Every step
-    (md5, hex→bigint, shift, modular arithmetic, array min) is
-    bit-identical in any engine with md5 + 64-bit integers, so the full
-    signature→band→candidate→Jaccard chain carries an exact SQL oracle —
-    unlike the xxhash64 tier, whose hash DuckDB cannot mirror.  Still
-    entirely row-local (zero shuffles), and only one md5 + one hex→bigint
-    conversion per shingle (the per-slot work is two adds and a mod over
-    a 2-field struct array).
+    Kirsch-Mitzenmacher double hashing: take two DISJOINT 60-bit slices of
+    the md5 (hex chars 1-15 and 16-30), derive x1 = a mod p and
+    x2 = b mod (p-1) + 1, and build slot i as ``h_i = (x1 + i*x2) mod p``
+    with p = 2^31-1.  Independent slices give x1 and x2 the full
+    independence the KM analysis assumes (ADVICE r5: the earlier
+    top-bits-of-x1 derivation shared md5 bits 29-59 between the pair — a
+    weaker family with a real LSH recall bias); both spans cover the full
+    [0, p) / [1, p-1] ranges.  Every step (md5, hex→bigint, modular
+    arithmetic, array min) is bit-identical in any engine with md5 +
+    64-bit integers, so the full signature→band→candidate→Jaccard chain
+    carries an exact SQL oracle — unlike the xxhash64 tier, whose hash
+    DuckDB cannot mirror.  Still entirely row-local (zero shuffles), one
+    md5 + two hex→bigint conversions per shingle (the per-slot work is
+    two adds and a mod over a 2-field struct array; the second conv
+    showed no whole-query regression at sf0.1 — minhash_lsh_dedup
+    1.97s->1.90s warm, dedup_components 2.86s->2.59s, see docs/SCALE.md).
     """
     p = F.lit(MERSENNE_P).cast("long")
-    # Two-stage select so each md5+conv runs once per shingle, not once per
-    # (shingle, slot): the first projection materializes one 60-bit value
-    # per shingle (ONE hex->bigint conversion; a second conv measured ~60%
-    # slower for no extra entropy), the second splits it into the (x1, x2)
-    # double-hashing pair — x1 from the full value mod p, x2 from the top
-    # 31 bits (shift mirrors DuckDB's `>>` exactly).
+    # Two-stage select so each md5 runs once per shingle, not once per
+    # (shingle, slot): the first projection materializes one md5 hex
+    # string per shingle, the second splits it into the (x1, x2)
+    # double-hashing pair from disjoint 60-bit slices.
     md5s = shingles.select(
         "doc_id",
         F.transform(
             F.col("shingles"),
-            lambda s: F.conv(
-                F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10
-            ).cast("long"),
-        ).alias("xs"),
+            lambda s: F.md5(s.cast("binary")),
+        ).alias("ms"),
     )
     hx = md5s.select(
         "doc_id",
         F.transform(
-            F.col("xs"),
-            lambda x: F.struct(
-                (x % p).alias("x1"),
+            F.col("ms"),
+            lambda m: F.struct(
                 (
-                    F.shiftright(x, 29) % (p - F.lit(1).cast("long"))
+                    F.conv(F.substring(m, 1, 15), 16, 10).cast("long") % p
+                ).alias("x1"),
+                (
+                    F.conv(F.substring(m, 16, 15), 16, 10).cast("long")
+                    % (p - F.lit(1).cast("long"))
                     + F.lit(1).cast("long")
                 ).alias("x2"),
             ),
@@ -398,13 +398,12 @@ def _minhash_lsh_oracle(n_hashes: int = 32, bands: int = 8,
     ), sh AS (
         SELECT doc_id, UNNEST(shingles) AS shingle FROM shl
     ), hx0 AS (
-        SELECT doc_id,
-               ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS x
+        SELECT doc_id, md5(shingle) AS m
         FROM sh
     ), hx AS (
         SELECT doc_id,
-               x % {p} AS x1,
-               (x >> 29) % {p - 1} + 1 AS x2
+               ('0x' || substring(m, 1, 15))::BIGINT % {p} AS x1,
+               ('0x' || substring(m, 16, 15))::BIGINT % {p - 1} + 1 AS x2
         FROM hx0
     ), sigs AS (
         SELECT doc_id,

@@ -54,8 +54,8 @@ def test_minhash_md5_tier_matches_planted_pairs(spark):
 
 def test_minhash_md5_signature_bit_determinism(spark):
     # pin one signature slot against an independent hashlib computation:
-    # h_i(s) = (x1 + i*x2) mod 2^31-1, x = first 60 bits of md5(s),
-    # x1 = x mod p, x2 = (x >> 29) mod (p-1) + 1 (31-bit slice spans the full step range)
+    # h_i(s) = (x1 + i*x2) mod 2^31-1, from two DISJOINT 60-bit md5
+    # slices: x1 = hex[0:15] mod p, x2 = hex[15:30] mod (p-1) + 1
     import hashlib
 
     doc = spark.createDataFrame([(1, BASE)], ["doc_id", "text"])
@@ -68,14 +68,14 @@ def test_minhash_md5_signature_bit_determinism(spark):
     ))
     p = dedup.MERSENNE_P
 
-    def xs(s):
-        return int(hashlib.md5(s.encode()).hexdigest()[0:15], 16)
+    def x1(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[0:15], 16) % p
+
+    def x2(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[15:30], 16) % (p - 1) + 1
 
     for i in range(4):
-        expected = min(
-            (xs(s) % p + i * ((xs(s) >> 29) % (p - 1) + 1)) % p
-            for s in shingles
-        )
+        expected = min((x1(s) + i * x2(s)) % p for s in shingles)
         assert sig[f"h{i}"] == expected, f"slot {i}"
 
 
