@@ -148,8 +148,11 @@ def _close_user_sessions(
     ts_us = (
         pd.concat([pdf["ts"] for pdf in pdfs])
         .sort_values()
-        .astype("int64")  # pandas datetime64[ns] -> ns; convert to us below
-        // 1000
+        # normalize the resolution explicitly: Arrow may deliver ns- or
+        # us-resolution datetime64 depending on pandas/Spark defaults, and
+        # a bare .astype('int64') // 1000 would be off by 1000x on us input
+        .astype("datetime64[us]")
+        .astype("int64")
     )
     # interval merge: open-session state + each event as a [t, t] singleton,
     # sorted by start, coalesced while the next start is within the gap of
@@ -170,16 +173,24 @@ def _close_user_sessions(
             merged.append([s0, l0, n0])
     closed = [row(s0, l0, n0) for s0, l0, n0 in merged[:-1]]
     start_us, last_us, n = merged[-1]
-    state.update((start_us, last_us, n))
-    # Arrange eviction when the watermark passes last + gap.  The timeout
-    # must sit strictly beyond the current watermark; if the open session
-    # is already older than that (possible when the watermark jumped
-    # within this batch), schedule it one ms ahead so it times out on the
-    # next (possibly no-data) micro-batch.
-    timeout_ms = max(
-        (last_us + gap_us) // 1000 + 1, state.getCurrentWatermarkMs() + 1
-    )
-    state.setTimeoutTimestamp(timeout_ms)
+    timeout_ms = (last_us + gap_us) // 1000 + 1
+    if timeout_ms <= state.getCurrentWatermarkMs():
+        # The watermark has ALREADY passed this session's gap expiry (an
+        # event arrived >gap behind the watermark, or the watermark jumped
+        # within this batch).  No mergeable event can still arrive — Spark
+        # drops rows older than the watermark before this function — so
+        # emit now instead of scheduling a clamped watermark+1 timeout
+        # that a quiescent stream would never fire (the latent withheld
+        # session ADVICE r5 flagged; the oracle's emission predicate
+        # (end+gap)//1000+1 <= wm_final now matches every path exactly).
+        state.remove()
+        closed.append(row(start_us, last_us, n))
+    else:
+        # Arrange eviction when the watermark passes last + gap; the
+        # timeout sits strictly beyond the current watermark by
+        # construction of the branch above.
+        state.update((start_us, last_us, n))
+        state.setTimeoutTimestamp(timeout_ms)
     if closed:
         yield pd.DataFrame(closed)
 

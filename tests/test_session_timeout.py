@@ -128,3 +128,94 @@ def test_open_sessions_near_stream_end_are_withheld(spark, sf_dir):
         closed_by_later = end_us < user_last[user]
         closed_by_timeout = (end_us + gap_us) // 1000 + 1 <= wm_ms
         assert closed_by_later or closed_by_timeout
+
+class _FakeGroupState:
+    """Minimal GroupState double for driving _close_user_sessions directly
+    (the gap-already-expired branch is unreachable through Spark's
+    late-data filter, so it is pinned at the function level)."""
+
+    def __init__(self, wm_ms, state=None):
+        self._wm_ms = wm_ms
+        self._state = state
+        self.hasTimedOut = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._state is not None
+
+    @property
+    def get(self):
+        return self._state
+
+    def update(self, v):
+        self._state = v
+
+    def remove(self):
+        self._state = None
+
+    def getCurrentWatermarkMs(self):
+        return self._wm_ms
+
+    def setTimeoutTimestamp(self, ms):
+        assert ms > self._wm_ms, "Spark rejects timeout <= watermark"
+        self.timeout_set = ms
+
+
+def _drive(ts_us_list, wm_ms, state=None):
+    import pandas as pd
+
+    st = _FakeGroupState(wm_ms, state)
+    pdfs = iter(
+        [pd.DataFrame({"ts": pd.to_datetime(ts_us_list, unit="us")})]
+    ) if ts_us_list else iter([])
+    out = list(stateful._close_user_sessions((7,), pdfs, st))
+    rows = [
+        tuple(r)
+        for df in out
+        for r in df[
+            ["user_id", "session_start_us", "session_end_us", "n_events"]
+        ].itertuples(index=False)
+    ]
+    return rows, st
+
+
+def test_gap_expired_session_emits_immediately_not_withheld():
+    """When the watermark has already passed (end + gap), the session must
+    emit in THIS batch with state removed — the pre-fix code scheduled a
+    watermark+1 timeout that a quiescent stream would never fire, silently
+    withholding a session the oracle's (end+gap)+1 <= wm_final rule emits
+    (ADVICE r5)."""
+    gap_us = stateful.SESSION_GAP_SECONDS * 1_000_000
+    base = 1_700_000_000_000_000
+    wm_ms = (base + 2 * gap_us) // 1000  # watermark far past base + gap
+    rows, st = _drive([base, base + 60_000_000], wm_ms)
+    assert rows == [(7, base, base + 60_000_000, 2)]
+    assert not st.exists and st.timeout_set is None
+
+
+def test_open_session_schedules_timeout_past_watermark():
+    gap_us = stateful.SESSION_GAP_SECONDS * 1_000_000
+    base = 1_700_000_000_000_000
+    wm_ms = base // 1000 - 1_000  # watermark just behind the event
+    rows, st = _drive([base], wm_ms)
+    assert rows == []
+    assert st.get == (base, base, 1)
+    assert st.timeout_set == (base + gap_us) // 1000 + 1
+
+
+def test_us_resolution_timestamps_not_misscaled():
+    """datetime64[us] input (pandas 2 Arrow paths) must produce the same
+    micro-second session bounds as ns input — the bare int64//1000 cast
+    would be 1000x off (ADVICE r5)."""
+    import pandas as pd
+
+    base = 1_700_000_000_000_000
+    st = _FakeGroupState(0)
+    pdf = pd.DataFrame(
+        {"ts": pd.to_datetime([base, base + 1_000_000], unit="us").astype(
+            "datetime64[us]"
+        )}
+    )
+    list(stateful._close_user_sessions((7,), iter([pdf]), st))
+    assert st.get == (base, base + 1_000_000, 2)
