@@ -878,7 +878,11 @@ _oracle(
 # Temperature-scaled mixture allocation (multilingual sampling rates)
 # ---------------------------------------------------------------------------
 
-MIX_TEMPERATURE_ALPHA = 0.5   # w_l ∝ n_l^alpha  (alpha=1 natural, 0 uniform)
+# alpha is FIXED at 0.5 (w_l ∝ sqrt(n_l)), not a tunable: IEEE-754 sqrt is
+# the only correctly-rounded power function, so sqrt keeps the micro-unit
+# snap bit-identical between Spark and the DuckDB oracle — a generic
+# pow(n, alpha) is not correctly rounded and could flip the rounding by an
+# ULP between engines (ADVICE r5 retired the misleading alpha constant).
 MIX_TOKEN_BUDGET = 1_000_000  # tokens to allocate across languages
 
 
@@ -887,7 +891,8 @@ def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     allocation rule, Conneau & Lample 2019): language l receives a share
     of the token budget proportional to n_l^alpha, flattening the head so
     low-resource languages are not drowned out (alpha=1 keeps natural
-    proportions; alpha->0 approaches uniform).
+    proportions; alpha->0 approaches uniform).  alpha is fixed at 0.5 —
+    see the note above MIX_TOKEN_BUDGET.
 
     Determinism: n_l^0.5 is one sqrt per language snapped to integer
     micro-units, the share denominator is an exact int64 sum of those, and

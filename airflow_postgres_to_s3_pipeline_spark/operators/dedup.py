@@ -783,6 +783,13 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_keep_best_oracle() -> str:
+    # quality comes from text.QUALITY_SCORE_SQL — the same fragment the
+    # doc_quality oracle interpolates — so the Spark side's doc_quality
+    # import and this oracle can never silently desynchronize (ADVICE r5)
+    from airflow_postgres_to_s3_pipeline_spark.operators.text import (
+        QUALITY_SCORE_SQL,
+    )
+
     pair_sql = _minhash_lsh_oracle()
     return rf"""
     WITH RECURSIVE pairs AS (
@@ -799,15 +806,7 @@ def _dedup_keep_best_oracle() -> str:
         SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
         FROM reach GROUP BY s
     ), quality AS (
-        SELECT doc_id,
-               CASE WHEN LEN(string_split(text, ' ')) < 5 THEN 0.0
-                    ELSE (1.0 - (LENGTH(text) - LENGTH(regexp_replace(text, '[^\w\s]', '', 'g')))
-                                / CAST(LENGTH(text) AS DOUBLE))
-                         * (0.5 + (LEN(list_filter(string_split(text, ' '),
-                                        w -> w IN ('the','a','of','and','in','to','is')))
-                                   / CAST(LEN(string_split(text, ' ')) AS DOUBLE)) / 2)
-               END AS quality_score
-        FROM documents
+        {QUALITY_SCORE_SQL}
     ), member AS (
         SELECT l.doc_id, l.cluster_id, q.quality_score
         FROM labels l JOIN quality q USING (doc_id)

@@ -141,25 +141,48 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str,
 
 _oracle(
     "fuzzy_match_parts",
-    """
+    f"""
     WITH names AS (
         SELECT p_name AS name, count(*) AS n_records
         FROM part GROUP BY p_name
     ),
+    -- per-pass stop-token cap, mirroring the Spark side's bsz <= MAX_BLOCK
+    -- filter exactly (ADVICE r5: the oracle previously had no cap, so a
+    -- vocabulary with a hot blocking key would report a spurious mismatch
+    -- instead of the documented cap semantics)
+    blk1 AS (
+        SELECT name, n_records, split_part(name, ' ', 1) AS blk FROM names
+    ),
+    f1 AS (
+        SELECT b.name, b.n_records, b.blk
+        FROM blk1 b JOIN (
+            SELECT blk, count(*) AS bsz FROM blk1 GROUP BY blk
+        ) s USING (blk)
+        WHERE s.bsz <= {MAX_BLOCK}
+    ),
+    -- NULLIF mirrors Spark's split().getItem(1), which is NULL (not '')
+    -- for single-token names, so those never equi-join in pass 2
+    blk2 AS (
+        SELECT name, n_records,
+               NULLIF(split_part(name, ' ', 2), '') AS blk
+        FROM names
+    ),
+    f2 AS (
+        SELECT b.name, b.n_records, b.blk
+        FROM blk2 b JOIN (
+            SELECT blk, count(*) AS bsz FROM blk2 GROUP BY blk
+        ) s USING (blk)
+        WHERE s.bsz <= {MAX_BLOCK}
+    ),
     candidates AS (
         SELECT a.name AS name_a, b.name AS name_b,
                a.n_records AS records_a, b.n_records AS records_b
-        FROM names a JOIN names b
-          ON split_part(a.name, ' ', 1) = split_part(b.name, ' ', 1)
-         AND a.name < b.name
+        FROM f1 a JOIN f1 b
+          ON a.blk = b.blk AND a.name < b.name
         UNION
-        -- NULLIF mirrors Spark's split().getItem(1), which is NULL (not '')
-        -- for single-token names, so those never equi-join in pass 2
         SELECT a.name, b.name, a.n_records, b.n_records
-        FROM names a JOIN names b
-          ON NULLIF(split_part(a.name, ' ', 2), '')
-               = NULLIF(split_part(b.name, ' ', 2), '')
-         AND a.name < b.name
+        FROM f2 a JOIN f2 b
+          ON a.blk = b.blk AND a.name < b.name
     )
     SELECT name_a, name_b,
            levenshtein(name_a, name_b) AS edit_dist,
@@ -387,24 +410,44 @@ def fuzzy_canonicalize_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _oracle(
     "fuzzy_canonicalize_parts",
-    """
+    f"""
     WITH RECURSIVE names AS (
         SELECT p_name AS name, count(*) AS n_records
         FROM part GROUP BY p_name
     ),
+    -- same per-pass stop-token cap as the fuzzy_match_parts oracle,
+    -- mirroring the Spark side's bsz <= MAX_BLOCK filter
+    blk1 AS (
+        SELECT name, split_part(name, ' ', 1) AS blk FROM names
+    ),
+    f1 AS (
+        SELECT b.name, b.blk
+        FROM blk1 b JOIN (
+            SELECT blk, count(*) AS bsz FROM blk1 GROUP BY blk
+        ) s USING (blk)
+        WHERE s.bsz <= {MAX_BLOCK}
+    ),
+    blk2 AS (
+        SELECT name, NULLIF(split_part(name, ' ', 2), '') AS blk FROM names
+    ),
+    f2 AS (
+        SELECT b.name, b.blk
+        FROM blk2 b JOIN (
+            SELECT blk, count(*) AS bsz FROM blk2 GROUP BY blk
+        ) s USING (blk)
+        WHERE s.bsz <= {MAX_BLOCK}
+    ),
     pairs AS (
         SELECT name_a, name_b FROM (
             SELECT a.name AS name_a, b.name AS name_b
-            FROM names a JOIN names b
-              ON split_part(a.name, ' ', 1) = split_part(b.name, ' ', 1)
-             AND a.name < b.name
+            FROM f1 a JOIN f1 b
+              ON a.blk = b.blk AND a.name < b.name
             UNION
-            -- NULLIF mirrors Spark's NULL second token for one-token names
+            -- NULLIF (in blk2) mirrors Spark's NULL second token for
+            -- one-token names
             SELECT a.name, b.name
-            FROM names a JOIN names b
-              ON NULLIF(split_part(a.name, ' ', 2), '')
-                   = NULLIF(split_part(b.name, ' ', 2), '')
-             AND a.name < b.name
+            FROM f2 a JOIN f2 b
+              ON a.blk = b.blk AND a.name < b.name
         )
         WHERE levenshtein(name_a, name_b) BETWEEN 1 AND 2
     ),

@@ -21,6 +21,24 @@ def _oracle(name: str, sql: str):
 
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
 
+# Shared DuckDB mirror of doc_quality's composite score: a (doc_id,
+# quality_score) relation over `documents`.  Interpolated into BOTH the
+# doc_quality oracle and dedup_keep_best's survivorship oracle so a future
+# change to the scoring formula cannot silently desynchronize the two
+# (ADVICE r5); the stoplist interpolates from STOPWORDS for the same
+# reason.
+QUALITY_SCORE_SQL = r"""
+        SELECT doc_id,
+               CASE WHEN LEN(string_split(text, ' ')) < 5 THEN 0.0
+                    ELSE (1.0 - (LENGTH(text) - LENGTH(regexp_replace(text, '[^\w\s]', '', 'g')))
+                                / CAST(LENGTH(text) AS DOUBLE))
+                         * (0.5 + (LEN(list_filter(string_split(text, ' '),
+                                        w -> w IN ({stoplist})))
+                                   / CAST(LEN(string_split(text, ' ')) AS DOUBLE)) / 2)
+               END AS quality_score
+        FROM documents
+""".format(stoplist=", ".join(f"'{w}'" for w in STOPWORDS))
+
 
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features: length, token stats, punctuation and
@@ -67,16 +85,17 @@ _oracle(
                CAST(LEN(list_filter(string_split(text, ' '),
                     w -> w IN ('the','a','of','and','in','to','is'))) AS INTEGER) AS n_stop
         FROM documents
+    ), q AS (
+"""
+    + QUALITY_SCORE_SQL
+    + r"""
     )
-    SELECT doc_id, lang, n_tokens, n_chars_actual,
-           (n_chars_actual - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
-           n_punct / CAST(n_chars_actual AS DOUBLE) AS punct_ratio,
-           n_stop / CAST(n_tokens AS DOUBLE) AS stop_ratio,
-           CASE WHEN n_tokens < 5 THEN 0.0
-                ELSE (1.0 - n_punct / CAST(n_chars_actual AS DOUBLE))
-                     * (0.5 + (n_stop / CAST(n_tokens AS DOUBLE)) / 2)
-           END AS quality_score
-    FROM feat
+    SELECT f.doc_id, f.lang, f.n_tokens, f.n_chars_actual,
+           (f.n_chars_actual - (f.n_tokens - 1)) / CAST(f.n_tokens AS DOUBLE) AS avg_token_len,
+           f.n_punct / CAST(f.n_chars_actual AS DOUBLE) AS punct_ratio,
+           f.n_stop / CAST(f.n_tokens AS DOUBLE) AS stop_ratio,
+           q.quality_score
+    FROM feat f JOIN q USING (doc_id)
     """,
 )
 
