@@ -412,6 +412,37 @@ PYTHON_STREAM_SOURCE_ORACLE = """
 """
 
 
+def python_simple_stream_source_agg(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Spark 4 SimpleDataSourceStreamReader tier: the RESTARTABLE Python
+    streaming source (read(start) derives the batch counter from the
+    check-pointed offset, so a restarted query resumes instead of idling —
+    tests/test_streaming_recovery.py pins the restart).  Emits rows
+    bit-identical to python_stream_source_agg's partitioned reader, so
+    the same sha256 regeneration oracle applies.  (sf_dir unused: the
+    source IS the data.)
+    """
+    from airflow_postgres_to_s3_pipeline_spark.sources.python_datasource import (
+        SyntheticEventsRestartableDataSource,
+    )
+
+    spark.dataSource.register(SyntheticEventsRestartableDataSource)
+    stream = (
+        spark.readStream.format("synthetic_events_restartable")
+        .option("partitions", "4")
+        .option("rows_per_batch", "256")
+        .option("max_batches", "4")
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias(
+            "total_value"
+        ),
+    )
+    return stream_windows.run_stream_to_memory(agg, spark, output_mode="complete")
+
+
 def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained stateful aggregations (hourly -> daily) in one streaming
     query via window_time (Spark >= 3.4) — see
@@ -926,6 +957,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_chained_windows": streaming_chained_windows,
     "streaming_ss_left_outer_join": streaming_ss_left_outer_join,
     "streaming_static_enrich": streaming_static_enrich,
+    "python_simple_stream_source_agg": python_simple_stream_source_agg,
     "minhash_ml_pairs": ml_feature.minhash_ml_pairs,
     "tfidf_ml_features": ml_feature.tfidf_ml_features,
     "knn_ivf_fold": similarity.knn_ivf_fold,
@@ -1023,7 +1055,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "python_udtf_polymorphic", "sql_udf_functions",
             "pandas_grouped_agg", "pandas_udaf_window"),
     "E22": ("streaming_tumbling_agg", "streaming_sliding_agg",
-            "streaming_static_enrich", "python_stream_source_agg"),
+            "streaming_static_enrich", "python_stream_source_agg",
+            "python_simple_stream_source_agg"),
     "E23": ("streaming_session_window", "streaming_dedup",
             "streaming_stateful_running_totals",
             "streaming_stream_stream_join",
@@ -1078,6 +1111,7 @@ def _collect_oracles() -> dict[str, str]:
     oracles["streaming_ss_left_outer_join"] = STREAMING_SS_LEFT_OUTER_ORACLE
     oracles["streaming_ss_full_outer_join"] = STREAMING_SS_FULL_OUTER_ORACLE
     oracles["python_stream_source_agg"] = PYTHON_STREAM_SOURCE_ORACLE
+    oracles["python_simple_stream_source_agg"] = PYTHON_STREAM_SOURCE_ORACLE
     oracles["streaming_dynamic_session"] = STREAMING_DYNAMIC_SESSION_ORACLE
     oracles["streaming_late_data_drop"] = STREAMING_LATE_DROP_ORACLE
     oracles["streaming_chained_windows"] = STREAMING_CHAINED_ORACLE

@@ -148,11 +148,12 @@ class _EventsStreamReader(DataSourceStreamReader):
     # reader's latestOffset restarts at 1 while the committed offset may
     # be higher, so the query idles instead of continuing.  A production
     # source derives latestOffset from the EXTERNAL system (log end
-    # offset, file listing), which makes restart-continuation automatic;
-    # checkpoint-restart semantics are covered by the file-source test
-    # (tests/test_streaming_recovery.py).  This source is for
-    # single-run bounded drives (processAllAvailable), where offsets
-    # commit monotonically 0..max_batches.
+    # offset, file listing), which makes restart-continuation automatic.
+    # This source is for single-run bounded drives (processAllAvailable),
+    # where offsets commit monotonically 0..max_batches; for the genuine
+    # offset-restore contract use SyntheticEventsRestartableDataSource
+    # below (SimpleDataSourceStreamReader derives the batch counter from
+    # the check-pointed offset — tests/test_streaming_recovery.py).
     def initialOffset(self) -> dict:
         return {"batch": 0}
 
@@ -191,39 +192,135 @@ class _EventsStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: _EventsStreamPartition) -> Iterator[tuple]:
-        from datetime import datetime, timezone
-
-        b, p = partition.batch, partition.pid
-        base = b * self.rows_per_batch + partition.start
-        for i in range(partition.n_rows):
-            event_id = base + i
-            user_id = _hs(b, p, i, "user") % 1000
-            event_type = _EVENT_TYPES[_hs(b, p, i, "type") % len(_EVENT_TYPES)]
-            value = (_hs(b, p, i, "value") % 10_000) / 100.0
-            if not self.with_ts:
-                yield (event_id, user_id, event_type, value)
-                continue
-            # hour-bucket b, except a deterministic ~1/8 of rows in
-            # batches >= 3 arriving THREE HOURS LATE (hour b-3) —
-            # integer-second arithmetic so the SQL oracle regenerates it
-            # exactly.  Three hours (not two): watermark propagation is
-            # asynchronous, so the EFFECTIVE watermark during a trigger
-            # can lag the reported one by a full batch — rows exactly two
-            # batch-hours late sit on that boundary and are dropped or
-            # kept depending on trigger pacing (both observed).  Three
-            # hours puts the target window's end below the watermark
-            # under EITHER schedule, so the drop is deterministic.
-            hour = b
-            if b >= 3 and _hs(b, p, i, "late") % 8 == 0:
-                hour = b - 3
-            epoch = BASE_EPOCH + hour * 3600 + _hs(b, p, i, "ts") % 3600
-            ts = datetime.fromtimestamp(epoch, tz=timezone.utc).replace(
-                tzinfo=None
-            )
-            yield (event_id, user_id, event_type, value, ts)
+        return _stream_slice_rows(
+            partition.batch,
+            partition.pid,
+            partition.start,
+            partition.n_rows,
+            self.rows_per_batch,
+            self.with_ts,
+        )
 
     def commit(self, end: dict) -> None:
         pass
+
+
+def _stream_slice_rows(b: int, p: int, start: int, n_rows: int,
+                       rows_per_batch: int,
+                       with_ts: bool) -> Iterator[tuple]:
+    """Rows for one (batch, partition) slice — shared by the partitioned
+    and the restartable simple reader so both tiers emit BIT-IDENTICAL
+    data (one oracle covers either source)."""
+    from datetime import datetime, timezone
+
+    base = b * rows_per_batch + start
+    for i in range(n_rows):
+        event_id = base + i
+        user_id = _hs(b, p, i, "user") % 1000
+        event_type = _EVENT_TYPES[_hs(b, p, i, "type") % len(_EVENT_TYPES)]
+        value = (_hs(b, p, i, "value") % 10_000) / 100.0
+        if not with_ts:
+            yield (event_id, user_id, event_type, value)
+            continue
+        # hour-bucket b, except a deterministic ~1/8 of rows in
+        # batches >= 3 arriving THREE HOURS LATE (hour b-3) —
+        # integer-second arithmetic so the SQL oracle regenerates it
+        # exactly.  Three hours (not two): watermark propagation is
+        # asynchronous, so the EFFECTIVE watermark during a trigger
+        # can lag the reported one by a full batch — rows exactly two
+        # batch-hours late sit on that boundary and are dropped or
+        # kept depending on trigger pacing (both observed).  Three
+        # hours puts the target window's end below the watermark
+        # under EITHER schedule, so the drop is deterministic.
+        hour = b
+        if b >= 3 and _hs(b, p, i, "late") % 8 == 0:
+            hour = b - 3
+        epoch = BASE_EPOCH + hour * 3600 + _hs(b, p, i, "ts") % 3600
+        ts = datetime.fromtimestamp(epoch, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+        yield (event_id, user_id, event_type, value, ts)
+
+
+# ---------------------------------------------------------------------------
+# Restartable tier (Spark 4 SimpleDataSourceStreamReader): the OFFSET-RESTORE
+# contract the partitioned reader's API lacks.  After a checkpoint restart
+# the engine hands `read(start)` the COMMITTED offset from the checkpoint
+# log — the batch counter is derived from that argument, never from reader
+# memory, so a restarted query resumes exactly where it stopped instead of
+# idling (the r5 documented limitation of _EventsStreamReader), and
+# `readBetweenOffsets` replays an in-flight batch deterministically during
+# failure recovery.  The trade (per the API contract): rows are produced on
+# the driver without partition planning, so this tier is for modest-rate
+# sources; the partitioned reader remains the scale path.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import (  # noqa: E402
+    SimpleDataSourceStreamReader,
+)
+
+
+class _EventsSimpleStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.n_partitions = int(options.get("partitions", "4"))
+        self.rows_per_batch = int(options.get("rows_per_batch", "100"))
+        self.max_batches = int(options.get("max_batches", "4"))
+        self.with_ts = options.get("with_ts", "false").lower() == "true"
+
+    def initialOffset(self) -> dict:
+        # only consulted on a FRESH query; a restarted query starts from
+        # the check-pointed offset via read(start)
+        return {"batch": 0}
+
+    def _batch_rows(self, b: int) -> Iterator[tuple]:
+        # same even-split-with-remainder layout as
+        # _EventsStreamReader.partitions, so rows match bit-for-bit
+        rows_per_part = self.rows_per_batch // self.n_partitions
+        remainder = self.rows_per_batch % self.n_partitions
+        for p in range(self.n_partitions):
+            n_rows = rows_per_part + (
+                remainder if p == self.n_partitions - 1 else 0
+            )
+            yield from _stream_slice_rows(
+                b, p, p * rows_per_part, n_rows,
+                self.rows_per_batch, self.with_ts,
+            )
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        b = start["batch"]
+        if b >= self.max_batches:
+            return iter(()), {"batch": b}
+        # materialized list, not a generator: the engine's prefetch-cache
+        # wrapper pickles the returned rows into the batch plan
+        return list(self._batch_rows(b)), {"batch": b + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return [
+            row
+            for b in range(start["batch"], end["batch"])
+            for row in self._batch_rows(b)
+        ]
+
+
+class SyntheticEventsRestartableDataSource(DataSource):
+    """spark.readStream.format("synthetic_events_restartable") — the same
+    deterministic event stream as ``synthetic_events``, served through
+    SimpleDataSourceStreamReader so checkpoint restarts RESUME from the
+    committed offset (see _EventsSimpleStreamReader)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_restartable"
+
+    def schema(self) -> str | StructType:
+        if self.options.get("with_ts", "false").lower() == "true":
+            return SCHEMA_DDL + ", ts timestamp"
+        return SCHEMA_DDL
+
+    def simpleStreamReader(
+        self, schema: StructType
+    ) -> "SimpleDataSourceStreamReader":
+        return _EventsSimpleStreamReader(self.options)
 
 
 # ---------------------------------------------------------------------------

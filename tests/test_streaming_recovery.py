@@ -115,3 +115,75 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     # event 1 and 2 must NOT be reprocessed (no duplicates), event 3 appended
     assert sorted(r["event_id"] for r in rows) == [1, 2, 3]
+
+
+def test_restartable_python_source_resumes_from_committed_offset(
+    spark, tmp_path
+):
+    """The SimpleDataSourceStreamReader tier must RESUME after a checkpoint
+    restart: the restarted reader's read(start) receives the committed
+    offset, so raising max_batches and restarting appends exactly the new
+    batches — no duplicates (the partitioned reader's documented
+    limitation is that it idles here)."""
+    from airflow_postgres_to_s3_pipeline_spark.sources.python_datasource import (
+        SyntheticEventsRestartableDataSource,
+    )
+
+    spark.dataSource.register(SyntheticEventsRestartableDataSource)
+    out = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    def run_once(max_batches: int):
+        stream = (
+            spark.readStream.format("synthetic_events_restartable")
+            .option("rows_per_batch", "40")
+            .option("max_batches", str(max_batches))
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once(max_batches=2)
+    assert sorted(
+        r["event_id"] for r in spark.read.parquet(out).collect()
+    ) == list(range(80))
+
+    # restart from the same checkpoint with two more batches available
+    run_once(max_batches=4)
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    # exactly-once continuation: batches 2-3 appended, 0-1 not re-emitted
+    assert got == list(range(160))
+
+
+def test_restartable_source_rows_match_partitioned_source(spark):
+    """Both Python-source tiers must emit bit-identical rows (one oracle
+    covers either)."""
+    from airflow_postgres_to_s3_pipeline_spark.sources.python_datasource import (
+        SyntheticEventsDataSource,
+        SyntheticEventsRestartableDataSource,
+    )
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(SyntheticEventsRestartableDataSource)
+
+    def drain(fmt):
+        stream = (
+            spark.readStream.format(fmt)
+            .option("rows_per_batch", "30")
+            .option("max_batches", "3")
+            .option("with_ts", "true")
+            .load()
+        )
+        res = sw.run_stream_to_memory(stream, spark, output_mode="append")
+        return sorted(tuple(r) for r in res.collect())
+
+    assert drain("synthetic_events_restartable") == drain("synthetic_events")
