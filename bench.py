@@ -66,13 +66,38 @@ BENCH_QUERIES = [
     "fuzzy_match_parts",
     "dedup_keep_best",
     "embedding_incremental_dedup",
+    # Round 6: the rotation's newly driver-promoted expensive families,
+    # benched from their first driver round (graph triangle/BFS, hybrid
+    # BM25+dense RRF retrieval, winnowing containment near-dup).
+    "triangle_count",
+    "bfs_hops",
+    "hybrid_search_rrf",
+    "winnowing_dedup",
 ]
+
+
+def _await_idle_host(max_wait_s: int = 90) -> tuple[float, bool]:
+    """Wait (bounded) for the 1-min load average to drop below the idle
+    threshold, then report (load_avg, idle?).  docs/SCALE.md records the
+    same queries running 2.5x slower when a background verification gate
+    shares the cores — totals are only comparable from an idle machine, so
+    every headline run now carries this marker instead of relying on the
+    operator to remember."""
+    n_cpus = os.cpu_count() or 1
+    threshold = max(2.0, n_cpus / 8)
+    deadline = time.time() + max_wait_s
+    load = os.getloadavg()[0]
+    while load > threshold and time.time() < deadline:
+        time.sleep(5)
+        load = os.getloadavg()[0]
+    return round(load, 2), load <= threshold
 
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+    load_avg, idle_host = _await_idle_host()
 
     from airflow_postgres_to_s3_pipeline_spark.session import get_spark
     from airflow_postgres_to_s3_pipeline_spark import registry
@@ -131,6 +156,8 @@ def main() -> int:
                 "sf": sf,
                 "runs_per_query": n_runs,
                 "queries_cold": cold,
+                "load_avg_at_start": load_avg,
+                "idle_host": idle_host,
             }
         )
     )
