@@ -3,4 +3,5 @@ from airflow_postgres_to_s3_pipeline_spark.plans.inspect import (  # noqa: F401
     pushed_filters,
     has_broadcast_join,
     wholestage_codegen_spans,
+    executed_scan_metrics,
 )

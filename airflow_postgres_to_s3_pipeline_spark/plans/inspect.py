@@ -31,3 +31,40 @@ def has_broadcast_join(df: DataFrame) -> bool:
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans in the plan (wider = fewer breaks)."""
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", explain_str(df, "simple"))))
+
+
+def executed_scan_metrics(df: DataFrame) -> list[dict]:
+    """Execute ``df`` and return the runtime metrics of every file-scan
+    leaf in its physical plan — the read-side proof that a layout skips.
+
+    Plan-shape checks (``pushed_filters``) show a predicate *reached* the
+    scan; this shows what the scan then *did*: with min/max-clustered
+    files (write_sorted_layout / write_zorder_layout) the parquet reader
+    drops whole row groups whose statistics exclude the predicate, so the
+    scan's ``numOutputRows`` lands far below the table's row count.  On a
+    random layout every row group straddles the full key domain and the
+    same query's scan emits every row.
+
+    Returns one dict per scan leaf with whichever of numFiles /
+    filesSize / numOutputRows / metadataTime the Spark version exposes.
+    Uses the executed plan's SQLMetric values (the same numbers the Spark
+    UI shows), unwrapping AdaptiveSparkPlanExec when AQE replanned.
+    """
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()  # type: ignore[attr-defined]
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.executedPlan()
+    leaves = plan.collectLeaves()
+    out: list[dict] = []
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        name = node.getClass().getSimpleName()
+        if "Scan" not in name:
+            continue
+        metrics = node.metrics()
+        entry: dict = {"node": name}
+        for key in ("numFiles", "filesSize", "numOutputRows", "metadataTime"):
+            if metrics.contains(key):
+                entry[key] = metrics.apply(key).value()
+        out.append(entry)
+    return out

@@ -125,6 +125,55 @@ def test_zorder_layout_skips_on_both_dimensions(spark, sf_dir, tmp_path):
         )
 
 
+def test_read_side_row_group_skipping(spark, sf_dir, tmp_path):
+    """The executed scan must actually SKIP on a clustered layout: same
+    predicate, same rows out — but the scan on the sorted/z-ordered copy
+    emits a fraction of the rows the random-layout scan emits, because
+    whole row groups fail their min/max check.  This is the read-side
+    metric (Spark UI's scan numOutputRows), not a footer-stats proxy."""
+    from airflow_postgres_to_s3_pipeline_spark.plans import executed_scan_metrics
+    from airflow_postgres_to_s3_pipeline_spark.sources.sinks import (
+        write_sorted_layout,
+        write_zorder_layout,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    total = li.count()
+    rand_path = os.path.join(str(tmp_path), "li_random")
+    sort_path = os.path.join(str(tmp_path), "li_sorted")
+    z_path = os.path.join(str(tmp_path), "li_zorder")
+    # random layout: hash-repartition scatters every key range into every file
+    li.repartition(16).write.parquet(rand_path)
+    write_sorted_layout(li, sort_path, "l_partkey", n_files=16)
+    write_zorder_layout(li, z_path, "l_partkey", "l_suppkey", n_files=16)
+
+    lo, hi = li.agg(F.min("l_partkey"), F.max("l_partkey")).first()
+    pred = F.col("l_partkey") <= lo + (hi - lo) // 20  # bottom ~5% of the domain
+
+    def scan_rows(path):
+        d = spark.read.parquet(path).where(pred).select("l_partkey")
+        scans = [m for m in executed_scan_metrics(d) if "numOutputRows" in m]
+        assert scans, "no file scan with metrics found in executed plan"
+        return sum(m["numOutputRows"] for m in scans)
+
+    rows_random = scan_rows(rand_path)
+    rows_sorted = scan_rows(sort_path)
+    rows_zorder = scan_rows(z_path)
+    # the random layout's scan emits (essentially) the whole table;
+    # clustered layouts must emit a strict fraction of it
+    assert rows_random >= total * 0.9
+    assert rows_sorted <= rows_random * 0.5, (rows_sorted, rows_random)
+    assert rows_zorder <= rows_random * 0.5, (rows_zorder, rows_random)
+    # and all three return identical query results
+    counts = {
+        spark.read.parquet(p).where(pred).count()
+        for p in (rand_path, sort_path, z_path)
+    }
+    assert len(counts) == 1
+
+
 def test_compact_small_files_preserves_data(spark, tmp_path):
     from airflow_postgres_to_s3_pipeline_spark.sources.sinks import (
         compact_small_files,
