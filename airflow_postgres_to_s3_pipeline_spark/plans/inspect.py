@@ -49,9 +49,14 @@ def executed_scan_metrics(df: DataFrame) -> list[dict]:
     filesSize / numOutputRows / metadataTime the Spark version exposes.
     Uses the executed plan's SQLMetric values (the same numbers the Spark
     UI shows), unwrapping AdaptiveSparkPlanExec when AQE replanned.
+
+    The plan is executed JVM-side (``execute().count()`` on the physical
+    root): metrics accumulate exactly as under any action, but no row is
+    ever serialized to the driver — this helper stays safe to point at a
+    full-size table.
     """
-    df.collect()
     plan = df._jdf.queryExecution().executedPlan()  # type: ignore[attr-defined]
+    plan.execute().count()
     if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
         plan = plan.executedPlan()
     leaves = plan.collectLeaves()
