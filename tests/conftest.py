@@ -48,3 +48,27 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+def stamp_file_order(dir_path):
+    """Force FileStreamSource to pick up files in filename order.
+
+    Tests that split events into per-batch files rely on batch N arriving
+    before batch N+1, but the file source orders by MODIFICATION TIME at
+    millisecond granularity — files written back-to-back can tie (or, on
+    a loaded host, land out of order), letting a high-watermark batch run
+    first and silently drop the earlier files' events as late.  Stamp
+    strictly increasing mtimes, 2s apart in filename order, so the intended
+    order is explicit rather than an artifact of write latency.
+    """
+    import os
+    import time
+
+    files = sorted(
+        f for f in os.listdir(str(dir_path)) if f.endswith(".parquet")
+    )
+    base = time.time() - 2.0 * len(files) - 10.0
+    for i, name in enumerate(files):
+        p = os.path.join(str(dir_path), name)
+        t = base + 2.0 * i
+        os.utime(p, (t, t))

@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 from airflow_postgres_to_s3_pipeline_spark.streaming import stateful
 from airflow_postgres_to_s3_pipeline_spark.streaming import windows as sw
 
+from conftest import stamp_file_order
+
 
 def _time_ordered_split(sf_dir, tmp_path, n_files: int):
     out = tmp_path / "tsplit"
@@ -24,6 +26,7 @@ def _time_ordered_split(sf_dir, tmp_path, n_files: int):
     for b in range(n_files):
         lo, hi = b * n // n_files, (b + 1) * n // n_files
         pq.write_table(t.slice(lo, hi - lo), str(out / f"events_{b}.parquet"))
+    stamp_file_order(out)
     return str(out)
 
 
@@ -80,6 +83,7 @@ def test_late_within_watermark_event_merges_into_open_session(
     _write_events(
         src / "events_b2.parquet", [(5, base + 6 * h, 1), (6, base + 12 * h, 2)]
     )
+    stamp_file_order(src)
     out = _run(spark, str(src), max_files=1)
     assert (1, base - h // 12, base + h * 2 // 3, 4) in out
 

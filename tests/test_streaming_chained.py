@@ -14,6 +14,8 @@ from airflow_postgres_to_s3_pipeline_spark.catalog import normalize_events_ts
 from airflow_postgres_to_s3_pipeline_spark.session import tune_runtime
 from airflow_postgres_to_s3_pipeline_spark.streaming import windows as sw
 
+from conftest import stamp_file_order
+
 
 def _time_ordered_split(sf_dir, tmp_path, n_files: int):
     out = tmp_path / "tsplit"
@@ -24,6 +26,7 @@ def _time_ordered_split(sf_dir, tmp_path, n_files: int):
     for b in range(n_files):
         lo, hi = b * n // n_files, (b + 1) * n // n_files
         pq.write_table(t.slice(lo, hi - lo), str(out / f"events_{b}.parquet"))
+    stamp_file_order(out)
     return str(out)
 
 
