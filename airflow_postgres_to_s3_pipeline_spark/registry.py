@@ -755,6 +755,26 @@ _MODULES = (
 # join_broadcast_dims, nation_market_share), pandas_udf_score (E21 rep
 # becomes sql_udf_functions), streaming_dynamic_session,
 # streaming_ss_left_outer_join (E23 keeps stateful totals + full-outer).
+# Round-7 rotation (fifteen never-driver-tested entries + the
+# pagerank_parts re-pin the r6 verdict asked for; all sixteen demotions
+# are r6-green, every incoming entry re-verified vs its DuckDB oracle at
+# sf0.01 before the swap): IN scd2_apply + zorder_scan_roundtrip (2A),
+# asof_join_pandas (E7 as-of tier), approx_topk_terms (E9),
+# funnel_ordered_3step (E11), window_running_total + timeseries_gapfill
+# (E12), variant_json + xml_functions (E20), streaming_stream_stream_join
+# + streaming_dedup_within_watermark (E23),
+# python_simple_stream_source_agg (E22 restartable source),
+# session_window_agg (E22 batch tier), knn_pq (E26), pii_scrub (E27),
+# pagerank_parts (G1 re-pin post-hoisting); OUT nation_market_share +
+# sole_supplier_orders (E4/E6 keep join_broadcast_dims / lateral /
+# join_semi), streaming_late_data_drop + streaming_session_timeout (E23
+# keeps stateful totals, full-outer + the two new tiers),
+# dedup_components + winnowing_dedup + chunk_near_dedup (E25 keeps
+# dedup_keep_best), embedding_incremental_dedup + knn_ivfpq +
+# kmeans_embeddings + contrastive_triplets (E26 keeps knn_gemm + knn_pq),
+# dsir_importance_sample + sequence_packing + hybrid_search_rrf +
+# token_pmi_top_pairs (E27 keeps doc_quality, bm25, pii_scrub),
+# bfs_hops (G1 keeps triangle_count + pagerank_parts).
 # Entries past #50 are additional variants of families already represented
 # above; all are still locally verified by tools/check_oracles.py and
 # pytest regardless of driver coverage.
@@ -767,84 +787,103 @@ QUERIES: dict[str, QueryFn] = {
     "filter_compound": relational.filter_compound,
     # E8 flagship aggregate
     "pricing_summary": relational.pricing_summary,
-    # E4-E7 joins (equi broadcast, outer, semi, range)
+    # §2A SCD2 merge tier (r7 rotation: the delete+insert idempotency
+    # pattern generalized to slowly-changing-dimension history) and the
+    # Z-order layout round-trip proving multi-column clustering survives
+    # a write→read cycle with row-group skipping
+    "scd2_apply": advanced.scd2_apply,
+    "zorder_scan_roundtrip": layout.zorder_scan_roundtrip,
+    # E4-E7 joins (equi broadcast, outer, semi, range; r7 rotation adds
+    # the pandas as-of join tier — the non-equi family's merge_asof shape)
     "join_broadcast_dims": relational.join_broadcast_dims,
     "streaming_ss_full_outer_join": streaming_ss_full_outer_join,
     "join_semi": relational.join_semi,
     "join_range": relational.join_range,
+    "asof_join_pandas": windows.asof_join_pandas,
     # E5/E8 TPC-H Q13: outer-join count distribution
     "customer_order_distribution": advanced.customer_order_distribution,
-    # E4/E6 TPC-H shapes: Q8 two-level market-share agg, Q21 semi+anti
-    # sole-supplier; r6 rotation swaps Q2 for the LATERAL top-k SQL surface
-    "nation_market_share": advanced.nation_market_share,
+    # E4 LATERAL top-k SQL surface (Q8/Q21 shapes r6-green, rotated out)
     "lateral_topk_orders": sql_surface.lateral_topk_orders,
-    "sole_supplier_orders": advanced.sole_supplier_orders,
-    # E9 distinct (HLL-sketch-with-bound tier; exact tiers after window)
+    # E9 distinct (HLL-sketch-with-bound tier; r7 rotation adds the
+    # count-min-style approximate top-k terms sketch)
     "hll_sketch_users": sketches.hll_sketch_users,
+    "approx_topk_terms": sketches.approx_topk_terms,
     # E10 rollup
     "rollup_acctbal": relational.rollup_acctbal,
-    # E11 ranking windows
+    # E11 ranking windows + ordered-event funnel (r7 rotation)
     "window_topk_per_customer": windows.window_topk_per_customer,
-    # E12 analytic windows
+    "funnel_ordered_3step": windows.funnel_ordered_3step,
+    # E12 analytic windows (r7 rotation: running-total frames and
+    # sequence()-driven time-series gap fill, both never driver-tested)
     "window_lag_lead": advanced.window_lag_lead,
+    "window_running_total": windows.window_running_total,
+    "timeseries_gapfill": windows.timeseries_gapfill,
     # E13-E14
     "global_topk": relational.global_topk,
     "set_operations": relational.set_operations,
-    # E15-E20 scalar function families
+    # E15-E20 scalar function families (r7 rotation: VARIANT semi-
+    # structured tier and the XPath/XML surface join the window)
     "string_functions": scalar_funcs.string_functions,
     "date_functions": scalar_funcs.date_functions,
     "math_functions": scalar_funcs.math_functions,
     "conditional_functions": scalar_funcs.conditional_functions,
     "array_functions": scalar_funcs.array_functions,
     "json_functions": scalar_funcs.json_functions,
-    # E21 UDF surface (r6 rotation: the SQL-UDF tier — CREATE FUNCTION /
-    # SQL-body functions; pandas/Arrow/UDTF tiers retain prior-round green)
+    "variant_json": scalar_funcs.variant_json,
+    "xml_functions": sql_surface.xml_functions,
+    # E21 UDF surface (SQL-UDF tier; pandas/Arrow/UDTF tiers r5-green)
     "sql_udf_functions": sql_surface.sql_udf_functions,
-    # E22-E23 streaming (genuine readStream executions; r6 rotation:
-    # watermark late-data drop accounting and session-gap timeout
-    # eviction, the two state-expiry semantics not yet driver-tested)
+    # E22-E23 streaming (genuine readStream executions; r7 rotation:
+    # stream-stream inner join, dropDuplicatesWithinWatermark, the
+    # restartable Python SimpleDataSourceStreamReader source, and the
+    # batch session_window tier — none previously driver-tested)
     "streaming_tumbling_agg": streaming_tumbling_agg,
     "streaming_stateful_running_totals": streaming_stateful_running_totals,
-    "streaming_late_data_drop": streaming_late_data_drop,
-    "streaming_session_timeout": streaming_session_timeout,
+    "streaming_stream_stream_join": streaming_stream_stream_join,
+    "streaming_dedup_within_watermark": streaming_dedup_within_watermark,
     "python_stream_source_agg": python_stream_source_agg,
+    "python_simple_stream_source_agg": python_simple_stream_source_agg,
+    "session_window_agg": windows.session_window_agg,
     # E24 exact dedup
     "dedup_exact": dedup.dedup_exact,
-    # E25 near-dedup: md5-checkable MinHash-LSH / SimHash /
-    # connected-components, plus the passage-level exact + near tiers
-    # (r5 rotation: chunk_dedup, chunk_near_dedup)
+    # 2A export parity fingerprint
     "table_fingerprint": export_ops.table_fingerprint,
-    # r6 rotation: keep-best survivorship (cluster + quality argmax — the
-    # production dedup shape) and winnowing containment near-dup IN for
-    # fuzzy_match_parts / chunk_dedup (both r5-green)
+    # E25 near-dedup: keep-best survivorship (cluster + quality argmax —
+    # the production dedup shape; LSH/components/winnowing tiers r6-green)
     "dedup_keep_best": dedup.dedup_keep_best,
-    "dedup_components": dedup.dedup_components,
-    "winnowing_dedup": text.winnowing_dedup,
-    "chunk_near_dedup": dedup.chunk_near_dedup,
-    "embedding_incremental_dedup": similarity.embedding_incremental_dedup,
-    # E26 similarity search (GEMM top-k tier, IVF-PQ composed index,
-    # iterative k-means, contrastive-pair mining; plain-IVF and PQ tiers
-    # retain prior-round green)
+    # E26 similarity search (GEMM top-k tier; r7 rotation: the plain-PQ
+    # tier — the only main-path ANN tier never driver-tested)
     "knn_gemm": similarity.knn_gemm,
-    "knn_ivfpq": similarity.knn_ivfpq,
-    "kmeans_embeddings": similarity.kmeans_embeddings,
-    "contrastive_triplets": similarity.contrastive_triplets,
-    # E27 text analysis / corpus curation (r6 rotation: DSIR importance
-    # resampling and hybrid BM25+dense RRF retrieval)
+    "knn_pq": similarity.knn_pq,
+    # E27 text analysis / corpus curation (r7 rotation: PII scrubbing —
+    # the redaction pass every training-data pipeline runs)
     "doc_quality": text.doc_quality,
-    "dsir_importance_sample": curation.dsir_importance_sample,
     "bm25_scoring": text.bm25_scoring,
-    "sequence_packing": curation.sequence_packing,
-    "hybrid_search_rrf": text.hybrid_search_rrf,
-    "token_pmi_top_pairs": text.token_pmi_top_pairs,
-    # graph analytics (r6 rotation: triangle counting via degree
-    # orientation and BFS frontier expansion IN for pagerank/CTE)
+    "pii_scrub": text.pii_scrub,
+    # graph analytics (r7 rotation: pagerank re-pinned post-hoisting per
+    # the r6 verdict; triangle keeps its wedge-metric guard in-window)
     "triangle_count": graph.triangle_count,
-    "bfs_hops": graph.bfs_hops,
+    "pagerank_parts": graph.pagerank_parts,
     # E28 multimodal
     "multimodal_tile_near_dup": multimodal.multimodal_tile_near_dup,
     # -- end of driver window (50) -----------------------------------------
     # additional variants, all locally oracle/pytest-verified
+    "nation_market_share": advanced.nation_market_share,
+    "sole_supplier_orders": advanced.sole_supplier_orders,
+    "streaming_late_data_drop": streaming_late_data_drop,
+    "streaming_session_timeout": streaming_session_timeout,
+    "dedup_components": dedup.dedup_components,
+    "winnowing_dedup": text.winnowing_dedup,
+    "chunk_near_dedup": dedup.chunk_near_dedup,
+    "embedding_incremental_dedup": similarity.embedding_incremental_dedup,
+    "knn_ivfpq": similarity.knn_ivfpq,
+    "kmeans_embeddings": similarity.kmeans_embeddings,
+    "contrastive_triplets": similarity.contrastive_triplets,
+    "dsir_importance_sample": curation.dsir_importance_sample,
+    "sequence_packing": curation.sequence_packing,
+    "hybrid_search_rrf": text.hybrid_search_rrf,
+    "token_pmi_top_pairs": text.token_pmi_top_pairs,
+    "bfs_hops": graph.bfs_hops,
     "multimodal_partition_stats": multimodal.multimodal_partition_stats,
     "join_left_outer": relational.join_left_outer,
     "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
@@ -873,7 +912,6 @@ QUERIES: dict[str, QueryFn] = {
     "array_agg_ordered": advanced.array_agg_ordered,
     "apply_in_pandas_zscore": udfs.apply_in_pandas_zscore,
     "streaming_sliding_agg": streaming_sliding_agg,
-    "streaming_dedup_within_watermark": streaming_dedup_within_watermark,
     "dedup_keep_first": dedup.dedup_keep_first,
     "dedup_incremental": dedup.dedup_incremental,
     "dedup_incremental_minhash": dedup.dedup_incremental_minhash,
@@ -908,7 +946,6 @@ QUERIES: dict[str, QueryFn] = {
     "unpivot_metrics": advanced.unpivot_metrics,
     "deterministic_sample": advanced.deterministic_sample,
     "merge_upsert": advanced.merge_upsert,
-    "scd2_apply": advanced.scd2_apply,
     "dq_audit": advanced.dq_audit,
     "snapshot_diff": advanced.snapshot_diff,
     "profile_table": advanced.profile_table,
@@ -925,39 +962,30 @@ QUERIES: dict[str, QueryFn] = {
     "small_quantity_revenue": advanced.small_quantity_revenue,
     "embedding_dim_stats": similarity.embedding_dim_stats,
     "sequence_packing_ffd": curation.sequence_packing_ffd,
-    "pagerank_parts": graph.pagerank_parts,
     "sequence_packing_bpe": curation.sequence_packing_bpe,
     "recursive_order_chain": advanced.recursive_order_chain,
     "returned_item_revenue": advanced.returned_item_revenue,
     "disjunctive_filter_parts": advanced.disjunctive_filter_parts,
     "inactive_high_value_customers": advanced.inactive_high_value_customers,
     "promo_revenue_share": advanced.promo_revenue_share,
-    "timeseries_gapfill": windows.timeseries_gapfill,
     "sessionize_events": windows.sessionize_events,
     "cohort_retention": windows.cohort_retention,
-    "funnel_ordered_3step": windows.funnel_ordered_3step,
     "window_ntile_quartiles": windows.window_ntile_quartiles,
-    "window_running_total": windows.window_running_total,
     "window_range_frame": windows.window_range_frame,
     "asof_last_purchase": windows.asof_last_purchase,
-    "asof_join_pandas": windows.asof_join_pandas,
     "hypertable_rollup": windows.hypertable_rollup,
     "tumbling_window_agg": windows.tumbling_window_agg,
     "sliding_window_agg": windows.sliding_window_agg,
-    "session_window_agg": windows.session_window_agg,
     "explode_word_freq": scalar_funcs.explode_word_freq,
-    "variant_json": scalar_funcs.variant_json,
     "try_arithmetic": scalar_funcs.try_arithmetic,
     "map_hof_functions": scalar_funcs.map_hof_functions,
     "python_udf_rowwise": udfs.python_udf_rowwise,
     "arrow_udf_tier": udfs.arrow_udf_tier,
     "model_inference_scores": udfs.model_inference_scores,
-    "streaming_stream_stream_join": streaming_stream_stream_join,
     "streaming_dynamic_session": streaming_dynamic_session,
     "streaming_chained_windows": streaming_chained_windows,
     "streaming_ss_left_outer_join": streaming_ss_left_outer_join,
     "streaming_static_enrich": streaming_static_enrich,
-    "python_simple_stream_source_agg": python_simple_stream_source_agg,
     "minhash_ml_pairs": ml_feature.minhash_ml_pairs,
     "tfidf_ml_features": ml_feature.tfidf_ml_features,
     "knn_ivf_fold": similarity.knn_ivf_fold,
@@ -967,29 +995,24 @@ QUERIES: dict[str, QueryFn] = {
     "token_count": text.token_count,
     "doc_fingerprint": text.doc_fingerprint,
     "text_normalize": text.text_normalize,
-    "pii_scrub": text.pii_scrub,
     "corpus_curation": text.corpus_curation,
     "reading_level": text.reading_level,
     "ngram_lm_score": text.ngram_lm_score,
     "mode_argmax": advanced.mode_argmax,
     "corpus_mix_sample": curation.corpus_mix_sample,
     "bpe_token_count": curation.bpe_token_count,
-    "zorder_scan_roundtrip": layout.zorder_scan_roundtrip,
     "arrow_group_normalize": udfs.arrow_group_normalize,
     "map_in_arrow_price_tier": udfs.map_in_arrow_price_tier,
     "winnowing_fingerprint": text.winnowing_fingerprint,
     "chunk_dedup": dedup.chunk_dedup,
-    "knn_pq": similarity.knn_pq,
     "knn_ivf": similarity.knn_ivf,
     "knn_pq_fold": similarity.knn_pq_fold,
     "sql_scripting_threshold": sql_surface.sql_scripting_threshold,
     "sql_pipe_syntax": sql_surface.sql_pipe_syntax,
     "parameterized_query": sql_surface.parameterized_query,
-    "approx_topk_terms": sketches.approx_topk_terms,
     "min_cost_supplier": advanced.min_cost_supplier,
     "pandas_udf_score": udfs.pandas_udf_score,
     "collation_group": sql_surface.collation_group,
-    "xml_functions": sql_surface.xml_functions,
     "fuzzy_canonicalize_parts": entity.fuzzy_canonicalize_parts,
     "simhash_dedup": dedup.simhash_dedup,
     "fuzzy_match_parts": entity.fuzzy_match_parts,
@@ -1016,7 +1039,8 @@ DRIVER_WINDOW = 50
 
 FAMILIES: dict[str, tuple[str, ...]] = {
     "2A": ("export_projection_filter", "union_snapshots",
-           "zorder_scan_roundtrip", "table_fingerprint"),
+           "zorder_scan_roundtrip", "table_fingerprint",
+           "merge_upsert", "scd2_apply"),
     "E2": ("computed_projection",),
     "E3": ("filter_compound", "disjunctive_filter_parts"),
     "E4": ("join_broadcast_dims", "join_shuffle_multiway", "join_null_safe",
@@ -1028,7 +1052,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
            "customer_order_distribution"),
     "E6": ("join_semi", "join_anti", "inactive_high_value_customers",
            "sole_supplier_orders"),
-    "E7": ("join_range", "range_join_bucketed"),
+    "E7": ("join_range", "range_join_bucketed", "asof_join_pandas",
+           "asof_last_purchase", "orders_asof_dimension"),
     "E8": ("pricing_summary", "agg_stats", "corr_covar",
            "pivot_status_counts", "array_agg_ordered", "string_agg_ordered",
            "mode_argmax"),
@@ -1037,8 +1062,9 @@ FAMILIES: dict[str, tuple[str, ...]] = {
            "approx_percentiles", "approx_topk_terms"),
     "E10": ("rollup_acctbal", "cube_status_priority", "grouping_sets_agg"),
     "E11": ("window_topk_per_customer", "window_percent_rank",
-            "window_ntile_quartiles"),
-    "E12": ("window_lag_lead", "window_ignore_nulls", "window_nth_value"),
+            "window_ntile_quartiles", "funnel_ordered_3step"),
+    "E12": ("window_lag_lead", "window_ignore_nulls", "window_nth_value",
+            "window_running_total", "timeseries_gapfill"),
     "E13": ("global_topk", "returned_item_revenue"),
     "E14": ("set_operations",),
     "E15": ("string_functions", "collation_group"),
@@ -1056,7 +1082,10 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "pandas_grouped_agg", "pandas_udaf_window"),
     "E22": ("streaming_tumbling_agg", "streaming_sliding_agg",
             "streaming_static_enrich", "python_stream_source_agg",
-            "python_simple_stream_source_agg"),
+            "python_simple_stream_source_agg",
+            # batch-mode tiers of the same window operators
+            "tumbling_window_agg", "sliding_window_agg",
+            "session_window_agg"),
     "E23": ("streaming_session_window", "streaming_dedup",
             "streaming_stateful_running_totals",
             "streaming_stream_stream_join",
@@ -1090,7 +1119,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "token_pmi_top_pairs",
             "stratified_sample_k_per_group",
             "dsir_importance_sample", "epoch_shuffle_order",
-            "temperature_mix_allocation"),
+            "temperature_mix_allocation", "pii_scrub"),
     "E28": ("multimodal_decode", "multimodal_resize",
             "multimodal_frame_sample", "multimodal_partition_stats",
             "multimodal_audio_energy", "multimodal_tile_near_dup"),
