@@ -280,7 +280,8 @@ TRI_SUPPORT = 1
 
 
 def triangle_count(spark: SparkSession, sf_dir: str,
-                   orient: str = "degree") -> DataFrame:
+                   orient: str = "degree",
+                   wedge_observation=None) -> DataFrame:
     """Per-part triangle participation in the co-purchase graph — the third
     classic distributed graph kernel beside lift (local edge weights) and
     PageRank (global iteration): triangles measure neighborhood closure
@@ -297,6 +298,15 @@ def triangle_count(spark: SparkSession, sf_dir: str,
     oracle trivially mirrorable.
 
     Returns (l_partkey, n_triangles) for every part in >= 1 triangle.
+
+    ``wedge_observation`` (a ``pyspark.sql.Observation``) attaches a
+    runtime SQLMetric to the wedge stage — after any action on the result,
+    ``observation.get["n_wedges"]`` reports how many wedges the closure
+    join actually enumerated.  |wedges| is THE cost driver of this kernel
+    (the r6 bench's 13s headline item is almost entirely wedge fan-out),
+    and the degree orientation exists precisely to shrink it, so the
+    regression guard in tests/test_graph.py pins degree-oriented
+    |wedges| <= id-oriented |wedges| with executed metrics, not plan text.
     """
     b = _baskets(spark, sf_dir)
     a = b.alias("a")
@@ -315,34 +325,52 @@ def triangle_count(spark: SparkSession, sf_dir: str,
         .filter(F.col("n") >= TRI_SUPPORT)
         .select("pa", "pb")
     )
+    return _triangles_from_edges(
+        edges, orient, wedge_observation, out_col="l_partkey"
+    )
+
+
+def orient_edges_by_degree(edges: DataFrame) -> DataFrame:
+    """Re-orient every undirected edge (pa, pb) low-(degree, id) ->
+    high-(degree, id): the compact-forward orientation that bounds
+    per-vertex wedge fan-out by O(sqrt(|E|)) on skewed graphs (a hub only
+    FANS OUT to the few vertices of even higher degree).  Triangle counts
+    are orientation-invariant, so the degree tier shares the id-oriented
+    oracle bit-for-bit (pinned by test)."""
+    deg = (
+        edges.select(F.col("pa").alias("v"))
+        .unionAll(edges.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("pa"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("pb"), F.col("deg").alias("deg_b"))
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("pa") < F.col("pb"))
+    )
+    return (
+        edges.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+            F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+        )
+        .withColumnRenamed("src", "pa")
+        .withColumnRenamed("dst", "pb")
+    )
+
+
+def _triangles_from_edges(
+    edges: DataFrame,
+    orient: str = "degree",
+    wedge_observation=None,
+    out_col: str = "vertex",
+) -> DataFrame:
+    """Triangle membership counts from an undirected edge list (pa, pb)
+    with pa < pb — the kernel shared by triangle_count and the orientation
+    tests (which feed synthetic skewed graphs)."""
     if orient == "degree":
-        # Re-orient every edge low-(degree, id) -> high-(degree, id): the
-        # compact-forward orientation that bounds per-vertex wedge fan-out
-        # by O(sqrt(|E|)) on skewed graphs (a hub only FANS OUT to the few
-        # vertices of even higher degree).  The per-part triangle counts
-        # are orientation-invariant, so this tier shares the id-oriented
-        # oracle bit-for-bit (pinned by test).
-        deg = (
-            edges.select(F.col("pa").alias("v"))
-            .unionAll(edges.select(F.col("pb").alias("v")))
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-        da = deg.select(F.col("v").alias("pa"), F.col("deg").alias("deg_a"))
-        db = deg.select(F.col("v").alias("pb"), F.col("deg").alias("deg_b"))
-        a_first = (F.col("deg_a") < F.col("deg_b")) | (
-            (F.col("deg_a") == F.col("deg_b")) & (F.col("pa") < F.col("pb"))
-        )
-        edges = (
-            edges.join(da, "pa")
-            .join(db, "pb")
-            .select(
-                F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
-                F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
-            )
-            .withColumnRenamed("src", "pa")
-            .withColumnRenamed("dst", "pb")
-        )
+        edges = orient_edges_by_degree(edges)
     elif orient != "id":
         raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
     edges = tracked_persist(edges)
@@ -354,18 +382,47 @@ def triangle_count(spark: SparkSession, sf_dir: str,
         F.col("e1.pb").alias("tb"),
         F.col("e2.pb").alias("tc"),
     )
+    if wedge_observation is not None:
+        wedges = wedges.observe(
+            wedge_observation, F.count(F.lit(1)).alias("n_wedges")
+        )
     tri = wedges.join(
         e3,
         (F.col("ta") == F.col("e3.pa")) & (F.col("tc") == F.col("e3.pb")),
     ).select("ta", "tb", "tc")
     members = (
-        tri.select(F.col("ta").alias("l_partkey"))
-        .unionAll(tri.select(F.col("tb").alias("l_partkey")))
-        .unionAll(tri.select(F.col("tc").alias("l_partkey")))
+        tri.select(F.col("ta").alias(out_col))
+        .unionAll(tri.select(F.col("tb").alias(out_col)))
+        .unionAll(tri.select(F.col("tc").alias(out_col)))
     )
-    return members.groupBy("l_partkey").agg(
+    return members.groupBy(out_col).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def expected_wedge_count(edges: DataFrame, orient: str = "degree") -> int:
+    """Closed-form |wedges| for an oriented edge list under the kernel's
+    path-wedge join (e1.pb == e2.pa): sum over middle vertices of
+    in_degree * out_degree.  Computed from the degree distribution alone
+    (two aggregates, no self-join) — the cheap way to predict the closure
+    join's cost before running it, and the cross-check for the runtime
+    Observation metric."""
+    if orient == "degree":
+        edges = orient_edges_by_degree(edges)
+    elif orient != "id":
+        raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
+    ins = edges.groupBy(F.col("pb").alias("v")).agg(
+        F.count(F.lit(1)).alias("din")
+    )
+    outs = edges.groupBy(F.col("pa").alias("v")).agg(
+        F.count(F.lit(1)).alias("dout")
+    )
+    row = (
+        ins.join(outs, "v")
+        .agg(F.sum(F.col("din") * F.col("dout")).alias("wedges"))
+        .collect()[0]
+    )
+    return int(row["wedges"] or 0)
 
 
 _oracle(

@@ -83,10 +83,10 @@ _oracle(
                CAST(LENGTH(text) AS INTEGER) AS n_chars_actual,
                CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^\w\s]', '', 'g')) AS INTEGER) AS n_punct,
                CAST(LEN(list_filter(string_split(text, ' '),
-                    w -> w IN ('the','a','of','and','in','to','is'))) AS INTEGER) AS n_stop
+                    w -> w IN ({stoplist}))) AS INTEGER) AS n_stop
         FROM documents
     ), q AS (
-"""
+""".format(stoplist=", ".join(f"'{w}'" for w in STOPWORDS))
     + QUALITY_SCORE_SQL
     + r"""
     )

@@ -53,23 +53,38 @@ def executed_scan_metrics(df: DataFrame) -> list[dict]:
     The plan is executed JVM-side (``execute().count()`` on the physical
     root): metrics accumulate exactly as under any action, but no row is
     ever serialized to the driver — this helper stays safe to point at a
-    full-size table.
+    full-size table.  Because the probe bypasses
+    ``SQLExecution.withNewExecutionId``, the run is INVISIBLE in the
+    Spark UI's SQL tab (it appears only as anonymous jobs) — it is a
+    diagnostic, not a substitute for running the query.
+
+    Reaches into Catalyst internals via Py4J (``executedPlan`` /
+    ``collectLeaves`` / per-node ``metrics``), which are not a stable
+    API; any failure is re-raised as RuntimeError naming the probe so a
+    Spark upgrade surfaces as a clear message instead of a raw Py4JError.
     """
-    plan = df._jdf.queryExecution().executedPlan()  # type: ignore[attr-defined]
-    plan.execute().count()
-    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
-        plan = plan.executedPlan()
-    leaves = plan.collectLeaves()
-    out: list[dict] = []
-    for i in range(leaves.size()):
-        node = leaves.apply(i)
-        name = node.getClass().getSimpleName()
-        if "Scan" not in name:
-            continue
-        metrics = node.metrics()
-        entry: dict = {"node": name}
-        for key in ("numFiles", "filesSize", "numOutputRows", "metadataTime"):
-            if metrics.contains(key):
-                entry[key] = metrics.apply(key).value()
-        out.append(entry)
-    return out
+    try:
+        plan = df._jdf.queryExecution().executedPlan()  # type: ignore[attr-defined]
+        plan.execute().count()
+        if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            plan = plan.executedPlan()
+        leaves = plan.collectLeaves()
+        out: list[dict] = []
+        for i in range(leaves.size()):
+            node = leaves.apply(i)
+            name = node.getClass().getSimpleName()
+            if "Scan" not in name:
+                continue
+            metrics = node.metrics()
+            entry: dict = {"node": name}
+            for key in ("numFiles", "filesSize", "numOutputRows", "metadataTime"):
+                if metrics.contains(key):
+                    entry[key] = metrics.apply(key).value()
+            out.append(entry)
+        return out
+    except Exception as exc:  # Py4JError / AttributeError on plan drift
+        raise RuntimeError(
+            "executed_scan_metrics: unsupported Spark plan shape or "
+            "version — the probe depends on internal executedPlan/"
+            f"collectLeaves/metrics APIs ({type(exc).__name__}: {exc})"
+        ) from exc

@@ -269,37 +269,73 @@ class _EventsSimpleStreamReader(SimpleDataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         # only consulted on a FRESH query; a restarted query starts from
-        # the check-pointed offset via read(start)
-        return {"batch": 0}
+        # the check-pointed offset via read(start).  The row-layout
+        # options are ENCODED INTO the offset so a failure replay
+        # (readBetweenOffsets) regenerates the committed rows even if the
+        # reader was restarted with different rows_per_batch/partitions —
+        # replay fidelity must come from the checkpoint log, not from
+        # whatever options the current process happens to hold.
+        return {
+            "batch": 0,
+            "rows_per_batch": self.rows_per_batch,
+            "partitions": self.n_partitions,
+        }
 
-    def _batch_rows(self, b: int) -> Iterator[tuple]:
+    def _layout(self, offset: dict) -> tuple[int, int]:
+        # prefer the layout recorded in the checkpointed offset; fall back
+        # to current options only for pre-upgrade checkpoints that lack it
+        return (
+            int(offset.get("rows_per_batch", self.rows_per_batch)),
+            int(offset.get("partitions", self.n_partitions)),
+        )
+
+    def _batch_rows(
+        self, b: int, rows_per_batch: int, n_partitions: int
+    ) -> Iterator[tuple]:
         # same even-split-with-remainder layout as
         # _EventsStreamReader.partitions, so rows match bit-for-bit
-        rows_per_part = self.rows_per_batch // self.n_partitions
-        remainder = self.rows_per_batch % self.n_partitions
-        for p in range(self.n_partitions):
+        rows_per_part = rows_per_batch // n_partitions
+        remainder = rows_per_batch % n_partitions
+        for p in range(n_partitions):
             n_rows = rows_per_part + (
-                remainder if p == self.n_partitions - 1 else 0
+                remainder if p == n_partitions - 1 else 0
             )
             yield from _stream_slice_rows(
                 b, p, p * rows_per_part, n_rows,
-                self.rows_per_batch, self.with_ts,
+                rows_per_batch, self.with_ts,
             )
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         b = start["batch"]
+        rpb, parts = self._layout(start)
         if b >= self.max_batches:
-            return iter(()), {"batch": b}
+            return iter(()), dict(start)
         # materialized list, not a generator: the engine's prefetch-cache
-        # wrapper pickles the returned rows into the batch plan
-        return list(self._batch_rows(b)), {"batch": b + 1}
+        # wrapper pickles the returned rows into the batch plan.  The end
+        # offset carries forward the layout the rows were generated with.
+        return (
+            list(self._batch_rows(b, rpb, parts)),
+            {"batch": b + 1, "rows_per_batch": rpb, "partitions": parts},
+        )
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        return [
-            row
-            for b in range(start["batch"], end["batch"])
-            for row in self._batch_rows(b)
-        ]
+        # failure replay of the committed span [start, end): regenerate
+        # with the layout recorded in the END offset (written by the
+        # read() call that produced the span), so the replay is
+        # byte-identical regardless of current reader options.  MUST be a
+        # genuine iterator: unlike read() (whose rows the prefetch cache
+        # pickles, hence the list there), this runs inside the worker's
+        # plan_data_source_read path, which REJECTS a list return
+        # (DATA_SOURCE_INVALID_RETURN_TYPE — caught by the crash-replay
+        # test in tests/test_streaming_recovery.py).
+        rpb, parts = self._layout(end)
+        return iter(
+            [
+                row
+                for b in range(start["batch"], end["batch"])
+                for row in self._batch_rows(b, rpb, parts)
+            ]
+        )
 
 
 class SyntheticEventsRestartableDataSource(DataSource):

@@ -73,6 +73,13 @@ BENCH_QUERIES = [
     "bfs_hops",
     "hybrid_search_rrf",
     "winnowing_dedup",
+    # Round 7: the rotation's newly driver-promoted non-trivial families
+    # (sequence()-explode gap fill, SCD2 window merge, pandas as-of join,
+    # ordered-event funnel), benched from their first driver round.
+    "timeseries_gapfill",
+    "scd2_apply",
+    "asof_join_pandas",
+    "funnel_ordered_3step",
 ]
 
 
@@ -82,12 +89,25 @@ def _await_idle_host(max_wait_s: int = 90) -> tuple[float, bool]:
     same queries running 2.5x slower when a background verification gate
     shares the cores — totals are only comparable from an idle machine, so
     every headline run now carries this marker instead of relying on the
-    operator to remember."""
+    operator to remember.  Set SPARK_GRAFT_SKIP_IDLE_WAIT=1 to skip the
+    wait (the run is still marked non-idle if the load is high); waits
+    are logged to stderr so a delayed run is explicable."""
     n_cpus = os.cpu_count() or 1
     threshold = max(2.0, n_cpus / 8)
-    deadline = time.time() + max_wait_s
     load = os.getloadavg()[0]
+    if os.environ.get("SPARK_GRAFT_SKIP_IDLE_WAIT") == "1":
+        return round(load, 2), load <= threshold
+    deadline = time.time() + max_wait_s
+    waited = False
     while load > threshold and time.time() < deadline:
+        if not waited:
+            print(
+                f"bench: waiting up to {max_wait_s}s for load "
+                f"{load:.2f} to drop below {threshold:.2f} "
+                "(SPARK_GRAFT_SKIP_IDLE_WAIT=1 skips)",
+                file=sys.stderr,
+            )
+            waited = True
         time.sleep(5)
         load = os.getloadavg()[0]
     return round(load, 2), load <= threshold
@@ -157,6 +177,10 @@ def main() -> int:
                 "runs_per_query": n_runs,
                 "queries_cold": cold,
                 "load_avg_at_start": load_avg,
+                # 5-min average alongside the 1-min gate value: a burst
+                # that just subsided shows low 1-min / high 5-min, so
+                # cross-round comparisons can spot borderline-idle runs
+                "load_avg_5m_at_start": round(os.getloadavg()[1], 2),
                 "idle_host": idle_host,
             }
         )

@@ -164,6 +164,99 @@ def test_restartable_python_source_resumes_from_committed_offset(
     assert got == list(range(160))
 
 
+def test_read_between_offsets_replays_span_despite_option_change():
+    """Failure-replay fidelity at the reader level: readBetweenOffsets must
+    regenerate a committed span byte-identically even when the reader was
+    restarted with DIFFERENT options — the layout is encoded in the
+    checkpointed offsets, so replay never depends on current options."""
+    from airflow_postgres_to_s3_pipeline_spark.sources.python_datasource import (
+        _EventsSimpleStreamReader,
+    )
+
+    original = _EventsSimpleStreamReader(
+        {"rows_per_batch": "40", "partitions": "4", "max_batches": "3"}
+    )
+    start = original.initialOffset()
+    committed = []  # (start_offset, end_offset, rows) per batch
+    off = start
+    for _ in range(3):
+        rows, end = original.read(off)
+        committed.append((off, end, list(rows)))
+        off = end
+
+    # a crashed-and-restarted reader with different options must still
+    # replay every committed span exactly
+    restarted = _EventsSimpleStreamReader(
+        {"rows_per_batch": "7", "partitions": "2", "max_batches": "99"}
+    )
+    for s, e, rows in committed:
+        assert list(restarted.readBetweenOffsets(s, e)) == rows
+    # and a multi-batch span concatenates in batch order
+    s0, _, r0 = committed[0]
+    _, e1, r1 = committed[1]
+    assert list(restarted.readBetweenOffsets(s0, e1)) == r0 + r1
+
+
+def test_restartable_source_crash_replay_is_byte_identical(spark, tmp_path):
+    """Crash injection: offset 1 is written to the checkpoint but its
+    commit record is deleted (simulating a crash between offset-write and
+    commit), so the restarted query must REPLAY batch 1 through
+    readBetweenOffsets (the restarted process has an empty prefetch
+    cache).  foreachBatch has no sink-side dedup log, so the replayed
+    delivery is observable — and must be byte-identical to the original,
+    even though the restart runs with a different rows_per_batch option."""
+    from airflow_postgres_to_s3_pipeline_spark.sources.python_datasource import (
+        SyntheticEventsRestartableDataSource,
+    )
+
+    spark.dataSource.register(SyntheticEventsRestartableDataSource)
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    seen: list[tuple[int, list[tuple]]] = []
+
+    def run_once(rows_per_batch: int):
+        stream = (
+            spark.readStream.format("synthetic_events_restartable")
+            .option("rows_per_batch", str(rows_per_batch))
+            .option("max_batches", "2")
+            .load()
+        )
+
+        def sink(batch_df, batch_id):
+            seen.append((batch_id, sorted(tuple(r) for r in batch_df.collect())))
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once(rows_per_batch=40)
+    first = dict(seen)
+    assert sorted(first) == [0, 1] and len(first[1]) == 40
+
+    # crash simulation: batch 1's offset survives, its commit does not
+    # (also drop the Hadoop checksum sidecar — a real crash writes
+    # neither, and a stale .crc blocks the re-commit rename)
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    seen.clear()
+    run_once(rows_per_batch=13)  # restart with a DIFFERENT layout option
+
+    replays = dict(seen)
+    assert 1 in replays, "restart must re-deliver the uncommitted batch"
+    assert replays[1] == first[1], (
+        "readBetweenOffsets replay must regenerate the committed batch "
+        "byte-identically (layout from the offset, not current options)"
+    )
+    assert 0 not in replays, "committed batch 0 must not be re-delivered"
+
+
 def test_restartable_source_rows_match_partitioned_source(spark):
     """Both Python-source tiers must emit bit-identical rows (one oracle
     covers either)."""
