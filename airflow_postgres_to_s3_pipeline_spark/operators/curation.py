@@ -304,52 +304,96 @@ _oracle(
 
 
 # ---------------------------------------------------------------------------
-# Tokenizer-aware (BPE-approximation) token accounting
+# Tokenizer-aware (genuine BPE) token accounting
 # ---------------------------------------------------------------------------
 
-# Words at/above this corpus frequency form the vocabulary (the stand-in for
-# a BPE merge table: frequent strings become single tokens).  Out-of-vocab
-# words fall back to fixed-width subword pieces, the usual ~4-chars-per-token
-# BPE rule of thumb.
-VOCAB_MIN_FREQ = 8
-OOV_CHARS_PER_TOKEN = 4
+# Number of merge operations learned from corpus word frequencies.  Real
+# tokenizers learn 30k+ merges from a frequency-capped SAMPLE; here the
+# merge count is bounded so the driver-loop training (one distributed pair
+# aggregate + one 1-row collect per merge) stays a few dozen small jobs.
+BPE_MERGES = 24
+
+
+def _bpe_learn(words_freq: DataFrame) -> tuple[DataFrame, list[tuple[str, str]]]:
+    """Learn BPE_MERGES byte-pair merges from a (word, freq) frame and
+    return (segmentations, merges): the per-word segmentation after all
+    merges (word, freq, seg — seg is ' '-separated symbols with boundary
+    spaces) plus the ordered merge list.
+
+    This is genuine BPE training (Sennrich et al. 2016,
+    arXiv:1508.07909): start from characters, repeatedly count adjacent
+    symbol pairs weighted by word frequency, merge the most frequent pair
+    (ties: lexicographically smallest), re-segment, repeat.  Two
+    deliberate, mirrored determinism choices: pair counts include
+    overlapping occurrences (the reference implementation's counting),
+    and each merge is applied with a single left-to-right non-overlapping
+    scan — both Spark's and DuckDB's ``replace`` share exactly that scan
+    semantics, so the oracle (an unrolled stage-per-merge SQL chain)
+    reproduces the learned merges bit-for-bit.  The single-scan
+    application coincides with canonical BPE except on runs of >= 3
+    identical symbols (rare in natural text), where it merges
+    conservatively.
+
+    Scale shape (100 TB): training runs over the DISTINCT-WORD frame
+    (bounded by corpus vocabulary, not corpus size), each iteration one
+    distributed aggregate with map-side combine plus a 1-row argmax
+    collect — the same scalar-driver-state pattern as pagerank/BFS.  The
+    per-iteration replace chain stays a narrow row-local expression.
+    """
+    seg0 = F.concat(
+        F.lit(" "), F.array_join(F.split("word", ""), " "), F.lit(" ")
+    )
+    cur = words_freq.select("word", "freq", seg0.alias("seg"))
+    merges: list[tuple[str, str]] = []
+    pair_expr = F.expr(
+        "zip_with(slice(l, 1, greatest(size(l) - 1, 0)),"
+        "         slice(l, 2, greatest(size(l) - 1, 0)),"
+        "         (a, b) -> struct(a AS pa, b AS pb))"
+    )
+    for _ in range(BPE_MERGES):
+        syms = F.filter(F.split("seg", " "), lambda s: F.length(s) > 0)
+        best = (
+            cur.select("freq", syms.alias("l"))
+            .select("freq", F.explode(pair_expr).alias("p"))
+            .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pa", "pb")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pa, pb = best[0]["pa"], best[0]["pb"]
+        merges.append((pa, pb))
+        cur = cur.withColumn(
+            "seg",
+            F.replace("seg", F.lit(f" {pa} {pb} "), F.lit(f" {pa}{pb} ")),
+        )
+    return cur, merges
 
 
 def _doc_bpe_tokens(d: DataFrame) -> DataFrame:
-    """Per-document tokenizer-denominated token counts over any
-    documents-shaped (lang, doc_id, text) frame.
-
-    The vocabulary is *self-trained* from the corpus (one word-frequency
-    aggregate), exactly how a BPE merge table is: frequent strings cost one
-    token, rare words cost ceil(chars / OOV_CHARS_PER_TOKEN) pieces.  The
-    vocab is broadcast — bounded by the frequency floor, it is the small
-    side by construction — so the corpus-side lookup is a row-local
-    broadcast LEFT join; the only corpus shuffles are the vocab frequency
-    aggregate and the per-doc re-sum, both with map-side combine.
+    """Per-document BPE-tokenizer token counts over any documents-shaped
+    (lang, doc_id, text) frame: train merges on the corpus's own word
+    frequencies (see _bpe_learn), then cost each word at its final symbol
+    count.  The token-cost table is vocabulary-sized, joined back to the
+    exploded corpus on word (AQE broadcasts it when small).
 
     Returns (lang, doc_id, n_words, bpe_tokens) for EVERY document, with
     zero-word documents kept at 0/0 (packing must not drop them).
     """
     words_arr = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
     words = d.select("lang", "doc_id", F.explode(words_arr).alias("word"))
-    vocab = (
-        words.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .filter(F.col("freq") >= VOCAB_MIN_FREQ)
-        .select("word", F.lit(1).alias("in_vocab"))
-    )
-    piece_cost = F.floor(
-        (F.length("word") + (OOV_CHARS_PER_TOKEN - 1)) / OOV_CHARS_PER_TOKEN
-    )
-    cost = F.when(F.col("in_vocab").isNotNull(), F.lit(1).cast("long")).otherwise(
-        piece_cost
-    )
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    segs, _ = _bpe_learn(freq)
+    n_tok = F.size(F.filter(F.split("seg", " "), lambda s: F.length(s) > 0))
+    costs = segs.select("word", n_tok.cast("long").alias("n_tok"))
     per_doc = (
-        words.join(F.broadcast(vocab), "word", "left")
+        words.join(costs, "word")
         .groupBy("lang", "doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
-            F.sum(cost).alias("bpe_tokens"),
+            F.sum("n_tok").alias("bpe_tokens"),
         )
     )
     return (
@@ -364,22 +408,65 @@ def _doc_bpe_tokens(d: DataFrame) -> DataFrame:
     )
 
 
+def _bpe_training_sql(n_merges: int = BPE_MERGES) -> str:
+    """Unrolled DuckDB mirror of _bpe_learn: one (pair-count -> argmax ->
+    replace) CTE triple per merge.  Returns the CTE chain text ending with
+    ``bpe_costs`` (word -> n_tok) and ``bpe_merges`` (rank, pa, pb)."""
+    stages = [
+        """wf AS MATERIALIZED (
+        SELECT word, COUNT(*) AS freq FROM (
+            SELECT UNNEST(list_filter(string_split(text, ' '),
+                                      w -> len(w) > 0)) AS word
+            FROM documents) GROUP BY word
+    ), s0 AS MATERIALIZED (
+        SELECT word, freq,
+               ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seg
+        FROM wf
+    )"""
+    ]
+    for i in range(n_merges):
+        stages.append(f"""pr{i} AS MATERIALIZED (
+        SELECT l[x] AS pa, l[x+1] AS pb, SUM(freq) AS cnt
+        FROM (SELECT freq, list_filter(string_split(seg, ' '),
+                                       s -> len(s) > 0) AS l FROM s{i}) t,
+             UNNEST(range(1, len(l))) AS u(x)
+        GROUP BY 1, 2
+    ), b{i} AS MATERIALIZED (
+        SELECT COALESCE(MIN(pa), '') AS pa, COALESCE(MIN(pb), '') AS pb
+        FROM (SELECT pa, pb FROM pr{i} ORDER BY cnt DESC, pa, pb LIMIT 1)
+    ), s{i + 1} AS MATERIALIZED (
+        SELECT word, freq,
+               CASE WHEN b.pa = '' THEN seg
+                    ELSE replace(seg, ' '||b.pa||' '||b.pb||' ',
+                                      ' '||b.pa||b.pb||' ')
+               END AS seg
+        FROM s{i}, b{i} b
+    )""")
+    stages.append(f"""bpe_costs AS (
+        SELECT word,
+               CAST(len(list_filter(string_split(seg, ' '),
+                                    s -> len(s) > 0)) AS BIGINT) AS n_tok
+        FROM s{n_merges}
+    ), bpe_merges AS (
+        {" UNION ALL ".join(
+            f"SELECT {i + 1} AS merge_rank, pa, pb FROM b{i}"
+            for i in range(n_merges)
+        )}
+    )""")
+    return ", ".join(stages)
+
+
 _BPE_PER_DOC_SQL = f"""
-    words AS (
+    {_bpe_training_sql()}, words AS (
         SELECT lang, doc_id,
                UNNEST(list_filter(string_split(text, ' '),
                                   w -> len(w) > 0)) AS word
         FROM documents
-    ), vocab AS (
-        SELECT word FROM words GROUP BY word
-        HAVING COUNT(*) >= {VOCAB_MIN_FREQ}
     ), per_doc AS (
         SELECT w.lang, w.doc_id,
                COUNT(*) AS n_words,
-               SUM(CASE WHEN v.word IS NOT NULL THEN 1
-                        ELSE (LENGTH(w.word) + {OOV_CHARS_PER_TOKEN - 1})
-                             // {OOV_CHARS_PER_TOKEN} END) AS bpe_tokens
-        FROM words w LEFT JOIN vocab v USING (word)
+               SUM(c.n_tok) AS bpe_tokens
+        FROM words w JOIN bpe_costs c USING (word)
         GROUP BY w.lang, w.doc_id
     ), toks AS (
         SELECT d.lang, d.doc_id,
@@ -390,13 +477,14 @@ _BPE_PER_DOC_SQL = f"""
 
 
 def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer-aware token counting: self-trained vocabulary (the BPE
-    merge-table analog) + fixed-width subword fallback for OOV words.
+    """Genuine-BPE token counting: merges learned from the corpus's own
+    word frequencies (see _bpe_learn), each word costed at its merged
+    symbol count.
 
-    The whitespace `token_count` entry under-counts by ~25-40% versus a real
-    BPE tokenizer; at 100 TB that error is the difference between a correct
-    and a blown pre-training token budget, so packing and mixing budgets
-    should be denominated in THESE counts (see ``sequence_packing_bpe``).
+    The whitespace `token_count` entry under-counts versus a tokenizer;
+    at 100 TB that error is the difference between a correct and a blown
+    pre-training token budget, so packing and mixing budgets should be
+    denominated in THESE counts (see ``sequence_packing_bpe``).
     """
     d = table(spark, sf_dir, "documents")
     return _doc_bpe_tokens(d).select("doc_id", "n_words", "bpe_tokens")
@@ -407,6 +495,35 @@ _oracle(
     f"""
     WITH {_BPE_PER_DOC_SQL}
     SELECT doc_id, n_words, bpe_tokens FROM toks
+    """,
+)
+
+
+def bpe_merges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table itself, as a relation (merge_rank, pa,
+    pb) — the direct evidence that training is genuine and deterministic:
+    the oracle RE-LEARNS the merges in DuckDB from the same parquet via
+    the unrolled stage-per-merge SQL and must reproduce them exactly."""
+    words_arr = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(words_arr).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    _, merges = _bpe_learn(freq)
+    return spark.createDataFrame(
+        [(i + 1, pa, pb) for i, (pa, pb) in enumerate(merges)],
+        "merge_rank int, pa string, pb string",
+    )
+
+
+_oracle(
+    "bpe_merges",
+    f"""
+    WITH {_bpe_training_sql()}
+    SELECT CAST(merge_rank AS INTEGER) AS merge_rank, pa, pb
+    FROM bpe_merges WHERE pa <> ''
     """,
 )
 
@@ -431,13 +548,13 @@ def _pack_bins(per_doc: DataFrame, budget: int) -> DataFrame:
 
 
 def sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``sequence_packing`` with the budget denominated in tokenizer
-    (BPE-approximation) tokens instead of whitespace words — the version a
-    real pre-training batch builder needs.
+    """``sequence_packing`` with the budget denominated in genuine BPE
+    tokens (corpus-trained merges, see _bpe_learn) instead of whitespace
+    words — the version a real pre-training batch builder needs.
 
     Same shape as the whitespace tier (per-lang window prefix-sum, groups
     parallel across languages; at 100 TB pack within (lang, shard)), plus
-    the vocab broadcast join from ``_doc_bpe_tokens`` upstream.
+    the vocabulary-sized token-cost join from ``_doc_bpe_tokens`` upstream.
     """
     d = table(spark, sf_dir, "documents")
     return _pack_bins(_doc_bpe_tokens(d), PACK_BUDGET)

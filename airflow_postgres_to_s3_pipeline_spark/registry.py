@@ -856,9 +856,12 @@ QUERIES: dict[str, QueryFn] = {
     "knn_gemm": similarity.knn_gemm,
     "knn_pq": similarity.knn_pq,
     # E27 text analysis / corpus curation (r7 rotation: PII scrubbing —
-    # the redaction pass every training-data pipeline runs)
+    # the redaction pass every training-data pipeline runs — and the
+    # genuine-BPE token accounting tier, newly upgraded from the
+    # frequency-vocab approximation to real learned merges; bm25_scoring
+    # is r6-green and rotates out for it)
     "doc_quality": text.doc_quality,
-    "bm25_scoring": text.bm25_scoring,
+    "bpe_token_count": curation.bpe_token_count,
     "pii_scrub": text.pii_scrub,
     # graph analytics (r7 rotation: pagerank re-pinned post-hoisting per
     # the r6 verdict; triangle keeps its wedge-metric guard in-window)
@@ -868,6 +871,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_tile_near_dup": multimodal.multimodal_tile_near_dup,
     # -- end of driver window (50) -----------------------------------------
     # additional variants, all locally oracle/pytest-verified
+    "bm25_scoring": text.bm25_scoring,
     "nation_market_share": advanced.nation_market_share,
     "sole_supplier_orders": advanced.sole_supplier_orders,
     "streaming_late_data_drop": streaming_late_data_drop,
@@ -1000,7 +1004,7 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_lm_score": text.ngram_lm_score,
     "mode_argmax": advanced.mode_argmax,
     "corpus_mix_sample": curation.corpus_mix_sample,
-    "bpe_token_count": curation.bpe_token_count,
+    "bpe_merges": curation.bpe_merges_table,
     "arrow_group_normalize": udfs.arrow_group_normalize,
     "map_in_arrow_price_tier": udfs.map_in_arrow_price_tier,
     "winnowing_fingerprint": text.winnowing_fingerprint,
@@ -1109,7 +1113,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "contrastive_triplets",
             "knn_pq_fold"),
     "E27": ("doc_quality", "lang_id_heuristic", "tfidf_top_terms",
-            "token_count", "bpe_token_count", "corpus_mix_sample",
+            "token_count", "bpe_token_count", "bpe_merges",
+            "corpus_mix_sample",
             "contamination_check", "sequence_packing",
             "sequence_packing_bpe", "sequence_packing_ffd",
             "repetition_stats", "doc_chunking",

@@ -113,22 +113,56 @@ def test_sequence_packing_invariants(spark, sf_dir):
         assert [r["bin_id"] for r in bins] == list(range(len(bins)))
 
 
-def test_bpe_token_cost_vocab_vs_oov(spark):
-    """In-vocab words (corpus freq >= VOCAB_MIN_FREQ) cost 1 token; OOV
-    words cost ceil(chars / OOV_CHARS_PER_TOKEN) pieces; empty docs are
-    kept at zero tokens."""
-    common = "the"  # planted at exactly VOCAB_MIN_FREQ occurrences
-    rows = [("en", i, common) for i in range(curation.VOCAB_MIN_FREQ - 1)]
-    rows.append(("en", 90, common + " extraordinarily"))  # 1 + ceil(16/4)
-    rows.append(("en", 91, ""))
-    d = spark.createDataFrame(rows, ["lang", "doc_id", "text"])
+def test_bpe_learns_expected_merges(spark):
+    """Genuine BPE training on a planted frequency table: most-frequent
+    pair first, merged symbols compose, training stops when no pairs
+    remain."""
+    wf = spark.createDataFrame(
+        [("ab", 10), ("abc", 5)], ["word", "freq"]
+    )
+    segs, merges = curation._bpe_learn(wf)
+    # pair (a,b) has weight 15, (b,c) only 5; after the first merge the
+    # only remaining pair is (ab, c)
+    assert merges == [("a", "b"), ("ab", "c")]
+    got = {r["word"]: r["seg"] for r in segs.collect()}
+    assert got == {"ab": " ab ", "abc": " abc "}
+
+
+def test_bpe_tie_break_is_lexicographic(spark):
+    """Equal-count pairs must merge the lexicographically smallest (pa,
+    pb) — the determinism rule the DuckDB oracle mirrors."""
+    wf = spark.createDataFrame([("ba", 3), ("ab", 3)], ["word", "freq"])
+    _, merges = curation._bpe_learn(wf)
+    assert merges[0] == ("a", "b")
+
+
+def test_bpe_single_scan_merge_on_runs(spark):
+    """The documented left-to-right single-scan semantics: one (a,a)
+    merge pass over 'aaaa' yields [aa, a, a] (scan resumes after the
+    replaced region), then later merges continue from there — identical
+    in Spark and DuckDB replace()."""
+    wf = spark.createDataFrame([("aaaa", 1)], ["word", "freq"])
+    segs, merges = curation._bpe_learn(wf)
+    assert merges[0] == ("a", "a")
+    # training continues to a single symbol eventually
+    final = segs.collect()[0]["seg"]
+    assert final == " aaaa "
+
+
+def test_bpe_doc_tokens_end_to_end(spark):
+    """Per-doc counts from corpus-trained merges; empty docs kept at
+    0/0."""
+    d = spark.createDataFrame(
+        [("en", 0, "ab ab abc"), ("en", 1, "")],
+        ["lang", "doc_id", "text"],
+    )
     got = {
         r["doc_id"]: (r["n_words"], r["bpe_tokens"])
         for r in curation._doc_bpe_tokens(d).collect()
     }
-    assert got[0] == (1, 1)
-    assert got[90] == (2, 1 + 4)
-    assert got[91] == (0, 0)
+    # 'ab' and 'abc' both collapse to a single learned token
+    assert got[0] == (3, 3)
+    assert got[1] == (0, 0)
 
 
 def test_sequence_packing_bpe_matches_python_recompute(spark, sf_dir):
