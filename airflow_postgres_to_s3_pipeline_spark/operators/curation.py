@@ -358,12 +358,11 @@ def _bpe_learn(words_freq: DataFrame) -> tuple[DataFrame, list[tuple[str, str]]]
             .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.col("cnt").desc(), "pa", "pb")
-            .limit(1)
-            .collect()
+            .first()  # 1-row argmax scalar, not a materialization
         )
-        if not best:
+        if best is None:
             break
-        pa, pb = best[0]["pa"], best[0]["pb"]
+        pa, pb = best["pa"], best["pb"]
         merges.append((pa, pb))
         cur = cur.withColumn(
             "seg",

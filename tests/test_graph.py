@@ -129,3 +129,46 @@ def test_degree_orientation_bounds_wedges_on_skewed_graph(spark):
     # 0) so only the sparse ring contributes
     assert wedges["id"] > 100_000
     assert wedges["degree"] < wedges["id"] // 100
+
+
+def test_edge_iterator_matches_wedge_join(spark, sf_dir):
+    """The r7 edge-iterator fast path must produce bit-identical per-part
+    counts to the wedge-join reference, for both orientations and both
+    adjacency-join modes."""
+    from pyspark.sql import Observation
+
+    obs = Observation("ref_wedges")
+    ref = {
+        (r["l_partkey"], r["n_triangles"])
+        for r in graph.triangle_count(
+            spark, sf_dir, wedge_observation=obs
+        ).collect()
+    }
+    fast = {
+        (r["l_partkey"], r["n_triangles"])
+        for r in graph.triangle_count(spark, sf_dir).collect()
+    }
+    assert fast == ref
+    # shuffle-join degradation path (the >TRI_ADJ_BROADCAST_MAX_EDGES
+    # branch) on a synthetic edge list
+    pairs = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (0, 3)]
+    e = _edge_df(spark, pairs)
+    bro = {
+        (r["vertex"], r["n_triangles"])
+        for r in graph._triangles_edge_iterator(
+            _edge_df(spark, pairs), broadcast_adj=True
+        ).collect()
+    }
+    shf = {
+        (r["vertex"], r["n_triangles"])
+        for r in graph._triangles_edge_iterator(
+            e, broadcast_adj=False
+        ).collect()
+    }
+    assert bro == shf
+    assert bro == {
+        (r["vertex"], r["n_triangles"])
+        for r in graph._triangles_from_edges(
+            _edge_df(spark, pairs), "degree"
+        ).collect()
+    }
