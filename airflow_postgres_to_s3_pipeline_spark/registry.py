@@ -775,6 +775,32 @@ _MODULES = (
 # dsir_importance_sample + sequence_packing + hybrid_search_rrf +
 # token_pmi_top_pairs (E27 keeps doc_quality, bm25, pii_scrub),
 # bfs_hops (G1 keeps triangle_count + pagerank_parts).
+# Round-8 rotation (eighteen never-driver-tested entries + the
+# range_join_bucketed second-E7-row promotion the r7 verdict asked for;
+# all nineteen demotions are r7-green, every incoming entry verified vs
+# its DuckDB oracle at sf0.01 in both the tuned session and the
+# driver-replica vanilla+STRICT_FLOATS session before the swap):
+# IN mode_argmax (E8), range_join_bucketed (E7), window_percent_rank +
+# cohort_retention (E11), window_range_frame + time_weighted_average
+# (E12), arrow_udf_tier + arrow_group_normalize + map_in_arrow_price_tier
+# + python_udtf_polymorphic (E21 Arrow/UDTF tiers),
+# sql_scripting_threshold + sql_pipe_syntax + recursive_order_chain (SQL
+# surface), streaming_chained_windows + streaming_static_enrich (E22/23),
+# knn_ivf_fold + knn_pq_fold (E26), sequence_packing_ffd (E27),
+# multimodal_audio_energy (E28 second row); OUT scd2_apply +
+# zorder_scan_roundtrip (2A keeps export_projection_filter +
+# table_fingerprint), join_range + asof_join_pandas (E7 rep becomes
+# range_join_bucketed), lateral_topk_orders (E4 keeps
+# join_broadcast_dims), approx_topk_terms (E9 keeps hll_sketch_users),
+# funnel_ordered_3step (E11 keeps window_topk_per_customer),
+# window_lag_lead + window_running_total + timeseries_gapfill (E12 reps
+# become the two incoming), variant_json + xml_functions (E20 keeps
+# json_functions), streaming_stream_stream_join +
+# streaming_dedup_within_watermark + session_window_agg +
+# python_simple_stream_source_agg (E22/23 keep tumbling, stateful totals,
+# full-outer + the two new tiers), knn_pq (E26 keeps knn_gemm + the two
+# fold tiers), pii_scrub (E27 keeps doc_quality + bpe_token_count),
+# pagerank_parts (G1 keeps triangle_count).
 # Entries past #50 are additional variants of families already represented
 # above; all are still locally verified by tools/check_oracles.py and
 # pytest regardless of driver coverage.
@@ -785,65 +811,64 @@ QUERIES: dict[str, QueryFn] = {
     # E2-E3 projection/filter
     "computed_projection": relational.computed_projection,
     "filter_compound": relational.filter_compound,
-    # E8 flagship aggregate
+    # E8 flagship aggregate + the argmax-per-group mode tier (r8 rotation)
     "pricing_summary": relational.pricing_summary,
-    # §2A SCD2 merge tier (r7 rotation: the delete+insert idempotency
-    # pattern generalized to slowly-changing-dimension history) and the
-    # Z-order layout round-trip proving multi-column clustering survives
-    # a write→read cycle with row-group skipping
-    "scd2_apply": advanced.scd2_apply,
-    "zorder_scan_roundtrip": layout.zorder_scan_roundtrip,
-    # E4-E7 joins (equi broadcast, outer, semi, range; r7 rotation adds
-    # the pandas as-of join tier — the non-equi family's merge_asof shape)
+    "mode_argmax": advanced.mode_argmax,
+    # E4-E7 joins (equi broadcast, semi; r8 rotation: the bucketed range
+    # join replaces the naive theta tier as the E7 scale-path rep, per the
+    # r7 verdict's thin-coverage list)
     "join_broadcast_dims": relational.join_broadcast_dims,
     "streaming_ss_full_outer_join": streaming_ss_full_outer_join,
     "join_semi": relational.join_semi,
-    "join_range": relational.join_range,
-    "asof_join_pandas": windows.asof_join_pandas,
+    "range_join_bucketed": relational.range_join_bucketed,
     # E5/E8 TPC-H Q13: outer-join count distribution
     "customer_order_distribution": advanced.customer_order_distribution,
-    # E4 LATERAL top-k SQL surface (Q8/Q21 shapes r6-green, rotated out)
-    "lateral_topk_orders": sql_surface.lateral_topk_orders,
-    # E9 distinct (HLL-sketch-with-bound tier; r7 rotation adds the
-    # count-min-style approximate top-k terms sketch)
+    # E9 distinct (HLL-sketch-with-bound tier)
     "hll_sketch_users": sketches.hll_sketch_users,
-    "approx_topk_terms": sketches.approx_topk_terms,
     # E10 rollup
     "rollup_acctbal": relational.rollup_acctbal,
-    # E11 ranking windows + ordered-event funnel (r7 rotation)
+    # E11 ranking windows (r8 rotation: percent_rank/cume_dist tier and
+    # the cohort-retention matrix, both never driver-tested)
     "window_topk_per_customer": windows.window_topk_per_customer,
-    "funnel_ordered_3step": windows.funnel_ordered_3step,
-    # E12 analytic windows (r7 rotation: running-total frames and
-    # sequence()-driven time-series gap fill, both never driver-tested)
-    "window_lag_lead": advanced.window_lag_lead,
-    "window_running_total": windows.window_running_total,
-    "timeseries_gapfill": windows.timeseries_gapfill,
+    "window_percent_rank": windows.window_percent_rank,
+    "cohort_retention": windows.cohort_retention,
+    # E12 analytic windows (r8 rotation: RANGE BETWEEN value frames and
+    # the time-weighted average — the irregular-timeseries integral)
+    "window_range_frame": windows.window_range_frame,
+    "time_weighted_average": windows.time_weighted_average,
     # E13-E14
     "global_topk": relational.global_topk,
     "set_operations": relational.set_operations,
-    # E15-E20 scalar function families (r7 rotation: VARIANT semi-
-    # structured tier and the XPath/XML surface join the window)
+    # E15-E20 scalar function families
     "string_functions": scalar_funcs.string_functions,
     "date_functions": scalar_funcs.date_functions,
     "math_functions": scalar_funcs.math_functions,
     "conditional_functions": scalar_funcs.conditional_functions,
     "array_functions": scalar_funcs.array_functions,
     "json_functions": scalar_funcs.json_functions,
-    "variant_json": scalar_funcs.variant_json,
-    "xml_functions": sql_surface.xml_functions,
-    # E21 UDF surface (SQL-UDF tier; pandas/Arrow/UDTF tiers r5-green)
+    # E21 UDF surface (r8 rotation: all four never-driver-tested Python
+    # eval tiers — arrow-batch scalar UDF, grouped applyInArrow normalize,
+    # mapInArrow row transform, and the polymorphic analyze() UDTF — join
+    # the SQL-UDF rep)
     "sql_udf_functions": sql_surface.sql_udf_functions,
-    # E22-E23 streaming (genuine readStream executions; r7 rotation:
-    # stream-stream inner join, dropDuplicatesWithinWatermark, the
-    # restartable Python SimpleDataSourceStreamReader source, and the
-    # batch session_window tier — none previously driver-tested)
+    "arrow_udf_tier": udfs.arrow_udf_tier,
+    "arrow_group_normalize": udfs.arrow_group_normalize,
+    "map_in_arrow_price_tier": udfs.map_in_arrow_price_tier,
+    "python_udtf_polymorphic": udfs.python_udtf_polymorphic,
+    # SQL surface tiers (r8 rotation: SQL-scripting BEGIN..END control
+    # flow, the |> pipe syntax, and the iterative-join recursive CTE
+    # equivalent — none previously driver-tested)
+    "sql_scripting_threshold": sql_surface.sql_scripting_threshold,
+    "sql_pipe_syntax": sql_surface.sql_pipe_syntax,
+    "recursive_order_chain": advanced.recursive_order_chain,
+    # E22-E23 streaming (genuine readStream executions; r8 rotation:
+    # chained windowed re-aggregation and the stream-static broadcast
+    # enrich join — the two never-driver-tested streaming tiers)
     "streaming_tumbling_agg": streaming_tumbling_agg,
     "streaming_stateful_running_totals": streaming_stateful_running_totals,
-    "streaming_stream_stream_join": streaming_stream_stream_join,
-    "streaming_dedup_within_watermark": streaming_dedup_within_watermark,
+    "streaming_chained_windows": streaming_chained_windows,
+    "streaming_static_enrich": streaming_static_enrich,
     "python_stream_source_agg": python_stream_source_agg,
-    "python_simple_stream_source_agg": python_simple_stream_source_agg,
-    "session_window_agg": windows.session_window_agg,
     # E24 exact dedup
     "dedup_exact": dedup.dedup_exact,
     # 2A export parity fingerprint
@@ -851,26 +876,45 @@ QUERIES: dict[str, QueryFn] = {
     # E25 near-dedup: keep-best survivorship (cluster + quality argmax —
     # the production dedup shape; LSH/components/winnowing tiers r6-green)
     "dedup_keep_best": dedup.dedup_keep_best,
-    # E26 similarity search (GEMM top-k tier; r7 rotation: the plain-PQ
-    # tier — the only main-path ANN tier never driver-tested)
+    # E26 similarity search (GEMM top-k tier; r8 rotation: the two fold
+    # variants — IVF and PQ k-NN under fold-style partition pruning —
+    # the last never-driver-tested ANN tiers)
     "knn_gemm": similarity.knn_gemm,
-    "knn_pq": similarity.knn_pq,
-    # E27 text analysis / corpus curation (r7 rotation: PII scrubbing —
-    # the redaction pass every training-data pipeline runs — and the
-    # genuine-BPE token accounting tier, newly upgraded from the
-    # frequency-vocab approximation to real learned merges; bm25_scoring
-    # is r6-green and rotates out for it)
+    "knn_ivf_fold": similarity.knn_ivf_fold,
+    "knn_pq_fold": similarity.knn_pq_fold,
+    # E27 text analysis / corpus curation (r8 rotation: first-fit-
+    # decreasing sequence packing — the training-batch assembly op)
     "doc_quality": text.doc_quality,
     "bpe_token_count": curation.bpe_token_count,
-    "pii_scrub": text.pii_scrub,
-    # graph analytics (r7 rotation: pagerank re-pinned post-hoisting per
-    # the r6 verdict; triangle keeps its wedge-metric guard in-window)
+    "sequence_packing_ffd": curation.sequence_packing_ffd,
+    # graph analytics (triangle keeps its wedge-metric guard in-window;
+    # pagerank_parts is r7-green and rotates out)
     "triangle_count": graph.triangle_count,
-    "pagerank_parts": graph.pagerank_parts,
-    # E28 multimodal
+    # E28 multimodal (r8 rotation: the audio energy-window tier gives the
+    # family its second driver row per the r7 verdict)
     "multimodal_tile_near_dup": multimodal.multimodal_tile_near_dup,
+    "multimodal_audio_energy": multimodal.multimodal_audio_energy,
     # -- end of driver window (50) -----------------------------------------
     # additional variants, all locally oracle/pytest-verified
+    "scd2_apply": advanced.scd2_apply,
+    "zorder_scan_roundtrip": layout.zorder_scan_roundtrip,
+    "join_range": relational.join_range,
+    "asof_join_pandas": windows.asof_join_pandas,
+    "lateral_topk_orders": sql_surface.lateral_topk_orders,
+    "approx_topk_terms": sketches.approx_topk_terms,
+    "funnel_ordered_3step": windows.funnel_ordered_3step,
+    "window_lag_lead": advanced.window_lag_lead,
+    "window_running_total": windows.window_running_total,
+    "timeseries_gapfill": windows.timeseries_gapfill,
+    "variant_json": scalar_funcs.variant_json,
+    "xml_functions": sql_surface.xml_functions,
+    "streaming_stream_stream_join": streaming_stream_stream_join,
+    "streaming_dedup_within_watermark": streaming_dedup_within_watermark,
+    "session_window_agg": windows.session_window_agg,
+    "python_simple_stream_source_agg": python_simple_stream_source_agg,
+    "knn_pq": similarity.knn_pq,
+    "pii_scrub": text.pii_scrub,
+    "pagerank_parts": graph.pagerank_parts,
     "bm25_scoring": text.bm25_scoring,
     "nation_market_share": advanced.nation_market_share,
     "sole_supplier_orders": advanced.sole_supplier_orders,
@@ -897,10 +941,8 @@ QUERIES: dict[str, QueryFn] = {
     "contamination_check": curation.contamination_check,
     "part_cooccurrence_lift": graph.part_cooccurrence_lift,
     "multimodal_decode": multimodal.multimodal_decode,
-    "range_join_bucketed": relational.range_join_bucketed,
     "distinct_pairs": relational.distinct_pairs,
     "python_udtf_word_expand": udfs.python_udtf_word_expand,
-    "python_udtf_polymorphic": udfs.python_udtf_polymorphic,
     "streaming_session_window": streaming_session_window,
     "streaming_dedup": streaming_dedup,
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -942,7 +984,6 @@ QUERIES: dict[str, QueryFn] = {
     "exact_percentiles": advanced.exact_percentiles,
     "join_skew_salted": advanced.join_skew_salted,
     "salted_agg_hot_key": advanced.salted_agg_hot_key,
-    "window_percent_rank": windows.window_percent_rank,
     "window_ignore_nulls": windows.window_ignore_nulls,
     "window_nth_value": windows.window_nth_value,
     "conditional_aggregates": advanced.conditional_aggregates,
@@ -965,17 +1006,13 @@ QUERIES: dict[str, QueryFn] = {
     "top_supplier_revenue": advanced.top_supplier_revenue,
     "small_quantity_revenue": advanced.small_quantity_revenue,
     "embedding_dim_stats": similarity.embedding_dim_stats,
-    "sequence_packing_ffd": curation.sequence_packing_ffd,
     "sequence_packing_bpe": curation.sequence_packing_bpe,
-    "recursive_order_chain": advanced.recursive_order_chain,
     "returned_item_revenue": advanced.returned_item_revenue,
     "disjunctive_filter_parts": advanced.disjunctive_filter_parts,
     "inactive_high_value_customers": advanced.inactive_high_value_customers,
     "promo_revenue_share": advanced.promo_revenue_share,
     "sessionize_events": windows.sessionize_events,
-    "cohort_retention": windows.cohort_retention,
     "window_ntile_quartiles": windows.window_ntile_quartiles,
-    "window_range_frame": windows.window_range_frame,
     "asof_last_purchase": windows.asof_last_purchase,
     "hypertable_rollup": windows.hypertable_rollup,
     "tumbling_window_agg": windows.tumbling_window_agg,
@@ -984,17 +1021,12 @@ QUERIES: dict[str, QueryFn] = {
     "try_arithmetic": scalar_funcs.try_arithmetic,
     "map_hof_functions": scalar_funcs.map_hof_functions,
     "python_udf_rowwise": udfs.python_udf_rowwise,
-    "arrow_udf_tier": udfs.arrow_udf_tier,
     "model_inference_scores": udfs.model_inference_scores,
     "streaming_dynamic_session": streaming_dynamic_session,
-    "streaming_chained_windows": streaming_chained_windows,
     "streaming_ss_left_outer_join": streaming_ss_left_outer_join,
-    "streaming_static_enrich": streaming_static_enrich,
     "minhash_ml_pairs": ml_feature.minhash_ml_pairs,
     "tfidf_ml_features": ml_feature.tfidf_ml_features,
-    "knn_ivf_fold": similarity.knn_ivf_fold,
     "embedding_random_projection": similarity.embedding_random_projection,
-    "multimodal_audio_energy": multimodal.multimodal_audio_energy,
     "lang_stats": text.lang_stats,
     "token_count": text.token_count,
     "doc_fingerprint": text.doc_fingerprint,
@@ -1002,17 +1034,11 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_curation": text.corpus_curation,
     "reading_level": text.reading_level,
     "ngram_lm_score": text.ngram_lm_score,
-    "mode_argmax": advanced.mode_argmax,
     "corpus_mix_sample": curation.corpus_mix_sample,
     "bpe_merges": curation.bpe_merges_table,
-    "arrow_group_normalize": udfs.arrow_group_normalize,
-    "map_in_arrow_price_tier": udfs.map_in_arrow_price_tier,
     "winnowing_fingerprint": text.winnowing_fingerprint,
     "chunk_dedup": dedup.chunk_dedup,
     "knn_ivf": similarity.knn_ivf,
-    "knn_pq_fold": similarity.knn_pq_fold,
-    "sql_scripting_threshold": sql_surface.sql_scripting_threshold,
-    "sql_pipe_syntax": sql_surface.sql_pipe_syntax,
     "parameterized_query": sql_surface.parameterized_query,
     "min_cost_supplier": advanced.min_cost_supplier,
     "pandas_udf_score": udfs.pandas_udf_score,
@@ -1021,7 +1047,6 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_dedup": dedup.simhash_dedup,
     "fuzzy_match_parts": entity.fuzzy_match_parts,
     "mad_outliers": advanced.mad_outliers,
-    "time_weighted_average": windows.time_weighted_average,
     "event_transitions": windows.event_transitions,
     "user_value_trend": windows.user_value_trend,
     "weighted_sample_sus": curation.weighted_sample_sus,
@@ -1066,9 +1091,11 @@ FAMILIES: dict[str, tuple[str, ...]] = {
            "approx_percentiles", "approx_topk_terms"),
     "E10": ("rollup_acctbal", "cube_status_priority", "grouping_sets_agg"),
     "E11": ("window_topk_per_customer", "window_percent_rank",
-            "window_ntile_quartiles", "funnel_ordered_3step"),
+            "window_ntile_quartiles", "funnel_ordered_3step",
+            "cohort_retention"),
     "E12": ("window_lag_lead", "window_ignore_nulls", "window_nth_value",
-            "window_running_total", "timeseries_gapfill"),
+            "window_running_total", "timeseries_gapfill",
+            "window_range_frame", "time_weighted_average"),
     "E13": ("global_topk", "returned_item_revenue"),
     "E14": ("set_operations",),
     "E15": ("string_functions", "collation_group"),
@@ -1130,6 +1157,12 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "multimodal_audio_energy", "multimodal_tile_near_dup"),
     "G1": ("part_cooccurrence_lift", "pagerank_parts", "triangle_count",
            "recursive_cte_order_chains", "bfs_hops"),
+    # SQL-language surface beyond plain SELECT: scripting control flow,
+    # pipe syntax, session-parameterized queries, collation-aware
+    # grouping, and the DataFrame-iterative recursive-CTE equivalent.
+    "SQL": ("sql_scripting_threshold", "sql_pipe_syntax",
+            "parameterized_query", "collation_group",
+            "recursive_order_chain"),
 }
 
 
