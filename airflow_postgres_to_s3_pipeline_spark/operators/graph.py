@@ -281,11 +281,21 @@ _oracle("pagerank_parts", _pagerank_oracle())
 TRI_SUPPORT = 1
 
 
-# Edge-iterator adjacency lists broadcast below this many edges; above it
-# the same plan degrades to a shuffle equi-join on the endpoint keys
-# (degree orientation bounds each neighbor array at O(sqrt(|E|)), so no
-# single row explodes even on skewed graphs).
-TRI_ADJ_BROADCAST_MAX_EDGES = 50_000_000
+# Edge-iterator adjacency lists broadcast only while their ESTIMATED
+# in-memory size fits a fixed byte budget; above it the same plan degrades
+# to a shuffle equi-join on the endpoint keys (degree orientation bounds
+# each neighbor array at O(sqrt(|E|)), so no single row explodes even on
+# skewed graphs).  The estimate is |E| x BYTES_PER_EDGE: every oriented
+# edge contributes exactly one int64 neighbor entry to exactly one
+# adjacency array, and the UnsafeArrayData/row overhead amortizes to
+# roughly 3x the raw 8 bytes (8B value + offsets/headers + hash-relation
+# slot).  At the 128 MiB budget the gate trips near 4M edges — a
+# broadcast the driver and every executor comfortably hold — replacing
+# the r7 50M-EDGE count gate whose threshold-sized adjacency (~1.6 GB as
+# a hash relation) would have OOMed the driver long before tripping
+# (r7 ADVICE.md finding).
+TRI_ADJ_BROADCAST_MAX_BYTES = 128 * 1024 * 1024
+TRI_ADJ_BYTES_PER_EDGE = 24
 
 
 def triangle_count(spark: SparkSession, sf_dir: str,
@@ -304,9 +314,11 @@ def triangle_count(spark: SparkSession, sf_dir: str,
     adjacency joins, so the |wedges|-sized intermediate (49M rows at
     sf0.1) is NEVER materialized or shuffled.  Measured 3x faster than
     the wedge-join formulation at sf0.1 (14.4s -> ~4.7s warm) with
-    bit-identical counts (pinned by test).  Adjacency broadcasts below
-    TRI_ADJ_BROADCAST_MAX_EDGES total edges; beyond that the identical
-    plan runs as a shuffle join (arrays stay bounded by the orientation).
+    bit-identical counts (pinned by test).  Adjacency broadcasts (once —
+    both join sides reuse a single exchange) while its estimated bytes
+    (|E| x TRI_ADJ_BYTES_PER_EDGE) fit TRI_ADJ_BROADCAST_MAX_BYTES;
+    beyond that the identical plan runs as a shuffle join (arrays stay
+    bounded by the orientation).
 
     The wedge-join reference formulation lives in ``_triangles_from_edges``
     and is selected automatically when ``wedge_observation`` is passed —
@@ -359,14 +371,21 @@ def _triangles_edge_iterator(
         raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
     edges = tracked_persist(edges)
     if broadcast_adj is None:
-        broadcast_adj = edges.count() <= TRI_ADJ_BROADCAST_MAX_EDGES
+        est_bytes = edges.count() * TRI_ADJ_BYTES_PER_EDGE
+        broadcast_adj = est_bytes <= TRI_ADJ_BROADCAST_MAX_BYTES
     adj = edges.groupBy(F.col("pa").alias("v")).agg(
         F.sort_array(F.collect_list("pb")).alias("nbrs")
     )
+    if broadcast_adj:
+        # hint ONCE on the shared adjacency frame; a1/a2 are pure column
+        # renames of it, so both join sides canonicalize to the same
+        # broadcast exchange and Spark's ReuseExchange ships the relation
+        # a single time (the second side resolves to a ReusedExchange —
+        # pinned by test), instead of the r7 shape that built and shipped
+        # the same adjacency twice
+        adj = F.broadcast(adj)
     a1 = adj.select(F.col("v").alias("pa"), F.col("nbrs").alias("na"))
     a2 = adj.select(F.col("v").alias("pb"), F.col("nbrs").alias("nb"))
-    if broadcast_adj:
-        a1, a2 = F.broadcast(a1), F.broadcast(a2)
     tri = (
         edges.join(a1, "pa")
         .join(a2, "pb")

@@ -83,34 +83,49 @@ BENCH_QUERIES = [
 ]
 
 
-def _await_idle_host(max_wait_s: int = 90) -> tuple[float, bool]:
-    """Wait (bounded) for the 1-min load average to drop below the idle
-    threshold, then report (load_avg, idle?).  docs/SCALE.md records the
-    same queries running 2.5x slower when a background verification gate
-    shares the cores — totals are only comparable from an idle machine, so
-    every headline run now carries this marker instead of relying on the
-    operator to remember.  Set SPARK_GRAFT_SKIP_IDLE_WAIT=1 to skip the
-    wait (the run is still marked non-idle if the load is high); waits
-    are logged to stderr so a delayed run is explicable."""
+def _await_idle_host(max_wait_s: int | None = None) -> tuple[float, bool]:
+    """Wait (bounded) for BOTH the 1-min and 5-min load averages to drop
+    below the idle threshold, then report (load1, idle?).  docs/SCALE.md
+    records the same queries running 2.5x slower when a background
+    verification gate shares the cores — totals are only comparable from
+    an idle machine, so every headline run carries this marker instead of
+    relying on the operator to remember.  The gate is max(load1, load5):
+    a just-subsided CPU burst leaves load1 low while load5 is still high,
+    and SCALE.md's r6 counter-example (load1 1.9 / recent-burst host →
+    121.8s total vs 52.9s idle) shows runs in that state are NOT
+    comparable — the r7 driver bench was stamped idle at load1 3.89 /
+    load5 5.93 under the old 1-min-only rule, which is exactly the spoof
+    this closes.  Set SPARK_GRAFT_SKIP_IDLE_WAIT=1 to skip the wait (the
+    run is still marked non-idle if either load is high); waits are
+    logged to stderr so a delayed run is explicable."""
+    if max_wait_s is None:
+        # load5 decays with a 5-minute time constant, so a 90s cap can
+        # never clear a recent burst — default to 6 min (env-tunable)
+        max_wait_s = int(os.environ.get("SPARK_GRAFT_IDLE_WAIT_S", "360"))
     n_cpus = os.cpu_count() or 1
     threshold = max(2.0, n_cpus / 8)
-    load = os.getloadavg()[0]
+
+    def _gate_load() -> float:
+        load1, load5, _ = os.getloadavg()
+        return max(load1, load5)
+
+    load = _gate_load()
     if os.environ.get("SPARK_GRAFT_SKIP_IDLE_WAIT") == "1":
-        return round(load, 2), load <= threshold
+        return round(os.getloadavg()[0], 2), load <= threshold
     deadline = time.time() + max_wait_s
     waited = False
     while load > threshold and time.time() < deadline:
         if not waited:
             print(
-                f"bench: waiting up to {max_wait_s}s for load "
+                f"bench: waiting up to {max_wait_s}s for max(load1, load5) "
                 f"{load:.2f} to drop below {threshold:.2f} "
                 "(SPARK_GRAFT_SKIP_IDLE_WAIT=1 skips)",
                 file=sys.stderr,
             )
             waited = True
         time.sleep(5)
-        load = os.getloadavg()[0]
-    return round(load, 2), load <= threshold
+        load = _gate_load()
+    return round(os.getloadavg()[0], 2), load <= threshold
 
 
 def main() -> int:

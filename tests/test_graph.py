@@ -172,3 +172,55 @@ def test_edge_iterator_matches_wedge_join(spark, sf_dir):
             _edge_df(spark, pairs), "degree"
         ).collect()
     }
+
+
+def test_adjacency_broadcast_byte_gate(spark, monkeypatch):
+    """The broadcast decision is BYTE-bounded (r7 ADVICE: the old 50M-EDGE
+    gate allowed multi-GB adjacency broadcasts).  Above the budget the
+    auto mode (broadcast_adj=None) must pick the shuffle-join fallback
+    and still produce identical counts; below it the broadcast plan must
+    ship the adjacency once (second side is a ReusedExchange, not a
+    second BroadcastExchange build)."""
+    pairs = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (0, 3), (4, 5)]
+    e = _edge_df(spark, pairs)
+    expected = {
+        (r["vertex"], r["n_triangles"])
+        for r in graph._triangles_edge_iterator(e, broadcast_adj=True).collect()
+    }
+
+    # force the byte budget below this fixture's estimate -> auto fallback.
+    # Spark's own size-based auto-broadcast would still kick in on a
+    # 7-edge fixture, so suppress it to observe the un-hinted plan the
+    # gate would produce at real scale (where adjacency >> the auto
+    # threshold and no engine-side broadcast happens either).
+    monkeypatch.setattr(graph, "TRI_ADJ_BROADCAST_MAX_BYTES", 1)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        forced = graph._triangles_edge_iterator(_edge_df(spark, pairs))
+        forced.count()
+        plan = forced._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, (
+            "byte gate did not trip: adjacency still broadcast above budget"
+        )
+        assert {
+            (r["vertex"], r["n_triangles"]) for r in forced.collect()
+        } == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # generous budget -> broadcast path, adjacency shipped once
+    monkeypatch.setattr(
+        graph, "TRI_ADJ_BROADCAST_MAX_BYTES", 128 * 1024 * 1024
+    )
+    fast = graph._triangles_edge_iterator(_edge_df(spark, pairs))
+    fast.count()
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "ReusedExchange" in plan, (
+        "adjacency broadcast was built twice — a1/a2 no longer share "
+        "one exchange"
+    )
+    assert {
+        (r["vertex"], r["n_triangles"]) for r in fast.collect()
+    } == expected
