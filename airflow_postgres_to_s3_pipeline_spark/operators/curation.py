@@ -330,9 +330,15 @@ def _bpe_learn(words_freq: DataFrame) -> tuple[DataFrame, list[tuple[str, str]]]
     scan — both Spark's and DuckDB's ``replace`` share exactly that scan
     semantics, so the oracle (an unrolled stage-per-merge SQL chain)
     reproduces the learned merges bit-for-bit.  The single-scan
-    application coincides with canonical BPE except on runs of >= 3
-    identical symbols (rare in natural text), where it merges
-    conservatively.
+    application diverges from canonical BPE on ANY back-to-back
+    occurrence of the merged pair, because adjacent occurrences share a
+    separator space: in ' a b a b ' the scan consumes ' a b ' once and
+    resumes after its trailing space, so only the first occurrence merges
+    per pass (runs of identical symbols are the same phenomenon).  A pair
+    left unmerged this way can win a later iteration again, so
+    ``bpe_merges`` may legitimately contain repeated (pa, pb) entries.
+    Both sides of the oracle comparison share the behavior exactly; this
+    is a fidelity-to-reference-BPE note, not an impl-vs-oracle risk.
 
     Scale shape (100 TB): training runs over the DISTINCT-WORD frame
     (bounded by corpus vocabulary, not corpus size), each iteration one

@@ -888,12 +888,30 @@ def _kmeans_oracle(k: int = 8, iterations: int = 3, dim: int = 64) -> str:
 _oracle("kmeans_embeddings", _kmeans_oracle())
 
 
-SEMDEDUP_K = 8
+SEMDEDUP_K = 8          # minimum cluster count (floor of the derived k)
+SEMDEDUP_TARGET = 512   # target vectors per cluster: k ~= n / TARGET
+# centroid broadcast cap: 65536 x 64 dims x 8B = 32 MiB — beyond
+# KMAX x TARGET (~33M) vectors expected cluster size grows again, but the
+# tiled pair stage below keeps per-task memory bounded regardless
+SEMDEDUP_KMAX = 65536
+# per-tile accumulator budget for the within-cluster GEMM: rows-per-tile
+# is chosen so one float64 (tile_rows x n) block stays <= ~32 MiB even if
+# a cluster grows far past TARGET (skewed assignment, corpus growth)
+SEMDEDUP_TILE_ELEMS = 4_000_000
+
+
+def semantic_dedup_k(n_vectors: int) -> int:
+    """Cluster count scaled to corpus size: k ~= n / SEMDEDUP_TARGET,
+    floored at SEMDEDUP_K and capped at SEMDEDUP_KMAX (centroid broadcast
+    budget).  Mirrored exactly in the DuckDB oracle SQL, so the derived k
+    stays hash-checkable."""
+    return min(SEMDEDUP_KMAX, max(SEMDEDUP_K, n_vectors // SEMDEDUP_TARGET))
 
 
 def semantic_dedup(spark: SparkSession, sf_dir: str,
-                   k: int = SEMDEDUP_K,
-                   threshold: float = NEAR_DUP_THRESHOLD) -> DataFrame:
+                   k: int | None = None,
+                   threshold: float = NEAR_DUP_THRESHOLD,
+                   tile_elems: int | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the embeddings, then compare pairs only WITHIN a cluster; the higher id
     of any above-threshold pair is marked removed.  Returns per-cluster
@@ -902,18 +920,28 @@ def semantic_dedup(spark: SparkSession, sf_dir: str,
     Scale shape: this is the production near-dup path for embedding
     corpora — the quadratic pair loop is confined to one cluster
     (n^2/k per cluster vs n^2 all-pairs), and clusters compare in parallel
-    after one equi-join on cluster_id.  Cluster assignment is the same
-    broadcast argmin as the k-means/IVF tier (corpus never shuffles for
-    it).  Recall is bounded by cluster purity — boundary-straddling pairs
-    are missed by construction, the documented SemDeDup trade.
+    after one equi-join on cluster_id.  k is DERIVED from corpus size
+    (semantic_dedup_k: n // SEMDEDUP_TARGET, floored/capped) so expected
+    cluster cardinality stays ~SEMDEDUP_TARGET as the corpus grows — the
+    r7 fixed-k shape made per-cluster work O((n/8)^2), a 100x-scale
+    executor-OOM hazard.  Within a cluster the similarity matrix is
+    computed in ROW TILES bounded by SEMDEDUP_TILE_ELEMS accumulator
+    elements, so a skew-bloated cluster degrades to more tiles, never a
+    bigger allocation.  Cluster assignment is the same broadcast argmin
+    as the k-means/IVF tier (corpus never shuffles for it).  Recall is
+    bounded by cluster purity — boundary-straddling pairs are missed by
+    construction, the documented SemDeDup trade.
 
     Deterministic pseudo-centroids (k lowest vec_ids) keep the whole
     operator one SQL-expressible plan, so unlike most ANN tiers this one is
-    hash-checked against DuckDB, not rows-only.
+    hash-checked against DuckDB, not rows-only — including the derived k,
+    which the oracle recomputes with the same LEAST/GREATEST formula.
     """
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
+    if k is None:
+        k = semantic_dedup_k(e.count())
     centroids = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cluster_id"), F.col("v").alias("cv")
     )
@@ -937,6 +965,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str,
     # results stay bit-identical to the SQL oracle.  Accumulation is
     # dimension-ordered, same as knn_gemm.
     margin = threshold - 1e-4
+    # captured in the closure (NOT read from the module global inside the
+    # UDF) so tests can shrink it to force the multi-tile path
+    tile_elems = tile_elems if tile_elems is not None else SEMDEDUP_TILE_ELEMS
 
     def cluster_pairs(pdf):
         import numpy as np
@@ -956,18 +987,38 @@ def semantic_dedup(spark: SparkSession, sf_dir: str,
         ids = ids[order]
         A = np.stack(pdf["v"].to_numpy())[order]
         dim = A.shape[1]
-        acc = np.zeros((n, n))
         na = np.zeros(n)
         for d in range(dim):
-            acc += np.multiply.outer(A[:, d], A[:, d])
             na += A[:, d] * A[:, d]
-        sim = acc / np.multiply.outer(np.sqrt(na), np.sqrt(na))
-        ia, ib = np.triu_indices(n, 1)  # ids sorted -> id_a < id_b
-        s = sim[ia, ib]
-        keep = s >= margin
+        rna = np.sqrt(na)
+        # ROW-TILED accumulation: one (tile_rows x n) block at a time, so
+        # per-call extra memory is bounded by SEMDEDUP_TILE_ELEMS floats
+        # no matter how large a skewed cluster grows.  The per-element
+        # dimension-ordered sum (d ascending) is identical to the dense
+        # formulation, so results stay bit-for-bit equal to the oracle.
+        tile_rows = max(1, tile_elems // n)
+        out_a, out_b, out_s = [], [], []
+        for start in range(0, n - 1, tile_rows):
+            stop = min(start + tile_rows, n)
+            acc = np.zeros((stop - start, n))
+            for d in range(dim):
+                acc += np.multiply.outer(A[start:stop, d], A[:, d])
+            sim = acc / np.multiply.outer(rna[start:stop], rna)
+            # global upper triangle: column index > absolute row index
+            ia, ib = np.nonzero(
+                np.arange(n)[None, :] > np.arange(start, stop)[:, None]
+            )
+            s = sim[ia, ib]
+            keep = s >= margin
+            out_a.append(ids[ia[keep] + start])
+            out_b.append(ids[ib[keep]])
+            out_s.append(s[keep])
+        id_a = np.concatenate(out_a) if out_a else np.empty(0, dtype="int64")
+        id_b = np.concatenate(out_b) if out_b else np.empty(0, dtype="int64")
+        s = np.concatenate(out_s) if out_s else np.empty(0)
         return pd.DataFrame(
-            {"cluster_id": np.full(int(keep.sum()), pdf["cluster_id"].iloc[0]),
-             "id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "sim": s[keep]}
+            {"cluster_id": np.full(len(id_a), pdf["cluster_id"].iloc[0]),
+             "id_a": id_a, "id_b": id_b, "sim": s}
         )
 
     pairs = (
@@ -998,8 +1049,16 @@ _oracle(
     f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), kk AS (
+        -- same corpus-scaled k as semantic_dedup_k():
+        -- min(KMAX, max(KMIN, n // TARGET))
+        SELECT LEAST({SEMDEDUP_KMAX},
+                     GREATEST({SEMDEDUP_K},
+                              COUNT(*) // {SEMDEDUP_TARGET})) AS k
+        FROM e
     ), c AS (
-        SELECT vec_id AS cluster_id, v AS cv FROM e WHERE vec_id < {SEMDEDUP_K}
+        SELECT vec_id AS cluster_id, v AS cv
+        FROM e WHERE vec_id < (SELECT k FROM kk)
     ), d AS (
         SELECT e.vec_id, e.v, c.cluster_id,
                list_sum(list_transform(range(1, 65),

@@ -989,9 +989,26 @@ _oracle(
 
 
 ASOF_TOLERANCE_MIN = 60
-# applyInPandas makes one Python call per group: bucket users so the call
-# count is bounded by ASOF_BUCKETS, not user cardinality (see docstring)
-ASOF_BUCKETS = 64
+# applyInPandas makes ONE Python call per distinct group key, and each
+# group's rows materialize as ONE pandas DataFrame in that call — so the
+# bucket count must scale with data volume or per-call memory grows
+# linearly with the corpus (r7 ADVICE: a fixed 64 meant 1/64 of the WHOLE
+# events table per call).  Bucket count is derived as
+# ceil(n_rows / ASOF_TARGET_ROWS_PER_BUCKET), floored at ASOF_MIN_BUCKETS
+# so small corpora still spread across the cluster.
+ASOF_MIN_BUCKETS = 64
+ASOF_TARGET_ROWS_PER_BUCKET = 200_000
+
+
+def asof_bucket_count(n_rows: int) -> int:
+    """Buckets sized to ~ASOF_TARGET_ROWS_PER_BUCKET rows each (bounded
+    per-call pandas memory), never fewer than ASOF_MIN_BUCKETS.  Results
+    are bucket-count-invariant: hashing user_id keeps every user's rows
+    in one bucket and merge_asof(by='user_id') is per-user."""
+    return max(
+        ASOF_MIN_BUCKETS,
+        -(-n_rows // ASOF_TARGET_ROWS_PER_BUCKET),  # ceil div
+    )
 
 
 def asof_join_pandas(spark: SparkSession, sf_dir: str,
@@ -1001,24 +1018,28 @@ def asof_join_pandas(spark: SparkSession, sf_dir: str,
     semantics (each event matched to the user's latest purchase no older
     than ``tolerance_minutes``).
 
-    Scale shape: ONE shuffle — but on a BOUNDED hash-bucket of user_id,
-    not user_id itself: ``applyInPandas`` makes one Python/Arrow call per
-    GROUP, so grouping by raw user_id pays per-call overhead times the
-    number of users (measured 5.9s at sf0.1's 1500 users x 67 events).
-    Each bucket handles all its users in one ``pd.merge_asof(...,
-    by="user_id")`` — a single sorted linear merge per bucket, identical
-    per-user backward-tolerance semantics (7.8x faster at sf0.1, and at
-    100 TB the call count stays ASOF_BUCKETS x shuffle-partitions instead
-    of scaling with user cardinality; raise ASOF_BUCKETS with cluster
-    parallelism).  This is the escape hatch to reach pandas'
-    tolerance/direction as-of variants that the pure-window formulation
-    (``asof_last_purchase``) does not cover; the oracle pins it to an
-    interval RANGE-frame MAX, so the Python tier is hash-checked, not
-    trusted.
+    Scale shape: ONE shuffle — but on a hash-bucket of user_id, not
+    user_id itself: ``applyInPandas`` makes one Python/Arrow call per
+    DISTINCT GROUP KEY (exactly n_buckets calls in total, each receiving
+    that bucket's complete rows as one pandas DataFrame), so grouping by
+    raw user_id pays per-call overhead times the number of users
+    (measured 5.9s vs 0.7s at sf0.1's 1500 users x 67 events), while too
+    FEW buckets concentrates the corpus into giant per-call frames.  The
+    bucket count therefore scales with input size
+    (``asof_bucket_count``: ~ASOF_TARGET_ROWS_PER_BUCKET rows per call,
+    floored at ASOF_MIN_BUCKETS), keeping per-call pandas memory bounded
+    at any corpus scale.  Each bucket handles all its users in one
+    ``pd.merge_asof(..., by="user_id")`` — a single sorted linear merge
+    per bucket, identical per-user backward-tolerance semantics.  This is
+    the escape hatch to reach pandas' tolerance/direction as-of variants
+    that the pure-window formulation (``asof_last_purchase``) does not
+    cover; the oracle pins it to an interval RANGE-frame MAX, so the
+    Python tier is hash-checked, not trusted.
     """
     e = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type"
     )
+    n_buckets = asof_bucket_count(e.count())
 
     def asof(pdf):
         import pandas as pd
@@ -1043,7 +1064,7 @@ def asof_join_pandas(spark: SparkSession, sf_dir: str,
             ["event_id", "user_id", "ts", "event_type", "last_purchase_ts"]
         ]
 
-    bucket = F.pmod(F.hash("user_id"), F.lit(ASOF_BUCKETS))
+    bucket = F.pmod(F.hash("user_id"), F.lit(n_buckets))
     return (
         e.withColumn("_bucket", bucket)
         .groupBy("_bucket")

@@ -161,6 +161,35 @@ def test_semantic_dedup_removes_planted_cluster_duplicate(spark, tmp_path):
     assert sum(m for _, _, m in stats.values()) >= 1
 
 
+def test_semantic_dedup_tiled_gemm_matches_dense(spark, sf_dir):
+    """The bounded-memory row-tiled pair stage (r8: tile_elems budget)
+    must be bit-identical to the effectively-dense run: a tiny budget
+    forces many tiles per cluster, results may not change."""
+    dense = {
+        tuple(r) for r in similarity.semantic_dedup(spark, sf_dir).collect()
+    }
+    # 64 accumulator elements -> tile_rows = max(1, 64 // n) = 1 for any
+    # cluster with >64 vectors: the maximally-tiled path
+    tiled = {
+        tuple(r)
+        for r in similarity.semantic_dedup(
+            spark, sf_dir, tile_elems=64
+        ).collect()
+    }
+    assert dense == tiled and len(dense) >= 1
+
+
+def test_semantic_dedup_k_scales_with_corpus():
+    """k tracks corpus size at ~n/TARGET with the documented floor/cap."""
+    assert similarity.semantic_dedup_k(0) == similarity.SEMDEDUP_K
+    assert similarity.semantic_dedup_k(500) == similarity.SEMDEDUP_K
+    assert (
+        similarity.semantic_dedup_k(1_000_000)
+        == 1_000_000 // similarity.SEMDEDUP_TARGET
+    )
+    assert similarity.semantic_dedup_k(10**12) == similarity.SEMDEDUP_KMAX
+
+
 def test_random_projection_preserves_norms_in_expectation(spark, sf_dir):
     """JL contract for ±1 planes: ||Pv||^2 concentrates around
     out_dim * ||v||^2 — check the ratio lies in a generous band for every
