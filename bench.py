@@ -80,6 +80,13 @@ BENCH_QUERIES = [
     "scd2_apply",
     "asof_join_pandas",
     "funnel_ordered_3step",
+    # Round 8: the rotation's newly driver-promoted non-trivial families
+    # (iterative-join recursive chain, fold-pruned IVF/PQ ANN tiers,
+    # cohort matrix), benched from their first driver round.
+    "recursive_order_chain",
+    "knn_ivf_fold",
+    "knn_pq_fold",
+    "cohort_retention",
 ]
 
 

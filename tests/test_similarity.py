@@ -179,6 +179,37 @@ def test_semantic_dedup_tiled_gemm_matches_dense(spark, sf_dir):
     assert dense == tiled and len(dense) >= 1
 
 
+def test_kmeans_assign_gemm_bit_identical_to_fold(spark, sf_dir):
+    """The numpy GEMM assignment tier (used when k > SEMDEDUP_GEMM_MIN_K)
+    must reproduce the HOF fold EXACTLY: same cluster ids (including the
+    lowest-cluster-id tie rule) and bit-equal fp64 distances (same
+    dimension-ordered accumulation), at several tile budgets."""
+    from airflow_postgres_to_s3_pipeline_spark.catalog import table
+    from airflow_postgres_to_s3_pipeline_spark.functions.vector import (
+        to_double_array,
+    )
+    from pyspark.sql import functions as F
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    centroids = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cluster_id"), F.col("v").alias("cv")
+    )
+    fold = {
+        r["vec_id"]: (r["cluster_id"], r["dist"])
+        for r in similarity.kmeans_assign(e, centroids).collect()
+    }
+    for tile in (4_000_000, 7):  # dense and maximally-tiled
+        gemm = {
+            r["vec_id"]: (r["cluster_id"], r["dist"])
+            for r in similarity.kmeans_assign_gemm(
+                e, centroids, n_shards=8, tile_elems=tile
+            ).collect()
+        }
+        assert gemm == fold  # exact float equality, not approx
+
+
 def test_semantic_dedup_k_scales_with_corpus():
     """k tracks corpus size at ~n/TARGET with the documented floor/cap."""
     assert similarity.semantic_dedup_k(0) == similarity.SEMDEDUP_K

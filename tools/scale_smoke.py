@@ -414,7 +414,12 @@ def main() -> int:
             "graph_bfs", nb, lambda: write_edges(nb),
             lambda d: graph.bfs_hops(spark, d)))
 
-        nt = min(n, 500_000)
+        # 2M orders (r8): the edge-iterator kernel (r7 default) at 4x the
+        # old 500k smoke — ~8M distinct oriented edges, which also crosses
+        # TRI_ADJ_BROADCAST_MAX_BYTES (~5.3M-edge trip point), so this row
+        # exercises the shuffle-join degradation path at scale, not just
+        # the broadcast fast path the fixture tests cover
+        nt = min(n, 2_000_000)
         results.append(run_dir(
             "graph_triangles", nt, lambda: write_edges(nt),
             lambda d: graph.triangle_count(spark, d)))
