@@ -92,7 +92,8 @@ BENCH_QUERIES = [
 
 def _await_idle_host(max_wait_s: int | None = None) -> tuple[float, bool]:
     """Wait (bounded) for BOTH the 1-min and 5-min load averages to drop
-    below the idle threshold, then report (load1, idle?).  docs/SCALE.md
+    below the idle threshold, then report (load1, load5, idle?) — all
+    sampled at gate-pass time, BEFORE Spark starts.  docs/SCALE.md
     records the same queries running 2.5x slower when a background
     verification gate shares the cores — totals are only comparable from
     an idle machine, so every headline run carries this marker instead of
@@ -116,9 +117,22 @@ def _await_idle_host(max_wait_s: int | None = None) -> tuple[float, bool]:
         load1, load5, _ = os.getloadavg()
         return max(load1, load5)
 
+    def _report() -> tuple[float, float, bool]:
+        # BOTH markers are captured HERE, at gate-pass time, before any
+        # Spark work: the bench itself drives 32 threads for minutes, so
+        # sampling load5 at print time (the r8 bug this replaces) stamps
+        # a genuinely idle run with its OWN load and makes the marker
+        # unusable for cross-round idleness adjudication.
+        load1, load5, _ = os.getloadavg()
+        return (
+            round(load1, 2),
+            round(load5, 2),
+            max(load1, load5) <= threshold,
+        )
+
     load = _gate_load()
     if os.environ.get("SPARK_GRAFT_SKIP_IDLE_WAIT") == "1":
-        return round(os.getloadavg()[0], 2), load <= threshold
+        return _report()
     deadline = time.time() + max_wait_s
     waited = False
     while load > threshold and time.time() < deadline:
@@ -132,14 +146,14 @@ def _await_idle_host(max_wait_s: int | None = None) -> tuple[float, bool]:
             waited = True
         time.sleep(5)
         load = _gate_load()
-    return round(os.getloadavg()[0], 2), load <= threshold
+    return _report()
 
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
-    load_avg, idle_host = _await_idle_host()
+    load_avg, load_avg_5m, idle_host = _await_idle_host()
 
     from airflow_postgres_to_s3_pipeline_spark.session import get_spark
     from airflow_postgres_to_s3_pipeline_spark import registry
@@ -201,8 +215,12 @@ def main() -> int:
                 "load_avg_at_start": load_avg,
                 # 5-min average alongside the 1-min gate value: a burst
                 # that just subsided shows low 1-min / high 5-min, so
-                # cross-round comparisons can spot borderline-idle runs
-                "load_avg_5m_at_start": round(os.getloadavg()[1], 2),
+                # cross-round comparisons can spot borderline-idle runs.
+                # Sampled at gate-pass time — sampling here at print time
+                # would record the bench's OWN 4-minute 32-thread load
+                # (the first dual-load run read 0.08/4.51 that way on a
+                # provably idle host)
+                "load_avg_5m_at_start": load_avg_5m,
                 "idle_host": idle_host,
             }
         )

@@ -149,7 +149,7 @@ def test_edge_iterator_matches_wedge_join(spark, sf_dir):
         for r in graph.triangle_count(spark, sf_dir).collect()
     }
     assert fast == ref
-    # shuffle-join degradation path (the >TRI_ADJ_BROADCAST_MAX_EDGES
+    # shuffle-join degradation path (the >TRI_ADJ_BROADCAST_MAX_BYTES
     # branch) on a synthetic edge list
     pairs = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (0, 3)]
     e = _edge_df(spark, pairs)
