@@ -184,7 +184,12 @@ def main() -> int:
     # tracking).  The cache is cleared between runs so a persisted
     # intermediate from run 1 can't shortcut run 2 — min-of-N measures the
     # plan, not cache hits.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # min-of-3 since r8: every query's run 1 is 1.5-2.5x its warm min
+    # (persist materialization + Python-worker re-fork after the cache
+    # clear), so min-of-2 records whatever run 2 hits and generated
+    # phantom per-round regressions (docs/SCALE.md r8 adjudication:
+    # dedup_keep_best "4.18s" was 2.75s measured min-of-3)
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in BENCH_QUERIES:

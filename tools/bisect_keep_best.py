@@ -21,7 +21,7 @@ sys.path.insert(0, REPO)
 
 from airflow_postgres_to_s3_pipeline_spark.cache import release_persisted
 from airflow_postgres_to_s3_pipeline_spark.session import get_spark
-from airflow_postgres_to_s3_pipeline_spark.sources.readers import table
+from airflow_postgres_to_s3_pipeline_spark.catalog import table
 
 
 def main() -> int:
