@@ -35,3 +35,12 @@ def l2_norm(a: Column) -> Column:
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns (fp64, deterministic)."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def sq_l2(a: Column, b: Column) -> Column:
+    """Sequential-fold squared-L2 distance of two array<double> columns.
+
+    Folds dimension-by-dimension left-to-right, so the sum is
+    bit-identical to DuckDB's ``list_reduce`` over the same transform
+    (``(0.0 + x1)`` is IEEE-exact for the non-negative squared terms)."""
+    return _fold_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))

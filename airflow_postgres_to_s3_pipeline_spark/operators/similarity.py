@@ -27,6 +27,7 @@ from airflow_postgres_to_s3_pipeline_spark.functions.vector import (
     cosine_similarity,
     dot,
     l2_norm,
+    sq_l2,
     to_double_array,
 )
 
@@ -1705,7 +1706,8 @@ IVFPQ_N_PROBE = 3  # coarse cells probed per query
 def knn_ivfpq(spark: SparkSession, sf_dir: str,
               n_probe: int = IVFPQ_N_PROBE,
               every: int = IVFPQ_EVERY,
-              score_tier: str = "gemm") -> DataFrame:
+              score_tier: str = "gemm",
+              top: int = TOP_K) -> DataFrame:
     """IVF-PQ: the coarse IVF index (``knn_ivf``'s cosine cells) prunes
     CANDIDATES to the ``n_probe`` nearest cells, and PQ codes
     (``knn_pq``'s 16-subspace codebook) shrink the BYTES scanned per
@@ -1782,7 +1784,7 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str,
         )
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
+        .filter(F.col("rnk") <= top)
     )
 
 
@@ -1845,7 +1847,8 @@ def pq_score_cells(coded: DataFrame, probe: DataFrame, packed: DataFrame,
 def _knn_ivfpq_oracle(m: int = PQ_M, subd: int = PQ_SUBD,
                       ksub: int = PQ_KSUB, pq_every: int = PQ_EVERY,
                       every: int = IVFPQ_EVERY,
-                      n_probe: int = IVFPQ_N_PROBE) -> str:
+                      n_probe: int = IVFPQ_N_PROBE,
+                      top: int = TOP_K) -> str:
     """Composed mirror: knn_ivf's coarse CTEs (cosine cells + probe) +
     knn_pq's code CTEs + ADC ranking, generated from the same constants
     as the Spark signature."""
@@ -1917,11 +1920,97 @@ def _knn_ivfpq_oracle(m: int = PQ_M, subd: int = PQ_SUBD,
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                       ORDER BY adist ASC, neighbor_id ASC) AS rnk
         FROM cand
-    ) WHERE rnk <= {TOP_K}
+    ) WHERE rnk <= {top}
     """
 
 
 _oracle("knn_ivfpq", _knn_ivfpq_oracle())
+
+
+REFINE_DEPTH = 20  # PQ-approximate candidates refined per query (4x TOP_K)
+
+
+def knn_ivfpq_refine(spark: SparkSession, sf_dir: str,
+                     depth: int = REFINE_DEPTH) -> DataFrame:
+    """IVF-PQ with exact-distance refinement — the two-stage ANN serving
+    shape (faiss ``IndexRefineFlat``): the compressed index nominates a
+    candidate slate ``depth`` deep per query (cheap, lossy), then the RAW
+    vectors of only those candidates are fetched and re-ranked by exact
+    squared-L2, so the final top-k ordering carries no quantization error
+    for any true neighbor the slate caught.  Recall then depends only on
+    slate membership, not on PQ's distance distortion — the standard
+    production fix for ADC mis-ranking near the top of the list.
+
+    Scale shape: the slate is O(queries x depth) rows — broadcast to
+    every executor, so the refine join is ONE map-side pass over the
+    corpus parquet (no corpus shuffle, no second index); the final
+    window ranks ~depth rows per query.  At 100 TB the candidate fetch
+    is the same broadcast-semi-join pattern, optionally narrowed further
+    by partition-pruning on the vector store's bucketing.
+
+    Exactness: squared-L2 folds dimension-by-dimension left-to-right
+    (functions/vector.py ``sq_l2``), matching DuckDB's ``list_reduce``
+    fold bit-for-bit, so the composed pipeline keeps a full value-hash
+    oracle — candidate slate and refined ordering both.
+    """
+    cand = knn_ivfpq(spark, sf_dir, top=depth).select(
+        "query_id", "neighbor_id"
+    )
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    refined = (
+        e.join(F.broadcast(cand), e.vec_id == cand.neighbor_id)
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(sq_l2(F.col("qv"), F.col("v")), 4).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        refined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+def _knn_ivfpq_refine_oracle(depth: int = REFINE_DEPTH) -> str:
+    """Composed mirror: the parameterized IVF-PQ oracle at slate depth,
+    then exact squared-L2 over the re-fetched raw vectors — the same
+    left-to-right dimension fold as ``sq_l2``."""
+    base = _knn_ivfpq_oracle(top=depth)
+    return f"""
+    WITH slate AS (
+        {base}
+    ), e2 AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), refined AS (
+        SELECT c.query_id, c.neighbor_id,
+               ROUND(list_reduce(
+                   list_transform(range(1, len(qe.v) + 1),
+                                  i -> (qe.v[i] - ne.v[i])
+                                       * (qe.v[i] - ne.v[i])),
+                   (x, y) -> x + y), 4) AS d2
+        FROM slate c
+        JOIN e2 ne ON ne.vec_id = c.neighbor_id
+        JOIN e2 qe ON qe.vec_id = c.query_id
+    )
+    SELECT query_id, neighbor_id, d2, CAST(rnk AS INT) AS rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY d2 ASC, neighbor_id ASC) AS rnk
+        FROM refined
+    ) WHERE rnk <= {TOP_K}
+    """
+
+
+_oracle("knn_ivfpq_refine", _knn_ivfpq_refine_oracle())
 
 
 def pq_encode_gemm(e: DataFrame, packed: DataFrame, n_shards: int,

@@ -7,6 +7,7 @@ group-bys, so these scale linearly with corpus size.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1391,3 +1392,124 @@ _oracle(
     LIMIT {RRF_TOP_N}
     """,
 )
+
+
+RERANK_PROX_MICRO = 1_000_000   # proximity micro-points per term pair
+RERANK_COVER_PTS = 10_000_000   # per-query-term coverage step (dominates)
+
+
+def rerank_cross_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rerank stage over ``hybrid_search_rrf``'s fused top-N — completing
+    the production retrieval cascade: cheap retrievers nominate, a
+    per-(query, document) scorer that sees BOTH texts re-orders the
+    short slate.  The real thing is a cross-encoder transformer; with no
+    model runtime in this container, the stand-in is a deterministic
+    lexical interaction scorer with the IDENTICAL serving shape — an
+    Arrow-batched pandas UDF over the candidate slate (exactly how an
+    ONNX/torch scorer is served from executors; swap the closure body,
+    keep the plan).
+
+    Score (integer-exact): coverage * 10^7 + proximity, where coverage
+    counts query terms present in the document and proximity sums
+    ``10^6 div (1 + min token distance)`` over query-term pairs — the
+    minimal-span interaction signal bi-encoders can't see (they score
+    each side independently; term ADJACENCY across the pair is exactly
+    what a cross-encoder's attention adds).  Ties fall back to the
+    upstream rrf_micro, then doc_id.
+
+    Scale shape: the slate is RRF_TOP_N rows per query — the rerank
+    join broadcasts it against the corpus scan (one map-side pass
+    fetches the texts; no corpus shuffle), the UDF scores O(slate) rows,
+    and the final rank is a window over the constant-size slate.  Cost
+    is independent of corpus size by construction, which is why serving
+    stacks can afford a 100x-costlier scorer HERE but not in retrieval.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    terms = list(BM25_QUERY_TERMS)
+
+    cand = hybrid_search_rrf(spark, sf_dir).select("doc_id", "rrf_micro")
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    @pandas_udf("long")
+    def ce_score(text: pd.Series) -> pd.Series:
+        def score(t: str) -> int:
+            ws = [w for w in t.split(" ") if w]
+            pos = {
+                q: [i + 1 for i, w in enumerate(ws) if w == q]
+                for q in terms
+            }
+            cover = sum(1 for q in terms if pos[q])
+            prox = 0
+            for i in range(len(terms)):
+                for j in range(i + 1, len(terms)):
+                    pa, pb = pos[terms[i]], pos[terms[j]]
+                    if pa and pb:
+                        dmin = min(abs(a - b) for a in pa for b in pb)
+                        prox += RERANK_PROX_MICRO // (1 + dmin)
+            return cover * RERANK_COVER_PTS + prox
+
+        return text.map(score)
+
+    w = Window.orderBy(
+        F.col("ce_score").desc(), F.col("rrf_micro").desc(),
+        F.col("doc_id").asc()
+    )
+    return (
+        d.join(F.broadcast(cand), "doc_id")
+        .select("doc_id", "rrf_micro", ce_score(F.col("text")).alias("ce_score"))
+        .withColumn("ce_rank", F.row_number().over(w))
+    )
+
+
+def _rerank_oracle() -> str:
+    """Mirror: the full hybrid-RRF oracle as the slate CTE, then the
+    interaction score in DuckDB list HOFs — 1-based positions over the
+    same empty-filtered whitespace tokens, integer division, identical
+    tie order."""
+    pos_cols = ",\n               ".join(
+        f"list_filter(range(1, len(ws) + 1), i -> ws[i] = '{t}') AS p{k}"
+        for k, t in enumerate(BM25_QUERY_TERMS)
+    )
+    n = len(BM25_QUERY_TERMS)
+    cover = " + ".join(
+        f"(CASE WHEN len(p{k}) > 0 THEN 1 ELSE 0 END)" for k in range(n)
+    )
+    prox_terms = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            mindist = (
+                f"list_min(flatten(list_transform(p{i}, a -> "
+                f"list_transform(p{j}, b -> abs(a - b)))))"
+            )
+            prox_terms.append(
+                f"(CASE WHEN len(p{i}) > 0 AND len(p{j}) > 0 "
+                f"THEN {RERANK_PROX_MICRO} // (1 + {mindist}) ELSE 0 END)"
+            )
+    prox = " + ".join(prox_terms)
+    return f"""
+    WITH fused AS (
+        {ORACLES["hybrid_search_rrf"]}
+    ), toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+        FROM documents
+    ), pos AS (
+        SELECT f.doc_id, f.rrf_micro,
+               {pos_cols}
+        FROM fused f JOIN toks USING (doc_id)
+    ), scored AS (
+        SELECT doc_id, rrf_micro,
+               CAST(({cover}) * {RERANK_COVER_PTS} + {prox} AS BIGINT)
+                   AS ce_score
+        FROM pos
+    )
+    SELECT doc_id, rrf_micro, ce_score,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY ce_score DESC, rrf_micro DESC, doc_id ASC
+           ) AS INT) AS ce_rank
+    FROM scored
+    """
+
+
+_oracle("rerank_cross_encoder", _rerank_oracle())

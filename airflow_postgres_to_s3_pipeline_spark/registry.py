@@ -1056,6 +1056,10 @@ QUERIES: dict[str, QueryFn] = {
     "recursive_cte_order_chains": sql_surface.recursive_cte_order_chains,
     "epoch_shuffle_order": curation.epoch_shuffle_order,
     "temperature_mix_allocation": curation.temperature_mix_allocation,
+    # round 8: two-stage ANN serving (PQ slate -> exact refine) and the
+    # retrieval rerank stage completing retrieve -> fuse -> rerank
+    "knn_ivfpq_refine": similarity.knn_ivfpq_refine,
+    "rerank_cross_encoder": text.rerank_cross_encoder,
 }
 
 
@@ -1138,7 +1142,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "embedding_random_projection", "knn_pq", "knn_ivfpq",
             "embedding_incremental_dedup", "embedding_dim_stats",
             "contrastive_triplets",
-            "knn_pq_fold"),
+            "knn_pq_fold", "knn_ivfpq_refine"),
     "E27": ("doc_quality", "lang_id_heuristic", "tfidf_top_terms",
             "token_count", "bpe_token_count", "bpe_merges",
             "corpus_mix_sample",
@@ -1151,7 +1155,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "token_pmi_top_pairs",
             "stratified_sample_k_per_group",
             "dsir_importance_sample", "epoch_shuffle_order",
-            "temperature_mix_allocation", "pii_scrub"),
+            "temperature_mix_allocation", "pii_scrub",
+            "rerank_cross_encoder"),
     "E28": ("multimodal_decode", "multimodal_resize",
             "multimodal_frame_sample", "multimodal_partition_stats",
             "multimodal_audio_energy", "multimodal_tile_near_dup"),

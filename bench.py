@@ -87,6 +87,10 @@ BENCH_QUERIES = [
     "knn_ivf_fold",
     "knn_pq_fold",
     "cohort_retention",
+    # Round 8 additions, benched from their first round: two-stage ANN
+    # serving (PQ slate -> exact refine) and the retrieval rerank stage.
+    "knn_ivfpq_refine",
+    "rerank_cross_encoder",
 ]
 
 

@@ -72,6 +72,11 @@ ALLOWED_PRODUCT = {
     # scalar collection statistic, same shape as ngram_lm_score
     "temperature_mix_allocation",  # broadcasts the 1-row sum-of-weights
     # aggregate onto the per-group frame for budget normalization
+    "knn_ivfpq_refine",  # knn_ivfpq's whitelisted metadata broadcasts
+    # plus the O(queries x depth) candidate-slate broadcast; the refine
+    # fetch itself is a broadcast EQUI-join on vec_id
+    "rerank_cross_encoder",  # hybrid_search_rrf's whitelisted 1-row
+    # avgdl broadcast; the slate fetch is a broadcast equi-join on doc_id
 }
 
 # Streaming queries execute eagerly on build (memory-sink materialization);

@@ -462,3 +462,55 @@ def test_contrastive_triplets_invariants(spark, sf_dir):
         assert p == min(partners[a])
         assert n != a and n != p
         assert n not in partners[a]
+
+
+def test_knn_ivfpq_refine_slate_membership_and_recall(spark, sf_dir):
+    """Refine must return TOP_K densely-ranked rows per query drawn from
+    the depth-REFINE_DEPTH PQ slate, ordered by EXACT squared-L2; and its
+    recall vs exact top-5 can never be below plain knn_ivfpq's, because
+    plain's picks are a subset of the slate refine re-ranks exactly."""
+    import duckdb
+    import math
+
+    slate = {}
+    for r in similarity.knn_ivfpq(
+        spark, sf_dir, top=similarity.REFINE_DEPTH
+    ).collect():
+        slate.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    plain = {}
+    for r in similarity.knn_ivfpq(spark, sf_dir).collect():
+        plain.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    refined = {}
+    rows_by_q = {}
+    for r in similarity.knn_ivfpq_refine(spark, sf_dir).collect():
+        refined.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        rows_by_q.setdefault(r["query_id"], []).append(r)
+
+    con = duckdb.connect()
+    raw = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    vec = {r[0]: np.array(r[1], dtype=np.float64) for r in raw}
+    exact = {}
+    for q in range(similarity.N_QUERIES):
+        d = sorted(
+            (round(float(((vec[q] - v) ** 2).sum()), 4), i)
+            for i, v in vec.items() if i != q
+        )[: similarity.TOP_K]
+        exact[q] = {i for _, i in d}
+
+    for q, rs in rows_by_q.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) == similarity.TOP_K
+        assert refined[q] <= slate[q], "refine invented a candidate"
+        d2s = [r["d2"] for r in rs]
+        assert d2s == sorted(d2s), "not ordered by exact distance"
+        for r in rs:
+            want = round(float(((vec[q] - vec[r["neighbor_id"]]) ** 2).sum()), 4)
+            assert math.isclose(r["d2"], want, abs_tol=2e-4)
+
+    hits_plain = sum(len(plain.get(q, set()) & exact[q]) for q in exact)
+    hits_ref = sum(len(refined.get(q, set()) & exact[q]) for q in exact)
+    assert hits_ref >= hits_plain

@@ -37,3 +37,34 @@ def test_hybrid_rrf_fusion_arithmetic(spark, sf_dir):
     both = [r for r in rows
             if r["lex_rank"] is not None and r["dense_rank"] is not None]
     assert both, "query terms should produce overlap between the lists"
+
+
+def test_rerank_cross_encoder_permutes_slate(spark, sf_dir):
+    """Rerank must keep exactly the hybrid slate's documents (no adds, no
+    drops), assign a dense 1..N ce_rank in (ce_score desc, rrf_micro
+    desc, doc_id) order, and bound the coverage component by the query
+    term count."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import text as t
+
+    fused = {
+        r["doc_id"]: r["rrf_micro"]
+        for r in t.hybrid_search_rrf(spark, sf_dir).collect()
+    }
+    rows = t.rerank_cross_encoder(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in rows} == set(fused)
+    assert all(r["rrf_micro"] == fused[r["doc_id"]] for r in rows)
+    assert sorted(r["ce_rank"] for r in rows) == list(range(1, len(rows) + 1))
+    want_order = [
+        r["doc_id"]
+        for r in sorted(
+            rows,
+            key=lambda r: (-r["ce_score"], -r["rrf_micro"], r["doc_id"]),
+        )
+    ]
+    got_order = [
+        r["doc_id"] for r in sorted(rows, key=lambda r: r["ce_rank"])
+    ]
+    assert got_order == want_order
+    for r in rows:
+        cover = r["ce_score"] // t.RERANK_COVER_PTS
+        assert 0 <= cover <= len(t.BM25_QUERY_TERMS)
