@@ -1931,7 +1931,9 @@ REFINE_DEPTH = 20  # PQ-approximate candidates refined per query (4x TOP_K)
 
 
 def knn_ivfpq_refine(spark: SparkSession, sf_dir: str,
-                     depth: int = REFINE_DEPTH) -> DataFrame:
+                     depth: int = REFINE_DEPTH,
+                     every: int = IVFPQ_EVERY,
+                     n_probe: int = IVFPQ_N_PROBE) -> DataFrame:
     """IVF-PQ with exact-distance refinement — the two-stage ANN serving
     shape (faiss ``IndexRefineFlat``): the compressed index nominates a
     candidate slate ``depth`` deep per query (cheap, lossy), then the RAW
@@ -1953,9 +1955,9 @@ def knn_ivfpq_refine(spark: SparkSession, sf_dir: str,
     fold bit-for-bit, so the composed pipeline keeps a full value-hash
     oracle — candidate slate and refined ordering both.
     """
-    cand = knn_ivfpq(spark, sf_dir, top=depth).select(
-        "query_id", "neighbor_id"
-    )
+    cand = knn_ivfpq(
+        spark, sf_dir, n_probe=n_probe, every=every, top=depth
+    ).select("query_id", "neighbor_id")
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )

@@ -86,7 +86,7 @@ def main() -> int:
                      "vector_lsh_near_dup", "vector_semantic_dedup",
                      "vector_kmeans", "vector_knn_ivf",
                      "vector_pq_encode_hof", "vector_pq_encode_gemm",
-                     "vector_incremental_dedup"}
+                     "vector_incremental_dedup", "vector_ivfpq_refine"}
     if not only or (only & vector_labels):
         import shutil
         import tempfile
@@ -155,6 +155,12 @@ def main() -> int:
             lambda d: similarity.knn_ivf(
                 spark, d, every=max(50, int(nv_km ** 0.5)),
                 assign_tier="gemm")))
+        # r8: the full two-stage serving path (IVF-PQ slate -> exact
+        # refine); coarse stride scales ~sqrt(n) per the r4 finding
+        results.append(run_vec(
+            "vector_ivfpq_refine", nv_km,
+            lambda d: similarity.knn_ivfpq_refine(
+                spark, d, every=max(50, int(nv_km ** 0.5)))))
 
         # r5: PQ corpus-encode build tiers — HOF fold (CodegenFallback,
         # n x m x ksub x subd interpreted steps) vs numpy cogroup GEMM
