@@ -358,18 +358,15 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, shards=shards, checkable=True)
 
 
-def _minhash_lsh_oracle(n_hashes: int = 32, bands: int = 8,
-                        threshold: float = 0.6,
-                        source: str = "SELECT doc_id, text FROM documents") -> str:
-    """Generate the exact SQL mirror of ``minhash_lsh_pairs(checkable=True)``.
-
-    Mirrors shingle_arrays (list_distinct word-3-grams), the md5
-    double-hash signatures (32 MIN aggregates over the exploded shingles),
-    the concat-keyed banding (UNION ALL of one SELECT per band), the
-    self-join candidate generation, and the exact-Jaccard verification.
-    ``source`` is any (doc_id, text) relation, so the same template oracles
-    doc-level and chunk-level near-dedup.
-    """
+def _lsh_chain_sql(n_hashes: int = 32, bands: int = 8,
+                   source: str = "SELECT doc_id, text FROM documents") -> str:
+    """Shared CTE chain (``src`` .. ``cand``) mirroring the md5-checkable
+    LSH pipeline up to candidate generation: shingle_arrays (list_distinct
+    word-3-grams), the md5 double-hash signatures (n_hashes MIN aggregates
+    over the exploded shingles), the concat-keyed banding (UNION ALL of one
+    SELECT per band), and the banded self-join.  Interpolated into both the
+    near-dedup oracles (which verify + threshold the candidates) and the
+    recall-eval oracle (which compares them against the exact pair set)."""
     rows = n_hashes // bands
     p = MERSENNE_P
     sig_exprs = ",\n               ".join(
@@ -381,8 +378,7 @@ def _minhash_lsh_oracle(n_hashes: int = 32, bands: int = 8,
         + " AS band_key FROM sigs"
         for b in range(bands)
     )
-    return f"""
-    WITH src AS (
+    return f"""src AS (
         {source}
     ), w AS (
         SELECT doc_id, string_split(text, ' ') AS ws
@@ -416,7 +412,19 @@ def _minhash_lsh_oracle(n_hashes: int = 32, bands: int = 8,
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
-    ), ver AS (
+    )"""
+
+
+def _minhash_lsh_oracle(n_hashes: int = 32, bands: int = 8,
+                        threshold: float = 0.6,
+                        source: str = "SELECT doc_id, text FROM documents") -> str:
+    """Generate the exact SQL mirror of ``minhash_lsh_pairs(checkable=True)``:
+    the shared LSH candidate chain plus exact-Jaccard verification.
+    ``source`` is any (doc_id, text) relation, so the same template oracles
+    doc-level and chunk-level near-dedup.
+    """
+    return f"""
+    WITH {_lsh_chain_sql(n_hashes, bands, source)}, ver AS (
         SELECT doc_a, doc_b,
                LEN(list_intersect(sa.shingles, sb.shingles)) AS n_inter,
                LEN(sa.shingles) AS size_a,
@@ -1258,3 +1266,142 @@ _oracle(
     WHERE ROUND(n_inter / (za.set_size + zb.set_size - n_inter), 3) >= 0.5
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# E25e: LSH banding recall/precision evaluation against the exact pair set
+# ---------------------------------------------------------------------------
+
+def lsh_recall_eval(spark: SparkSession, sf_dir: str,
+                    threshold: float = 0.6, n_hashes: int = 32,
+                    bands: int = 8) -> DataFrame:
+    """Measure the MinHash-LSH banding's recall and precision against the
+    EXACT near-duplicate pair set — the acceptance test a production
+    near-dedup config (n_hashes, bands, threshold) must pass before it
+    filters a training corpus.
+
+    Three pair sets over one shared shingle/signature computation:
+
+    - truth: exact word-3-gram Jaccard >= threshold over ALL pairs, via
+      the exploded-shingle equi-join (shuffle on shingle — never a
+      cartesian product);
+    - cand:  the banded LSH candidate pairs (pre-verification);
+    - hit:   their intersection — which, because the pipeline's verify
+      stage applies the SAME exact-Jaccard filter to candidates, is
+      exactly ``minhash_lsh_dedup``'s final output set.
+
+    One row out: ``recall = n_hit / n_truth`` is the banding's miss rate
+    made visible (a pair the bands never collide on is silently kept as a
+    "unique" document); ``band_precision = n_hit / n_cand`` prices the
+    verify stage (how many candidate lookups the exact check throws away).
+
+    100 TB posture: cand/verify is the production plan unchanged.  The
+    truth side is the deliberately-exhaustive piece — its shingle join is
+    bounded by posting-list sizes, fine at eval scale but corpus-quadratic
+    in the worst case — so at full scale you run the eval on a
+    deterministic hash-sample of documents (recall is a per-pair property;
+    a doc-level sample estimates it without touching the full corpus) and
+    ship the measured (recall, precision) with the dedup config.  All
+    hashes are md5-derived, so the whole eval carries an exact SQL oracle.
+    """
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = tracked_persist(shingle_arrays(d, "text", "doc_id", 3), corpus=True)
+    sig = tracked_persist(minhash_signatures_md5(sh, n_hashes))
+    cand = lsh_candidate_pairs(sig, n_hashes, bands, checkable=True)
+
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("set_size"))
+    ea = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
+    eb = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        ea.join(eb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    jac = F.round(
+        F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")), 3
+    )
+    truth = (
+        inter.join(za, "doc_a").join(zb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+    # Tag-union + per-pair max, then one global aggregate: a single pair-key
+    # shuffle computes |truth|, |cand| and |truth ∩ cand| together.
+    t = truth.select(
+        "doc_a", "doc_b",
+        F.lit(1).alias("is_truth"), F.lit(0).alias("is_cand"),
+    )
+    c = cand.select(
+        "doc_a", "doc_b",
+        F.lit(0).alias("is_truth"), F.lit(1).alias("is_cand"),
+    )
+    marked = (
+        t.unionByName(c)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("is_truth").alias("it"), F.max("is_cand").alias("ic"))
+    )
+    agg = marked.agg(
+        F.sum("it").cast("long").alias("n_truth"),
+        F.sum("ic").cast("long").alias("n_cand"),
+        F.sum(F.col("it") * F.col("ic")).cast("long").alias("n_hit"),
+    )
+    return agg.select(
+        "n_truth",
+        "n_cand",
+        "n_hit",
+        F.when(
+            F.col("n_truth") > 0, F.col("n_hit") / F.col("n_truth")
+        ).alias("recall"),
+        F.when(
+            F.col("n_cand") > 0, F.col("n_hit") / F.col("n_cand")
+        ).alias("band_precision"),
+    )
+
+
+def _lsh_recall_eval_oracle(n_hashes: int = 32, bands: int = 8,
+                            threshold: float = 0.6) -> str:
+    return f"""
+    WITH {_lsh_chain_sql(n_hashes, bands)}, truthi AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT doc_id, LEN(shingles) AS set_size FROM shl
+    ), truth AS (
+        SELECT doc_a, doc_b
+        FROM truthi
+        JOIN sizes za ON za.doc_id = doc_a
+        JOIN sizes zb ON zb.doc_id = doc_b
+        WHERE ROUND(n_inter / (za.set_size + zb.set_size - n_inter), 3)
+              >= {threshold}
+    ), marked AS (
+        SELECT doc_a, doc_b, MAX(is_truth) AS it, MAX(is_cand) AS ic
+        FROM (
+            SELECT doc_a, doc_b, 1 AS is_truth, 0 AS is_cand FROM truth
+            UNION ALL
+            SELECT doc_a, doc_b, 0 AS is_truth, 1 AS is_cand FROM cand
+        )
+        GROUP BY doc_a, doc_b
+    )
+    SELECT CAST(SUM(it) AS BIGINT) AS n_truth,
+           CAST(SUM(ic) AS BIGINT) AS n_cand,
+           CAST(SUM(it * ic) AS BIGINT) AS n_hit,
+           CASE WHEN SUM(it) > 0
+                THEN CAST(SUM(it * ic) AS BIGINT)
+                     / CAST(SUM(it) AS BIGINT) END AS recall,
+           CASE WHEN SUM(ic) > 0
+                THEN CAST(SUM(it * ic) AS BIGINT)
+                     / CAST(SUM(ic) AS BIGINT) END AS band_precision
+    FROM marked
+    """
+
+
+_oracle("lsh_recall_eval", _lsh_recall_eval_oracle())

@@ -101,6 +101,94 @@ _oracle(
 )
 
 
+QUALITY_BUCKETS = 100  # retention-curve threshold grid: 0.00, 0.01, ..., 0.99
+
+
+def quality_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus retention at each quality-score threshold — the planning
+    table a curator reads before picking the filter cut: raising the
+    threshold to ``t`` keeps how many documents / tokens / characters?
+
+    Composes ``doc_quality``'s oracle-pinned score with a bucketed
+    descending cumulative sum: each doc lands in its score centile
+    (``least(floor(score*100), 99)`` — a deterministic function of the
+    score's IEEE bits, identical across engines since both compute the
+    score from the same int/int rationals), a 10-partial aggregate
+    collapses the corpus, and the cumulative "retained at >= t" sums run
+    over that <=10-row frame.
+
+    100 TB posture: ONE pass over the corpus (the doc_quality features are
+    row-local), one map-side-combined aggregate down to <=100 partials, and
+    windows only over the <=100-row bucket frame — the curve costs the same
+    as a global count.  Compare `mapInPandas`-histogram approaches, which
+    give up the exact token totals the mix planner needs.
+    """
+    q = doc_quality(spark, sf_dir)
+    bucket = F.least(
+        F.floor(F.col("quality_score") * QUALITY_BUCKETS).cast("int"),
+        F.lit(QUALITY_BUCKETS - 1),
+    )
+    per = (
+        q.select(bucket.alias("bucket"), "n_tokens", "n_chars_actual")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("bucket_docs"),
+            F.sum("n_tokens").alias("bucket_tokens"),
+            F.sum("n_chars_actual").alias("bucket_chars"),
+        )
+    )
+    # Windows over the bucket frame only — <=100 rows regardless of corpus
+    # size, so the single-partition exchange they imply is metadata-sized.
+    w = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        (F.col("bucket") / F.lit(float(QUALITY_BUCKETS))).alias("threshold"),
+        F.sum("bucket_docs").over(w).cast("long").alias("docs_retained"),
+        F.sum("bucket_tokens").over(w).cast("long").alias("tokens_retained"),
+        F.sum("bucket_chars").over(w).cast("long").alias("chars_retained"),
+        (
+            F.sum("bucket_tokens").over(w)
+            / F.sum("bucket_tokens").over(w_all).cast("double")
+        ).alias("token_retention"),
+    )
+
+
+_oracle(
+    "quality_retention_curve",
+    r"""
+    WITH q AS (
+"""
+    + QUALITY_SCORE_SQL
+    + r"""
+    ), b AS (
+        SELECT LEAST(CAST(FLOOR(q.quality_score * 100) AS INTEGER), 99) AS bucket,
+               CAST(LEN(string_split(d.text, ' ')) AS INTEGER) AS n_tokens,
+               CAST(LENGTH(d.text) AS INTEGER) AS n_chars_actual
+        FROM documents d JOIN q USING (doc_id)
+    ), per AS (
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS bucket_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens,
+               CAST(SUM(n_chars_actual) AS BIGINT) AS bucket_chars
+        FROM b GROUP BY bucket
+    )
+    SELECT CAST(bucket AS DOUBLE) / 100 AS threshold,
+           CAST(SUM(bucket_docs) OVER w AS BIGINT) AS docs_retained,
+           CAST(SUM(bucket_tokens) OVER w AS BIGINT) AS tokens_retained,
+           CAST(SUM(bucket_chars) OVER w AS BIGINT) AS chars_retained,
+           SUM(bucket_tokens) OVER w
+               / CAST(SUM(bucket_tokens) OVER () AS DOUBLE) AS token_retention
+    FROM per
+    WINDOW w AS (ORDER BY bucket DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+
+
 def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus statistics per language tag."""
     d = table(spark, sf_dir, "documents")

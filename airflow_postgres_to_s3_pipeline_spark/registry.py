@@ -1060,6 +1060,10 @@ QUERIES: dict[str, QueryFn] = {
     # retrieval rerank stage completing retrieve -> fuse -> rerank
     "knn_ivfpq_refine": similarity.knn_ivfpq_refine,
     "rerank_cross_encoder": text.rerank_cross_encoder,
+    # round 8: pipeline-acceptance operators — the curator's threshold
+    # planning table and the LSH-config recall/precision gate
+    "quality_retention_curve": text.quality_retention_curve,
+    "lsh_recall_eval": dedup.lsh_recall_eval,
 }
 
 

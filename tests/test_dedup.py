@@ -170,3 +170,29 @@ def test_incremental_minhash_is_cross_set_only(spark, sf_dir):
     rows = dedup.dedup_incremental_minhash(spark, sf_dir).collect()
     assert all(r.ex_id < dedup.INCR_SPLIT <= r.in_id for r in rows)
     assert all(r.jaccard >= 0.6 for r in rows)
+
+
+def test_lsh_recall_eval_counts_consistent(spark, sf_dir):
+    """The eval's three counts must be internally consistent, and n_hit —
+    truth ∩ candidates — must equal minhash_lsh_dedup's final output size
+    (the verify stage applies the same exact-Jaccard filter to the same
+    candidate set)."""
+    row = dedup.lsh_recall_eval(spark, sf_dir).collect()[0]
+    assert row.n_hit <= min(row.n_truth, row.n_cand)
+    assert 0.0 <= row.recall <= 1.0
+    assert 0.0 <= row.band_precision <= 1.0
+    assert row.n_truth > 0  # testdata plants near-dup docs
+    verified = dedup.minhash_lsh_dedup(spark, sf_dir).count()
+    assert row.n_hit == verified
+
+
+def test_lsh_recall_eval_detects_banding_misses(spark, sf_dir):
+    """With a deliberately recall-hostile config (2 bands x 16 rows — a
+    pair must agree on 16 consecutive MinHash slots to collide), recall
+    must not exceed the production 8x4 config's, and the truth set size
+    must be config-independent."""
+    good = dedup.lsh_recall_eval(spark, sf_dir, n_hashes=32, bands=8).collect()[0]
+    hard = dedup.lsh_recall_eval(spark, sf_dir, n_hashes=32, bands=2).collect()[0]
+    assert hard.n_truth == good.n_truth
+    assert hard.n_cand <= good.n_cand
+    assert hard.recall <= good.recall

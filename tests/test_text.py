@@ -68,3 +68,42 @@ def test_rerank_cross_encoder_permutes_slate(spark, sf_dir):
     for r in rows:
         cover = r["ce_score"] // t.RERANK_COVER_PTS
         assert 0 <= cover <= len(t.BM25_QUERY_TERMS)
+
+
+def test_quality_retention_curve_is_monotone_and_totals(spark, sf_dir):
+    """Retained counts must be non-increasing in the threshold, the lowest
+    present threshold must retain the whole scored corpus, and one spot
+    threshold must agree with a direct filter over doc_quality."""
+    from pyspark.sql import functions as F
+
+    from airflow_postgres_to_s3_pipeline_spark.operators import text as text_ops
+
+    rows = sorted(
+        text_ops.quality_retention_curve(spark, sf_dir).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert len(rows) >= 2
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.docs_retained >= hi.docs_retained
+        assert lo.tokens_retained >= hi.tokens_retained
+        assert lo.chars_retained >= hi.chars_retained
+        assert lo.token_retention >= hi.token_retention
+
+    q = text_ops.doc_quality(spark, sf_dir)
+    totals = q.agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("toks")
+    ).collect()[0]
+    # every document scores >= the lowest present threshold by construction
+    assert rows[0].docs_retained == totals.docs
+    assert rows[0].tokens_retained == totals.toks
+    assert abs(rows[0].token_retention - 1.0) < 1e-12
+
+    t = rows[len(rows) // 2].threshold
+    # the bucket floor at the threshold boundary IS score >= t for grid
+    # thresholds: floor(s*100) >= 100t  <=>  s >= t when 100t is integral
+    direct = q.filter(
+        F.least(
+            F.floor(F.col("quality_score") * 100).cast("int"), F.lit(99)
+        ) >= int(round(t * 100))
+    ).count()
+    assert rows[len(rows) // 2].docs_retained == direct
