@@ -367,16 +367,18 @@ def _lsh_chain_sql(n_hashes: int = 32, bands: int = 8,
     SELECT per band), and the banded self-join.  Interpolated into both the
     near-dedup oracles (which verify + threshold the candidates) and the
     recall-eval oracle (which compares them against the exact pair set)."""
-    rows = n_hashes // bands
+    return _lsh_sig_chain_sql(n_hashes, source) + _lsh_band_cand_sql(
+        n_hashes, bands
+    )
+
+
+def _lsh_sig_chain_sql(n_hashes: int = 32,
+                       source: str = "SELECT doc_id, text FROM documents") -> str:
+    """The band-count-independent prefix (``src`` .. ``sigs``) of the LSH
+    CTE chain — shared verbatim by every banding config of one corpus."""
     p = MERSENNE_P
     sig_exprs = ",\n               ".join(
         f"MIN((x1 + {i} * x2) % {p}) AS h{i}" for i in range(n_hashes)
-    )
-    band_selects = "\n        UNION ALL\n        ".join(
-        f"SELECT doc_id, {b} AS band, "
-        + " || '|' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows))
-        + " AS band_key FROM sigs"
-        for b in range(bands)
     )
     return f"""src AS (
         {source}
@@ -405,11 +407,26 @@ def _lsh_chain_sql(n_hashes: int = 32, bands: int = 8,
         SELECT doc_id,
                {sig_exprs}
         FROM hx GROUP BY doc_id
-    ), banded AS (
+    )"""
+
+
+def _lsh_band_cand_sql(n_hashes: int = 32, bands: int = 8,
+                       suffix: str = "") -> str:
+    """The per-config ``banded``/``cand`` CTEs over a ``sigs`` relation;
+    ``suffix`` disambiguates the CTE names when one query sweeps several
+    banding configs against the same signatures."""
+    rows = n_hashes // bands
+    band_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '|' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows))
+        + " AS band_key FROM sigs"
+        for b in range(bands)
+    )
+    return f""", banded{suffix} AS (
         {band_selects}
-    ), cand AS (
+    ), cand{suffix} AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM banded a JOIN banded b
+        FROM banded{suffix} a JOIN banded{suffix} b
           ON a.band = b.band AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
     )"""
@@ -1272,6 +1289,33 @@ _oracle(
 # E25e: LSH banding recall/precision evaluation against the exact pair set
 # ---------------------------------------------------------------------------
 
+def _exact_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """The banding-free ground truth: every (doc_a, doc_b) whose exact
+    shingle Jaccard rounds to >= threshold, via the exploded-shingle
+    equi-join (shuffle on shingle — bounded by posting-list sizes, never
+    a cartesian product).  Shared by the recall-eval and band-sweep ops."""
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("set_size"))
+    ea = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
+    eb = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        ea.join(eb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    jac = F.round(
+        F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")), 3
+    )
+    return (
+        inter.join(za, "doc_a").join(zb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+
 def lsh_recall_eval(spark: SparkSession, sf_dir: str,
                     threshold: float = 0.6, n_hashes: int = 32,
                     bands: int = 8) -> DataFrame:
@@ -1310,27 +1354,7 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str,
     sh = tracked_persist(shingle_arrays(d, "text", "doc_id", 3), corpus=True)
     sig = tracked_persist(minhash_signatures_md5(sh, n_hashes))
     cand = lsh_candidate_pairs(sig, n_hashes, bands, checkable=True)
-
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    sizes = sh.select("doc_id", F.size("shingles").alias("set_size"))
-    ea = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
-    eb = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        ea.join(eb, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
-    jac = F.round(
-        F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")), 3
-    )
-    truth = (
-        inter.join(za, "doc_a").join(zb, "doc_b")
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b")
-    )
+    truth = _exact_jaccard_pairs(sh, threshold)
 
     # Tag-union + per-pair max, then one global aggregate: a single pair-key
     # shuffle computes |truth|, |cand| and |truth ∩ cand| together.
@@ -1405,3 +1429,123 @@ def _lsh_recall_eval_oracle(n_hashes: int = 32, bands: int = 8,
 
 
 _oracle("lsh_recall_eval", _lsh_recall_eval_oracle())
+
+
+BAND_SWEEP_GRID = (2, 4, 8, 16)  # band counts swept over the 32-slot sigs
+
+
+def lsh_band_sweep(spark: SparkSession, sf_dir: str,
+                   threshold: float = 0.6, n_hashes: int = 32,
+                   band_grid: tuple[int, ...] = BAND_SWEEP_GRID) -> DataFrame:
+    """The LSH banding S-curve, measured: recall and band-precision of
+    EVERY banding config in ``band_grid`` against the exact pair set, from
+    ONE shared signature computation — the table a curator reads to pick
+    (bands, rows) for a target similarity threshold, instead of trusting
+    the 1-(1-s^r)^b formula's independence assumptions on a real corpus.
+
+    More bands of fewer rows = higher recall, more false candidates (the
+    verify stage pays); fewer bands of more rows = the reverse.  The
+    shingle/signature pass — the corpus-sized cost — is computed once and
+    persisted; each config adds only its banded self-join, whose output is
+    ~linear in true near-dups.  The truth side is the same
+    deliberately-exhaustive eval-scale piece as ``lsh_recall_eval`` (at
+    100 TB, run the sweep on a deterministic doc-hash sample).  One row
+    per config; fully md5-derived, so the whole sweep is oracle-checked.
+    """
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = tracked_persist(shingle_arrays(d, "text", "doc_id", 3), corpus=True)
+    sig = tracked_persist(minhash_signatures_md5(sh, n_hashes))
+    truth = _exact_jaccard_pairs(sh, threshold)
+
+    tagged = truth.select(
+        F.explode(F.array(*[F.lit(b) for b in band_grid])).alias("bands"),
+        "doc_a", "doc_b",
+        F.lit(1).alias("is_truth"), F.lit(0).alias("is_cand"),
+    )
+    for b in band_grid:
+        cand = lsh_candidate_pairs(sig, n_hashes, b, checkable=True)
+        tagged = tagged.unionByName(
+            cand.select(
+                F.lit(b).alias("bands"), "doc_a", "doc_b",
+                F.lit(0).alias("is_truth"), F.lit(1).alias("is_cand"),
+            )
+        )
+    marked = (
+        tagged.groupBy("bands", "doc_a", "doc_b")
+        .agg(F.max("is_truth").alias("it"), F.max("is_cand").alias("ic"))
+    )
+    per = marked.groupBy("bands").agg(
+        F.sum("it").cast("long").alias("n_truth"),
+        F.sum("ic").cast("long").alias("n_cand"),
+        F.sum(F.col("it") * F.col("ic")).cast("long").alias("n_hit"),
+    )
+    return per.select(
+        "bands",
+        (F.lit(n_hashes) / F.col("bands")).cast("int").alias("rows_per_band"),
+        "n_truth",
+        "n_cand",
+        "n_hit",
+        F.when(
+            F.col("n_truth") > 0, F.col("n_hit") / F.col("n_truth")
+        ).alias("recall"),
+        F.when(
+            F.col("n_cand") > 0, F.col("n_hit") / F.col("n_cand")
+        ).alias("band_precision"),
+    )
+
+
+def _lsh_band_sweep_oracle(n_hashes: int = 32,
+                           band_grid: tuple[int, ...] = BAND_SWEEP_GRID,
+                           threshold: float = 0.6) -> str:
+    cand_ctes = "".join(
+        _lsh_band_cand_sql(n_hashes, b, suffix=f"_{b}") for b in band_grid
+    )
+    cand_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT {b} AS bands, doc_a, doc_b, 0 AS is_truth, 1 AS is_cand "
+        f"FROM cand_{b}"
+        for b in band_grid
+    )
+    grid_values = ", ".join(f"({b})" for b in band_grid)
+    return f"""
+    WITH {_lsh_sig_chain_sql(n_hashes)}{cand_ctes}, truthi AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT doc_id, LEN(shingles) AS set_size FROM shl
+    ), truth AS (
+        SELECT doc_a, doc_b
+        FROM truthi
+        JOIN sizes za ON za.doc_id = doc_a
+        JOIN sizes zb ON zb.doc_id = doc_b
+        WHERE ROUND(n_inter / (za.set_size + zb.set_size - n_inter), 3)
+              >= {threshold}
+    ), tagged AS (
+        SELECT g.bands, t.doc_a, t.doc_b, 1 AS is_truth, 0 AS is_cand
+        FROM truth t CROSS JOIN (VALUES {grid_values}) AS g(bands)
+        UNION ALL
+        {cand_selects}
+    ), marked AS (
+        SELECT bands, doc_a, doc_b, MAX(is_truth) AS it, MAX(is_cand) AS ic
+        FROM tagged GROUP BY bands, doc_a, doc_b
+    )
+    SELECT bands,
+           CAST({n_hashes} / bands AS INTEGER) AS rows_per_band,
+           CAST(SUM(it) AS BIGINT) AS n_truth,
+           CAST(SUM(ic) AS BIGINT) AS n_cand,
+           CAST(SUM(it * ic) AS BIGINT) AS n_hit,
+           CASE WHEN SUM(it) > 0
+                THEN CAST(SUM(it * ic) AS BIGINT)
+                     / CAST(SUM(it) AS BIGINT) END AS recall,
+           CASE WHEN SUM(ic) > 0
+                THEN CAST(SUM(it * ic) AS BIGINT)
+                     / CAST(SUM(ic) AS BIGINT) END AS band_precision
+    FROM marked
+    GROUP BY bands
+    """
+
+
+_oracle("lsh_band_sweep", _lsh_band_sweep_oracle())

@@ -1064,6 +1064,7 @@ QUERIES: dict[str, QueryFn] = {
     # planning table and the LSH-config recall/precision gate
     "quality_retention_curve": text.quality_retention_curve,
     "lsh_recall_eval": dedup.lsh_recall_eval,
+    "lsh_band_sweep": dedup.lsh_band_sweep,
 }
 
 

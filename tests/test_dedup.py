@@ -196,3 +196,19 @@ def test_lsh_recall_eval_detects_banding_misses(spark, sf_dir):
     assert hard.n_truth == good.n_truth
     assert hard.n_cand <= good.n_cand
     assert hard.recall <= good.recall
+
+
+def test_lsh_band_sweep_monotone_tradeoff(spark, sf_dir):
+    """More bands of fewer rows can only ADD candidate pairs (a pair
+    colliding on a 2r-row band also collides on both r-row halves... the
+    converse is false), so n_cand and recall are non-decreasing in the
+    band count while the truth set stays fixed."""
+    rows = sorted(
+        dedup.lsh_band_sweep(spark, sf_dir).collect(), key=lambda r: r.bands
+    )
+    assert [r.bands for r in rows] == sorted(dedup.BAND_SWEEP_GRID)
+    assert len({r.n_truth for r in rows}) == 1
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.n_cand <= hi.n_cand
+        assert lo.recall <= hi.recall
+        assert hi.rows_per_band == 32 // hi.bands
