@@ -2429,3 +2429,203 @@ _oracle(
       )
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# E26 acceptance gates: measured recall of the approximate tiers
+# ---------------------------------------------------------------------------
+
+def _exact_l2_topk(spark: SparkSession, sf_dir: str,
+                   top: int = TOP_K) -> DataFrame:
+    """Exact squared-L2 top-k ground truth over the full corpus (self
+    excluded) — the reference every ANN tier's recall is measured against.
+    Broadcast-nested-loop of the bounded query set onto the corpus scan:
+    O(n_queries x n), linear in corpus size, the same shape as
+    ``knn_bruteforce``.  Rounding and tie rule match the serving tiers
+    (d2 to 4 places, then neighbor_id ascending)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = e.repartition(spark.sparkContext.defaultParallelism).join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(sq_l2(F.col("qv"), F.col("v")), 4).alias("d2"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top)
+    )
+
+
+def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@k of the compressed ANN serving tiers against the
+    exact squared-L2 top-k — the acceptance gate an (every, n_probe,
+    depth) index config must pass before it serves retrieval, promoted
+    from docs/SCALE.md's ad-hoc measurement to an oracle-checked operator.
+
+    One row per tier: ``ivfpq`` (pure compressed-domain ADC ranking) and
+    ``ivfpq_refine`` (the two-stage slate + exact re-rank), each counting
+    how many of the exact top-k pairs it reproduces.  ``recall =
+    n_hits / (n_queries * k)`` is the standard macro recall@k (every
+    query contributes exactly k truth pairs, so the mean-of-per-query
+    ratios equals the pooled ratio).
+
+    100 TB posture: the truth side is the linear brute-force pass (the
+    eval-time cost you pay once per index config, on a query SAMPLE at
+    full scale); the two tier builds are the production plans unchanged.
+    """
+    truth = tracked_persist(
+        _exact_l2_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    )
+    tiers = (
+        ("ivfpq", knn_ivfpq(spark, sf_dir)),
+        ("ivfpq_refine", knn_ivfpq_refine(spark, sf_dir)),
+    )
+    parts = []
+    for name, df in tiers:
+        hits = df.select("query_id", "neighbor_id").join(
+            truth, ["query_id", "neighbor_id"], "left_semi"
+        )
+        parts.append(
+            hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits")).select(
+                F.lit(name).alias("tier"), "n_hits"
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.select(
+        "tier",
+        F.lit(N_QUERIES).cast("long").alias("n_queries"),
+        F.lit(TOP_K).cast("int").alias("k"),
+        "n_hits",
+        (F.col("n_hits") / F.lit(N_QUERIES * TOP_K)).alias("recall"),
+    )
+
+
+def _knn_recall_eval_oracle() -> str:
+    return f"""
+    WITH e2 AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                       ROUND(list_reduce(
+                           list_transform(range(1, len(q.v) + 1),
+                               i -> (q.v[i] - n.v[i]) * (q.v[i] - n.v[i])),
+                           (x, y) -> x + y), 4) ASC,
+                       n.vec_id ASC) AS rnk
+            FROM e2 q JOIN e2 n ON n.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rnk <= {TOP_K}
+    ), a1 AS (
+        SELECT query_id, neighbor_id FROM ({_knn_ivfpq_oracle()})
+    ), a2 AS (
+        SELECT query_id, neighbor_id FROM ({_knn_ivfpq_refine_oracle()})
+    ), hits AS (
+        SELECT 'ivfpq' AS tier, COUNT(*) AS n_hits
+        FROM a1 JOIN truth USING (query_id, neighbor_id)
+        UNION ALL
+        SELECT 'ivfpq_refine' AS tier, COUNT(*) AS n_hits
+        FROM a2 JOIN truth USING (query_id, neighbor_id)
+    )
+    SELECT tier,
+           CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           CAST({TOP_K} AS INTEGER) AS k,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_hits AS BIGINT) / CAST({N_QUERIES * TOP_K} AS BIGINT)
+               AS recall
+    FROM hits
+    """
+
+
+_oracle("knn_recall_eval", _knn_recall_eval_oracle())
+
+
+def embedding_lsh_recall_eval(spark: SparkSession, sf_dir: str,
+                              threshold: float = NEAR_DUP_THRESHOLD
+                              ) -> DataFrame:
+    """Recall of the hyperplane-LSH near-dup path against the exact
+    all-pairs cosine baseline — the vector-modality twin of
+    ``lsh_recall_eval``: a banding config that never collides on a true
+    near-dup pair silently KEEPS that duplicate, so the measured recall
+    is the number a dedup config ships with.
+
+    ``n_approx`` counts the LSH pipeline's verified output pairs; since
+    its verify stage applies the same rounded exact cosine >= threshold,
+    every one is a true pair (n_hit == n_approx; the test pins it), so
+    post-verify precision is 1.0 by construction and the interesting
+    numbers are recall and n_missed.  The truth side is the
+    deliberately-quadratic eval-scale baseline (``embedding_near_dup``) —
+    at 100 TB the eval runs on a deterministic vec-hash sample, as with
+    the text-modality eval.
+    """
+    truth = embedding_near_dup(spark, sf_dir, threshold).select("id_a", "id_b")
+    approx = embedding_lsh_near_dup(spark, sf_dir, threshold=threshold).select(
+        "id_a", "id_b"
+    )
+    t = truth.select(
+        "id_a", "id_b", F.lit(1).alias("is_truth"), F.lit(0).alias("is_approx")
+    )
+    a = approx.select(
+        "id_a", "id_b", F.lit(0).alias("is_truth"), F.lit(1).alias("is_approx")
+    )
+    marked = (
+        t.unionByName(a)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("is_truth").alias("it"), F.max("is_approx").alias("ia"))
+    )
+    agg = marked.agg(
+        F.sum("it").cast("long").alias("n_truth"),
+        F.sum("ia").cast("long").alias("n_approx"),
+        F.sum(F.col("it") * F.col("ia")).cast("long").alias("n_hit"),
+    )
+    return agg.select(
+        "n_truth",
+        "n_approx",
+        "n_hit",
+        (F.col("n_truth") - F.col("n_hit")).alias("n_missed"),
+        F.when(
+            F.col("n_truth") > 0, F.col("n_hit") / F.col("n_truth")
+        ).alias("recall"),
+    )
+
+
+def _embedding_lsh_recall_eval_oracle() -> str:
+    return f"""
+    WITH truth AS (
+        SELECT id_a, id_b FROM ({ORACLES["embedding_near_dup"]})
+    ), approx AS (
+        SELECT id_a, id_b FROM ({ORACLES["embedding_lsh_near_dup"]})
+    ), marked AS (
+        SELECT id_a, id_b, MAX(is_truth) AS it, MAX(is_approx) AS ia
+        FROM (
+            SELECT id_a, id_b, 1 AS is_truth, 0 AS is_approx FROM truth
+            UNION ALL
+            SELECT id_a, id_b, 0 AS is_truth, 1 AS is_approx FROM approx
+        )
+        GROUP BY id_a, id_b
+    )
+    SELECT CAST(SUM(it) AS BIGINT) AS n_truth,
+           CAST(SUM(ia) AS BIGINT) AS n_approx,
+           CAST(SUM(it * ia) AS BIGINT) AS n_hit,
+           CAST(SUM(it) - SUM(it * ia) AS BIGINT) AS n_missed,
+           CASE WHEN SUM(it) > 0
+                THEN CAST(SUM(it * ia) AS BIGINT)
+                     / CAST(SUM(it) AS BIGINT) END AS recall
+    FROM marked
+    """
+
+
+_oracle("embedding_lsh_recall_eval", _embedding_lsh_recall_eval_oracle())

@@ -1065,6 +1065,8 @@ QUERIES: dict[str, QueryFn] = {
     "quality_retention_curve": text.quality_retention_curve,
     "lsh_recall_eval": dedup.lsh_recall_eval,
     "lsh_band_sweep": dedup.lsh_band_sweep,
+    "knn_recall_eval": similarity.knn_recall_eval,
+    "embedding_lsh_recall_eval": similarity.embedding_lsh_recall_eval,
 }
 
 

@@ -77,6 +77,12 @@ ALLOWED_PRODUCT = {
     # fetch itself is a broadcast EQUI-join on vec_id
     "rerank_cross_encoder",  # hybrid_search_rrf's whitelisted 1-row
     # avgdl broadcast; the slate fetch is a broadcast equi-join on doc_id
+    "knn_recall_eval",  # the exact-L2 truth side is the deliberate
+    # knn_bruteforce-shaped broadcast of the bounded query set, plus the
+    # two tiers' whitelisted metadata broadcasts
+    "embedding_lsh_recall_eval",  # composes embedding_near_dup (the
+    # whitelisted exact all-pairs baseline, here as eval ground truth)
+    # with embedding_lsh_near_dup's whitelisted plane broadcast
 }
 
 # Streaming queries execute eagerly on build (memory-sink materialization);

@@ -514,3 +514,27 @@ def test_knn_ivfpq_refine_slate_membership_and_recall(spark, sf_dir):
     hits_plain = sum(len(plain.get(q, set()) & exact[q]) for q in exact)
     hits_ref = sum(len(refined.get(q, set()) & exact[q]) for q in exact)
     assert hits_ref >= hits_plain
+
+
+def test_knn_recall_eval_refine_dominates_base_tier(spark, sf_dir):
+    """Every true-top-k pair the slate catches survives exact re-ranking
+    (a slate member in the true top-k cannot be displaced by >k closer
+    slate members — those would be in the true top-k too), so the refine
+    tier's recall is >= the pure compressed tier's."""
+    rows = {r.tier: r for r in similarity.knn_recall_eval(spark, sf_dir).collect()}
+    assert set(rows) == {"ivfpq", "ivfpq_refine"}
+    for r in rows.values():
+        assert r.n_hits <= r.n_queries * r.k
+        assert abs(r.recall - r.n_hits / (r.n_queries * r.k)) < 1e-12
+    assert rows["ivfpq_refine"].recall >= rows["ivfpq"].recall
+
+
+def test_embedding_lsh_recall_eval_verify_subset(spark, sf_dir):
+    """The LSH pipeline's verify stage applies the same rounded exact
+    cosine threshold as the truth set, so every emitted approx pair is a
+    true pair: n_hit == n_approx and post-verify precision is 1.0."""
+    row = similarity.embedding_lsh_recall_eval(spark, sf_dir).collect()[0]
+    assert row.n_hit == row.n_approx
+    assert row.n_missed == row.n_truth - row.n_hit
+    assert 0.0 <= row.recall <= 1.0
+    assert row.n_truth > 0
