@@ -2629,3 +2629,93 @@ def _embedding_lsh_recall_eval_oracle() -> str:
 
 
 _oracle("embedding_lsh_recall_eval", _embedding_lsh_recall_eval_oracle())
+
+
+PROBE_SWEEP_GRID = (1, 2, 4, 8)  # coarse cells probed per query
+
+
+def knn_probe_sweep(spark: SparkSession, sf_dir: str,
+                    probe_grid: tuple[int, ...] = PROBE_SWEEP_GRID
+                    ) -> DataFrame:
+    """Measured recall@k vs ``n_probe`` — the IVF tuning curve
+    (faiss ``nprobe``), the ANN analog of ``lsh_band_sweep``: probing
+    more coarse cells linearly raises the candidate scan and (usually)
+    the recall, and THIS table, not the independence-assuming cell-count
+    heuristic, is what a production config picks its operating point
+    from.
+
+    Unlike LSH banding, recall is NOT structurally monotone here: the
+    fine ranking is the ADC approximation, so a larger candidate pool can
+    displace a true top-k member with a closer-in-ADC impostor — a real
+    effect this eval makes visible instead of assuming away.  One row per
+    n_probe; truth is the exact squared-L2 top-k (shared with
+    ``knn_recall_eval``); fully deterministic, fully oracled via the
+    parameterized IVF-PQ mirror.
+    """
+    truth = tracked_persist(
+        _exact_l2_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    )
+    parts = []
+    for np_ in probe_grid:
+        hits = knn_ivfpq(spark, sf_dir, n_probe=np_).select(
+            "query_id", "neighbor_id"
+        ).join(truth, ["query_id", "neighbor_id"], "left_semi")
+        parts.append(
+            hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits")).select(
+                F.lit(np_).cast("int").alias("n_probe"), "n_hits"
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.select(
+        "n_probe",
+        F.lit(N_QUERIES).cast("long").alias("n_queries"),
+        F.lit(TOP_K).cast("int").alias("k"),
+        "n_hits",
+        (F.col("n_hits") / F.lit(N_QUERIES * TOP_K)).alias("recall"),
+    )
+
+
+def _knn_probe_sweep_oracle(probe_grid: tuple[int, ...] = PROBE_SWEEP_GRID
+                            ) -> str:
+    approx_ctes = ", ".join(
+        f"a_{np_} AS (SELECT query_id, neighbor_id FROM "
+        f"({_knn_ivfpq_oracle(n_probe=np_)}))"
+        for np_ in probe_grid
+    )
+    hit_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT {np_} AS n_probe, COUNT(*) AS n_hits "
+        f"FROM a_{np_} JOIN truth USING (query_id, neighbor_id)"
+        for np_ in probe_grid
+    )
+    return f"""
+    WITH e2 AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                       ROUND(list_reduce(
+                           list_transform(range(1, len(q.v) + 1),
+                               i -> (q.v[i] - n.v[i]) * (q.v[i] - n.v[i])),
+                           (x, y) -> x + y), 4) ASC,
+                       n.vec_id ASC) AS rnk
+            FROM e2 q JOIN e2 n ON n.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rnk <= {TOP_K}
+    ), {approx_ctes}, hits AS (
+        {hit_selects}
+    )
+    SELECT CAST(n_probe AS INTEGER) AS n_probe,
+           CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           CAST({TOP_K} AS INTEGER) AS k,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_hits AS BIGINT) / CAST({N_QUERIES * TOP_K} AS BIGINT)
+               AS recall
+    FROM hits
+    """
+
+
+_oracle("knn_probe_sweep", _knn_probe_sweep_oracle())

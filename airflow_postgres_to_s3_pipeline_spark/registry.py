@@ -1067,6 +1067,7 @@ QUERIES: dict[str, QueryFn] = {
     "lsh_band_sweep": dedup.lsh_band_sweep,
     "knn_recall_eval": similarity.knn_recall_eval,
     "embedding_lsh_recall_eval": similarity.embedding_lsh_recall_eval,
+    "knn_probe_sweep": similarity.knn_probe_sweep,
 }
 
 

@@ -80,6 +80,8 @@ ALLOWED_PRODUCT = {
     "knn_recall_eval",  # the exact-L2 truth side is the deliberate
     # knn_bruteforce-shaped broadcast of the bounded query set, plus the
     # two tiers' whitelisted metadata broadcasts
+    "knn_probe_sweep",  # same exact-L2 truth shape + knn_ivfpq's
+    # whitelisted metadata broadcasts, once per probed config
     "embedding_lsh_recall_eval",  # composes embedding_near_dup (the
     # whitelisted exact all-pairs baseline, here as eval ground truth)
     # with embedding_lsh_near_dup's whitelisted plane broadcast

@@ -538,3 +538,20 @@ def test_embedding_lsh_recall_eval_verify_subset(spark, sf_dir):
     assert row.n_missed == row.n_truth - row.n_hit
     assert 0.0 <= row.recall <= 1.0
     assert row.n_truth > 0
+
+
+def test_knn_probe_sweep_invariants(spark, sf_dir):
+    """The probe sweep's counts stay bounded and probing more cells never
+    hurts the CANDIDATE pool — but ADC ranking may still displace true
+    hits, so only the weak envelope (best config >= the 1-probe floor) is
+    structural; strict monotonicity is deliberately NOT asserted (the
+    sf0.01 curve measures 0.26/0.34/0.46/0.44 — the 8-probe dip is real)."""
+    rows = sorted(
+        similarity.knn_probe_sweep(spark, sf_dir).collect(),
+        key=lambda r: r.n_probe,
+    )
+    assert [r.n_probe for r in rows] == sorted(similarity.PROBE_SWEEP_GRID)
+    for r in rows:
+        assert 0 <= r.n_hits <= r.n_queries * r.k
+        assert abs(r.recall - r.n_hits / (r.n_queries * r.k)) < 1e-12
+    assert max(r.recall for r in rows) >= rows[0].recall
