@@ -2466,7 +2466,9 @@ def _exact_l2_topk(spark: SparkSession, sf_dir: str,
     )
 
 
-def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_recall_eval(spark: SparkSession, sf_dir: str,
+                    every: int = IVFPQ_EVERY,
+                    n_probe: int = IVFPQ_N_PROBE) -> DataFrame:
     """Measured recall@k of the compressed ANN serving tiers against the
     exact squared-L2 top-k — the acceptance gate an (every, n_probe,
     depth) index config must pass before it serves retrieval, promoted
@@ -2487,8 +2489,9 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         _exact_l2_topk(spark, sf_dir).select("query_id", "neighbor_id")
     )
     tiers = (
-        ("ivfpq", knn_ivfpq(spark, sf_dir)),
-        ("ivfpq_refine", knn_ivfpq_refine(spark, sf_dir)),
+        ("ivfpq", knn_ivfpq(spark, sf_dir, n_probe=n_probe, every=every)),
+        ("ivfpq_refine",
+         knn_ivfpq_refine(spark, sf_dir, every=every, n_probe=n_probe)),
     )
     parts = []
     for name, df in tiers:

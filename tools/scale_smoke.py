@@ -86,7 +86,8 @@ def main() -> int:
                      "vector_lsh_near_dup", "vector_semantic_dedup",
                      "vector_kmeans", "vector_knn_ivf",
                      "vector_pq_encode_hof", "vector_pq_encode_gemm",
-                     "vector_incremental_dedup", "vector_ivfpq_refine"}
+                     "vector_incremental_dedup", "vector_ivfpq_refine",
+                     "vector_knn_recall_eval"}
     if not only or (only & vector_labels):
         import shutil
         import tempfile
@@ -160,6 +161,13 @@ def main() -> int:
         results.append(run_vec(
             "vector_ivfpq_refine", nv_km,
             lambda d: similarity.knn_ivfpq_refine(
+                spark, d, every=max(50, int(nv_km ** 0.5)))))
+        # r8: the ANN acceptance gate at corpus scale — exact-L2 truth is
+        # LINEAR (bounded query set broadcast onto the corpus scan), so
+        # the eval itself survives the 100x corpus; sqrt-scaled stride
+        results.append(run_vec(
+            "vector_knn_recall_eval", nv_km,
+            lambda d: similarity.knn_recall_eval(
                 spark, d, every=max(50, int(nv_km ** 0.5)))))
 
         # r5: PQ corpus-encode build tiers — HOF fold (CodegenFallback,
