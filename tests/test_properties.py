@@ -303,3 +303,46 @@ def test_token_blocking_misses_only_both_token_divergent_pairs(
         assert ta[0] != tb[0] and ta[1] != tb[1], (
             f"pair {(a, b)} shares a blocking token but was missed"
         )
+
+
+# Random word-sequence documents over a small vocabulary — enough shared
+# 3-grams to produce real band collisions at every config.
+_doc_words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+    min_size=3,
+    max_size=12,
+)
+
+
+@given(docs=st.lists(_doc_words, min_size=2, max_size=12))
+@settings(**_SETTINGS)
+def test_lsh_band_refinement_subset_property(spark, docs):
+    """Splitting every band in half can only ADD collisions: with aligned
+    band boundaries (b divides b'), a pair agreeing on a full coarse band
+    agrees on both its halves, so cand(b) ⊆ cand(b') for b < b' on ANY
+    corpus — the structural fact behind lsh_band_sweep's monotone
+    candidate counts, checked here on arbitrary documents rather than the
+    fixture corpus."""
+    from airflow_postgres_to_s3_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_md5,
+        shingle_arrays,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], ["doc_id", "text"]
+    )
+    sh = shingle_arrays(df, "text", "doc_id", 3)
+    sig = minhash_signatures_md5(sh, 32).persist()
+    try:
+        pair_sets = {}
+        for bands in (2, 4, 8, 16):
+            pair_sets[bands] = {
+                (r.doc_a, r.doc_b)
+                for r in lsh_candidate_pairs(
+                    sig, 32, bands, checkable=True
+                ).collect()
+            }
+        assert pair_sets[2] <= pair_sets[4] <= pair_sets[8] <= pair_sets[16]
+    finally:
+        sig.unpersist()
