@@ -1549,3 +1549,107 @@ def _lsh_band_sweep_oracle(n_hashes: int = 32,
 
 
 _oracle("lsh_band_sweep", _lsh_band_sweep_oracle())
+
+
+def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication accounting — WHERE the duplication lives:
+    for each ingest source, how many of its documents are exact copies of
+    something in the corpus, how many sit in a near-dup pair, and the
+    combined duplicated-document rate.  This is the table that decides
+    which crawl/source gets re-scoped before anyone tunes a dedup config.
+
+    Membership is corpus-global attributed to the doc's own source (a doc
+    duplicating across sources counts for its source), exact = its md5
+    appears more than once, near = it appears on either side of a
+    verified MinHash-LSH pair (md5-checkable tier, so the whole report
+    carries an exact SQL oracle; exact dups are also near-dups at
+    Jaccard 1.0 — ``n_dup_docs`` is the DISTINCT union, not the sum).
+
+    100 TB posture: the exact tier is the 16-byte-key group-by, the near
+    tier is the production banded pipeline unchanged, and membership
+    attachment is two left joins on doc_id against frames bounded by the
+    duplicated population; output is one row per source.
+    """
+    d = table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    dup_h = (
+        h.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("h")
+    )
+    exact_member = h.join(dup_h, "h", "left_semi").select(
+        "doc_id", F.lit(1).alias("is_exact")
+    )
+    pairs = minhash_lsh_pairs(
+        d, shards=spark.sparkContext.defaultParallelism, checkable=True
+    ).select("doc_a", "doc_b")
+    near_member = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .select("doc_id", F.lit(1).alias("is_near"))
+    )
+    m = (
+        d.select("doc_id", "source")
+        .join(exact_member, "doc_id", "left")
+        .join(near_member, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce(F.col("is_exact"), F.lit(0)).alias("is_exact"),
+            F.coalesce(F.col("is_near"), F.lit(0)).alias("is_near"),
+        )
+    )
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_exact").cast("long").alias("n_exact_dup_docs"),
+        F.sum("is_near").cast("long").alias("n_near_dup_docs"),
+        F.sum(
+            F.when((F.col("is_exact") == 1) | (F.col("is_near") == 1), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_dup_docs"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_exact_dup_docs",
+        "n_near_dup_docs",
+        "n_dup_docs",
+        (F.col("n_dup_docs") / F.col("n_docs")).alias("dup_rate"),
+    )
+
+
+def _corpus_dedup_report_oracle() -> str:
+    return f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b FROM ({_minhash_lsh_oracle()})
+    ), near_ids AS (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION
+        SELECT doc_b AS doc_id FROM pairs
+    ), dup_h AS (
+        SELECT md5(text) AS h FROM documents
+        GROUP BY md5(text) HAVING COUNT(*) > 1
+    ), m AS (
+        SELECT d.source,
+               CASE WHEN md5(d.text) IN (SELECT h FROM dup_h)
+                    THEN 1 ELSE 0 END AS is_exact,
+               CASE WHEN d.doc_id IN (SELECT doc_id FROM near_ids)
+                    THEN 1 ELSE 0 END AS is_near
+        FROM documents d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_exact) AS BIGINT) AS n_exact_dup_docs,
+           CAST(SUM(is_near) AS BIGINT) AS n_near_dup_docs,
+           CAST(SUM(CASE WHEN is_exact = 1 OR is_near = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(CASE WHEN is_exact = 1 OR is_near = 1
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               / CAST(COUNT(*) AS BIGINT) AS dup_rate
+    FROM m GROUP BY source
+    """
+
+
+_oracle("corpus_dedup_report", _corpus_dedup_report_oracle())

@@ -1068,6 +1068,7 @@ QUERIES: dict[str, QueryFn] = {
     "knn_recall_eval": similarity.knn_recall_eval,
     "embedding_lsh_recall_eval": similarity.embedding_lsh_recall_eval,
     "knn_probe_sweep": similarity.knn_probe_sweep,
+    "corpus_dedup_report": dedup.corpus_dedup_report,
 }
 
 

@@ -212,3 +212,24 @@ def test_lsh_band_sweep_monotone_tradeoff(spark, sf_dir):
         assert lo.n_cand <= hi.n_cand
         assert lo.recall <= hi.recall
         assert hi.rows_per_band == 32 // hi.bands
+
+
+def test_corpus_dedup_report_membership_accounting(spark, sf_dir):
+    """Per-source dup counts must be a distinct-union accounting: n_dup
+    bounded by max/sum of the tiers and by n_docs, and the near column
+    must total exactly the distinct membership of the verified pair set."""
+    rows = dedup.corpus_dedup_report(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert max(r.n_exact_dup_docs, r.n_near_dup_docs) <= r.n_dup_docs
+        assert r.n_dup_docs <= r.n_exact_dup_docs + r.n_near_dup_docs
+        assert r.n_dup_docs <= r.n_docs
+        assert abs(r.dup_rate - r.n_dup_docs / r.n_docs) < 1e-12
+    pairs = dedup.minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    member = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_near_dup_docs for r in rows) == member
