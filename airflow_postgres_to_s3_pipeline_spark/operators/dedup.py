@@ -276,6 +276,16 @@ def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 32,
     )
 
 
+def jaccard3(n_inter, size_a, size_b):
+    """THE shared similarity rule of every exact-Jaccard site (verify
+    stage, ngram_jaccard_pairs, the eval ground truths): round to 3
+    places, THEN threshold.  Single-sourced so the rounding/tie rule
+    cannot silently diverge between the pipeline and its ground truth;
+    the SQL mirrors hard-code the same ROUND(x, 3) — change both
+    together."""
+    return F.round(n_inter / (size_a + size_b - n_inter), 3)
+
+
 def verify_jaccard(candidates: DataFrame, shingles: DataFrame,
                    threshold: float = 0.6) -> DataFrame:
     """Exact Jaccard on candidate pairs only.
@@ -288,14 +298,13 @@ def verify_jaccard(candidates: DataFrame, shingles: DataFrame,
     sa = shingles.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = shingles.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    n_union = F.size("sh_a") + F.size("sh_b") - n_inter
     return (
         candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.round(n_inter / n_union, 3).alias("jaccard"),
+            jaccard3(n_inter, F.size("sh_a"), F.size("sh_b")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -1109,9 +1118,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
-                3,
+            jaccard3(
+                F.col("n_inter"), F.col("size_a"), F.col("size_b")
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.5)
@@ -1306,9 +1314,7 @@ def _exact_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     )
     za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
-    jac = F.round(
-        F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")), 3
-    )
+    jac = jaccard3(F.col("n_inter"), F.col("size_a"), F.col("size_b"))
     return (
         inter.join(za, "doc_a").join(zb, "doc_b")
         .filter(jac >= threshold)
@@ -1371,10 +1377,13 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str,
         .groupBy("doc_a", "doc_b")
         .agg(F.max("is_truth").alias("it"), F.max("is_cand").alias("ic"))
     )
+    # coalesce: SUM over an empty pair set is NULL, but an acceptance
+    # gate on a clean corpus must report zeros, not NULLs
     agg = marked.agg(
-        F.sum("it").cast("long").alias("n_truth"),
-        F.sum("ic").cast("long").alias("n_cand"),
-        F.sum(F.col("it") * F.col("ic")).cast("long").alias("n_hit"),
+        F.coalesce(F.sum("it"), F.lit(0)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum("ic"), F.lit(0)).cast("long").alias("n_cand"),
+        F.coalesce(F.sum(F.col("it") * F.col("ic")), F.lit(0))
+        .cast("long").alias("n_hit"),
     )
     return agg.select(
         "n_truth",
@@ -1415,13 +1424,13 @@ def _lsh_recall_eval_oracle(n_hashes: int = 32, bands: int = 8,
         )
         GROUP BY doc_a, doc_b
     )
-    SELECT CAST(SUM(it) AS BIGINT) AS n_truth,
-           CAST(SUM(ic) AS BIGINT) AS n_cand,
-           CAST(SUM(it * ic) AS BIGINT) AS n_hit,
-           CASE WHEN SUM(it) > 0
+    SELECT CAST(COALESCE(SUM(it), 0) AS BIGINT) AS n_truth,
+           CAST(COALESCE(SUM(ic), 0) AS BIGINT) AS n_cand,
+           CAST(COALESCE(SUM(it * ic), 0) AS BIGINT) AS n_hit,
+           CASE WHEN COALESCE(SUM(it), 0) > 0
                 THEN CAST(SUM(it * ic) AS BIGINT)
                      / CAST(SUM(it) AS BIGINT) END AS recall,
-           CASE WHEN SUM(ic) > 0
+           CASE WHEN COALESCE(SUM(ic), 0) > 0
                 THEN CAST(SUM(it * ic) AS BIGINT)
                      / CAST(SUM(ic) AS BIGINT) END AS band_precision
     FROM marked
@@ -1472,6 +1481,20 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str,
                 F.lit(0).alias("is_truth"), F.lit(1).alias("is_cand"),
             )
         )
+    # per-config sentinel (bands, -1, -1, 0, 0): counts nothing, but
+    # guarantees one output row per config even on a corpus with zero
+    # true/candidate pairs — the one-row-per-config gate contract
+    tagged = tagged.unionByName(
+        spark.range(1).select(
+            F.explode(
+                F.array(*[F.lit(b) for b in band_grid])
+            ).alias("bands"),
+            F.lit(-1).cast("long").alias("doc_a"),
+            F.lit(-1).cast("long").alias("doc_b"),
+            F.lit(0).alias("is_truth"),
+            F.lit(0).alias("is_cand"),
+        )
+    )
     marked = (
         tagged.groupBy("bands", "doc_a", "doc_b")
         .agg(F.max("is_truth").alias("it"), F.max("is_cand").alias("ic"))
@@ -1528,12 +1551,17 @@ def _lsh_band_sweep_oracle(n_hashes: int = 32,
         FROM truth t CROSS JOIN (VALUES {grid_values}) AS g(bands)
         UNION ALL
         {cand_selects}
+    ), sentinel AS (
+        SELECT s.bands, -1 AS doc_a, -1 AS doc_b,
+               0 AS is_truth, 0 AS is_cand
+        FROM (VALUES {grid_values}) AS s(bands)
     ), marked AS (
         SELECT bands, doc_a, doc_b, MAX(is_truth) AS it, MAX(is_cand) AS ic
-        FROM tagged GROUP BY bands, doc_a, doc_b
+        FROM (SELECT * FROM tagged UNION ALL SELECT * FROM sentinel)
+        GROUP BY bands, doc_a, doc_b
     )
     SELECT bands,
-           CAST({n_hashes} / bands AS INTEGER) AS rows_per_band,
+           CAST({n_hashes} // bands AS INTEGER) AS rows_per_band,
            CAST(SUM(it) AS BIGINT) AS n_truth,
            CAST(SUM(ic) AS BIGINT) AS n_cand,
            CAST(SUM(it * ic) AS BIGINT) AS n_hit,

@@ -1703,11 +1703,56 @@ IVFPQ_EVERY = 50   # coarse stride -> corpus/50 cells (the knn_ivf index)
 IVFPQ_N_PROBE = 3  # coarse cells probed per query
 
 
+def _ivfpq_index(spark: SparkSession, sf_dir: str,
+                 every: int = IVFPQ_EVERY) -> tuple:
+    """The IVF-PQ index build — (vectors, centroids, packed codebook,
+    coded corpus) — on the GEMM cogroup tiers.  Factored out so the eval
+    gates (``knn_recall_eval``, ``knn_probe_sweep``) can build and persist
+    it ONCE and share it across tiers/probe configs instead of paying one
+    corpus-scale encode per grid point; ``carry=centroid_id`` threads the
+    coarse cell through the PQ encode so the composition costs no extra
+    vec_id shuffle join."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    cents = _centroids(e, every)
+    shards = spark.sparkContext.defaultParallelism
+    assigned = ivf_assign_gemm(e, cents, shards)
+    packed = _pq_codebook(e)
+    coded = pq_encode_gemm(assigned, packed, shards, carry=("centroid_id",))
+    return e, cents, packed, coded
+
+
+def _probe_cells(e: DataFrame, cents: DataFrame, n_probe: int) -> DataFrame:
+    """The coarse probe: each query's ``n_probe`` nearest IVF cells by
+    the index's own metric (cosine), with the probe rank ``prnk``
+    retained — ``knn_ivfpq`` drops it, ``knn_probe_sweep`` keys its
+    probe-prefix derivation on it."""
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qcsim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qv",
+            "centroid_id",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("qcsim"),
+        )
+        .withColumn("prnk", F.row_number().over(wq))
+        .filter(F.col("prnk") <= n_probe)
+    )
+
+
 def knn_ivfpq(spark: SparkSession, sf_dir: str,
               n_probe: int = IVFPQ_N_PROBE,
               every: int = IVFPQ_EVERY,
               score_tier: str = "gemm",
-              top: int = TOP_K) -> DataFrame:
+              top: int = TOP_K,
+              index: tuple | None = None) -> DataFrame:
     """IVF-PQ: the coarse IVF index (``knn_ivf``'s cosine cells) prunes
     CANDIDATES to the ``n_probe`` nearest cells, and PQ codes
     (``knn_pq``'s 16-subspace codebook) shrink the BYTES scanned per
@@ -1733,35 +1778,9 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str,
     composed pipeline carries a full SQL oracle assembled from the same
     CTE generators as its two parents.
     """
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("v")
-    )
-    cents = _centroids(e, every)
-    # both index builds on their GEMM cogroup tiers — the scale-safe
-    # defaults knn_ivf and knn_pq also ship (bit-identical to the folds);
-    # carry=centroid_id threads the coarse cell through the PQ encode so
-    # the composition costs no extra vec_id shuffle join
-    shards = spark.sparkContext.defaultParallelism
-    assigned = ivf_assign_gemm(e, cents, shards)
-    packed = _pq_codebook(e)
-    coded = pq_encode_gemm(assigned, packed, shards, carry=("centroid_id",))
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("qcsim").desc(), F.col("centroid_id").asc()
-    )
-    probe = (
-        q.join(F.broadcast(cents))
-        .select(
-            "query_id",
-            "qv",
-            "centroid_id",
-            cosine_similarity(F.col("qv"), F.col("cv")).alias("qcsim"),
-        )
-        .withColumn("prnk", F.row_number().over(wq))
-        .filter(F.col("prnk") <= n_probe)
-        .select("query_id", "qv", "centroid_id")
+    e, cents, packed, coded = index or _ivfpq_index(spark, sf_dir, every)
+    probe = _probe_cells(e, cents, n_probe).select(
+        "query_id", "qv", "centroid_id"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc()
@@ -1933,7 +1952,8 @@ REFINE_DEPTH = 20  # PQ-approximate candidates refined per query (4x TOP_K)
 def knn_ivfpq_refine(spark: SparkSession, sf_dir: str,
                      depth: int = REFINE_DEPTH,
                      every: int = IVFPQ_EVERY,
-                     n_probe: int = IVFPQ_N_PROBE) -> DataFrame:
+                     n_probe: int = IVFPQ_N_PROBE,
+                     index: tuple | None = None) -> DataFrame:
     """IVF-PQ with exact-distance refinement — the two-stage ANN serving
     shape (faiss ``IndexRefineFlat``): the compressed index nominates a
     candidate slate ``depth`` deep per query (cheap, lossy), then the RAW
@@ -1956,8 +1976,17 @@ def knn_ivfpq_refine(spark: SparkSession, sf_dir: str,
     oracle — candidate slate and refined ordering both.
     """
     cand = knn_ivfpq(
-        spark, sf_dir, n_probe=n_probe, every=every, top=depth
+        spark, sf_dir, n_probe=n_probe, every=every, top=depth, index=index
     ).select("query_id", "neighbor_id")
+    return _refine_candidates(spark, sf_dir, cand)
+
+
+def _refine_candidates(spark: SparkSession, sf_dir: str,
+                       cand: DataFrame) -> DataFrame:
+    """The refine stage proper: fetch the raw vectors of a (query_id,
+    neighbor_id) candidate slate and re-rank by exact squared-L2 to
+    TOP_K.  Shared by ``knn_ivfpq_refine`` and the eval gates (which
+    derive the base tier and the refined tier from ONE slate)."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
@@ -2488,10 +2517,24 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str,
     truth = tracked_persist(
         _exact_l2_topk(spark, sf_dir).select("query_id", "neighbor_id")
     )
+    # ONE index build, ONE ADC pass: the depth-REFINE_DEPTH slate is
+    # ranked by the same (adist, neighbor_id) order the base tier uses,
+    # so the ivfpq tier is exactly its rnk <= TOP_K prefix, and the
+    # refine tier is the exact re-rank of the same slate — neither tier
+    # pays a second corpus-scale encode/score.
+    idx = _ivfpq_index(spark, sf_dir, every)
+    slate = tracked_persist(
+        knn_ivfpq(
+            spark, sf_dir, n_probe=n_probe, every=every,
+            top=REFINE_DEPTH, index=idx,
+        ).select("query_id", "neighbor_id", "rnk")
+    )
     tiers = (
-        ("ivfpq", knn_ivfpq(spark, sf_dir, n_probe=n_probe, every=every)),
+        ("ivfpq", slate.filter(F.col("rnk") <= TOP_K)),
         ("ivfpq_refine",
-         knn_ivfpq_refine(spark, sf_dir, every=every, n_probe=n_probe)),
+         _refine_candidates(
+             spark, sf_dir, slate.select("query_id", "neighbor_id")
+         )),
     )
     parts = []
     for name, df in tiers:
@@ -2589,10 +2632,13 @@ def embedding_lsh_recall_eval(spark: SparkSession, sf_dir: str,
         .groupBy("id_a", "id_b")
         .agg(F.max("is_truth").alias("it"), F.max("is_approx").alias("ia"))
     )
+    # coalesce: SUM over an empty pair set is NULL; a clean corpus must
+    # read as zeros in the gate table
     agg = marked.agg(
-        F.sum("it").cast("long").alias("n_truth"),
-        F.sum("ia").cast("long").alias("n_approx"),
-        F.sum(F.col("it") * F.col("ia")).cast("long").alias("n_hit"),
+        F.coalesce(F.sum("it"), F.lit(0)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum("ia"), F.lit(0)).cast("long").alias("n_approx"),
+        F.coalesce(F.sum(F.col("it") * F.col("ia")), F.lit(0))
+        .cast("long").alias("n_hit"),
     )
     return agg.select(
         "n_truth",
@@ -2620,11 +2666,11 @@ def _embedding_lsh_recall_eval_oracle() -> str:
         )
         GROUP BY id_a, id_b
     )
-    SELECT CAST(SUM(it) AS BIGINT) AS n_truth,
-           CAST(SUM(ia) AS BIGINT) AS n_approx,
-           CAST(SUM(it * ia) AS BIGINT) AS n_hit,
-           CAST(SUM(it) - SUM(it * ia) AS BIGINT) AS n_missed,
-           CASE WHEN SUM(it) > 0
+    SELECT CAST(COALESCE(SUM(it), 0) AS BIGINT) AS n_truth,
+           CAST(COALESCE(SUM(ia), 0) AS BIGINT) AS n_approx,
+           CAST(COALESCE(SUM(it * ia), 0) AS BIGINT) AS n_hit,
+           CAST(COALESCE(SUM(it) - SUM(it * ia), 0) AS BIGINT) AS n_missed,
+           CASE WHEN COALESCE(SUM(it), 0) > 0
                 THEN CAST(SUM(it * ia) AS BIGINT)
                      / CAST(SUM(it) AS BIGINT) END AS recall
     FROM marked
@@ -2658,11 +2704,38 @@ def knn_probe_sweep(spark: SparkSession, sf_dir: str,
     truth = tracked_persist(
         _exact_l2_topk(spark, sf_dir).select("query_id", "neighbor_id")
     )
+    # ONE index build and ONE ADC scoring pass at max(grid) probes: the
+    # candidate pool of n_probe = p is exactly the prnk <= p prefix of
+    # the max-probe pool (ADC distance is per-pair, independent of which
+    # cells were probed), so every config derives from the persisted
+    # scored frame by a prnk filter + its own top-k window — no
+    # per-config corpus encode or scoring
+    e, cents, packed, coded = _ivfpq_index(spark, sf_dir)
+    coded = tracked_persist(coded)
+    probe = _probe_cells(e, cents, max(probe_grid))
+    scored = pq_score_cells(
+        coded, probe.select("query_id", "qv", "centroid_id"), packed
+    )
+    cellmap = coded.select(
+        F.col("vec_id").alias("neighbor_id"), "centroid_id"
+    )
+    prnkmap = probe.select("query_id", "centroid_id", "prnk")
+    enriched = tracked_persist(
+        scored.join(cellmap, "neighbor_id")
+        .join(F.broadcast(prnkmap), ["query_id", "centroid_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
     parts = []
     for np_ in probe_grid:
-        hits = knn_ivfpq(spark, sf_dir, n_probe=np_).select(
-            "query_id", "neighbor_id"
-        ).join(truth, ["query_id", "neighbor_id"], "left_semi")
+        topk = (
+            enriched.filter(F.col("prnk") <= np_)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+        hits = topk.join(truth, ["query_id", "neighbor_id"], "left_semi")
         parts.append(
             hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits")).select(
                 F.lit(np_).cast("int").alias("n_probe"), "n_hits"

@@ -113,9 +113,9 @@ def quality_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     descending cumulative sum: each doc lands in its score centile
     (``least(floor(score*100), 99)`` — a deterministic function of the
     score's IEEE bits, identical across engines since both compute the
-    score from the same int/int rationals), a 10-partial aggregate
+    score from the same int/int rationals), a <=100-partial aggregate
     collapses the corpus, and the cumulative "retained at >= t" sums run
-    over that <=10-row frame.
+    over that <=100-row frame.
 
     100 TB posture: ONE pass over the corpus (the doc_quality features are
     row-local), one map-side-combined aggregate down to <=100 partials, and

@@ -94,7 +94,7 @@ BENCH_QUERIES = [
 ]
 
 
-def _await_idle_host(max_wait_s: int | None = None) -> tuple[float, bool]:
+def _await_idle_host(max_wait_s: int | None = None) -> tuple[float, float, bool]:
     """Wait (bounded) for BOTH the 1-min and 5-min load averages to drop
     below the idle threshold, then report (load1, load5, idle?) — all
     sampled at gate-pass time, BEFORE Spark starts.  docs/SCALE.md
