@@ -233,3 +233,32 @@ def test_corpus_dedup_report_membership_accounting(spark, sf_dir):
         .count()
     )
     assert sum(r.n_near_dup_docs for r in rows) == member
+
+
+def test_eval_gates_report_zeros_on_clean_corpus(spark, tmp_path):
+    """On a corpus with NO near-dup pairs, the acceptance gates must
+    report explicit zeros — one row with 0-counts (recall NULL) from
+    lsh_recall_eval, and one all-zero row PER config from lsh_band_sweep
+    — never NULL counts or silently missing config rows."""
+    rows = [
+        (0, "aa bb cc dd ee", "en", "s0", 14),
+        (1, "ff gg hh ii jj", "en", "s0", 14),
+        (2, "kk ll mm nn oo", "de", "s1", 14),
+    ]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    r = dedup.lsh_recall_eval(spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    assert (r[0].n_truth, r[0].n_cand, r[0].n_hit) == (0, 0, 0)
+    assert r[0].recall is None and r[0].band_precision is None
+
+    sweep = sorted(
+        dedup.lsh_band_sweep(spark, str(tmp_path)).collect(),
+        key=lambda x: x.bands,
+    )
+    assert [x.bands for x in sweep] == sorted(dedup.BAND_SWEEP_GRID)
+    for x in sweep:
+        assert (x.n_truth, x.n_cand, x.n_hit) == (0, 0, 0)
+        assert x.recall is None and x.band_precision is None
