@@ -98,3 +98,56 @@ _oracle(
     GROUP BY l_returnflag
     """,
 )
+
+
+def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC tier of the E1 format surface: write orders as ORC, read the
+    files back, and aggregate a filtered scan — any row lost, duplicated,
+    or value-shifted by the parquet -> ORC -> scan chain (including the
+    TIMESTAMP column, the type with real cross-format semantics risk)
+    breaks the hash match against the oracle, which reads the ORIGINAL
+    parquet table.
+
+    ORC is the other columnar format large Hadoop estates standardize
+    on; Spark's native reader pushes predicates and prunes columns
+    through it exactly as for parquet (tests/test_layout.py pins
+    PushedFilters in the ORC scan node).  The double sum goes through
+    decimal(27,2) so it is partition-order independent.
+    """
+    out = os.path.join(
+        "/tmp/spark_graft_orc_rt",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    o.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.filter(F.col("o_totalprice") > 100000.0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+    )
+
+
+_oracle(
+    "orc_scan_roundtrip",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+               AS sum_price,
+           MIN(o_orderdate) AS first_date,
+           MAX(o_orderdate) AS last_date
+    FROM orders
+    WHERE o_totalprice > 100000.0
+    GROUP BY o_orderstatus
+    """,
+)

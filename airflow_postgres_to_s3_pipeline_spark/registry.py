@@ -1069,6 +1069,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_lsh_recall_eval": similarity.embedding_lsh_recall_eval,
     "knn_probe_sweep": similarity.knn_probe_sweep,
     "corpus_dedup_report": dedup.corpus_dedup_report,
+    "orc_scan_roundtrip": layout.orc_scan_roundtrip,
 }
 
 

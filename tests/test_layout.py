@@ -211,3 +211,16 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert len(rows) == 10
     assert rows[2] == (4, None)
     assert rows[7] == (14, "x7")
+
+
+def test_orc_scan_pushes_filters(spark, tmp_path):
+    """Spark's native ORC reader must receive the pushed predicate
+    (PushedFilters in the ORC scan node) exactly as the parquet path
+    does — the property orc_scan_roundtrip's 100 TB story rests on."""
+    p = str(tmp_path / "orc_push")
+    spark.range(1000).selectExpr(
+        "id", "id * 2.5 AS price"
+    ).write.orc(p)
+    back = spark.read.orc(p).filter("price > 100.0").select("id")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThan(price" in plan, plan[:1500]
