@@ -190,6 +190,85 @@ _oracle(
 )
 
 
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics — the MEASURE step before anyone
+    reaches for salting or AQE skew-join: per candidate shuffle key, how
+    many rows land on the hottest key, what share of the table that is,
+    and how it compares to the median key (``skew_ratio`` =
+    max-key-rows / p50-key-rows — near 1 means uniform, orders of
+    magnitude means the hot partition WILL straggle a 1000-executor
+    stage).  Profiles both of events' realistic join keys: ``user_id``
+    (high-cardinality, roughly uniform) and ``event_type``
+    (low-cardinality — every key is hot).
+
+    This closes the skew loop the engine already ships the other two
+    thirds of: measure (here) -> decide -> apply (``join_skew_salted`` /
+    ``salted_agg_hot_key`` / the AQE skew-split quantified in
+    docs/SCALE.md).  One map-side-combined count per key column plus a
+    1-row aggregate; the only interpolated value (p50 over integer key
+    counts) is exact in binary on both engines (the exact_percentiles
+    rule), so the whole profile carries a full value-hash oracle.
+    """
+    e = table(spark, sf_dir, "events")
+
+    def profile(col: str) -> DataFrame:
+        counts = e.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        top = (
+            counts.orderBy(F.col("cnt").desc(), F.col(col).asc())
+            .limit(1)
+            .select(F.col(col).cast("string").alias("top_key"))
+        )
+        stats = counts.agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("cnt").cast("long").alias("max_key_rows"),
+            F.percentile("cnt", F.lit(0.5)).alias("p50_key_rows"),
+        )
+        return stats.crossJoin(F.broadcast(top)).select(
+            F.lit(col).alias("key_col"),
+            "n_rows",
+            "n_keys",
+            "top_key",
+            "max_key_rows",
+            (F.col("max_key_rows") / F.col("n_rows")).alias("top_key_share"),
+            "p50_key_rows",
+            (F.col("max_key_rows") / F.col("p50_key_rows")).alias("skew_ratio"),
+        )
+
+    return profile("user_id").unionByName(profile("event_type"))
+
+
+def _key_skew_profile_oracle() -> str:
+    def one(col: str) -> str:
+        return f"""
+        SELECT '{col}' AS key_col,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               (SELECT CAST({col} AS VARCHAR) FROM counts_{col}
+                ORDER BY cnt DESC, {col} ASC LIMIT 1) AS top_key,
+               CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+               CAST(MAX(cnt) AS BIGINT) / CAST(SUM(cnt) AS BIGINT)
+                   AS top_key_share,
+               quantile_cont(cnt, 0.5) AS p50_key_rows,
+               CAST(MAX(cnt) AS BIGINT) / quantile_cont(cnt, 0.5)
+                   AS skew_ratio
+        FROM counts_{col}"""
+
+    return f"""
+    WITH counts_user_id AS (
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ), counts_event_type AS (
+        SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+    )
+    {one("user_id")}
+    UNION ALL
+    {one("event_type")}
+    """
+
+
+_oracle("key_skew_profile", _key_skew_profile_oracle())
+
+
 def salted_agg_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation on a 3-distinct-value key (max skew).
 

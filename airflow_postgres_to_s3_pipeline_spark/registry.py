@@ -1070,6 +1070,7 @@ QUERIES: dict[str, QueryFn] = {
     "knn_probe_sweep": similarity.knn_probe_sweep,
     "corpus_dedup_report": dedup.corpus_dedup_report,
     "orc_scan_roundtrip": layout.orc_scan_roundtrip,
+    "key_skew_profile": advanced.key_skew_profile,
 }
 
 

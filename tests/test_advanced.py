@@ -139,3 +139,38 @@ def test_mode_argmax_tie_breaks_deterministic(spark):
         r = out[0]
         assert r["mode_priority"] == "x" and r["mode_count"] == 2
         assert r["top_orderkey"] == 10 and r["top_price"] == 100.0
+
+
+def test_key_skew_profile_detects_planted_hot_key(spark, tmp_path):
+    """A planted 50%-hot key must dominate the profile: top_key_share ~0.5
+    and skew_ratio far above the uniform keys' ~1."""
+    import pandas as pd
+
+    from airflow_postgres_to_s3_pipeline_spark.operators import advanced
+
+    n = 2000
+    rows = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(range(n), unit="s"),
+            # first half all user 7 (the hot key), rest unique
+            "user_id": [7] * (n // 2) + list(range(100, 100 + n // 2)),
+            "event_type": ["click"] * n,
+            "value": [1.0] * n,
+            "props": ["{}"] * n,
+        }
+    )
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    prof = {
+        r.key_col: r
+        for r in advanced.key_skew_profile(spark, str(tmp_path)).collect()
+    }
+    u = prof["user_id"]
+    assert u.top_key == "7"
+    assert u.max_key_rows == n // 2
+    assert abs(u.top_key_share - 0.5) < 1e-12
+    assert u.skew_ratio > 100  # hot key vs the 1-row median key
+    assert prof["event_type"].n_keys == 1

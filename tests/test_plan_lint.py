@@ -85,6 +85,9 @@ ALLOWED_PRODUCT = {
     "embedding_lsh_recall_eval",  # composes embedding_near_dup (the
     # whitelisted exact all-pairs baseline, here as eval ground truth)
     # with embedding_lsh_near_dup's whitelisted plane broadcast
+    "key_skew_profile",  # broadcasts the 1-row top-key frame onto the
+    # 1-row stats aggregate — scalar collection statistic, the
+    # hll_sketch_users shape
 }
 
 # Streaming queries execute eagerly on build (memory-sink materialization);
