@@ -219,20 +219,32 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col(col).cast("string").alias("top_key"))
         )
         stats = counts.agg(
-            F.sum("cnt").cast("long").alias("n_rows"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_rows"),
             F.count(F.lit(1)).cast("long").alias("n_keys"),
-            F.max("cnt").cast("long").alias("max_key_rows"),
+            F.coalesce(F.max("cnt"), F.lit(0)).cast("long")
+            .alias("max_key_rows"),
             F.percentile("cnt", F.lit(0.5)).alias("p50_key_rows"),
         )
-        return stats.crossJoin(F.broadcast(top)).select(
+        # LEFT join on TRUE (not crossJoin): on an EMPTY table `top` has
+        # no row, and a cross join would annihilate the always-1-row
+        # stats aggregate — the profile must report explicit zeros (NULL
+        # top_key/p50), mirroring the oracle's scalar subquery
+        joined = stats.join(F.broadcast(top), F.lit(True), "left")
+        return joined.select(
             F.lit(col).alias("key_col"),
             "n_rows",
             "n_keys",
             "top_key",
             "max_key_rows",
-            (F.col("max_key_rows") / F.col("n_rows")).alias("top_key_share"),
+            F.when(
+                F.col("n_rows") > 0,
+                F.col("max_key_rows") / F.col("n_rows"),
+            ).alias("top_key_share"),
             "p50_key_rows",
-            (F.col("max_key_rows") / F.col("p50_key_rows")).alias("skew_ratio"),
+            F.when(
+                F.col("p50_key_rows") > 0,
+                F.col("max_key_rows") / F.col("p50_key_rows"),
+            ).alias("skew_ratio"),
         )
 
     return profile("user_id").unionByName(profile("event_type"))
@@ -242,16 +254,18 @@ def _key_skew_profile_oracle() -> str:
     def one(col: str) -> str:
         return f"""
         SELECT '{col}' AS key_col,
-               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
                CAST(COUNT(*) AS BIGINT) AS n_keys,
                (SELECT CAST({col} AS VARCHAR) FROM counts_{col}
                 ORDER BY cnt DESC, {col} ASC LIMIT 1) AS top_key,
-               CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
-               CAST(MAX(cnt) AS BIGINT) / CAST(SUM(cnt) AS BIGINT)
-                   AS top_key_share,
+               CAST(COALESCE(MAX(cnt), 0) AS BIGINT) AS max_key_rows,
+               CASE WHEN COALESCE(SUM(cnt), 0) > 0
+                    THEN CAST(MAX(cnt) AS BIGINT) / CAST(SUM(cnt) AS BIGINT)
+               END AS top_key_share,
                quantile_cont(cnt, 0.5) AS p50_key_rows,
-               CAST(MAX(cnt) AS BIGINT) / quantile_cont(cnt, 0.5)
-                   AS skew_ratio
+               CASE WHEN quantile_cont(cnt, 0.5) > 0
+                    THEN CAST(MAX(cnt) AS BIGINT) / quantile_cont(cnt, 0.5)
+               END AS skew_ratio
         FROM counts_{col}"""
 
     return f"""

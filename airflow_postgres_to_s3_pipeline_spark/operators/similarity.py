@@ -1720,7 +1720,7 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str,
     assigned = ivf_assign_gemm(e, cents, shards)
     packed = _pq_codebook(e)
     coded = pq_encode_gemm(assigned, packed, shards, carry=("centroid_id",))
-    return e, cents, packed, coded
+    return every, e, cents, packed, coded
 
 
 def _probe_cells(e: DataFrame, cents: DataFrame, n_probe: int) -> DataFrame:
@@ -1778,7 +1778,14 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str,
     composed pipeline carries a full SQL oracle assembled from the same
     CTE generators as its two parents.
     """
-    e, cents, packed, coded = index or _ivfpq_index(spark, sf_dir, every)
+    idx_every, e, cents, packed, coded = (
+        index or _ivfpq_index(spark, sf_dir, every)
+    )
+    if idx_every != every:
+        raise ValueError(
+            f"index was built with every={idx_every}, call asked for "
+            f"every={every} — rebuild the index or pass matching strides"
+        )
     probe = _probe_cells(e, cents, n_probe).select(
         "query_id", "qv", "centroid_id"
     )
@@ -1808,7 +1815,8 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str,
 
 
 def pq_score_cells(coded: DataFrame, probe: DataFrame, packed: DataFrame,
-                   m: int = PQ_M, subd: int = PQ_SUBD) -> DataFrame:
+                   m: int = PQ_M, subd: int = PQ_SUBD,
+                   with_cell: bool = False) -> DataFrame:
     """Cell-local ADC scoring for IVF-PQ: codes and probing queries
     cogroup on ``centroid_id``, so each Arrow batch scores exactly one
     cell's candidates against exactly the queries that probed it — the
@@ -1825,11 +1833,12 @@ def pq_score_cells(coded: DataFrame, probe: DataFrame, packed: DataFrame,
         import pandas as pd
 
         if codes_pdf.empty or q_pdf.empty:
-            return pd.DataFrame(
-                {"query_id": pd.Series(dtype="int64"),
-                 "neighbor_id": pd.Series(dtype="int64"),
-                 "adist": pd.Series(dtype="float64")}
-            )
+            empty = {"query_id": pd.Series(dtype="int64"),
+                     "neighbor_id": pd.Series(dtype="int64"),
+                     "adist": pd.Series(dtype="float64")}
+            if with_cell:
+                empty["centroid_id"] = pd.Series(dtype="int64")
+            return pd.DataFrame(empty)
         C = np.asarray(
             q_pdf.iloc[0]["_cbflat"], dtype=np.float64
         ).reshape(-1, m * subd)
@@ -1849,17 +1858,23 @@ def pq_score_cells(coded: DataFrame, probe: DataFrame, packed: DataFrame,
                     lut += diff * diff
                 adist += lut[codes_mat[:, s]]
             keep = vec_ids != qid
-            out.append(pd.DataFrame(
-                {"query_id": qid,
-                 "neighbor_id": vec_ids[keep],
-                 "adist": np.round(adist[keep], 4)}
-            ))
+            cols = {"query_id": qid,
+                    "neighbor_id": vec_ids[keep],
+                    "adist": np.round(adist[keep], 4)}
+            if with_cell:
+                # the cogroup key — constant per call, carried so probe
+                # sweeps can attach per-config prnk without a corpus join
+                cols["centroid_id"] = int(codes_pdf["centroid_id"].iloc[0])
+            out.append(pd.DataFrame(cols))
         return pd.concat(out, ignore_index=True)
 
+    schema = "query_id long, neighbor_id long, adist double"
+    if with_cell:
+        schema += ", centroid_id long"
     return (
         coded.groupBy("centroid_id")
         .cogroup(probe_cb.groupBy("centroid_id"))
-        .applyInPandas(score, "query_id long, neighbor_id long, adist double")
+        .applyInPandas(score, schema)
     )
 
 
@@ -2182,11 +2197,12 @@ def pq_score_gemm(codes: DataFrame, q: DataFrame, packed: DataFrame,
         import pandas as pd
 
         if codes_pdf.empty or q_pdf.empty:
-            return pd.DataFrame(
-                {"query_id": pd.Series(dtype="int64"),
-                 "neighbor_id": pd.Series(dtype="int64"),
-                 "adist": pd.Series(dtype="float64")}
-            )
+            empty = {"query_id": pd.Series(dtype="int64"),
+                     "neighbor_id": pd.Series(dtype="int64"),
+                     "adist": pd.Series(dtype="float64")}
+            if with_cell:
+                empty["centroid_id"] = pd.Series(dtype="int64")
+            return pd.DataFrame(empty)
         C = np.asarray(
             q_pdf.iloc[0]["_cbflat"], dtype=np.float64
         ).reshape(-1, m * subd)
@@ -2710,19 +2726,19 @@ def knn_probe_sweep(spark: SparkSession, sf_dir: str,
     # cells were probed), so every config derives from the persisted
     # scored frame by a prnk filter + its own top-k window — no
     # per-config corpus encode or scoring
-    e, cents, packed, coded = _ivfpq_index(spark, sf_dir)
+    _, e, cents, packed, coded = _ivfpq_index(spark, sf_dir)
     coded = tracked_persist(coded)
     probe = _probe_cells(e, cents, max(probe_grid))
+    # with_cell=True carries the cogroup key through scoring, so the
+    # per-config prnk attaches via one broadcast join of the tiny
+    # (queries x probed-cells) frame — no corpus-sized cell lookup
     scored = pq_score_cells(
-        coded, probe.select("query_id", "qv", "centroid_id"), packed
-    )
-    cellmap = coded.select(
-        F.col("vec_id").alias("neighbor_id"), "centroid_id"
+        coded, probe.select("query_id", "qv", "centroid_id"), packed,
+        with_cell=True,
     )
     prnkmap = probe.select("query_id", "centroid_id", "prnk")
     enriched = tracked_persist(
-        scored.join(cellmap, "neighbor_id")
-        .join(F.broadcast(prnkmap), ["query_id", "centroid_id"])
+        scored.join(F.broadcast(prnkmap), ["query_id", "centroid_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc()

@@ -174,3 +174,34 @@ def test_key_skew_profile_detects_planted_hot_key(spark, tmp_path):
     assert abs(u.top_key_share - 0.5) < 1e-12
     assert u.skew_ratio > 100  # hot key vs the 1-row median key
     assert prof["event_type"].n_keys == 1
+
+
+def test_key_skew_profile_empty_table_reports_zero_rows(spark, tmp_path):
+    """An empty events table must still yield one profile row per key
+    column, with zero counts and NULL top_key/p50 — never vanish (the
+    cross-join-annihilation regression)."""
+    import pandas as pd
+
+    from airflow_postgres_to_s3_pipeline_spark.operators import advanced
+
+    empty = pd.DataFrame(
+        {
+            "event_id": pd.Series(dtype="int64"),
+            "ts": pd.Series(dtype="datetime64[us]"),
+            "user_id": pd.Series(dtype="int64"),
+            "event_type": pd.Series(dtype="object"),
+            "value": pd.Series(dtype="float64"),
+            "props": pd.Series(dtype="object"),
+        }
+    )
+    spark.createDataFrame(
+        empty,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    rows = advanced.key_skew_profile(spark, str(tmp_path)).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert (r.n_rows, r.n_keys, r.max_key_rows) == (0, 0, 0)
+        assert r.top_key is None and r.p50_key_rows is None
+        assert r.top_key_share is None and r.skew_ratio is None
