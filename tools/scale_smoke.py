@@ -271,7 +271,8 @@ def main() -> int:
                    "entity_fuzzy_match", "graph_pagerank",
                    "graph_triangles", "graph_triangles_skew_degree",
                    "graph_triangles_skew_id", "graph_bfs", "events_funnel",
-                   "events_twap", "events_trend",
+                   "events_twap", "events_trend", "events_skew_profile",
+                   "text_dedup_report",
                    "sus_two_phase", "sus_global_window", "tile_near_dup"}
     if not only or (only & text_labels):
         import shutil
@@ -339,6 +340,15 @@ def main() -> int:
         results.append(run_dir(
             "text_winnow_dedup", nw, lambda: write_docs(nw),
             lambda d: text.winnowing_dedup(spark, d)))
+        # r8: per-source duplication accounting at the winnowing smoke
+        # scale — the exact tier's 16-byte-key group-by + the production
+        # MinHash-LSH chain + two doc_id membership joins
+        from airflow_postgres_to_s3_pipeline_spark.operators import (
+            dedup as dedup_ops,
+        )
+        results.append(run_dir(
+            "text_dedup_report", nw, lambda: write_docs(nw),
+            lambda d: dedup_ops.corpus_dedup_report(spark, d)))
 
         # entity resolution: vocabulary-scale multi-pass blocking.  ~1M
         # records collapse to ~950k DISTINCT two-token names over a
@@ -405,6 +415,15 @@ def main() -> int:
         results.append(run_dir(
             "events_trend", nev, lambda: write_events(nev),
             lambda d: win_ops.user_value_trend(spark, d)))
+        # r8: the skew diagnostics op itself at event scale — two
+        # map-side-combined key counts + 1-row aggregates, the cheapest
+        # shape in the suite by construction
+        from airflow_postgres_to_s3_pipeline_spark.operators import (
+            advanced as adv_ops,
+        )
+        results.append(run_dir(
+            "events_skew_profile", nev, lambda: write_events(nev),
+            lambda d: adv_ops.key_skew_profile(spark, d)))
 
         def write_edges(no: int, lines_per_order: int = 4) -> str:
             d = tempfile.mkdtemp(prefix="scale_graph_")
