@@ -2257,3 +2257,54 @@ _oracle(
     WHERE 5.0 * l_quantity * n_items < sum_qty
     """,
 )
+
+
+K_ANONYMITY_K = 5  # minimum group size before a quasi-id combo is risky
+
+
+def k_anonymity_check(spark: SparkSession, sf_dir: str,
+                      k: int = K_ANONYMITY_K) -> DataFrame:
+    """k-anonymity audit over the event stream — the privacy gate a
+    dataset passes before external release: every combination of
+    quasi-identifiers (event type, day, value decile — attributes an
+    adversary can observe or estimate) must describe at least ``k``
+    individuals, or the rows it names are re-identifiable by linkage.
+    Returns the RISKY groups (size < k) with their sizes — the
+    suppress-or-generalize worklist, companion to ``pii_scrub``'s
+    content-level redaction.
+
+    Deterministic bucketing (floor of the same IEEE division on both
+    engines, clamped to [0, 9]) keeps the full value-hash oracle.  Scale
+    shape: ONE map-side-combined group-by on the quasi-id tuple; the
+    risky filter and output are bounded by the quasi-id domain, not the
+    corpus — the audit costs a count(*) at any scale.
+    """
+    e = table(spark, sf_dir, "events")
+    vb = F.least(
+        F.greatest(F.floor(F.col("value") / 50.0), F.lit(0)), F.lit(9)
+    ).cast("int")
+    return (
+        e.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            vb.alias("value_bucket"),
+        )
+        .groupBy("event_type", "day", "value_bucket")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < k)
+    )
+
+
+_oracle(
+    "k_anonymity_check",
+    f"""
+    SELECT event_type,
+           CAST(ts AS DATE) AS day,
+           CAST(LEAST(GREATEST(FLOOR(value / 50.0), 0), 9) AS INTEGER)
+               AS value_bucket,
+           COUNT(*) AS group_size
+    FROM events
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) < {K_ANONYMITY_K}
+    """,
+)

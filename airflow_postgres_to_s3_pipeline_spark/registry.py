@@ -1071,6 +1071,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_dedup_report": dedup.corpus_dedup_report,
     "orc_scan_roundtrip": layout.orc_scan_roundtrip,
     "key_skew_profile": advanced.key_skew_profile,
+    "k_anonymity_check": advanced.k_anonymity_check,
 }
 
 

@@ -205,3 +205,32 @@ def test_key_skew_profile_empty_table_reports_zero_rows(spark, tmp_path):
         assert (r.n_rows, r.n_keys, r.max_key_rows) == (0, 0, 0)
         assert r.top_key is None and r.p50_key_rows is None
         assert r.top_key_share is None and r.skew_ratio is None
+
+
+def test_k_anonymity_check_flags_planted_singleton(spark, tmp_path):
+    """A singleton quasi-id combo must be flagged with its size; a group
+    of k members must not appear."""
+    import pandas as pd
+
+    from airflow_postgres_to_s3_pipeline_spark.operators import advanced
+
+    base_ts = pd.Timestamp("2024-03-01 12:00:00")
+    rows = []
+    # 5 purchases, same day, same value bucket -> group_size == k, safe
+    for i in range(5):
+        rows.append((i, base_ts, 100 + i, "purchase", 10.0, "{}"))
+    # 1 lone signup on another day -> singleton, risky
+    rows.append((99, pd.Timestamp("2024-03-02 12:00:00"), 7, "signup", 10.0, "{}"))
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    flagged = advanced.k_anonymity_check(spark, str(tmp_path)).collect()
+    assert len(flagged) == 1
+    r = flagged[0]
+    assert (r.event_type, str(r.day), r.value_bucket, r.group_size) == (
+        "signup", "2024-03-02", 0, 1
+    )
