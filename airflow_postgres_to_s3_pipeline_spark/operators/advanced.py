@@ -2266,18 +2266,23 @@ def k_anonymity_check(spark: SparkSession, sf_dir: str,
                       k: int = K_ANONYMITY_K) -> DataFrame:
     """k-anonymity audit over the event stream — the privacy gate a
     dataset passes before external release: every combination of
-    quasi-identifiers (event type, day, value decile — attributes an
-    adversary can observe or estimate) must describe at least ``k``
-    individuals, or the rows it names are re-identifiable by linkage.
-    Returns the RISKY groups (size < k) with their sizes — the
+    quasi-identifiers (event type, day, fixed-width value bucket —
+    attributes an adversary can observe or estimate) must describe at
+    least ``k`` distinct INDIVIDUALS (``user_id``) — one person emitting
+    k events is still one re-identifiable person, so the measure is a
+    distinct count, never a row count.  Returns the RISKY groups
+    (n_users < k) with their user and event counts — the
     suppress-or-generalize worklist, companion to ``pii_scrub``'s
     content-level redaction.
 
     Deterministic bucketing (floor of the same IEEE division on both
-    engines, clamped to [0, 9]) keeps the full value-hash oracle.  Scale
-    shape: ONE map-side-combined group-by on the quasi-id tuple; the
-    risky filter and output are bounded by the quasi-id domain, not the
-    corpus — the audit costs a count(*) at any scale.
+    engines, clamped to [0, 9]) keeps the full value-hash oracle; as with
+    the other parameterized entries, the REGISTERED oracle binds the
+    default ``k`` — callers overriding it verify against their own
+    threshold.  Scale shape: ONE map-side-combined group-by on the
+    quasi-id tuple; the risky filter and output are bounded by the
+    quasi-id domain, not the corpus — the audit costs a distinct-count
+    aggregate at any scale.
     """
     e = table(spark, sf_dir, "events")
     vb = F.least(
@@ -2288,10 +2293,14 @@ def k_anonymity_check(spark: SparkSession, sf_dir: str,
             "event_type",
             F.to_date("ts").alias("day"),
             vb.alias("value_bucket"),
+            "user_id",
         )
         .groupBy("event_type", "day", "value_bucket")
-        .agg(F.count(F.lit(1)).alias("group_size"))
-        .filter(F.col("group_size") < k)
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .filter(F.col("n_users") < k)
     )
 
 
@@ -2302,9 +2311,10 @@ _oracle(
            CAST(ts AS DATE) AS day,
            CAST(LEAST(GREATEST(FLOOR(value / 50.0), 0), 9) AS INTEGER)
                AS value_bucket,
-           COUNT(*) AS group_size
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
     FROM events
     GROUP BY 1, 2, 3
-    HAVING COUNT(*) < {K_ANONYMITY_K}
+    HAVING COUNT(DISTINCT user_id) < {K_ANONYMITY_K}
     """,
 )

@@ -207,18 +207,22 @@ def test_key_skew_profile_empty_table_reports_zero_rows(spark, tmp_path):
         assert r.top_key_share is None and r.skew_ratio is None
 
 
-def test_k_anonymity_check_flags_planted_singleton(spark, tmp_path):
-    """A singleton quasi-id combo must be flagged with its size; a group
-    of k members must not appear."""
+def test_k_anonymity_check_counts_individuals_not_events(spark, tmp_path):
+    """The k-measure is DISTINCT user_id: 5 purchases by 5 users are
+    safe, 5 clicks by ONE user are a risky singleton-person group (the
+    row-count-vs-individual-count trap), and a lone signup is risky."""
     import pandas as pd
 
     from airflow_postgres_to_s3_pipeline_spark.operators import advanced
 
     base_ts = pd.Timestamp("2024-03-01 12:00:00")
     rows = []
-    # 5 purchases, same day, same value bucket -> group_size == k, safe
+    # 5 purchases by 5 DISTINCT users -> n_users == k, safe
     for i in range(5):
         rows.append((i, base_ts, 100 + i, "purchase", 10.0, "{}"))
+    # 5 clicks by the SAME user -> 5 events but 1 individual, risky
+    for i in range(5):
+        rows.append((10 + i, base_ts, 42, "click", 10.0, "{}"))
     # 1 lone signup on another day -> singleton, risky
     rows.append((99, pd.Timestamp("2024-03-02 12:00:00"), 7, "signup", 10.0, "{}"))
     pdf = pd.DataFrame(
@@ -228,9 +232,11 @@ def test_k_anonymity_check_flags_planted_singleton(spark, tmp_path):
     spark.createDataFrame(pdf).write.mode("overwrite").parquet(
         str(tmp_path / "events.parquet")
     )
-    flagged = advanced.k_anonymity_check(spark, str(tmp_path)).collect()
-    assert len(flagged) == 1
-    r = flagged[0]
-    assert (r.event_type, str(r.day), r.value_bucket, r.group_size) == (
-        "signup", "2024-03-02", 0, 1
-    )
+    flagged = {
+        r.event_type: r
+        for r in advanced.k_anonymity_check(spark, str(tmp_path)).collect()
+    }
+    assert set(flagged) == {"click", "signup"}
+    assert (flagged["click"].n_users, flagged["click"].n_events) == (1, 5)
+    assert (flagged["signup"].n_users, flagged["signup"].n_events) == (1, 1)
+    assert str(flagged["signup"].day) == "2024-03-02"

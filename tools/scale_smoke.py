@@ -309,36 +309,54 @@ def main() -> int:
             ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
             return d
 
+        # corpus writers are memoized by size: a family of rows over the
+        # same synthetic dataset (3x 2M docs, 3x 500k docs, 4x 50M
+        # events) pays ONE write instead of one per row; cached dirs are
+        # deleted once at section end
+        _dir_cache: dict = {}
+
+        def _cached(factory, key):
+            if key not in _dir_cache:
+                _dir_cache[key] = factory()
+            return _dir_cache[key]
+
         def run_dir(label, nrows, write_fn, op):
             if only and label not in only:
                 return None
             d = write_fn()
+            cached = d in _dir_cache.values()
             try:
                 t0 = time.time()
                 op(d).write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
                 return label, round(dt, 2), int(nrows / dt)
             finally:
-                shutil.rmtree(d, ignore_errors=True)
+                if not cached:
+                    shutil.rmtree(d, ignore_errors=True)
 
         nd = min(n, 2_000_000)
         results.append(run_dir(
-            "text_chunking", nd, lambda: write_docs(nd),
+            "text_chunking", nd,
+            lambda: _cached(lambda: write_docs(nd), ("docs", nd)),
             lambda d: text.doc_chunking(spark, d)))
         results.append(run_dir(
-            "text_lm_score", nd, lambda: write_docs(nd),
+            "text_lm_score", nd,
+            lambda: _cached(lambda: write_docs(nd), ("docs", nd)),
             lambda d: text.ngram_lm_score(spark, d)))
         results.append(run_dir(
-            "text_bm25", nd, lambda: write_docs(nd),
+            "text_bm25", nd,
+            lambda: _cached(lambda: write_docs(nd), ("docs", nd)),
             lambda d: text.bm25_scoring(spark, d)))
         # winnowing: per-gram md5 map work (~5 chars/gram over the whole
         # corpus) + for the dedup tier the posting-key shuffles
         nw = min(n, 500_000)
         results.append(run_dir(
-            "text_winnow_fp", nw, lambda: write_docs(nw),
+            "text_winnow_fp", nw,
+            lambda: _cached(lambda: write_docs(nw), ("docs", nw)),
             lambda d: text.winnowing_fingerprint(spark, d)))
         results.append(run_dir(
-            "text_winnow_dedup", nw, lambda: write_docs(nw),
+            "text_winnow_dedup", nw,
+            lambda: _cached(lambda: write_docs(nw), ("docs", nw)),
             lambda d: text.winnowing_dedup(spark, d)))
         # r8: per-source duplication accounting at the winnowing smoke
         # scale — the exact tier's 16-byte-key group-by + the production
@@ -347,7 +365,8 @@ def main() -> int:
             dedup as dedup_ops,
         )
         results.append(run_dir(
-            "text_dedup_report", nw, lambda: write_docs(nw),
+            "text_dedup_report", nw,
+            lambda: _cached(lambda: write_docs(nw), ("docs", nw)),
             lambda d: dedup_ops.corpus_dedup_report(spark, d)))
 
         # entity resolution: vocabulary-scale multi-pass blocking.  ~1M
@@ -407,22 +426,23 @@ def main() -> int:
 
         nev = min(n, 50_000_000)
         results.append(run_dir(
-            "events_funnel", nev, lambda: write_events(nev),
+            "events_funnel", nev,
+            lambda: _cached(lambda: write_events(nev), ("events", nev)),
             lambda d: win_ops.funnel_ordered_3step(spark, d)))
         results.append(run_dir(
-            "events_twap", nev, lambda: write_events(nev),
+            "events_twap", nev,
+            lambda: _cached(lambda: write_events(nev), ("events", nev)),
             lambda d: win_ops.time_weighted_average(spark, d)))
         results.append(run_dir(
-            "events_trend", nev, lambda: write_events(nev),
+            "events_trend", nev,
+            lambda: _cached(lambda: write_events(nev), ("events", nev)),
             lambda d: win_ops.user_value_trend(spark, d)))
         # r8: the skew diagnostics op itself at event scale — two
         # map-side-combined key counts + 1-row aggregates, the cheapest
-        # shape in the suite by construction
-        from airflow_postgres_to_s3_pipeline_spark.operators import (
-            advanced as adv_ops,
-        )
+        # shape in the suite by construction (adv_ops imported above)
         results.append(run_dir(
-            "events_skew_profile", nev, lambda: write_events(nev),
+            "events_skew_profile", nev,
+            lambda: _cached(lambda: write_events(nev), ("events", nev)),
             lambda d: adv_ops.key_skew_profile(spark, d)))
 
         def write_edges(no: int, lines_per_order: int = 4) -> str:
@@ -543,6 +563,9 @@ def main() -> int:
         results.append(run_dir(
             "sus_global_window", nsus, lambda: write_lean_docs(nsus),
             sus_naive))
+
+        for d in _dir_cache.values():
+            shutil.rmtree(d, ignore_errors=True)
 
     results = [r for r in results if r is not None]
     print(json.dumps({
