@@ -17,7 +17,9 @@ this engine's 100 TB extension surface (SURVEY.md §2B E1).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,6 +42,28 @@ ZORDER_MAX_ORDERKEY = 1500
 ZORDER_MAX_PARTKEY = 180
 
 
+def _roundtrip_dir(prefix: str, sf_dir: str) -> str:
+    """Pid-suffixed scratch dir for a write->read roundtrip entry.
+
+    The pid suffix keeps concurrent harnesses (pytest + oracle sweep +
+    the driver) off each other's layouts, but it also means a new
+    process never reuses an old dir — so each dir is registered for
+    atexit removal, otherwise every bench round / driver session leaves
+    a full table copy under /tmp.
+    """
+    out = os.path.join(
+        f"/tmp/spark_graft_{prefix}",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    if out not in _CLEANUP_DIRS:
+        _CLEANUP_DIRS.add(out)
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+    return out
+
+
+_CLEANUP_DIRS: set[str] = set()
+
+
 def zorder_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write lineitem Z-ordered on (l_orderkey, l_partkey), read the
     layout back, and run a range scan on BOTH interleaved dimensions.
@@ -57,13 +81,7 @@ def zorder_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats (Spark's parquet reader prunes row groups via pushed filters)
     touch a fraction of the data for predicates on either dimension.
     """
-    # pid-suffixed so concurrent harnesses (pytest + oracle sweep + the
-    # driver) never overwrite a layout another process is mid-read on;
-    # within one process the write is idempotent (mode=overwrite)
-    out = os.path.join(
-        "/tmp/spark_graft_zorder_rt",
-        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
-    )
+    out = _roundtrip_dir("zorder_rt", sf_dir)
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_quantity", "l_returnflag"
     )
@@ -114,10 +132,7 @@ def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     PushedFilters in the ORC scan node).  The double sum goes through
     decimal(27,2) so it is partition-order independent.
     """
-    out = os.path.join(
-        "/tmp/spark_graft_orc_rt",
-        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
-    )
+    out = _roundtrip_dir("orc_rt", sf_dir)
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )

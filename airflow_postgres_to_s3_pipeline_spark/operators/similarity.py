@@ -1027,6 +1027,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str,
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
+    # resolved ONCE, up front: the same budget bounds BOTH tiled GEMM
+    # stages (centroid assignment and the within-cluster pair matrix), so
+    # a caller shrinking tile_elems caps per-task memory everywhere
+    tile_elems = tile_elems if tile_elems is not None else SEMDEDUP_TILE_ELEMS
     if k is None:
         k = semantic_dedup_k(e.count())
     centroids = e.filter(F.col("vec_id") < k).select(
@@ -1041,7 +1045,8 @@ def semantic_dedup(spark: SparkSession, sf_dir: str,
         # derived-k corpora: numpy GEMM assignment (bit-identical
         # distances and tie rule; see kmeans_assign_gemm docstring)
         assign_df = kmeans_assign_gemm(
-            e, centroids, n_shards=spark.sparkContext.defaultParallelism
+            e, centroids, n_shards=spark.sparkContext.defaultParallelism,
+            tile_elems=tile_elems,
         )
     else:
         assign_df = kmeans_assign(e, centroids)
@@ -1060,9 +1065,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str,
     # results stay bit-identical to the SQL oracle.  Accumulation is
     # dimension-ordered, same as knn_gemm.
     margin = threshold - 1e-4
-    # captured in the closure (NOT read from the module global inside the
-    # UDF) so tests can shrink it to force the multi-tile path
-    tile_elems = tile_elems if tile_elems is not None else SEMDEDUP_TILE_ELEMS
+    # tile_elems was resolved at function entry and is captured in the
+    # closure (NOT read from the module global inside the UDF) so tests
+    # can shrink it to force the multi-tile path
 
     def cluster_pairs(pdf):
         import numpy as np
@@ -2197,12 +2202,16 @@ def pq_score_gemm(codes: DataFrame, q: DataFrame, packed: DataFrame,
         import pandas as pd
 
         if codes_pdf.empty or q_pdf.empty:
-            empty = {"query_id": pd.Series(dtype="int64"),
-                     "neighbor_id": pd.Series(dtype="int64"),
-                     "adist": pd.Series(dtype="float64")}
-            if with_cell:
-                empty["centroid_id"] = pd.Series(dtype="int64")
-            return pd.DataFrame(empty)
+            # This branch is HOT, not exceptional: queries replicate to
+            # all n_shards, so every shard with no corpus rows (small or
+            # hash-sparse corpora) lands here.  Must emit the plain
+            # 3-column frame matching the applyInPandas schema — this
+            # function has no with_cell mode (that's pq_score_cells).
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "adist": pd.Series(dtype="float64")}
+            )
         C = np.asarray(
             q_pdf.iloc[0]["_cbflat"], dtype=np.float64
         ).reshape(-1, m * subd)

@@ -555,3 +555,25 @@ def test_knn_probe_sweep_invariants(spark, sf_dir):
         assert 0 <= r.n_hits <= r.n_queries * r.k
         assert abs(r.recall - r.n_hits / (r.n_queries * r.k)) < 1e-12
     assert max(r.recall for r in rows) >= rows[0].recall
+
+
+def test_pq_score_gemm_handles_empty_corpus_shards(spark, sf_dir):
+    """Regression (r8 advice): queries replicate to ALL n_shards, so any
+    shard with no corpus rows runs score()'s empty branch — which used to
+    reference pq_score_cells' ``with_cell`` flag and die with NameError.
+    A 3-row corpus over 8 shards guarantees several empty shards."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", similarity.to_double_array("embedding").alias("v")
+    )
+    packed = similarity._pq_codebook(e)
+    tiny = e.filter(F.col("vec_id") < 3)
+    codes = similarity.pq_encode_gemm(tiny, packed, 2)
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rows = similarity.pq_score_gemm(codes, q, packed, n_shards=8).collect()
+    # 2 queries x (3 corpus rows - self) = 4 scored pairs
+    assert len(rows) == 4
+    assert {(r.query_id, r.neighbor_id) for r in rows} == {
+        (0, 1), (0, 2), (1, 0), (1, 2)
+    }
