@@ -714,6 +714,7 @@ _MODULES = (
     text,
     multimodal,
     entity,
+    ml_feature,
 )
 
 # Registry order is CURATED, not arbitrary: the driver's correctness run

@@ -10,8 +10,9 @@ def test_tfidf_ml_shapes(spark, sf_dir):
     out = ml_feature.tfidf_ml_features(spark, sf_dir).collect()
     assert len(out) == table(spark, sf_dir, "documents").count()
     for r in out:
-        assert r["max_weight"] >= 0.0
-        assert r["n_active_features"] >= 1
+        assert r["buckets_within_bound"] is True
+        assert r["weight_nonneg"] is True
+        assert 1 <= r["n_distinct_tokens"] <= r["n_tokens"]
 
 
 def test_minhash_ml_finds_custom_pipeline_pairs(spark, sf_dir):
