@@ -670,6 +670,70 @@ _oracle(
 )
 
 
+def set_operations_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (ALL) semantics of the E14 family — INTERSECT ALL /
+    EXCEPT ALL over two custkey BAGS with genuine duplicates (a customer
+    places many orders), plus the UNION ALL tally.  Result rows carry the
+    surviving multiplicity per (op, custkey): intersect_all keeps
+    min(count_a, count_b) copies, except_all keeps count_a - count_b
+    floored at zero — exactly the edge where distinct-vs-ALL semantics
+    diverge between engines, which is why the family needs this second
+    driver row (r8 verdict task 6).
+
+    Scale shape: Spark plans intersectAll/exceptAll as one hash
+    aggregate per side plus a join on the row value (no sort, no
+    cartesian); the final multiplicity count reuses the same key
+    partitioning, and everything is map-side-combinable.
+    """
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    tagged = (
+        a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "custkey")
+        .unionByName(
+            a.exceptAll(b).select(F.lit("except_all").alias("op"), "custkey")
+        )
+        .unionByName(
+            a.unionAll(b).select(F.lit("union_all").alias("op"), "custkey")
+        )
+    )
+    return tagged.groupBy("op", "custkey").agg(
+        F.count(F.lit(1)).alias("multiplicity")
+    )
+
+
+_oracle(
+    "set_operations_all",
+    """
+    WITH a AS (
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    ), b AS (
+        SELECT o_custkey AS custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ), tagged AS (
+        SELECT 'intersect_all' AS op, custkey FROM (
+            SELECT custkey FROM a INTERSECT ALL SELECT custkey FROM b
+        )
+        UNION ALL
+        SELECT 'except_all' AS op, custkey FROM (
+            SELECT custkey FROM a EXCEPT ALL SELECT custkey FROM b
+        )
+        UNION ALL
+        SELECT 'union_all' AS op, custkey FROM (
+            SELECT custkey FROM a UNION ALL SELECT custkey FROM b
+        )
+    )
+    SELECT op, custkey, COUNT(*) AS multiplicity
+    FROM tagged
+    GROUP BY op, custkey
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # E10b: pivot (conditional aggregation re-expressed)
 # ---------------------------------------------------------------------------

@@ -802,44 +802,80 @@ _MODULES = (
 # full-outer + the two new tiers), knn_pq (E26 keeps knn_gemm + the two
 # fold tiers), pii_scrub (E27 keeps doc_quality + bpe_token_count),
 # pagerank_parts (G1 keeps triangle_count).
+# Round-9 rotation (twenty entries: nineteen never-driver-tested + the
+# NEW set_operations_all; all twenty demotions are r8-green, and the full
+# incoming window was verified vs its DuckDB oracles at sf0.01 in both
+# the tuned session and the driver-replica vanilla+STRICT_FLOATS session
+# before the swap): IN orc_scan_roundtrip (2A/E1), asof_last_purchase
+# (E7), set_operations_all (E14 multiset tier, new — r8 verdict task 6),
+# parameterized_query (SQL), minhash_ml_pairs + lsh_recall_eval +
+# lsh_band_sweep (E25 + acceptance gates), corpus_dedup_report +
+# key_skew_profile + k_anonymity_check (DIAG release gates), knn_recall_eval
+# + embedding_lsh_recall_eval + knn_probe_sweep + knn_ivfpq_refine (E26
+# acceptance/serving), rerank_cross_encoder + quality_retention_curve +
+# tfidf_ml_features (E27), returned_item_revenue + promo_revenue_share +
+# top_supplier_revenue (TPCH first driver rows — r8 verdict task 7);
+# OUT mode_argmax, range_join_bucketed, window_percent_rank,
+# cohort_retention, window_range_frame, arrow_udf_tier,
+# arrow_group_normalize, map_in_arrow_price_tier, python_udtf_polymorphic,
+# sql_scripting_threshold, sql_pipe_syntax, recursive_order_chain,
+# streaming_chained_windows, streaming_static_enrich, knn_ivf_fold,
+# knn_pq_fold, multimodal_audio_energy, set_operations, dedup_keep_best,
+# bpe_token_count.  sequence_packing_ffd deliberately KEEPS its slot so
+# its upgraded recursive-CTE oracle (was rows-only) earns a full driver
+# hash check.  Rotation queue for r10+ (never driver-tested, ~41 left):
+# the remaining TPC-H variants (nation_volume_shipping,
+# local_supplier_volume, small_quantity_revenue, large_volume_orders,
+# order_priority_check, supplier_variety, sql_shipping_priority,
+# revenue_change_forecast, disjunctive_filter_parts,
+# inactive_high_value_customers), the DIAG extras (dq_audit, snapshot_diff,
+# profile_table, mad_outliers), the E27 text tail (lang_stats, token_count,
+# doc_fingerprint, text_normalize, corpus_curation, reading_level,
+# ngram_lm_score, corpus_mix_sample, bpe_merges, winnowing_fingerprint,
+# stratified_sample_k_per_group, epoch_shuffle_order,
+# temperature_mix_allocation), E12 (event_transitions, user_value_trend),
+# E21 (pandas_grouped_agg, pandas_udaf_window, python_udf_rowwise,
+# model_inference_scores), E22 batch tiers (sessionize_events,
+# hypertable_rollup, tumbling_window_agg, sliding_window_agg), and the
+# rest (dedup_incremental_minhash, join_null_safe, explode_word_freq,
+# try_arithmetic, map_hof_functions, embedding_random_projection,
+# fuzzy_canonicalize_parts, fuzzy_match_sorted_neighborhood,
+# orders_asof_dimension, collation_group, minhash/tfidf done r9).
 # Entries past #50 are additional variants of families already represented
 # above; all are still locally verified by tools/check_oracles.py and
 # pytest regardless of driver coverage.
 QUERIES: dict[str, QueryFn] = {
     # -- driver window: one representative per §2 family -------------------
-    # §2A reference parity (projection+filter export query, Q1/Q2)
+    # §2A reference parity (projection+filter export query, Q1/Q2; export
+    # fingerprint; r9 rotation: the ORC roundtrip gives E1's other
+    # columnar format its first driver row)
     "export_projection_filter": relational.export_projection_filter,
+    "table_fingerprint": export_ops.table_fingerprint,
+    "orc_scan_roundtrip": layout.orc_scan_roundtrip,
     # E2-E3 projection/filter
     "computed_projection": relational.computed_projection,
     "filter_compound": relational.filter_compound,
-    # E8 flagship aggregate + the argmax-per-group mode tier (r8 rotation)
+    # E8 flagship aggregate
     "pricing_summary": relational.pricing_summary,
-    "mode_argmax": advanced.mode_argmax,
-    # E4-E7 joins (equi broadcast, semi; r8 rotation: the bucketed range
-    # join replaces the naive theta tier as the E7 scale-path rep, per the
-    # r7 verdict's thin-coverage list)
+    # E4-E7 joins (equi broadcast, semi; r9 rotation: the window-based
+    # as-of join takes E7's slot from the r8-green bucketed range join)
     "join_broadcast_dims": relational.join_broadcast_dims,
-    "streaming_ss_full_outer_join": streaming_ss_full_outer_join,
     "join_semi": relational.join_semi,
-    "range_join_bucketed": relational.range_join_bucketed,
+    "asof_last_purchase": windows.asof_last_purchase,
     # E5/E8 TPC-H Q13: outer-join count distribution
     "customer_order_distribution": advanced.customer_order_distribution,
     # E9 distinct (HLL-sketch-with-bound tier)
     "hll_sketch_users": sketches.hll_sketch_users,
     # E10 rollup
     "rollup_acctbal": relational.rollup_acctbal,
-    # E11 ranking windows (r8 rotation: percent_rank/cume_dist tier and
-    # the cohort-retention matrix, both never driver-tested)
+    # E11-E12 windows (reps kept from r8: ranking top-k and the
+    # irregular-timeseries integral)
     "window_topk_per_customer": windows.window_topk_per_customer,
-    "window_percent_rank": windows.window_percent_rank,
-    "cohort_retention": windows.cohort_retention,
-    # E12 analytic windows (r8 rotation: RANGE BETWEEN value frames and
-    # the time-weighted average — the irregular-timeseries integral)
-    "window_range_frame": windows.window_range_frame,
     "time_weighted_average": windows.time_weighted_average,
-    # E13-E14
+    # E13-E14 (r9 rotation: the NEW multiset ALL-semantics tier takes
+    # E14's slot from the r8-green distinct tier — per r8 verdict task 6)
     "global_topk": relational.global_topk,
-    "set_operations": relational.set_operations,
+    "set_operations_all": relational.set_operations_all,
     # E15-E20 scalar function families
     "string_functions": scalar_funcs.string_functions,
     "date_functions": scalar_funcs.date_functions,
@@ -847,56 +883,77 @@ QUERIES: dict[str, QueryFn] = {
     "conditional_functions": scalar_funcs.conditional_functions,
     "array_functions": scalar_funcs.array_functions,
     "json_functions": scalar_funcs.json_functions,
-    # E21 UDF surface (r8 rotation: all four never-driver-tested Python
-    # eval tiers — arrow-batch scalar UDF, grouped applyInArrow normalize,
-    # mapInArrow row transform, and the polymorphic analyze() UDTF — join
-    # the SQL-UDF rep)
+    # E21 UDF surface (SQL-UDF rep; the four Arrow/UDTF tiers are r8-green)
     "sql_udf_functions": sql_surface.sql_udf_functions,
+    # SQL surface (r9 rotation: session-parameterized queries — the last
+    # never-driver-tested SQL-language tier alongside collation_group)
+    "parameterized_query": sql_surface.parameterized_query,
+    # E22-E23 streaming (genuine readStream executions)
+    "streaming_tumbling_agg": streaming_tumbling_agg,
+    "streaming_stateful_running_totals": streaming_stateful_running_totals,
+    "streaming_ss_full_outer_join": streaming_ss_full_outer_join,
+    "python_stream_source_agg": python_stream_source_agg,
+    # E24 exact dedup
+    "dedup_exact": dedup.dedup_exact,
+    # E25 near-dedup (r9 rotation: the MLlib LSH tier with its NEW full
+    # raw-shingle-verified oracle, plus both banding acceptance gates)
+    "minhash_ml_pairs": ml_feature.minhash_ml_pairs,
+    "lsh_recall_eval": dedup.lsh_recall_eval,
+    "lsh_band_sweep": dedup.lsh_band_sweep,
+    # Release diagnostics (r9 rotation: all three r8-new gates — dedup
+    # accounting, key-skew profile, k-anonymity privacy gate)
+    "corpus_dedup_report": dedup.corpus_dedup_report,
+    "key_skew_profile": advanced.key_skew_profile,
+    "k_anonymity_check": advanced.k_anonymity_check,
+    # E26 similarity search (GEMM serving tier + r9 rotation: the three
+    # ANN acceptance gates and the two-stage PQ->exact refine)
+    "knn_gemm": similarity.knn_gemm,
+    "knn_recall_eval": similarity.knn_recall_eval,
+    "embedding_lsh_recall_eval": similarity.embedding_lsh_recall_eval,
+    "knn_probe_sweep": similarity.knn_probe_sweep,
+    "knn_ivfpq_refine": similarity.knn_ivfpq_refine,
+    # E27 text analysis / corpus curation (r9 rotation: the cross-encoder
+    # rerank stage, the quality-retention planning curve, and the MLlib
+    # TF-IDF tier with its NEW invariant oracle; sequence_packing_ffd
+    # stays in-window so its UPGRADED recursive-CTE oracle — full hash
+    # check, was rows-only — earns driver evidence)
+    "doc_quality": text.doc_quality,
+    "sequence_packing_ffd": curation.sequence_packing_ffd,
+    "rerank_cross_encoder": text.rerank_cross_encoder,
+    "quality_retention_curve": text.quality_retention_curve,
+    "tfidf_ml_features": ml_feature.tfidf_ml_features,
+    # TPC-H analytic variants (r9 rotation: first driver rows for the
+    # family — Q10/Q14/Q15 shapes, per r8 verdict task 7)
+    "returned_item_revenue": advanced.returned_item_revenue,
+    "promo_revenue_share": advanced.promo_revenue_share,
+    "top_supplier_revenue": advanced.top_supplier_revenue,
+    # graph analytics (triangle keeps its wedge-metric guard in-window)
+    "triangle_count": graph.triangle_count,
+    # E28 multimodal
+    "multimodal_tile_near_dup": multimodal.multimodal_tile_near_dup,
+    # -- end of driver window (50) -----------------------------------------
+    # additional variants, all locally oracle/pytest-verified
+    # (r9 demotions, all r8-green, first)
+    "mode_argmax": advanced.mode_argmax,
+    "range_join_bucketed": relational.range_join_bucketed,
+    "window_percent_rank": windows.window_percent_rank,
+    "cohort_retention": windows.cohort_retention,
+    "window_range_frame": windows.window_range_frame,
     "arrow_udf_tier": udfs.arrow_udf_tier,
     "arrow_group_normalize": udfs.arrow_group_normalize,
     "map_in_arrow_price_tier": udfs.map_in_arrow_price_tier,
     "python_udtf_polymorphic": udfs.python_udtf_polymorphic,
-    # SQL surface tiers (r8 rotation: SQL-scripting BEGIN..END control
-    # flow, the |> pipe syntax, and the iterative-join recursive CTE
-    # equivalent — none previously driver-tested)
     "sql_scripting_threshold": sql_surface.sql_scripting_threshold,
     "sql_pipe_syntax": sql_surface.sql_pipe_syntax,
     "recursive_order_chain": advanced.recursive_order_chain,
-    # E22-E23 streaming (genuine readStream executions; r8 rotation:
-    # chained windowed re-aggregation and the stream-static broadcast
-    # enrich join — the two never-driver-tested streaming tiers)
-    "streaming_tumbling_agg": streaming_tumbling_agg,
-    "streaming_stateful_running_totals": streaming_stateful_running_totals,
     "streaming_chained_windows": streaming_chained_windows,
     "streaming_static_enrich": streaming_static_enrich,
-    "python_stream_source_agg": python_stream_source_agg,
-    # E24 exact dedup
-    "dedup_exact": dedup.dedup_exact,
-    # 2A export parity fingerprint
-    "table_fingerprint": export_ops.table_fingerprint,
-    # E25 near-dedup: keep-best survivorship (cluster + quality argmax —
-    # the production dedup shape; LSH/components/winnowing tiers r6-green)
-    "dedup_keep_best": dedup.dedup_keep_best,
-    # E26 similarity search (GEMM top-k tier; r8 rotation: the two fold
-    # variants — IVF and PQ k-NN under fold-style partition pruning —
-    # the last never-driver-tested ANN tiers)
-    "knn_gemm": similarity.knn_gemm,
     "knn_ivf_fold": similarity.knn_ivf_fold,
     "knn_pq_fold": similarity.knn_pq_fold,
-    # E27 text analysis / corpus curation (r8 rotation: first-fit-
-    # decreasing sequence packing — the training-batch assembly op)
-    "doc_quality": text.doc_quality,
-    "bpe_token_count": curation.bpe_token_count,
-    "sequence_packing_ffd": curation.sequence_packing_ffd,
-    # graph analytics (triangle keeps its wedge-metric guard in-window;
-    # pagerank_parts is r7-green and rotates out)
-    "triangle_count": graph.triangle_count,
-    # E28 multimodal (r8 rotation: the audio energy-window tier gives the
-    # family its second driver row per the r7 verdict)
-    "multimodal_tile_near_dup": multimodal.multimodal_tile_near_dup,
     "multimodal_audio_energy": multimodal.multimodal_audio_energy,
-    # -- end of driver window (50) -----------------------------------------
-    # additional variants, all locally oracle/pytest-verified
+    "set_operations": relational.set_operations,
+    "dedup_keep_best": dedup.dedup_keep_best,
+    "bpe_token_count": curation.bpe_token_count,
     "scd2_apply": advanced.scd2_apply,
     "zorder_scan_roundtrip": layout.zorder_scan_roundtrip,
     "join_range": relational.join_range,
@@ -1004,17 +1061,13 @@ QUERIES: dict[str, QueryFn] = {
     "large_volume_orders": advanced.large_volume_orders,
     "nation_volume_shipping": advanced.nation_volume_shipping,
     "local_supplier_volume": advanced.local_supplier_volume,
-    "top_supplier_revenue": advanced.top_supplier_revenue,
     "small_quantity_revenue": advanced.small_quantity_revenue,
     "embedding_dim_stats": similarity.embedding_dim_stats,
     "sequence_packing_bpe": curation.sequence_packing_bpe,
-    "returned_item_revenue": advanced.returned_item_revenue,
     "disjunctive_filter_parts": advanced.disjunctive_filter_parts,
     "inactive_high_value_customers": advanced.inactive_high_value_customers,
-    "promo_revenue_share": advanced.promo_revenue_share,
     "sessionize_events": windows.sessionize_events,
     "window_ntile_quartiles": windows.window_ntile_quartiles,
-    "asof_last_purchase": windows.asof_last_purchase,
     "hypertable_rollup": windows.hypertable_rollup,
     "tumbling_window_agg": windows.tumbling_window_agg,
     "sliding_window_agg": windows.sliding_window_agg,
@@ -1025,8 +1078,6 @@ QUERIES: dict[str, QueryFn] = {
     "model_inference_scores": udfs.model_inference_scores,
     "streaming_dynamic_session": streaming_dynamic_session,
     "streaming_ss_left_outer_join": streaming_ss_left_outer_join,
-    "minhash_ml_pairs": ml_feature.minhash_ml_pairs,
-    "tfidf_ml_features": ml_feature.tfidf_ml_features,
     "embedding_random_projection": similarity.embedding_random_projection,
     "lang_stats": text.lang_stats,
     "token_count": text.token_count,
@@ -1040,7 +1091,6 @@ QUERIES: dict[str, QueryFn] = {
     "winnowing_fingerprint": text.winnowing_fingerprint,
     "chunk_dedup": dedup.chunk_dedup,
     "knn_ivf": similarity.knn_ivf,
-    "parameterized_query": sql_surface.parameterized_query,
     "min_cost_supplier": advanced.min_cost_supplier,
     "pandas_udf_score": udfs.pandas_udf_score,
     "collation_group": sql_surface.collation_group,
@@ -1059,20 +1109,8 @@ QUERIES: dict[str, QueryFn] = {
     "temperature_mix_allocation": curation.temperature_mix_allocation,
     # round 8: two-stage ANN serving (PQ slate -> exact refine) and the
     # retrieval rerank stage completing retrieve -> fuse -> rerank
-    "knn_ivfpq_refine": similarity.knn_ivfpq_refine,
-    "rerank_cross_encoder": text.rerank_cross_encoder,
     # round 8: pipeline-acceptance operators — the curator's threshold
     # planning table and the LSH-config recall/precision gate
-    "quality_retention_curve": text.quality_retention_curve,
-    "lsh_recall_eval": dedup.lsh_recall_eval,
-    "lsh_band_sweep": dedup.lsh_band_sweep,
-    "knn_recall_eval": similarity.knn_recall_eval,
-    "embedding_lsh_recall_eval": similarity.embedding_lsh_recall_eval,
-    "knn_probe_sweep": similarity.knn_probe_sweep,
-    "corpus_dedup_report": dedup.corpus_dedup_report,
-    "orc_scan_roundtrip": layout.orc_scan_roundtrip,
-    "key_skew_profile": advanced.key_skew_profile,
-    "k_anonymity_check": advanced.k_anonymity_check,
 }
 
 
@@ -1085,15 +1123,15 @@ DRIVER_WINDOW = 50
 
 FAMILIES: dict[str, tuple[str, ...]] = {
     "2A": ("export_projection_filter", "union_snapshots",
-           "zorder_scan_roundtrip", "table_fingerprint",
-           "merge_upsert", "scd2_apply"),
+           "zorder_scan_roundtrip", "orc_scan_roundtrip",
+           "table_fingerprint", "merge_upsert", "scd2_apply"),
     "E2": ("computed_projection",),
     "E3": ("filter_compound", "disjunctive_filter_parts"),
     "E4": ("join_broadcast_dims", "join_shuffle_multiway", "join_null_safe",
            "nation_volume_shipping", "local_supplier_volume",
            "nation_market_share", "top_supplier_revenue",
            "small_quantity_revenue", "min_cost_supplier",
-           "lateral_topk_orders"),
+           "lateral_topk_orders", "join_skew_salted"),
     "E5": ("join_left_outer", "join_full_outer",
            "customer_order_distribution"),
     "E6": ("join_semi", "join_anti", "inactive_high_value_customers",
@@ -1102,23 +1140,26 @@ FAMILIES: dict[str, tuple[str, ...]] = {
            "asof_last_purchase", "orders_asof_dimension"),
     "E8": ("pricing_summary", "agg_stats", "corr_covar",
            "pivot_status_counts", "array_agg_ordered", "string_agg_ordered",
-           "mode_argmax"),
+           "mode_argmax", "exact_percentiles", "conditional_aggregates",
+           "salted_agg_hot_key", "unpivot_metrics", "price_histogram"),
     "E9": ("distinct_pairs", "count_distinct_agg",
            "approx_count_distinct_users", "hll_sketch_users",
-           "approx_percentiles", "approx_topk_terms"),
+           "approx_percentiles", "approx_topk_terms",
+           "heavy_hitters_terms", "bitmap_distinct_orders"),
     "E10": ("rollup_acctbal", "cube_status_priority", "grouping_sets_agg"),
     "E11": ("window_topk_per_customer", "window_percent_rank",
             "window_ntile_quartiles", "funnel_ordered_3step",
-            "cohort_retention"),
+            "cohort_retention", "funnel_conversion"),
     "E12": ("window_lag_lead", "window_ignore_nulls", "window_nth_value",
             "window_running_total", "timeseries_gapfill",
-            "window_range_frame", "time_weighted_average"),
+            "window_range_frame", "time_weighted_average",
+            "event_transitions", "user_value_trend"),
     "E13": ("global_topk", "returned_item_revenue"),
-    "E14": ("set_operations",),
+    "E14": ("set_operations", "set_operations_all"),
     "E15": ("string_functions", "collation_group"),
     "E16": ("date_functions",),
     "E17": ("math_functions",),
-    "E18": ("conditional_functions",),
+    "E18": ("conditional_functions", "try_arithmetic"),
     "E19": ("array_functions", "explode_word_freq"),
     "E20": ("json_functions", "map_functions", "variant_json",
             "map_hof_functions", "xml_functions"),
@@ -1133,7 +1174,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "python_simple_stream_source_agg",
             # batch-mode tiers of the same window operators
             "tumbling_window_agg", "sliding_window_agg",
-            "session_window_agg"),
+            "session_window_agg", "sessionize_events",
+            "hypertable_rollup"),
     "E23": ("streaming_session_window", "streaming_dedup",
             "streaming_stateful_running_totals",
             "streaming_stream_stream_join",
@@ -1148,14 +1190,16 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "dedup_components", "minhash_ml_pairs", "chunk_dedup",
             "chunk_near_dedup", "dedup_incremental_minhash", "winnowing_dedup",
             "fuzzy_match_parts", "fuzzy_canonicalize_parts",
-            "dedup_keep_best", "fuzzy_match_sorted_neighborhood"),
+            "dedup_keep_best", "fuzzy_match_sorted_neighborhood",
+            "lsh_recall_eval", "lsh_band_sweep"),
     "E26": ("knn_bruteforce", "embedding_norms", "embedding_near_dup",
             "embedding_quantize", "knn_ivf", "knn_ivf_fold", "knn_gemm",
             "semantic_dedup", "kmeans_embeddings", "embedding_lsh_near_dup",
             "embedding_random_projection", "knn_pq", "knn_ivfpq",
             "embedding_incremental_dedup", "embedding_dim_stats",
             "contrastive_triplets",
-            "knn_pq_fold", "knn_ivfpq_refine"),
+            "knn_pq_fold", "knn_ivfpq_refine", "knn_recall_eval",
+            "embedding_lsh_recall_eval", "knn_probe_sweep"),
     "E27": ("doc_quality", "lang_id_heuristic", "tfidf_top_terms",
             "token_count", "bpe_token_count", "bpe_merges",
             "corpus_mix_sample",
@@ -1169,7 +1213,10 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "stratified_sample_k_per_group",
             "dsir_importance_sample", "epoch_shuffle_order",
             "temperature_mix_allocation", "pii_scrub",
-            "rerank_cross_encoder"),
+            "rerank_cross_encoder", "quality_retention_curve",
+            "lang_stats", "doc_fingerprint", "text_normalize",
+            "corpus_curation", "reading_level", "deterministic_sample",
+            "tfidf_ml_features"),
     "E28": ("multimodal_decode", "multimodal_resize",
             "multimodal_frame_sample", "multimodal_partition_stats",
             "multimodal_audio_energy", "multimodal_tile_near_dup"),
@@ -1180,7 +1227,19 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     # grouping, and the DataFrame-iterative recursive-CTE equivalent.
     "SQL": ("sql_scripting_threshold", "sql_pipe_syntax",
             "parameterized_query", "collation_group",
-            "recursive_order_chain"),
+            "recursive_order_chain", "scalar_subquery_threshold",
+            "correlated_agg_subquery"),
+    # Release diagnostics: the pre-publish gates a curator runs over a
+    # finished corpus/table (quality audit, drift diff, profiling, skew,
+    # privacy) — first driver rows r9.
+    "DIAG": ("dq_audit", "snapshot_diff", "profile_table", "mad_outliers",
+             "key_skew_profile", "k_anonymity_check",
+             "corpus_dedup_report"),
+    # TPC-H analytic variants (Q3/Q4/Q6/Q14/Q16/Q18 shapes) beyond the
+    # family-tagged joins/aggregates above.
+    "TPCH": ("sql_shipping_priority", "revenue_change_forecast",
+             "order_priority_check", "supplier_variety",
+             "large_volume_orders", "promo_revenue_share"),
 }
 
 
