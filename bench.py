@@ -91,6 +91,14 @@ BENCH_QUERIES = [
     # serving (PQ slate -> exact refine) and the retrieval rerank stage.
     "knn_ivfpq_refine",
     "rerank_cross_encoder",
+    # Round 9: the rotation's newly driver-promoted non-trivial families —
+    # the banding S-curve sweep (4 configs off one signature pass), the
+    # ANN recall gate (exact top-k truth side), the corpus dedup
+    # accounting report, and the recursive-CTE-oracled FFD packing.
+    "lsh_band_sweep",
+    "knn_recall_eval",
+    "corpus_dedup_report",
+    "sequence_packing_ffd",
 ]
 
 
@@ -116,6 +124,11 @@ def _await_idle_host(max_wait_s: int | None = None) -> tuple[float, float, bool]
         max_wait_s = int(os.environ.get("SPARK_GRAFT_IDLE_WAIT_S", "360"))
     n_cpus = os.cpu_count() or 1
     threshold = max(2.0, n_cpus / 8)
+    # the wait loop aims for a STRICTER soft target first (cpus/16 —
+    # r8's driver bench passed cpus/8 with only 0.23 to spare and ran
+    # ~6% hotter than the builder's dual-idle runs); if the soft target
+    # doesn't clear within the wait budget, the cpus/8 gate still decides
+    soft_target = max(1.0, n_cpus / 16)
 
     def _gate_load() -> float:
         load1, load5, _ = os.getloadavg()
@@ -139,18 +152,24 @@ def _await_idle_host(max_wait_s: int | None = None) -> tuple[float, float, bool]
         return _report()
     deadline = time.time() + max_wait_s
     waited = False
-    while load > threshold and time.time() < deadline:
+    while load > soft_target and time.time() < deadline:
         if not waited:
             print(
                 f"bench: waiting up to {max_wait_s}s for max(load1, load5) "
-                f"{load:.2f} to drop below {threshold:.2f} "
-                "(SPARK_GRAFT_SKIP_IDLE_WAIT=1 skips)",
+                f"{load:.2f} to drop below the soft target "
+                f"{soft_target:.2f} (hard gate {threshold:.2f}; "
+                "SPARK_GRAFT_SKIP_IDLE_WAIT=1 skips)",
                 file=sys.stderr,
             )
             waited = True
         time.sleep(5)
         load = _gate_load()
     return _report()
+
+
+def _idle_threshold() -> float:
+    n_cpus = os.cpu_count() or 1
+    return max(2.0, n_cpus / 8)
 
 
 def main() -> int:
@@ -231,6 +250,13 @@ def main() -> int:
                 # provably idle host)
                 "load_avg_5m_at_start": load_avg_5m,
                 "idle_host": idle_host,
+                # the gate's threshold and the margin it passed with —
+                # a near-zero margin means the numbers likely ran ~5-10%
+                # hot vs a dual-idle host (r8: margin 0.23, ~6% hot)
+                "idle_threshold": round(_idle_threshold(), 2),
+                "idle_margin": round(
+                    _idle_threshold() - max(load_avg, load_avg_5m), 2
+                ),
             }
         )
     )
