@@ -166,3 +166,58 @@ _oracle(
     GROUP BY o_orderstatus
     """,
 )
+
+
+def nested_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type tier of the E1/E2 surface: pack order attributes into a
+    struct column, write parquet, read back selecting only two of the
+    struct's three fields, and aggregate.  Spark's nested-schema pruning
+    (`spark.sql.optimizer.nestedSchemaPruning.enabled`, on by default)
+    pushes the subfield selection into the parquet ``ReadSchema`` so the
+    scan decodes only the referenced leaf columns — at 100 TB a struct
+    with a fat unused field (here ``priority``) costs nothing.
+    tests/test_layout.py pins the pruned ReadSchema; the oracle
+    recomputes the aggregate from the ORIGINAL flat table, so any row
+    lost or value shifted by the struct pack -> parquet -> prune -> read
+    chain breaks the hash.
+    """
+    out = _roundtrip_dir("nested_rt", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("total"),
+            F.col("o_orderpriority").alias("priority"),
+        ).alias("meta"),
+    )
+    o.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.select(
+            "o_orderkey",
+            F.col("meta.status").alias("status"),
+            F.col("meta.total").alias("total"),
+        )
+        .filter(F.col("total") > 150000.0)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("total").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("sum_total"),
+        )
+    )
+
+
+_oracle(
+    "nested_struct_roundtrip",
+    """
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+               AS sum_total
+    FROM orders
+    WHERE o_totalprice > 150000.0
+    GROUP BY o_orderstatus
+    """,
+)

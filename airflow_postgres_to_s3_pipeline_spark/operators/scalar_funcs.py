@@ -417,3 +417,103 @@ _oracle(
     FROM events
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# E16 second tier: interval arithmetic + ISO-calendar fields
+# ---------------------------------------------------------------------------
+
+def date_interval_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second E16 tier: the calendar edges the first tier doesn't touch —
+    ISO week truncation/numbering (Monday-start on both engines),
+    day-of-week origin reconciliation (Spark Sunday=1 vs DuckDB
+    Sunday=0), month-clamped interval addition (Jan 31 + 3 months lands
+    on Apr 30 on both engines), strict-after next-weekday arithmetic
+    (``next_day`` mirrored as ``date + (8 - isodow)``), and
+    ``make_date`` reconstruction.  All expressions are codegen'd
+    column arithmetic on the scan — no shuffle, no Python."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"),
+        F.trunc(d, "quarter").alias("quarter_start"),
+        F.weekofyear(d).alias("iso_week"),
+        F.dayofyear(d).alias("doy"),
+        F.dayofweek(d).alias("dow_sun1"),
+        F.add_months(d, 3).alias("plus_3mo"),
+        F.date_add(d, 90).alias("plus_90d"),
+        F.next_day(d, "Mon").alias("next_monday"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("month_floor"),
+    )
+
+
+_oracle(
+    "date_interval_functions",
+    """
+    SELECT o_orderkey,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow_sun1,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
+           CAST(o_orderdate AS DATE) + 90 AS plus_90d,
+           CAST(o_orderdate AS DATE) + CAST(8 - isodow(o_orderdate) AS INTEGER) AS next_monday,
+           make_date(CAST(year(o_orderdate) AS INTEGER),
+                     CAST(month(o_orderdate) AS INTEGER), 1) AS month_floor
+    FROM orders
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# E17 second tier: transcendental + bitwise functions
+# ---------------------------------------------------------------------------
+
+def math_trig_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second E17 tier: the function groups the first tier doesn't cover —
+    trigonometry (sin/cos/atan2), angle conversion, exp/cbrt, signum,
+    and the bitwise trio (shift-left / AND-mask / XOR) that backs hash
+    partitioners and bitmap tricks.  Transcendentals are rounded to 6
+    decimals (same rule as tier 1's ln/log10) because JVM StrictMath
+    and DuckDB libm agree only to ~1 ULP, not bit-exactly; integer bit
+    ops are exact on both engines."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin("l_discount"), 6).alias("disc_sin"),
+        F.round(F.cos("l_tax"), 6).alias("tax_cos"),
+        F.round(F.atan2("l_discount", "l_tax"), 6).alias("rate_atan2"),
+        F.round(F.degrees("l_discount"), 6).alias("disc_deg"),
+        F.round(F.radians("l_quantity"), 6).alias("qty_rad"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.cbrt("l_quantity"), 6).alias("qty_cbrt"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+        F.round(F.hypot("l_discount", "l_tax"), 6).alias("rate_hypot"),
+        F.shiftleft("l_orderkey", 2).alias("key_shl2"),
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("key_lo8"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_suppkey")).alias("key_xor_supp"),
+    )
+
+
+_oracle(
+    "math_trig_bits",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(SIN(l_discount), 6) AS disc_sin,
+           ROUND(COS(l_tax), 6) AS tax_cos,
+           ROUND(ATAN2(l_discount, l_tax), 6) AS rate_atan2,
+           ROUND(DEGREES(l_discount), 6) AS disc_deg,
+           ROUND(RADIANS(l_quantity), 6) AS qty_rad,
+           ROUND(EXP(l_discount), 6) AS disc_exp,
+           ROUND(CBRT(l_quantity), 6) AS qty_cbrt,
+           CAST(SIGN(l_discount - 0.05) AS INTEGER) AS disc_sign,
+           ROUND(SQRT(l_discount * l_discount + l_tax * l_tax), 6) AS rate_hypot,
+           l_orderkey << 2 AS key_shl2,
+           l_orderkey & 255 AS key_lo8,
+           xor(l_orderkey, l_suppkey) AS key_xor_supp
+    FROM lineitem
+    """,
+)

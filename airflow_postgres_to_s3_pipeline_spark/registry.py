@@ -1111,6 +1111,12 @@ QUERIES: dict[str, QueryFn] = {
     # retrieval rerank stage completing retrieve -> fuse -> rerank
     # round 8: pipeline-acceptance operators — the curator's threshold
     # planning table and the LSH-config recall/precision gate
+    # round 9: second tiers for the three single-entry families (E16
+    # interval/ISO-calendar, E17 trig/bitwise) and the nested-type
+    # parquet roundtrip with subfield schema pruning (E1/E2)
+    "date_interval_functions": scalar_funcs.date_interval_functions,
+    "math_trig_bits": scalar_funcs.math_trig_bits,
+    "nested_struct_roundtrip": layout.nested_struct_roundtrip,
 }
 
 
@@ -1124,8 +1130,9 @@ DRIVER_WINDOW = 50
 FAMILIES: dict[str, tuple[str, ...]] = {
     "2A": ("export_projection_filter", "union_snapshots",
            "zorder_scan_roundtrip", "orc_scan_roundtrip",
+           "nested_struct_roundtrip",
            "table_fingerprint", "merge_upsert", "scd2_apply"),
-    "E2": ("computed_projection",),
+    "E2": ("computed_projection", "nested_struct_roundtrip"),
     "E3": ("filter_compound", "disjunctive_filter_parts"),
     "E4": ("join_broadcast_dims", "join_shuffle_multiway", "join_null_safe",
            "nation_volume_shipping", "local_supplier_volume",
@@ -1157,8 +1164,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "E13": ("global_topk", "returned_item_revenue"),
     "E14": ("set_operations", "set_operations_all"),
     "E15": ("string_functions", "collation_group"),
-    "E16": ("date_functions",),
-    "E17": ("math_functions",),
+    "E16": ("date_functions", "date_interval_functions"),
+    "E17": ("math_functions", "math_trig_bits"),
     "E18": ("conditional_functions", "try_arithmetic"),
     "E19": ("array_functions", "explode_word_freq"),
     "E20": ("json_functions", "map_functions", "variant_json",

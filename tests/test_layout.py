@@ -224,3 +224,51 @@ def test_orc_scan_pushes_filters(spark, tmp_path):
     back = spark.read.orc(p).filter("price > 100.0").select("id")
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "GreaterThan(price" in plan, plan[:1500]
+
+
+def test_nested_struct_read_prunes_unused_subfield(spark, tmp_path):
+    """Nested-schema pruning: selecting meta.status + meta.total from a
+    three-field struct must shrink the parquet ReadSchema to the two
+    referenced leaves — the unused ``priority`` field may not appear in
+    the scan.  This is the property nested_struct_roundtrip's 100 TB
+    story rests on (a fat unused subfield costs zero I/O)."""
+    p = str(tmp_path / "nested_prune")
+    spark.range(1000).selectExpr(
+        "id",
+        "named_struct('status', CAST(id % 3 AS STRING), "
+        "'total', id * 2.5, "
+        "'priority', repeat('x', 100)) AS meta",
+    ).write.parquet(p)
+    back = (
+        spark.read.parquet(p)
+        .select("id", F.col("meta.status"), F.col("meta.total"))
+        .filter(F.col("total") > 100.0)
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "status" in read_schema and "total" in read_schema, read_schema
+    assert "priority" not in read_schema, read_schema
+
+
+def test_nested_struct_roundtrip_matches_flat_recompute(spark, sf_dir):
+    """The struct pack -> parquet -> pruned read -> aggregate chain must
+    reproduce the flat-table aggregate exactly."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import layout
+
+    got = {
+        r["status"]: (r["n_orders"], round(r["sum_total"], 2))
+        for r in layout.nested_struct_roundtrip(spark, sf_dir).collect()
+    }
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000.0)
+    want = {
+        r["o_orderstatus"]: (r["n"], round(r["s"], 2))
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("s"),
+        )
+        .collect()
+    }
+    assert got == want

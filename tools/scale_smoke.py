@@ -272,7 +272,8 @@ def main() -> int:
                    "graph_triangles", "graph_triangles_skew_degree",
                    "graph_triangles_skew_id", "graph_bfs", "events_funnel",
                    "events_twap", "events_trend", "events_skew_profile",
-                   "text_dedup_report",
+                   "events_k_anonymity",
+                   "text_dedup_report", "text_dedup_report_5m",
                    "sus_two_phase", "sus_global_window", "tile_near_dup"}
     if not only or (only & text_labels):
         import shutil
@@ -368,6 +369,15 @@ def main() -> int:
             "text_dedup_report", nw,
             lambda: _cached(lambda: write_docs(nw), ("docs", nw)),
             lambda d: dedup_ops.corpus_dedup_report(spark, d)))
+        # r9: the release-gate accounting at 10x its r8 smoke (5M docs,
+        # 50x sf0.1) — the exact tier stays a 16-byte-key group-by and the
+        # near tier the banded MinHash chain, so the profile should stay
+        # linear; this row is the evidence
+        ndr = min(n, 5_000_000)
+        results.append(run_dir(
+            "text_dedup_report_5m", ndr,
+            lambda: _cached(lambda: write_docs(ndr), ("docs", ndr)),
+            lambda d: dedup_ops.corpus_dedup_report(spark, d)))
 
         # entity resolution: vocabulary-scale multi-pass blocking.  ~1M
         # records collapse to ~950k DISTINCT two-token names over a
@@ -444,6 +454,16 @@ def main() -> int:
             "events_skew_profile", nev,
             lambda: _cached(lambda: write_events(nev), ("events", nev)),
             lambda d: adv_ops.key_skew_profile(spark, d)))
+        # r9: the privacy release gate at full-corpus scale (500M events,
+        # 5000x sf0.1).  The group-by domain is bounded by the quasi-id
+        # cross product (5 types x 30 days x 10 buckets = 1500 groups), so
+        # the whole job is one map-side-combined distinct-count pass — the
+        # shape that must stay linear for the gate to run over 100 TB.
+        nka = min(n, 500_000_000)
+        results.append(run_dir(
+            "events_k_anonymity", nka,
+            lambda: _cached(lambda: write_events(nka), ("events", nka)),
+            lambda d: adv_ops.k_anonymity_check(spark, d)))
 
         def write_edges(no: int, lines_per_order: int = 4) -> str:
             d = tempfile.mkdtemp(prefix="scale_graph_")
