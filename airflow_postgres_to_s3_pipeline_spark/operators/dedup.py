@@ -14,7 +14,7 @@ table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_postgres_to_s3_pipeline_spark.cache import tracked_persist
@@ -248,13 +248,48 @@ def banded_keys(signatures: DataFrame, n_hashes: int = 32,
     )
 
 
+LSH_MAX_BUCKET = 1024
+"""Band-bucket size cap applied before the candidate self-join.
+
+Hub buckets make the "~linear" LSH candidate claim false: a band key
+shared by b docs emits C(b, 2) pairs, so one Θ(n) bucket turns the whole
+stage quadratic.  Hubs are real at scale — boilerplate/empty documents on
+real corpora, and (measured, round 9) the Kirsch-Mitzenmacher double hash
+on a small shingle universe: one shingle with jointly-small (x1, x2) wins
+every slot of a band, so every doc containing it shares that band key.
+On the 20-word-vocab smoke corpus at 2M docs the top bucket held 4,560
+docs and sum C(b,2) hit 20.6M candidates (~n^2), spilling >60 GB at 5M
+docs.  Docs in an over-cap bucket still pair through their other bands;
+md5-identical docs (which share ALL bands) are the exact tier's job, not
+LSH's.  The measured recall cost of the cap is what ``lsh_recall_eval``
+exists to report.  Never binds on the test corpora (max observed bucket
+at sf0.1 is 7); the SQL oracles apply the identical QUALIFY cap, so the
+hash match is preserved even where it does bind.
+"""
+
+
+def _cap_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop rows of band buckets larger than ``max_bucket`` — one window
+    count over the same (band, band_hash) key the subsequent join shuffles
+    on, so the cap adds no extra exchange of the banded frame."""
+    w = Window.partitionBy("band", "band_hash")
+    return (
+        banded.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("bsz") <= max_bucket)
+        .drop("bsz")
+    )
+
+
 def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 32,
-                        bands: int = 8, checkable: bool = False) -> DataFrame:
+                        bands: int = 8, checkable: bool = False,
+                        max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
     """Band the signatures and self-join on (band, band_hash) buckets.
 
     The banded equi-join is the LSH trick that makes near-dedup scale: only
     docs agreeing on a full band collide, so the join output is ~linear in
-    the number of true near-dups rather than quadratic in corpus size.
+    the number of true near-dups rather than quadratic in corpus size —
+    PROVIDED no bucket degenerates into a hub, which ``max_bucket``
+    enforces (see ``LSH_MAX_BUCKET`` for the measured failure mode).
 
     ``checkable=True`` keys the bands by the concatenated signature values
     (exactly mirrorable in SQL) instead of murmur3 — band equality is the
@@ -262,6 +297,8 @@ def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 32,
     shuffle, which is the right trade at 100 TB but opaque to the oracle.
     """
     banded = banded_keys(signatures, n_hashes, bands, checkable)
+    if max_bucket:
+        banded = _cap_buckets(banded, max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -420,10 +457,14 @@ def _lsh_sig_chain_sql(n_hashes: int = 32,
 
 
 def _lsh_band_cand_sql(n_hashes: int = 32, bands: int = 8,
-                       suffix: str = "") -> str:
+                       suffix: str = "",
+                       max_bucket: int = LSH_MAX_BUCKET) -> str:
     """The per-config ``banded``/``cand`` CTEs over a ``sigs`` relation;
     ``suffix`` disambiguates the CTE names when one query sweeps several
-    banding configs against the same signatures."""
+    banding configs against the same signatures.  ``max_bucket`` mirrors
+    the Spark side's hub-bucket cap (``LSH_MAX_BUCKET``) bit-for-bit via
+    the same windowed count, so capped and uncapped corpora alike keep
+    the exact hash match."""
     rows = n_hashes // bands
     band_selects = "\n        UNION ALL\n        ".join(
         f"SELECT doc_id, {b} AS band, "
@@ -433,9 +474,12 @@ def _lsh_band_cand_sql(n_hashes: int = 32, bands: int = 8,
     )
     return f""", banded{suffix} AS (
         {band_selects}
+    ), bandedc{suffix} AS (
+        SELECT doc_id, band, band_key FROM banded{suffix}
+        QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= {max_bucket}
     ), cand{suffix} AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM banded{suffix} a JOIN banded{suffix} b
+        FROM bandedc{suffix} a JOIN bandedc{suffix} b
           ON a.band = b.band AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
     )"""
@@ -596,7 +640,12 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str,
     d = table(spark, sf_dir, "documents")
     sh = tracked_persist(shingle_arrays(d), corpus=True)
     sig = minhash_signatures_md5(sh)
-    banded = tracked_persist(banded_keys(sig, checkable=True))
+    # The cap is computed over the UNION frame (existing + incoming), same
+    # as the oracle's self-join chain — a hub bucket is a hub regardless
+    # of which side its members arrive on.
+    banded = tracked_persist(
+        _cap_buckets(banded_keys(sig, checkable=True), LSH_MAX_BUCKET)
+    )
     ex = banded.filter(F.col("doc_id") < split)
     inc = banded.filter(F.col("doc_id") >= split)
     cand = (

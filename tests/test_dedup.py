@@ -262,3 +262,40 @@ def test_eval_gates_report_zeros_on_clean_corpus(spark, tmp_path):
     for x in sweep:
         assert (x.n_truth, x.n_cand, x.n_hit) == (0, 0, 0)
         assert x.recall is None and x.band_precision is None
+
+
+def test_lsh_bucket_cap_drops_hub_keeps_true_pairs(spark):
+    """Hub buckets (one band key shared by Θ(n) docs — boilerplate
+    corpora, or the measured small-universe KM-hash hub, see
+    LSH_MAX_BUCKET) must be dropped by the cap while ordinary near-dup
+    pairs in small buckets survive.  30 identical docs form an over-cap
+    bucket in EVERY band (C(30,2)=435 uncapped candidate pairs); two
+    docs differing in one trailing word pair through their own size-2
+    buckets either way."""
+    hub_text = " ".join(["spark shuffle partition skew salt"] * 6)
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu one "
+            "two three")
+    rows = [(i, hub_text) for i in range(30)]
+    rows.append((100, base + " four"))
+    rows.append((101, base + " five"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = dedup.minhash_signatures_md5(dedup.shingle_arrays(df))
+    unc = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(
+            sig, checkable=True, max_bucket=0
+        ).collect()
+    }
+    cap = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(
+            sig, checkable=True, max_bucket=10
+        ).collect()
+    }
+    hub_pairs = {p for p in unc if p[0] < 30 and p[1] < 30}
+    assert len(hub_pairs) == 435
+    assert (100, 101) in unc
+    assert (100, 101) in cap
+    assert not (cap & hub_pairs)

@@ -23,6 +23,13 @@ sys.path.insert(0, REPO)
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000_000
     only = set(sys.argv[2:])
+    # The session factory's 8g default is sized for sf0.1 tests; this
+    # harness runs 100-5000x that in ONE local JVM hosting all 32 task
+    # slots (a real cluster gives each executor its own heap).  At 500M
+    # rows the partial-distinct hash maps of events_k_anonymity overflow
+    # 8g and kill the JVM mid-stage — default to 48g here, still
+    # overridable via the same env var.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -319,6 +326,14 @@ def main() -> int:
         def _cached(factory, key):
             if key not in _dir_cache:
                 _dir_cache[key] = factory()
+                # belt for crashed runs: the section-end rmtree below is
+                # skipped when an op kills the JVM (a 410 MB corpus
+                # leaked exactly that way in round 9)
+                import atexit
+
+                atexit.register(
+                    shutil.rmtree, _dir_cache[key], ignore_errors=True
+                )
             return _dir_cache[key]
 
         def run_dir(label, nrows, write_fn, op):
