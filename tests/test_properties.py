@@ -346,3 +346,62 @@ def test_lsh_band_refinement_subset_property(spark, docs):
         assert pair_sets[2] <= pair_sets[4] <= pair_sets[8] <= pair_sets[16]
     finally:
         sig.unpersist()
+
+
+@given(
+    seeds=st.lists(st.integers(0, 9), min_size=4, max_size=40),
+    n_clones=st.integers(0, 12),
+    cap=st.integers(2, 8),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_lsh_bucket_cap_subset_laws(spark, seeds, n_clones, cap):
+    """Cap laws that must hold on ANY corpus and ANY cap value:
+    (1) capped candidates are a subset of uncapped candidates;
+    (2) a cap at least the corpus's doc count changes nothing (no bucket
+        can exceed it);
+    (3) verified pairs of the capped set are a subset of the uncapped
+        verified pairs (the cap can only lose recall, never invent
+        pairs)."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import dedup
+
+    words = ["alpha", "bravo", "charlie", "delta", "echo",
+             "foxtrot", "golf", "hotel", "india", "juliet"]
+    rows = []
+    for i, s in enumerate(seeds):
+        text = " ".join(words[(s + j) % 10] for j in range(12))
+        rows.append((i, text))
+    # clones of doc 0 manufacture an over-cap bucket when n_clones > cap
+    for c in range(n_clones):
+        rows.append((1000 + c, rows[0][1]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = dedup.minhash_signatures_md5(dedup.shingle_arrays(df))
+
+    def pairs(max_bucket):
+        return {
+            (r.doc_a, r.doc_b)
+            for r in dedup.lsh_candidate_pairs(
+                sig, checkable=True, max_bucket=max_bucket
+            ).collect()
+        }
+
+    unc = pairs(0)
+    capped = pairs(cap)
+    assert capped <= unc
+    assert pairs(len(rows)) == unc
+    sh = dedup.shingle_arrays(df)
+    ver_unc = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.verify_jaccard(
+            dedup.lsh_candidate_pairs(sig, checkable=True, max_bucket=0),
+            sh, 0.6,
+        ).collect()
+    }
+    ver_cap = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.verify_jaccard(
+            dedup.lsh_candidate_pairs(sig, checkable=True, max_bucket=cap),
+            sh, 0.6,
+        ).collect()
+    }
+    assert ver_cap <= ver_unc
