@@ -129,7 +129,7 @@ def main() -> int:
             finally:
                 shutil.rmtree(d, ignore_errors=True)
 
-        nv_knn = min(n, 1_000_000)
+        nv_knn = min(n, 2_000_000)
         results.append(run_vec(
             "vector_knn_hof", nv_knn,
             lambda d: similarity.knn_bruteforce(spark, d)))
