@@ -464,7 +464,10 @@ def _lsh_band_cand_sql(n_hashes: int = 32, bands: int = 8,
     banding configs against the same signatures.  ``max_bucket`` mirrors
     the Spark side's hub-bucket cap (``LSH_MAX_BUCKET``) bit-for-bit via
     the same windowed count, so capped and uncapped corpora alike keep
-    the exact hash match."""
+    the exact hash match — including the boundary convention: 0 (or any
+    falsy value) means cap DISABLED, exactly like
+    ``lsh_candidate_pairs``'s ``if max_bucket:`` guard, never an
+    everything-dropped filter."""
     rows = n_hashes // bands
     band_selects = "\n        UNION ALL\n        ".join(
         f"SELECT doc_id, {b} AS band, "
@@ -472,11 +475,16 @@ def _lsh_band_cand_sql(n_hashes: int = 32, bands: int = 8,
         + " AS band_key FROM sigs"
         for b in range(bands)
     )
+    cap_filter = (
+        f"""
+        QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= {max_bucket}"""
+        if max_bucket
+        else ""
+    )
     return f""", banded{suffix} AS (
         {band_selects}
     ), bandedc{suffix} AS (
-        SELECT doc_id, band, band_key FROM banded{suffix}
-        QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= {max_bucket}
+        SELECT doc_id, band, band_key FROM banded{suffix}{cap_filter}
     ), cand{suffix} AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bandedc{suffix} a JOIN bandedc{suffix} b

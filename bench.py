@@ -102,6 +102,14 @@ BENCH_QUERIES = [
 ]
 
 
+def _idle_threshold() -> float:
+    """THE idle gate formula — the only definition; _await_idle_host's
+    pass/fail decision and the bench JSON's idle_threshold/idle_margin
+    fields all read it, so they cannot diverge."""
+    n_cpus = os.cpu_count() or 1
+    return max(2.0, n_cpus / 8)
+
+
 def _await_idle_host(max_wait_s: int | None = None) -> tuple[float, float, bool]:
     """Wait (bounded) for BOTH the 1-min and 5-min load averages to drop
     below the idle threshold, then report (load1, load5, idle?) — all
@@ -123,7 +131,9 @@ def _await_idle_host(max_wait_s: int | None = None) -> tuple[float, float, bool]
         # never clear a recent burst — default to 6 min (env-tunable)
         max_wait_s = int(os.environ.get("SPARK_GRAFT_IDLE_WAIT_S", "360"))
     n_cpus = os.cpu_count() or 1
-    threshold = max(2.0, n_cpus / 8)
+    # single-sourced with the JSON's idle_threshold/idle_margin fields —
+    # a tuning edit here must move both or the recorded margin lies
+    threshold = _idle_threshold()
     # the wait loop aims for a STRICTER soft target first (cpus/16 —
     # r8's driver bench passed cpus/8 with only 0.23 to spare and ran
     # ~6% hotter than the builder's dual-idle runs); if the soft target
@@ -165,11 +175,6 @@ def _await_idle_host(max_wait_s: int | None = None) -> tuple[float, float, bool]
         time.sleep(5)
         load = _gate_load()
     return _report()
-
-
-def _idle_threshold() -> float:
-    n_cpus = os.cpu_count() or 1
-    return max(2.0, n_cpus / 8)
 
 
 def main() -> int:

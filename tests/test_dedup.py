@@ -299,3 +299,14 @@ def test_lsh_bucket_cap_drops_hub_keeps_true_pairs(spark):
     assert (100, 101) in unc
     assert (100, 101) in cap
     assert not (cap & hub_pairs)
+
+
+def test_lsh_band_cand_sql_zero_cap_means_disabled():
+    """max_bucket=0 must mean cap DISABLED in the SQL builder exactly as
+    in lsh_candidate_pairs — never QUALIFY <= 0 (which would silently
+    drop every candidate in any oracle built to mirror an uncapped
+    run)."""
+    capped = dedup._lsh_band_cand_sql(max_bucket=dedup.LSH_MAX_BUCKET)
+    uncapped = dedup._lsh_band_cand_sql(max_bucket=0)
+    assert f"<= {dedup.LSH_MAX_BUCKET}" in capped
+    assert "QUALIFY" not in uncapped
