@@ -33,8 +33,16 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<double> columns (fp64, deterministic)."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity of two array<double> columns (fp64, deterministic).
+
+    Zero-norm inputs (dead encoder rows) yield NULL via ``try_divide``
+    instead of an ANSI divide-by-zero ERROR (Spark 4 default) — a plain
+    ``/`` makes one bad corpus row kill the whole job.  Consumers treat
+    NULL as "not a neighbor" (filter before ranking); the DuckDB mirrors
+    exclude the same rows by a norm-product > 0 predicate, because
+    DuckDB's list_cosine_similarity returns -1.0 (not NULL/NaN) on a
+    zero vector."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def sq_l2(a: Column, b: Column) -> Column:

@@ -42,12 +42,63 @@ N_QUERIES = 10
 TOP_K = 5
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to defaultParallelism ONLY when the input is narrower —
+    the single-file one-task trap (a corpus parquet under
+    maxPartitionBytes arrives as ONE partition, and the interpreted HOF
+    folds below then run their O(n x cells x dim) lambda steps in a
+    single task; embedding_near_dup measured that class of miss at 10x:
+    52s -> 5s).  Conditional so already-wide inputs (per-iteration Lloyd
+    calls on a repartitioned frame, GEMM-salted shards) don't pay a
+    useless full shuffle per call."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
+def _salt_shards(df: DataFrame, n_shards: int) -> DataFrame:
+    """Hash-salt a corpus frame into ``n_shards`` cogroup buckets — one
+    half of the GEMM distribution pattern shared by every numpy tier
+    (ivf/kmeans assign, knn, PQ encode, ADC scoring); single-sourced so
+    the sharding scheme cannot drift between tiers (r9 review: five
+    copies)."""
+    return df.withColumn(
+        "shard", F.pmod(F.hash("vec_id"), F.lit(n_shards)).cast("int")
+    )
+
+
+def _replicate_per_shard(df: DataFrame, n_shards: int) -> DataFrame:
+    """Replicate a broadcast-sized frame once per shard — the cogroup
+    partner of ``_salt_shards``.  The range side is broadcast, so the
+    crossJoin is a metadata-sized BroadcastNestedLoopJoin, never a
+    cartesian (plan-lint enforced per entry)."""
+    spark = df.sparkSession
+    return df.crossJoin(
+        F.broadcast(
+            spark.range(n_shards).select(F.col("id").cast("int").alias("shard"))
+        )
+    )
+
+
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for query vectors (vec_id < 10).
 
     Broadcast(queries) x corpus scan -> cosine -> per-query top-k window.
     Ranking uses (rounded sim DESC, vec_id ASC) so ordering is deterministic
     and engine-independent.
+
+    Zero-norm vectors (dead encoder rows — what ``embedding_dim_stats``
+    exists to detect) are **not neighbors**, enforced identically on all
+    three paths (r9 review finding): ``cosine_similarity`` yields NULL
+    for them via try_divide (a plain ``/`` THROWS under Spark 4's
+    default ANSI mode — one bad corpus row killed the whole job),
+    filtered before ranking here; knn_gemm's kernel maps its 0/0 NaNs to
+    -inf so they can neither win a slot nor poison a shard's k-th
+    threshold; and the SQL oracle excludes them by a norm-product > 0
+    predicate (DuckDB's list_cosine_similarity returns -1.0 for them,
+    which would otherwise fill slots on a sparse corpus).  Pinned by
+    tests/test_similarity.py::test_knn_zero_norm_vectors_are_not_neighbors.
     """
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
@@ -55,7 +106,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    pairs = _spread(e).join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
     sim = F.round(cosine_similarity(F.col("qv"), F.col("v")), 4)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -66,6 +117,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             sim.alias("sim"),
         )
+        .filter(F.col("sim").isNotNull())
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
     )
@@ -79,13 +131,22 @@ _oracle(
         FROM embeddings WHERE vec_id < {N_QUERIES}
     ), pairs AS (
         SELECT q.query_id, e.vec_id AS neighbor_id,
-               ROUND(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 4) AS sim
+               ROUND(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 4) AS sim,
+               list_dot_product(q.qv, q.qv)
+                   * list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])) AS nn
         FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ), finite_pairs AS (
+        -- zero-norm rows are not neighbors (shared semantics; see the
+        -- Spark docstring): Spark's try_divide yields NULL exactly when
+        -- this norm product is 0, and DuckDB's list_cosine_similarity
+        -- would otherwise return -1.0 for them
+        SELECT query_id, neighbor_id, sim FROM pairs WHERE nn > 0
     )
     SELECT query_id, neighbor_id, sim, rnk FROM (
         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                        ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rnk
-        FROM pairs
+        FROM finite_pairs
     ) WHERE rnk <= {TOP_K}
     """,
 )
@@ -177,7 +238,7 @@ def ivf_assign(e: DataFrame, centroids: DataFrame) -> DataFrame:
     )
     best_idx = F.array_position(F.col("_sims"), F.array_max(F.col("_sims")))
     return (
-        e.crossJoin(F.broadcast(packed))
+        _spread(e).crossJoin(F.broadcast(packed))
         .withColumn("_nv", l2_norm(F.col("v")))
         .withColumn("_sims", sims)
         .withColumn(
@@ -203,15 +264,8 @@ def ivf_assign_gemm(e: DataFrame, centroids: DataFrame,
     Measured at 500k vectors x 707 centroids: 443s (fold) -> ~25s."""
     import pandas as pd  # noqa: F401
 
-    corpus = e.withColumn(
-        "shard", F.pmod(F.hash("vec_id"), F.lit(n_shards)).cast("int")
-    )
-    spark = e.sparkSession
-    c = centroids.crossJoin(
-        F.broadcast(
-            spark.range(n_shards).select(F.col("id").cast("int").alias("shard"))
-        )
-    )
+    corpus = _salt_shards(e, n_shards)
+    c = _replicate_per_shard(centroids, n_shards)
 
     def assign(corpus_pdf, c_pdf):
         import numpy as np
@@ -747,22 +801,28 @@ def kmeans_assign(e: DataFrame, centroids: DataFrame) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # F.least on (d, cid)-ordered structs: one sqdist evaluation per fold
+    # step (the F.when formulation evaluated it twice — condition + kept
+    # struct; r9 review).  Lexicographic struct comparison gives the
+    # identical rule: strictly smaller d wins, equal d falls through to
+    # the lower cluster_id — same as the old strict-< over the
+    # cluster_id-sorted array and the oracle's ORDER BY dist, cluster_id.
     best = F.aggregate(
         F.col("_cs"),
         F.struct(
-            F.lit(-1).cast("long").alias("cid"),
             F.lit(float("inf")).alias("d"),
+            F.lit(-1).cast("long").alias("cid"),
         ),
-        lambda acc, s: F.when(
-            sqdist(s["cv"]) < acc["d"],
+        lambda acc, s: F.least(
+            acc,
             F.struct(
-                s["cluster_id"].cast("long").alias("cid"),
                 sqdist(s["cv"]).alias("d"),
+                s["cluster_id"].cast("long").alias("cid"),
             ),
-        ).otherwise(acc),
+        ),
     )
     return (
-        e.crossJoin(F.broadcast(packed))
+        _spread(e).crossJoin(F.broadcast(packed))
         .withColumn("_best", best)
         .select(
             "vec_id",
@@ -798,15 +858,8 @@ def kmeans_assign_gemm(e: DataFrame, centroids: DataFrame,
     grows."""
     import pandas as pd  # noqa: F401
 
-    corpus = e.withColumn(
-        "shard", F.pmod(F.hash("vec_id"), F.lit(n_shards)).cast("int")
-    )
-    spark = e.sparkSession
-    c = centroids.crossJoin(
-        F.broadcast(
-            spark.range(n_shards).select(F.col("id").cast("int").alias("shard"))
-        )
-    )
+    corpus = _salt_shards(e, n_shards)
+    c = _replicate_per_shard(centroids, n_shards)
 
     def assign(corpus_pdf, c_pdf):
         import numpy as np
@@ -853,8 +906,10 @@ def kmeans_assign_gemm(e: DataFrame, centroids: DataFrame,
     )
 
 
-def kmeans_update(assigned: DataFrame, dim: int) -> DataFrame:
+def kmeans_update(assigned: DataFrame) -> DataFrame:
     """Element-wise centroid mean via posexplode + per-(cluster, dim) agg.
+    (Positions come from the data itself — no dimension parameter; a
+    caller-supplied dim had no effect and only invited drift.)
 
     The shuffle carries (cluster, dim) keyed scalars — n_vectors x dim rows
     map-side-combined down to k x dim — then the new centroid arrays are
@@ -898,14 +953,13 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str, k: int = 8,
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
-    dim = 64
     centroids = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cluster_id"), F.col("v").alias("cv")
     )
     assigned = None
     for _ in range(iterations):
         assigned = kmeans_assign(e, centroids)
-        centroids = kmeans_update(assigned, dim)
+        centroids = kmeans_update(assigned)
     return assigned.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(
@@ -1200,18 +1254,39 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergence.
     """
     e = table(spark, sf_dir, "embeddings")
-    v = to_double_array("embedding")
-    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
-    q = F.transform(v, lambda x: F.floor(x * scale).cast("int"))
+    # Each stage lands in its own multi-referenced projection so the HOF
+    # subtrees evaluate ONCE (r9 review): inlined, every element of q
+    # re-computed maxabs's 64-step transform (~4096 lambda steps/row for
+    # the scaling alone) and the whole q tree evaluated twice (q_csv +
+    # q_l1) — the same unmaterialized-HOF trap measured at 6.3s vs 1.3s
+    # on the PQ codebook.
+    staged = (
+        e.withColumn("_v", to_double_array("embedding"))
+        .withColumn(
+            "_maxabs",
+            F.array_max(F.transform(F.col("_v"), lambda x: F.abs(x))),
+        )
+        .withColumn(
+            "_scale",
+            F.when(F.col("_maxabs") > 0, F.lit(127.0) / F.col("_maxabs"))
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "_q",
+            F.transform(
+                F.col("_v"), lambda x: F.floor(x * F.col("_scale")).cast("int")
+            ),
+        )
+    )
     # The contract surface serializes q to CSV (driver canonicalizer can't
     # hash array cells); downstream consumers compose on the array form.
-    return e.select(
+    return staged.select(
         "vec_id",
         "label",
-        scale.alias("scale"),
-        F.concat_ws(",", q).alias("q_csv"),
-        F.aggregate(q, F.lit(0), lambda acc, x: acc + F.abs(x)).alias("q_l1"),
+        F.col("_scale").alias("scale"),
+        F.concat_ws(",", F.col("_q")).alias("q_csv"),
+        F.aggregate(F.col("_q"), F.lit(0), lambda acc, x: acc + F.abs(x))
+        .alias("q_l1"),
     )
 
 
@@ -1268,17 +1343,11 @@ def knn_gemm(spark: SparkSession, sf_dir: str,
     )
     if n_shards is None:
         n_shards = spark.sparkContext.defaultParallelism
-    corpus = e.withColumn(
-        "shard", F.pmod(F.hash("vec_id"), F.lit(n_shards)).cast("int")
-    )
-    q = (
+    corpus = _salt_shards(e, n_shards)
+    q = _replicate_per_shard(
         e.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-        .crossJoin(
-            F.broadcast(
-                spark.range(n_shards).select(F.col("id").cast("int").alias("shard"))
-            )
-        )
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")),
+        n_shards,
     )
 
     def gemm(corpus_pdf, q_pdf):
@@ -1304,6 +1373,11 @@ def knn_gemm(spark: SparkSession, sf_dir: str,
             na += A[:, d] * A[:, d]
             qa += Q[:, d] * Q[:, d]
         sim = acc / np.multiply.outer(np.sqrt(na), np.sqrt(qa))
+        # zero-norm rows are not neighbors (shared semantics with
+        # knn_bruteforce and the oracle): 0/0 = NaN would otherwise make
+        # kth NaN and silently drop the WHOLE shard's candidates (every
+        # 'col >= kth - margin' comparison is False against NaN)
+        sim[~np.isfinite(sim)] = -np.inf
         ids = corpus_pdf["vec_id"].to_numpy()
         qids = q_pdf["query_id"].to_numpy()
         # self-pairs must not occupy a local top-k slot
@@ -1538,11 +1612,15 @@ def _pq_codes_col(m: int = PQ_M, subd: int = PQ_SUBD):
                               subd),
         )
 
+    # two-level transform: the inner one MATERIALIZES each subspace's
+    # dists array as a value, so the outer lambda's two references (min +
+    # position) read the bound element instead of re-evaluating the
+    # O(ksub x subd) distance transform — halves the dominant step count
+    # of the fold encode tier (r9 review; same fix class as ivf_assign's
+    # own-projection sims barrier)
     return F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: (F.array_position(dists(s), F.array_min(dists(s))) - 1).cast(
-            "long"
-        ),
+        F.transform(F.sequence(F.lit(0), F.lit(m - 1)), dists),
+        lambda ds: (F.array_position(ds, F.array_min(ds)) - 1).cast("long"),
     )
 
 
@@ -1863,9 +1941,13 @@ def pq_score_cells(coded: DataFrame, probe: DataFrame, packed: DataFrame,
                     lut += diff * diff
                 adist += lut[codes_mat[:, s]]
             keep = vec_ids != qid
+            # raw adist out of the worker; rounding happens in Spark
+            # below (HALF_UP, the module rule) — np.round is banker's
+            # and can flip the rank key vs the fold tier/oracles at a
+            # .00005 boundary
             cols = {"query_id": qid,
                     "neighbor_id": vec_ids[keep],
-                    "adist": np.round(adist[keep], 4)}
+                    "adist": adist[keep]}
             if with_cell:
                 # the cogroup key — constant per call, carried so probe
                 # sweeps can attach per-config prnk without a corpus join
@@ -1880,6 +1962,7 @@ def pq_score_cells(coded: DataFrame, probe: DataFrame, packed: DataFrame,
         coded.groupBy("centroid_id")
         .cogroup(probe_cb.groupBy("centroid_id"))
         .applyInPandas(score, schema)
+        .withColumn("adist", F.round("adist", 4))
     )
 
 
@@ -2087,15 +2170,8 @@ def pq_encode_gemm(e: DataFrame, packed: DataFrame, n_shards: int,
     (e.g. a precomputed IVF centroid_id), so composed pipelines avoid a
     second vec_id shuffle join.
     """
-    spark = e.sparkSession
-    corpus = e.withColumn(
-        "shard", F.pmod(F.hash("vec_id"), F.lit(n_shards)).cast("int")
-    )
-    cbs = packed.crossJoin(
-        F.broadcast(
-            spark.range(n_shards).select(F.col("id").cast("int").alias("shard"))
-        )
-    )
+    corpus = _salt_shards(e, n_shards)
+    cbs = _replicate_per_shard(packed, n_shards)
 
     def encode(corpus_pdf, cb_pdf):
         import numpy as np
@@ -2182,19 +2258,9 @@ def pq_score_gemm(codes: DataFrame, q: DataFrame, packed: DataFrame,
     (measured at sf0.1: ~2.4s for 20k pairs) to m numpy gathers — the
     difference between an ANN serving path and a demo.
     """
-    salted = codes.withColumn(
-        "shard", F.pmod(F.hash("vec_id"), F.lit(n_shards)).cast("int")
-    )
-    spark = codes.sparkSession
-    q_rep = (
-        q.crossJoin(F.broadcast(_pq_codebook_flat(packed)))
-        .crossJoin(
-            F.broadcast(
-                spark.range(n_shards).select(
-                    F.col("id").cast("int").alias("shard")
-                )
-            )
-        )
+    salted = _salt_shards(codes, n_shards)
+    q_rep = _replicate_per_shard(
+        q.crossJoin(F.broadcast(_pq_codebook_flat(packed))), n_shards
     )
 
     def score(codes_pdf, q_pdf):
@@ -2231,10 +2297,24 @@ def pq_score_gemm(codes: DataFrame, q: DataFrame, packed: DataFrame,
                     lut += diff * diff
                 adist += lut[codes_mat[:, s]]
             keep = vec_ids != qid
+            a, nid = adist[keep], vec_ids[keep]
+            # per-shard prune (the knn_gemm pattern, r9 review): keep the
+            # k smallest raw adists plus every row within 1e-3 of the
+            # k-th — rounding to 4 decimals moves a value by <= 5e-5, so
+            # the margin provably covers anything the global rounded rank
+            # could promote.  Without it the shuffle into the global
+            # window carries n_queries x n_corpus rows; with it,
+            # n_queries x shards x ~k.
+            if a.size > TOP_K:
+                kth = np.partition(a, TOP_K - 1)[TOP_K - 1]
+                sel = a <= kth + 1e-3
+                a, nid = a[sel], nid[sel]
+            # raw adist; HALF_UP rounding applied in Spark below (the
+            # module rule — np.round is banker's)
             out.append(pd.DataFrame(
                 {"query_id": qid,
-                 "neighbor_id": vec_ids[keep],
-                 "adist": np.round(adist[keep], 4)}
+                 "neighbor_id": nid,
+                 "adist": a}
             ))
         return pd.concat(out, ignore_index=True)
 
@@ -2242,6 +2322,7 @@ def pq_score_gemm(codes: DataFrame, q: DataFrame, packed: DataFrame,
         salted.groupBy("shard")
         .cogroup(q_rep.groupBy("shard"))
         .applyInPandas(score, "query_id long, neighbor_id long, adist double")
+        .withColumn("adist", F.round("adist", 4))
     )
 
 

@@ -577,3 +577,39 @@ def test_pq_score_gemm_handles_empty_corpus_shards(spark, sf_dir):
     assert {(r.query_id, r.neighbor_id) for r in rows} == {
         (0, 1), (0, 2), (1, 0), (1, 2)
     }
+
+
+def test_knn_zero_norm_vectors_are_not_neighbors(spark, tmp_path):
+    """Zero-norm embeddings (dead encoder rows) make cosine 0/0 = NaN.
+    The shared semantics across knn_bruteforce, knn_gemm, and the SQL
+    oracle: such rows are NOT neighbors — they never occupy a top-k slot,
+    and (the r9 review finding) they must not poison a GEMM shard's k-th
+    threshold and silently drop the shard's real candidates."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1.0, 1.0) for _ in range(64)], "a")
+        for i in range(40)
+    ]
+    # six dead rows — enough that some GEMM shard holds >= TOP_K of them
+    rows += [(100 + z, [0.0] * 64, "dead") for z in range(6)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    out = str(tmp_path / "emb")
+    df.write.parquet(out + "/embeddings.parquet")
+
+    hof = {
+        (r["query_id"], r["rnk"]): (r["neighbor_id"], r["sim"])
+        for r in similarity.knn_bruteforce(spark, out).collect()
+    }
+    gemm = {
+        (r["query_id"], r["rnk"]): (r["neighbor_id"], r["sim"])
+        for r in similarity.knn_gemm(spark, out).collect()
+    }
+    assert hof == gemm
+    neighbors = {n for n, _ in hof.values()}
+    assert not (neighbors & {100, 101, 102, 103, 104, 105})
+    # every query still gets its full top-k from the real corpus
+    assert len(hof) == 10 * 5
