@@ -213,8 +213,11 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def profile(col: str) -> DataFrame:
         counts = e.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        # asc_nulls_last matches DuckDB's default ASC NULLS LAST — a NULL
+        # key (the classic hot key this profiler exists to find) tying
+        # the max count must break the same way on both engines
         top = (
-            counts.orderBy(F.col("cnt").desc(), F.col(col).asc())
+            counts.orderBy(F.col("cnt").desc(), F.col(col).asc_nulls_last())
             .limit(1)
             .select(F.col(col).cast("string").alias("top_key"))
         )
@@ -765,10 +768,14 @@ def scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return old_rows.unionByName(new_rows)
 
 
-_oracle(
-    "scd2_apply",
-    f"""
-    WITH latest AS (
+def _scd2_hist_cte() -> str:
+    """The SCD2 history as a shared ``latest``/``hist`` CTE chain —
+    single-sourced so the scd2_apply oracle and every oracle that
+    composes on the history (orders_asof_dimension) track the same
+    semantics; the Spark sides already compose (asof calls
+    ``scd2_apply``), and a duplicated oracle text is exactly where a
+    cutoff/tie-break change would silently drift (r9 review)."""
+    return f"""latest AS (
         SELECT o_custkey AS c_custkey,
                o_orderdate AS change_ts,
                o_totalprice AS new_balance
@@ -782,20 +789,28 @@ _oracle(
             WHERE o_orderdate >= TIMESTAMP '{SCD2_CUTOFF}'
         )
         WHERE rn = 1
-    )
-    SELECT c.c_custkey,
-           c.c_acctbal AS balance,
-           TIMESTAMP '{SCD2_EPOCH}' AS valid_from,
-           l.change_ts AS valid_to,
-           l.change_ts IS NULL AS is_current
-    FROM customer c LEFT JOIN latest l USING (c_custkey)
-    UNION ALL
-    SELECT c.c_custkey,
-           l.new_balance,
-           l.change_ts,
-           CAST(NULL AS TIMESTAMP),
-           TRUE
-    FROM customer c JOIN latest l USING (c_custkey)
+    ), hist AS (
+        SELECT c.c_custkey,
+               c.c_acctbal AS balance,
+               TIMESTAMP '{SCD2_EPOCH}' AS valid_from,
+               l.change_ts AS valid_to,
+               l.change_ts IS NULL AS is_current
+        FROM customer c LEFT JOIN latest l USING (c_custkey)
+        UNION ALL
+        SELECT c.c_custkey,
+               l.new_balance,
+               l.change_ts,
+               CAST(NULL AS TIMESTAMP),
+               TRUE
+        FROM customer c JOIN latest l USING (c_custkey)
+    )"""
+
+
+_oracle(
+    "scd2_apply",
+    f"""
+    WITH {_scd2_hist_cte()}
+    SELECT c_custkey, balance, valid_from, valid_to, is_current FROM hist
     """,
 )
 
@@ -908,10 +923,17 @@ def price_histogram(spark: SparkSession, sf_dir: str, n_bins: int = 20) -> DataF
         F.min("o_totalprice").alias("_lo"), F.max("o_totalprice").alias("_hi")
     )
     width = (F.col("_hi") - F.col("_lo")) / n_bins
-    bin_id = F.least(
-        F.floor((F.col("o_totalprice") - F.col("_lo")) / width).cast("int"),
-        F.lit(n_bins - 1),
-    )
+    # width == 0 (constant-price slice, single-row table) must not reach
+    # the division: under Spark 4's default ANSI mode 0/0 THROWS, and in
+    # non-ANSI mode the NULL would diverge from the oracle — both engines
+    # put the degenerate corpus in bin 0 instead (r9 review).
+    bin_id = F.when(
+        width > 0,
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("_lo")) / width).cast("int"),
+            F.lit(n_bins - 1),
+        ),
+    ).otherwise(F.lit(0))
     return (
         o.crossJoin(F.broadcast(bounds))
         .select(bin_id.alias("bin_id"))
@@ -926,8 +948,10 @@ _oracle(
     WITH bounds AS (
         SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
     )
-    SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20)) AS INTEGER),
-                 19) AS bin_id,
+    SELECT CASE WHEN hi > lo
+                THEN LEAST(CAST(FLOOR((o_totalprice - lo)
+                                      / ((hi - lo) / 20)) AS INTEGER), 19)
+                ELSE 0 END AS bin_id,
            COUNT(*) AS n_orders
     FROM orders, bounds
     GROUP BY 1
@@ -980,32 +1004,7 @@ def orders_asof_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 _oracle(
     "orders_asof_dimension",
     f"""
-    WITH latest AS (
-        SELECT o_custkey AS c_custkey,
-               o_orderdate AS change_ts,
-               o_totalprice AS new_balance
-        FROM (
-            SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
-                   row_number() OVER (
-                       PARTITION BY o_custkey
-                       ORDER BY o_orderdate DESC, o_orderkey DESC
-                   ) AS rn
-            FROM orders
-            WHERE o_orderdate >= TIMESTAMP '{SCD2_CUTOFF}'
-        )
-        WHERE rn = 1
-    ), hist AS (
-        SELECT c.c_custkey,
-               c.c_acctbal AS balance,
-               TIMESTAMP '{SCD2_EPOCH}' AS valid_from,
-               l.change_ts AS valid_to,
-               l.change_ts IS NULL AS is_current
-        FROM customer c LEFT JOIN latest l USING (c_custkey)
-        UNION ALL
-        SELECT c.c_custkey, l.new_balance, l.change_ts,
-               CAST(NULL AS TIMESTAMP), TRUE
-        FROM customer c JOIN latest l USING (c_custkey)
-    )
+    WITH {_scd2_hist_cte()}
     SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
            h.balance AS balance_at_order,
            h.is_current
@@ -1338,7 +1337,10 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
-    return long.groupBy("metric").agg(
+    # Spark's unpivot KEEPS null measure cells; DuckDB's UNPIVOT drops
+    # them (probe-confirmed, r9 review) — filter to the DuckDB semantics
+    # so n_values (and group existence for an all-NULL measure) agree.
+    return long.filter(F.col("value").isNotNull()).groupBy("metric").agg(
         F.count("*").alias("n_values"),
         dsum("value", 6).alias("sum_value"),
         F.max("value").alias("max_value"),

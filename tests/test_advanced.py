@@ -240,3 +240,94 @@ def test_k_anonymity_check_counts_individuals_not_events(spark, tmp_path):
     assert (flagged["click"].n_users, flagged["click"].n_events) == (1, 5)
     assert (flagged["signup"].n_users, flagged["signup"].n_events) == (1, 1)
     assert str(flagged["signup"].day) == "2024-03-02"
+
+
+def test_price_histogram_constant_price_bins_to_zero(spark, tmp_path):
+    """A degenerate corpus (every order the same price) must land in bin
+    0 on both engines instead of throwing ANSI DIVIDE_BY_ZERO (Spark 4
+    default) on the zero bin width — r9 review finding."""
+    import duckdb
+
+    from airflow_postgres_to_s3_pipeline_spark.operators import advanced
+    from airflow_postgres_to_s3_pipeline_spark.registry import ORACLES
+
+    rows = [(i, 1, "O", 1234.56, "2024-01-05", "1-URGENT") for i in range(7)]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    got = advanced.price_histogram(spark, str(tmp_path)).collect()
+    assert [(r.bin_id, r.n_orders) for r in got] == [(0, 7)]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"'{tmp_path}/orders.parquet/*.parquet'"
+    )
+    assert con.sql(ORACLES["price_histogram"]).fetchall() == [(0, 7)]
+
+
+def test_key_skew_profile_null_key_tie_breaks_like_duckdb(spark, tmp_path):
+    """A NULL key tying the hottest key must break the tie the same way
+    on both engines: Spark default asc() is NULLS FIRST but DuckDB's ASC
+    is NULLS LAST — the profiler now uses asc_nulls_last (r9 review)."""
+    import pandas as pd
+
+    from airflow_postgres_to_s3_pipeline_spark.operators import advanced
+
+    rows = pd.DataFrame(
+        {
+            "event_id": range(8),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(range(8), unit="s"),
+            # 4 NULL-keyed rows tie 4 rows of user 3
+            "user_id": pd.array(
+                [None] * 4 + [3] * 4, dtype="Int64"
+            ),
+            "event_type": ["click"] * 8,
+            "value": [1.0] * 8,
+            "props": ["{}"] * 8,
+        }
+    )
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    prof = {
+        r.key_col: r
+        for r in advanced.key_skew_profile(spark, str(tmp_path)).collect()
+    }
+    assert prof["user_id"].top_key == "3"  # NULLS LAST, like DuckDB
+
+
+def test_unpivot_metrics_drops_null_cells_like_duckdb(spark, tmp_path):
+    """Spark's unpivot keeps NULL measure cells; DuckDB's UNPIVOT drops
+    them — the operator filters to the DuckDB semantics so n_values
+    agrees on corpora with NULL measures (r9 review)."""
+    import duckdb
+
+    from airflow_postgres_to_s3_pipeline_spark.operators import advanced
+    from airflow_postgres_to_s3_pipeline_spark.registry import ORACLES
+
+    rows = [
+        (1, 1, 2.0, 100.0, 0.1, None),
+        (1, 2, 3.0, None, 0.2, 0.05),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_tax double",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r.metric: r.n_values
+        for r in advanced.unpivot_metrics(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "l_quantity": 2, "l_extendedprice": 1, "l_discount": 2, "l_tax": 1
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"'{tmp_path}/lineitem.parquet/*.parquet'"
+    )
+    want = {r[0]: r[1] for r in con.sql(ORACLES["unpivot_metrics"]).fetchall()}
+    assert got == want
