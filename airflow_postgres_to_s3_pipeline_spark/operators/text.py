@@ -57,8 +57,12 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
     # Raw int/int divisions: identical IEEE doubles on both engines — no
     # rounding (rounding rationals invites cross-engine tie divergence).
+    # n_tokens >= 1 always (split('') -> ['']), so those divisions are
+    # safe; n_chars CAN be 0 (empty text) and a plain / THROWS under
+    # Spark 4's default ANSI mode — try_divide yields NULL, matching the
+    # DuckDB oracle's 0/0 result (r9 review, pinned by test).
     avg_token_len = (n_chars - (n_tokens - F.lit(1))) / n_tokens
-    punct_ratio = n_punct / n_chars
+    punct_ratio = F.try_divide(n_punct, n_chars)
     stop_ratio = n_stop / n_tokens
     score = F.when(n_tokens < 5, 0.0).otherwise(
         (F.lit(1.0) - punct_ratio) * (F.lit(0.5) + stop_ratio / 2)
@@ -165,7 +169,7 @@ _oracle(
     + QUALITY_SCORE_SQL
     + r"""
     ), b AS (
-        SELECT LEAST(CAST(FLOOR(q.quality_score * 100) AS INTEGER), 99) AS bucket,
+        SELECT LEAST(CAST(FLOOR(q.quality_score * {nb}) AS INTEGER), {nb1}) AS bucket,
                CAST(LEN(string_split(d.text, ' ')) AS INTEGER) AS n_tokens,
                CAST(LENGTH(d.text) AS INTEGER) AS n_chars_actual
         FROM documents d JOIN q USING (doc_id)
@@ -176,7 +180,7 @@ _oracle(
                CAST(SUM(n_chars_actual) AS BIGINT) AS bucket_chars
         FROM b GROUP BY bucket
     )
-    SELECT CAST(bucket AS DOUBLE) / 100 AS threshold,
+    SELECT CAST(bucket AS DOUBLE) / {nb} AS threshold,
            CAST(SUM(bucket_docs) OVER w AS BIGINT) AS docs_retained,
            CAST(SUM(bucket_tokens) OVER w AS BIGINT) AS tokens_retained,
            CAST(SUM(bucket_chars) OVER w AS BIGINT) AS chars_retained,
@@ -185,7 +189,8 @@ _oracle(
     FROM per
     WINDOW w AS (ORDER BY bucket DESC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    """,
+    """.replace("{nb1}", str(QUALITY_BUCKETS - 1))
+    .replace("{nb}", str(QUALITY_BUCKETS)),
 )
 
 
@@ -300,7 +305,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"score_{lang}")
         for lang, markers in LANG_MARKERS.items()
     ]
-    scored = d.select("doc_id", "lang", n_tokens.alias("n_tokens"), *scores)
+    scored = d.select("doc_id", "lang", *scores)
     langs = list(LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
     pred = F.coalesce(
@@ -401,7 +406,11 @@ def reading_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_words.alias("n_words"),
         (n_words / n_sentences).alias("words_per_sentence"),
         n_vowel_groups.alias("n_vowel_groups"),
-        (n_vowel_groups / n_words).alias("vowel_groups_per_word"),
+        # n_words can be 0 (whitespace-only text; the length>0 filter
+        # drops every token) — try_divide keeps ANSI mode from throwing
+        # and mirrors the oracle's NULL (r9 review, pinned by test);
+        # n_sentences is greatest(...,1)-guarded above.
+        F.try_divide(n_vowel_groups, n_words).alias("vowel_groups_per_word"),
     )
 
 
@@ -439,8 +448,6 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     0-3 — reproducible corpus membership with no RNG (see
     deterministic_sample).
     """
-    from pyspark.sql import Window
-
     d = table(spark, sf_dir, "documents")
     words = F.split("text", " ")
     n_tokens = F.size(words)
@@ -640,14 +647,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ in the last ulp; ranking uses the rounded value + term as the
     deterministic tie-break.
     """
-    from pyspark.sql import Window
-
     d = table(spark, sf_dir, "documents")
     n_docs = d.count()  # scalar into the plan (metadata-scale, not data)
-    tokens = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
-    ).filter(F.length("term") > 0)
-    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = _doc_tf(d)  # shared tokenize->tf stage (was an equivalent inline)
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = df_.select(
         "term",
@@ -779,12 +781,7 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     mitigation.  The (T, V) totals are a 1-row broadcast.
     """
     d = table(spark, sf_dir, "documents")
-    tokens = d.select(
-        "doc_id",
-        F.explode(F.filter(F.split("text", " "),
-                           lambda w: F.length(w) > 0)).alias("term"),
-    )
-    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = _doc_tf(d)  # the shared tokenize->tf stage (was a verbatim copy)
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     totals = vocab.agg(
         F.sum("cnt").alias("_t"), F.count(F.lit(1)).alias("_v")
@@ -938,10 +935,13 @@ def bm25_scoring(spark: SparkSession, sf_dir: str,
     )
 
 
-_oracle(
-    "bm25_scoring",
-    f"""
-    WITH tok AS (
+def _bm25_cte_chain() -> str:
+    """The tokenize -> tf -> dl -> stats -> idf -> contrib CTE chain of
+    the BM25 oracle — single-sourced (r9 review: the hybrid_search_rrf
+    oracle carried a verbatim copy, so a formula/constant change had to
+    land in three places or silently desynchronize hybrid AND
+    rerank_cross_encoder, whose oracle composes hybrid's)."""
+    return f"""tok AS (
         SELECT doc_id,
                UNNEST(list_filter(string_split(text, ' '),
                                   x -> len(x) > 0)) AS term
@@ -969,7 +969,13 @@ _oracle(
         JOIN idf ON tf.term = idf.term
         JOIN dl ON tf.doc_id = dl.doc_id
         CROSS JOIN stats
-    )
+    )"""
+
+
+_oracle(
+    "bm25_scoring",
+    f"""
+    WITH {_bm25_cte_chain()}
     SELECT doc_id,
            CAST(SUM(c_micro) AS BIGINT) AS bm25_micro,
            CAST(SUM(c_micro) AS DOUBLE) / 1000000.0 AS bm25
@@ -1407,35 +1413,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _oracle(
     "hybrid_search_rrf",
     f"""
-    WITH tok AS (
-        SELECT doc_id,
-               UNNEST(list_filter(string_split(text, ' '),
-                                  x -> len(x) > 0)) AS term
-        FROM documents
-    ), tf AS (
-        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
-    ), dl AS (
-        SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1
-    ), stats AS (
-        SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
-    ), idf AS (
-        SELECT term,
-               round(ln((CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
-                         - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf
-        FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
-        WHERE term IN {BM25_QUERY_TERMS!r}
-    ), contrib AS (
-        SELECT tf.doc_id,
-               CAST(round(idf.idf * (tf.tf * ({BM25_K1} + 1.0))
-                          / (tf.tf + {BM25_K1}
-                             * (1.0 - {BM25_B}
-                                + {BM25_B} * dl.dl / stats.avgdl))
-                          * 1000000.0) AS BIGINT) AS c_micro
-        FROM tf
-        JOIN idf ON tf.term = idf.term
-        JOIN dl ON tf.doc_id = dl.doc_id
-        CROSS JOIN stats
-    ), lex_top AS (
+    WITH {_bm25_cte_chain()}, lex_top AS (
         SELECT doc_id, CAST(SUM(c_micro) AS BIGINT) AS bm25_micro
         FROM contrib GROUP BY doc_id
         ORDER BY bm25_micro DESC, doc_id ASC

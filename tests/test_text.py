@@ -107,3 +107,92 @@ def test_quality_retention_curve_is_monotone_and_totals(spark, sf_dir):
         ) >= int(round(t * 100))
     ).count()
     assert rows[len(rows) // 2].docs_retained == direct
+
+
+def _write_edge_docs(spark, tmp_path):
+    """Planted edge corpus: empty text, whitespace-only, short doc, PII
+    (email + long digit run), and a normal doc — the branches the shipped
+    corpus never exercises (r9 review)."""
+    rows = [
+        (0, "", "en", "s", 0),
+        (1, "   ", "en", "s", 3),
+        (2, "tiny doc", "en", "s", 8),
+        (3, "mail me at jane.doe@example.com or call 12345678 now",
+         "en", "s", 52),
+        (4, "the quick brown fox jumps over the lazy dog today", "en", "s",
+         50),
+    ]
+    out = str(tmp_path / "edge")
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(out + "/documents.parquet")
+    return out
+
+
+def _duck_on(out, sql):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{out}/documents.parquet/*.parquet'"
+    )
+    return con.sql(sql).fetchall()
+
+
+def test_doc_quality_empty_text_matches_oracle(spark, tmp_path):
+    """Empty text made punct_ratio 0/0 THROW under Spark 4 ANSI mode (r9
+    review) — try_divide now yields NULL, and the whole frame must still
+    hash-match the DuckDB oracle, short-doc score branch included."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import text as t
+    from airflow_postgres_to_s3_pipeline_spark.registry import ORACLES
+
+    out = _write_edge_docs(spark, tmp_path)
+    got = {r["doc_id"]: (r["punct_ratio"], r["quality_score"])
+           for r in t.doc_quality(spark, out).collect()}
+    assert got[0][0] is None        # empty text: NULL ratio, no crash
+    assert got[0][1] == 0.0         # short-doc branch: score pinned to 0
+    assert got[2][1] == 0.0         # n_tokens < 5 branch actually hit
+    want = {r[0]: (r[5], r[7])
+            for r in _duck_on(out, ORACLES["doc_quality"])}
+    for k, (pr, sc) in got.items():
+        opr, osc = want[k]
+        assert (pr is None) == (opr is None) and (pr or 0) == (opr or 0), k
+        assert sc == osc, k
+
+
+def test_reading_level_whitespace_only_matches_oracle(spark, tmp_path):
+    """Whitespace-only text made vowel_groups_per_word 0/0 THROW under
+    ANSI (r9 review) — try_divide now mirrors the oracle's NULL."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import text as t
+    from airflow_postgres_to_s3_pipeline_spark.registry import ORACLES
+
+    out = _write_edge_docs(spark, tmp_path)
+    got = {r["doc_id"]: (r["n_words"], r["vowel_groups_per_word"])
+           for r in t.reading_level(spark, out).collect()}
+    assert got[1] == (0, None)
+    want = {r[0]: (r[2], r[5])
+            for r in _duck_on(out, ORACLES["reading_level"])}
+    for k, (nw, vg) in got.items():
+        assert nw == want[k][0], k
+        assert (vg is None) == (want[k][1] is None), k
+        if vg is not None:
+            assert abs(vg - want[k][1]) < 1e-12, k
+
+
+def test_pii_scrub_redacts_and_matches_oracle(spark, tmp_path):
+    """The scrub's REDACTION path (never exercised by the shipped corpus:
+    zero emails / digit runs at every sf) against planted PII, with the
+    Java-regex output compared cell-for-cell to DuckDB's RE2 output."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import text as t
+    from airflow_postgres_to_s3_pipeline_spark.registry import ORACLES
+
+    out = _write_edge_docs(spark, tmp_path)
+    got = {r["doc_id"]: (r["scrubbed_text"], r["n_emails"],
+                         r["n_long_numbers"])
+           for r in t.pii_scrub(spark, out).collect()}
+    assert got[3] == ("mail me at <EMAIL> or call <NUM> now", 1, 1)
+    assert got[4][1] == 0 and got[4][2] == 0
+    want = {r[0]: (r[1], r[2], r[3])
+            for r in _duck_on(out, ORACLES["pii_scrub"])}
+    assert got == want
