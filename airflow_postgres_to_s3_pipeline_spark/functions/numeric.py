@@ -34,3 +34,18 @@ def davg(col: Column | str, scale: int = 2, round_to: int = 4) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.round(dsum(c, scale) / F.count(c), round_to)
+
+
+def int_hundredths(col: Column | str) -> Column:
+    """Exact 2-decimal value as INT64 hundredths: double -> DECIMAL(12,2)
+    -> x100 -> BIGINT.  The deterministic fixed-point hop the
+    event-analytics operators sum instead of floats (int64 sums are
+    order-independent; giant DECIMAL->DOUBLE casts diverge from DuckDB in
+    the last ulp past 2^53 — see docs/ROADMAP.md Known constraints).
+
+    Oracle mirror, verbatim: ``CAST(CAST(value AS DECIMAL(12,2)) * 100 AS
+    BIGINT)`` — single-sourced here so the Spark and SQL sides of every
+    consumer stay in lockstep (r9 review: two inline copies).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (c.cast("decimal(12,2)") * 100).cast("long")

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_postgres_to_s3_pipeline_spark.cache import tracked_persist
+from airflow_postgres_to_s3_pipeline_spark.functions.numeric import int_hundredths
 from airflow_postgres_to_s3_pipeline_spark.catalog import table
 from airflow_postgres_to_s3_pipeline_spark.functions.numeric import dsum
 
@@ -92,8 +93,11 @@ _oracle(
 )
 
 
+SESSION_GAP_MIN = 30  # interpolated into the oracle below — keep in lockstep
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str,
-                      gap_minutes: int = 30) -> DataFrame:
+                      gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
     """Batch sessionization via lag + running sum (the window-function dual
     of F.session_window): a new session starts when the gap to the previous
     event exceeds the threshold.
@@ -108,9 +112,9 @@ def sessionize_events(spark: SparkSession, sf_dir: str,
     is_new = F.when(
         gap.isNull() | (gap >= gap_minutes * 60), F.lit(1)
     ).otherwise(F.lit(0))
-    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    # derived from w, not restated — a tie-break column added to one
+    # spec but not the other would silently break session-id determinism
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
     sessions = e.withColumn("session_id", F.sum(is_new).over(run))
     return (
         sessions.groupBy("user_id", "session_id")
@@ -124,11 +128,12 @@ def sessionize_events(spark: SparkSession, sf_dir: str,
 
 _oracle(
     "sessionize_events",
-    """
+    f"""
     WITH flagged AS (
         SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                         OR epoch(ts) - epoch(lag(ts) OVER w)
+                            >= {SESSION_GAP_MIN * 60}
                     THEN 1 ELSE 0 END AS is_new
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -367,10 +372,9 @@ def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     dt = F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
-    hundredths = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
     spans = e.select(
         "user_id",
-        hundredths.alias("v_h"),
+        int_hundredths("value").alias("v_h"),
         dt.alias("dt_us"),
     ).filter(F.col("dt_us").isNotNull())
     agg = spans.groupBy("user_id").agg(
@@ -508,7 +512,7 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("ts") - F.min(F.unix_micros("ts")).over(w))
         / F.lit(1_000_000)
     ).cast("long")
-    y = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+    y = int_hundredths("value")
     obs = e.select("user_id", x.alias("x"), y.alias("y"))
     agg = obs.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1000,6 +1004,30 @@ ASOF_MIN_BUCKETS = 64
 ASOF_TARGET_ROWS_PER_BUCKET = 200_000
 
 
+def _parquet_row_count(sf_dir: str, name: str) -> int:
+    """Row count from the parquet FOOTERS (driver-side metadata, ~ms) —
+    sizing the as-of buckets used to run an EAGER full e.count() Spark
+    job at DataFrame-construction time, i.e. a whole extra pass over the
+    fact table before the operator's one real shuffle (r9 review).
+    Falls back to -1 when the path isn't local parquet (caller then uses
+    a parallelism-derived default)."""
+    import glob
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        files = glob.glob(os.path.join(sf_dir, f"{name}.parquet", "*.parquet"))
+        if not files:
+            single = os.path.join(sf_dir, f"{name}.parquet")
+            files = [single] if os.path.isfile(single) else []
+        if not files:
+            return -1
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return -1
+
+
 def asof_bucket_count(n_rows: int) -> int:
     """Buckets sized to ~ASOF_TARGET_ROWS_PER_BUCKET rows each (bounded
     per-call pandas memory), never fewer than ASOF_MIN_BUCKETS.  Results
@@ -1027,8 +1055,14 @@ def asof_join_pandas(spark: SparkSession, sf_dir: str,
     FEW buckets concentrates the corpus into giant per-call frames.  The
     bucket count therefore scales with input size
     (``asof_bucket_count``: ~ASOF_TARGET_ROWS_PER_BUCKET rows per call,
-    floored at ASOF_MIN_BUCKETS), keeping per-call pandas memory bounded
-    at any corpus scale.  Each bucket handles all its users in one
+    floored at ASOF_MIN_BUCKETS; row count read from parquet footers,
+    never an eager Spark job), keeping per-call pandas memory bounded —
+    PROVIDED no single user dominates: hashing keeps each user's whole
+    timeline in one bucket (merge_asof(by=user) needs it), so the true
+    per-call ceiling is max-rows-per-user, and a 5M-event hot key would
+    materialize 5M pandas rows in one call whatever the bucket count.
+    Measure with key_skew_profile first; a hot-key corpus needs the
+    window formulation (asof_last_purchase), which has no such ceiling.  Each bucket handles all its users in one
     ``pd.merge_asof(..., by="user_id")`` — a single sorted linear merge
     per bucket, identical per-user backward-tolerance semantics.  This is
     the escape hatch to reach pandas' tolerance/direction as-of variants
@@ -1039,7 +1073,12 @@ def asof_join_pandas(spark: SparkSession, sf_dir: str,
     e = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type"
     )
-    n_buckets = asof_bucket_count(e.count())
+    n_rows = _parquet_row_count(sf_dir, "events")
+    if n_rows < 0:  # non-parquet source: spread by cluster width instead
+        n_rows = (
+            spark.sparkContext.defaultParallelism * ASOF_TARGET_ROWS_PER_BUCKET
+        )
+    n_buckets = asof_bucket_count(n_rows)
 
     def asof(pdf):
         import pandas as pd
