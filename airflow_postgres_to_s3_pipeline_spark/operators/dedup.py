@@ -1013,7 +1013,8 @@ def simhash_signatures_md5(df: DataFrame, text_col: str = "text",
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 3,
-                       checkable: bool = False) -> DataFrame:
+                       checkable: bool = False,
+                       max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, banded for scale.
 
     Splits the signature into 4 chunks (16 bits each for the 64-bit
@@ -1021,6 +1022,19 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     within hamming distance 3 must agree on >= 1 chunk (pigeonhole), so
     candidate generation is ONE equi-join on (chunk_id, chunk value) over
     the exploded chunk rows instead of an all-pairs scan.
+
+    ``max_bucket`` is the hamming-band twin of ``LSH_MAX_BUCKET`` (r9
+    verdict task 7): the chunk space is only 15-16 bits, so a hub chunk
+    value — near-constant per-bit votes on templated/low-entropy corpora
+    — collects Θ(n) docs and turns the chunk self-join Θ(n²), the exact
+    failure mode measured on the MinHash band join in r9 (the 20-word
+    smoke vocabulary produces single chunk buckets of ~n/3 docs at 500k).
+    Same windowed count over the join's own shuffle key, same
+    falsy-disables convention, same QUALIFY mirror in the SQL oracle, so
+    capped and uncapped corpora alike keep the exact hash match.  Docs in
+    an over-cap chunk still pair through their other three chunks; the
+    pigeonhole guarantee degrades only for pairs ALL of whose agreeing
+    chunks are hubs — md5-identical docs being the exact tier's job.
     """
     # persist: the chunked self-join consumes the signatures twice.
     if checkable:
@@ -1047,6 +1061,13 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
             )
         ).alias("ch"),
     ).select("doc_id", "simhash", F.col("ch.chunk_id").alias("chunk_id"), F.col("ch.chunk").alias("chunk"))
+    if max_bucket:
+        w = Window.partitionBy("chunk_id", "chunk")
+        chunks = (
+            chunks.withColumn("bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("bsz") <= max_bucket)
+            .drop("bsz")
+        )
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (
@@ -1085,10 +1106,13 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_oracle(bits: int = SIMHASH_MD5_BITS, chunk_bits: int = 15,
                     max_hamming: int = 3,
-                    source: str = "SELECT doc_id, text FROM documents") -> str:
+                    source: str = "SELECT doc_id, text FROM documents",
+                    max_bucket: int = LSH_MAX_BUCKET) -> str:
     """Exact SQL mirror of ``simhash_near_pairs(checkable=True)``: md5
     token hashes, per-bit vote sums, sign-threshold signature assembly,
-    15-bit chunk banding, hamming verification."""
+    15-bit chunk banding (hub chunks over ``max_bucket`` dropped by the
+    identical QUALIFY windowed count, falsy = disabled), hamming
+    verification."""
     vote_exprs = ",\n               ".join(
         f"2 * SUM(CAST((x >> {i}) & 1 AS BIGINT)) - COUNT(*) AS v{i}"
         for i in range(bits)
@@ -1102,6 +1126,12 @@ def _simhash_oracle(bits: int = SIMHASH_MD5_BITS, chunk_bits: int = 15,
         f"SELECT doc_id, simhash, {c} AS chunk_id, "
         f"(simhash >> {c * chunk_bits}) & {mask} AS chunk FROM sigs"
         for c in range(4)
+    )
+    cap_filter = (
+        f"""
+        QUALIFY COUNT(*) OVER (PARTITION BY chunk_id, chunk) <= {max_bucket}"""
+        if max_bucket
+        else ""
     )
     return f"""
     WITH src AS (
@@ -1124,10 +1154,12 @@ def _simhash_oracle(bits: int = SIMHASH_MD5_BITS, chunk_bits: int = 15,
         FROM votes
     ), chunks AS (
         {chunk_selects}
+    ), chunksc AS (
+        SELECT doc_id, simhash, chunk_id, chunk FROM chunks{cap_filter}
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.simhash AS sig_a, b.simhash AS sig_b
-        FROM chunks a JOIN chunks b
+        FROM chunksc a JOIN chunksc b
           ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
          AND a.doc_id < b.doc_id
     )
@@ -1354,11 +1386,80 @@ _oracle(
 # E25e: LSH banding recall/precision evaluation against the exact pair set
 # ---------------------------------------------------------------------------
 
+LSH_EVAL_MAX_DOCS = 100_000
+"""Eval-corpus sample cap for the banding acceptance gates, IN CODE.
+
+The truth side of ``lsh_recall_eval``/``lsh_band_sweep`` is an
+exploded-shingle posting-list self-join: a corpus-common shingle creates
+the same Θ(n) posting list → Θ(n²) pairs failure the candidate side
+measured and capped with ``LSH_MAX_BUCKET`` (r9: 20.6M ≈ n² candidates at
+2M docs, 68 GB spill at 5M).  Until r10 the guard lived in prose ("at
+100 TB, run the sweep on a deterministic doc-hash sample"); now the evals
+apply ``_eval_doc_sample`` BEFORE shingling, so both the truth and the
+candidate side run on the same ≤ ~cap-expected-document sample.  Recall
+and band-precision are per-pair properties, so a doc-level sample
+estimates them without touching the full corpus.  Never binds on the
+test corpora (sf0.1 ships 5k docs); the SQL oracles interpolate the
+identical stride filter, so the hash match is preserved even where it
+does bind (pinned at a binding cap by tests/test_dedup.py).
+"""
+
+
+def _eval_doc_sample(d: DataFrame, id_col: str = "doc_id",
+                     eval_max_docs: int = LSH_EVAL_MAX_DOCS) -> DataFrame:
+    """Deterministic doc-hash sample bounding the eval corpus to an
+    EXPECTED ``eval_max_docs`` documents: keep a doc iff its md5-derived
+    60-bit key ≡ 0 (mod stride), stride = ceil(n / eval_max_docs).
+
+    The stride is computed INSIDE the plan from a one-row count aggregate
+    broadcast against the corpus — no driver-side action, no extra
+    shuffle (the count reads only the pruned id column).  md5-of-the-
+    decimal-string keying keeps the sample engine-independent: the SQL
+    mirror (``_eval_sample_sql``) selects the identical documents, and a
+    falsy ``eval_max_docs`` disables sampling entirely — the same
+    boundary convention as ``lsh_candidate_pairs``'s ``max_bucket``."""
+    if not eval_max_docs:
+        return d
+    n = d.select(F.count(F.lit(1)).cast("long").alias("_n_docs"))
+    key = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 15),
+        16, 10,
+    ).cast("long")
+    stride = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("_n_docs") / F.lit(eval_max_docs)).cast("long"),
+    )
+    return (
+        d.crossJoin(F.broadcast(n))
+        .filter(key % stride == 0)
+        .drop("_n_docs")
+    )
+
+
+def _eval_sample_sql(eval_max_docs: int = LSH_EVAL_MAX_DOCS,
+                     relation: str = "documents",
+                     id_col: str = "doc_id") -> str:
+    """The (doc_id, text) source relation of the eval oracles with the
+    exact SQL mirror of ``_eval_doc_sample`` applied — same md5 slice,
+    same in-plan stride, same disabled-when-falsy convention."""
+    if not eval_max_docs:
+        return f"SELECT {id_col}, text FROM {relation}"
+    return f"""SELECT {id_col}, text FROM {relation}
+        WHERE ('0x' || substring(md5(CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT
+              % GREATEST(1, CAST(CEIL(
+                    (SELECT COUNT(*) FROM {relation}) / {eval_max_docs}
+                ) AS BIGINT)) = 0"""
+
+
 def _exact_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     """The banding-free ground truth: every (doc_a, doc_b) whose exact
     shingle Jaccard rounds to >= threshold, via the exploded-shingle
-    equi-join (shuffle on shingle — bounded by posting-list sizes, never
-    a cartesian product).  Shared by the recall-eval and band-sweep ops."""
+    equi-join (shuffle on shingle — never a cartesian product, but a
+    corpus-common shingle still makes one posting list Θ(n) and the join
+    Θ(n²), so callers MUST bound the corpus first: both eval entries feed
+    this a ``_eval_doc_sample``-capped frame, the code-enforced version
+    of the old run-it-on-a-sample prose).  Shared by the recall-eval and
+    band-sweep ops."""
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     sizes = sh.select("doc_id", F.size("shingles").alias("set_size"))
     ea = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -1381,7 +1482,8 @@ def _exact_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
 
 def lsh_recall_eval(spark: SparkSession, sf_dir: str,
                     threshold: float = 0.6, n_hashes: int = 32,
-                    bands: int = 8) -> DataFrame:
+                    bands: int = 8,
+                    eval_max_docs: int = LSH_EVAL_MAX_DOCS) -> DataFrame:
     """Measure the MinHash-LSH banding's recall and precision against the
     EXACT near-duplicate pair set — the acceptance test a production
     near-dedup config (n_hashes, bands, threshold) must pass before it
@@ -1405,15 +1507,18 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str,
     100 TB posture: cand/verify is the production plan unchanged.  The
     truth side is the deliberately-exhaustive piece — its shingle join is
     bounded by posting-list sizes, fine at eval scale but corpus-quadratic
-    in the worst case — so at full scale you run the eval on a
-    deterministic hash-sample of documents (recall is a per-pair property;
-    a doc-level sample estimates it without touching the full corpus) and
-    ship the measured (recall, precision) with the dedup config.  All
-    hashes are md5-derived, so the whole eval carries an exact SQL oracle.
+    in the worst case — so the eval runs on a deterministic doc-hash
+    sample CAPPED IN CODE at ~``eval_max_docs`` expected documents
+    (``_eval_doc_sample`` / ``LSH_EVAL_MAX_DOCS``; r9 verdict task 2 —
+    previously this guard lived only in this docstring).  Recall is a
+    per-pair property, so the doc-level sample estimates it without
+    touching the full corpus; ship the measured (recall, precision) with
+    the dedup config.  All hashes are md5-derived, so the whole eval —
+    sample filter included — carries an exact SQL oracle.
     """
-    d = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _eval_doc_sample(
+        table(spark, sf_dir, "documents"), eval_max_docs=eval_max_docs
+    ).repartition(spark.sparkContext.defaultParallelism)
     sh = tracked_persist(shingle_arrays(d, "text", "doc_id", 3), corpus=True)
     sig = tracked_persist(minhash_signatures_md5(sh, n_hashes))
     cand = lsh_candidate_pairs(sig, n_hashes, bands, checkable=True)
@@ -1456,9 +1561,10 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str,
 
 
 def _lsh_recall_eval_oracle(n_hashes: int = 32, bands: int = 8,
-                            threshold: float = 0.6) -> str:
+                            threshold: float = 0.6,
+                            eval_max_docs: int = LSH_EVAL_MAX_DOCS) -> str:
     return f"""
-    WITH {_lsh_chain_sql(n_hashes, bands)}, truthi AS (
+    WITH {_lsh_chain_sql(n_hashes, bands, _eval_sample_sql(eval_max_docs))}, truthi AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
         FROM sh a JOIN sh b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -1502,7 +1608,8 @@ BAND_SWEEP_GRID = (2, 4, 8, 16)  # band counts swept over the 32-slot sigs
 
 def lsh_band_sweep(spark: SparkSession, sf_dir: str,
                    threshold: float = 0.6, n_hashes: int = 32,
-                   band_grid: tuple[int, ...] = BAND_SWEEP_GRID) -> DataFrame:
+                   band_grid: tuple[int, ...] = BAND_SWEEP_GRID,
+                   eval_max_docs: int = LSH_EVAL_MAX_DOCS) -> DataFrame:
     """The LSH banding S-curve, measured: recall and band-precision of
     EVERY banding config in ``band_grid`` against the exact pair set, from
     ONE shared signature computation — the table a curator reads to pick
@@ -1514,13 +1621,15 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str,
     shingle/signature pass — the corpus-sized cost — is computed once and
     persisted; each config adds only its banded self-join, whose output is
     ~linear in true near-dups.  The truth side is the same
-    deliberately-exhaustive eval-scale piece as ``lsh_recall_eval`` (at
-    100 TB, run the sweep on a deterministic doc-hash sample).  One row
-    per config; fully md5-derived, so the whole sweep is oracle-checked.
+    deliberately-exhaustive eval-scale piece as ``lsh_recall_eval``, so
+    the sweep runs on the same code-enforced deterministic doc-hash
+    sample (``_eval_doc_sample`` / ``LSH_EVAL_MAX_DOCS``).  One row
+    per config; fully md5-derived — sample filter included — so the
+    whole sweep is oracle-checked.
     """
-    d = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _eval_doc_sample(
+        table(spark, sf_dir, "documents"), eval_max_docs=eval_max_docs
+    ).repartition(spark.sparkContext.defaultParallelism)
     sh = tracked_persist(shingle_arrays(d, "text", "doc_id", 3), corpus=True)
     sig = tracked_persist(minhash_signatures_md5(sh, n_hashes))
     truth = _exact_jaccard_pairs(sh, threshold)
@@ -1578,7 +1687,8 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str,
 
 def _lsh_band_sweep_oracle(n_hashes: int = 32,
                            band_grid: tuple[int, ...] = BAND_SWEEP_GRID,
-                           threshold: float = 0.6) -> str:
+                           threshold: float = 0.6,
+                           eval_max_docs: int = LSH_EVAL_MAX_DOCS) -> str:
     cand_ctes = "".join(
         _lsh_band_cand_sql(n_hashes, b, suffix=f"_{b}") for b in band_grid
     )
@@ -1589,7 +1699,7 @@ def _lsh_band_sweep_oracle(n_hashes: int = 32,
     )
     grid_values = ", ".join(f"({b})" for b in band_grid)
     return f"""
-    WITH {_lsh_sig_chain_sql(n_hashes)}{cand_ctes}, truthi AS (
+    WITH {_lsh_sig_chain_sql(n_hashes, _eval_sample_sql(eval_max_docs))}{cand_ctes}, truthi AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
         FROM sh a JOIN sh b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id

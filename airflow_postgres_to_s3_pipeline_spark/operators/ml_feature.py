@@ -70,9 +70,14 @@ def tfidf_ml_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tf_arr = vector_to_array("tf")
     tfidf_arr = vector_to_array("tfidf")
-    n_buckets = F.size(F.filter(tf_arr, lambda x: x > 0))
+    # Fold only the NONZERO buckets (ADVICE r9): tf values are counts, so
+    # summing the zero-filtered projection equals summing the dense vector
+    # — but the interpreted HOF then runs ~n_distinct_tokens lambda steps
+    # per doc instead of the full 16384-element feature width.
+    tf_nonzero = F.filter(tf_arr, lambda x: x > 0)
+    n_buckets = F.size(tf_nonzero)
     n_distinct = F.size(F.array_distinct("tokens"))
-    tf_total = F.aggregate(tf_arr, F.lit(0.0), lambda a, x: a + x)
+    tf_total = F.aggregate(tf_nonzero, F.lit(0.0), lambda a, x: a + x)
     return out.select(
         "doc_id",
         F.size("tokens").alias("n_tokens"),

@@ -491,7 +491,18 @@ def math_trig_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp("l_discount"), 6).alias("disc_exp"),
         F.round(F.cbrt("l_quantity"), 6).alias("qty_cbrt"),
         F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
-        F.round(F.hypot("l_discount", "l_tax"), 6).alias("rate_hypot"),
+        # sqrt(x*x + y*y) rather than F.hypot: Math.hypot's ~1-ulp algorithm
+        # differs from DuckDB's SQRT(x*x+y*y), so the raw doubles could
+        # disagree at a 6-decimal rounding boundary on a future corpus;
+        # spelling the identical IEEE expression on both sides makes the
+        # pairing exact by construction (ADVICE r9).
+        F.round(
+            F.sqrt(
+                F.col("l_discount") * F.col("l_discount")
+                + F.col("l_tax") * F.col("l_tax")
+            ),
+            6,
+        ).alias("rate_hypot"),
         F.shiftleft("l_orderkey", 2).alias("key_shl2"),
         F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("key_lo8"),
         F.col("l_orderkey").bitwiseXOR(F.col("l_suppkey")).alias("key_xor_supp"),

@@ -776,7 +776,8 @@ _oracle(
 )
 
 
-def kmeans_assign(e: DataFrame, centroids: DataFrame) -> DataFrame:
+def kmeans_assign(e: DataFrame, centroids: DataFrame,
+                  spread: bool = True) -> DataFrame:
     """Assign each vector to the nearest centroid by squared L2.
 
     The centroid set is packed into ONE broadcast row (sorted struct
@@ -792,6 +793,11 @@ def kmeans_assign(e: DataFrame, centroids: DataFrame) -> DataFrame:
     every other vector op, so assignment is bit-deterministic.  The best
     struct lands in its own projection (withColumn) so CollapseProject
     cannot inline the fold once per consumed field.
+
+    ``spread=False`` is for iterative callers (the Lloyd loop) that widen
+    the corpus frame ONCE up front: the in-call ``_spread`` probe forces
+    full physical planning through an RDD conversion and, on a narrow
+    scan, a full repartition shuffle — per iteration (ADVICE r9).
     """
     packed = centroids.groupBy().agg(
         F.sort_array(F.collect_list(F.struct("cluster_id", "cv"))).alias("_cs")
@@ -821,8 +827,9 @@ def kmeans_assign(e: DataFrame, centroids: DataFrame) -> DataFrame:
             ),
         ),
     )
+    wide = _spread(e) if spread else e
     return (
-        _spread(e).crossJoin(F.broadcast(packed))
+        wide.crossJoin(F.broadcast(packed))
         .withColumn("_best", best)
         .select(
             "vec_id",
@@ -953,12 +960,20 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str, k: int = 8,
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
+    # Widen + persist ONCE before the loop (ADVICE r9): every iteration
+    # re-scans the corpus frame for its assignment fold, and the old
+    # in-call _spread re-paid both the getNumPartitions probe (full
+    # physical planning through an RDD conversion) and a full repartition
+    # shuffle of the narrow scan — per iteration.  corpus=True: the frame
+    # carries the full vectors, so its level honours
+    # SPARK_GRAFT_PERSIST_LEVEL (DISK_ONLY at 100 TB; see cache.py).
+    e = tracked_persist(_spread(e), corpus=True)
     centroids = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cluster_id"), F.col("v").alias("cv")
     )
     assigned = None
     for _ in range(iterations):
-        assigned = kmeans_assign(e, centroids)
+        assigned = kmeans_assign(e, centroids, spread=False)
         centroids = kmeans_update(assigned)
     return assigned.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_vectors"),

@@ -1017,7 +1017,14 @@ def _parquet_row_count(sf_dir: str, name: str) -> int:
     try:
         import pyarrow.parquet as pq
 
-        files = glob.glob(os.path.join(sf_dir, f"{name}.parquet", "*.parquet"))
+        # Recursive glob so a partitioned/nested parquet layout counts ALL
+        # leaf files instead of silently undercounting via a top-level-only
+        # scan (ADVICE r9) — an undercount is positive-but-wrong and skips
+        # the -1 fallback that would engage the parallelism default.
+        files = glob.glob(
+            os.path.join(sf_dir, f"{name}.parquet", "**", "*.parquet"),
+            recursive=True,
+        )
         if not files:
             single = os.path.join(sf_dir, f"{name}.parquet")
             files = [single] if os.path.isfile(single) else []

@@ -310,3 +310,124 @@ def test_lsh_band_cand_sql_zero_cap_means_disabled():
     uncapped = dedup._lsh_band_cand_sql(max_bucket=0)
     assert f"<= {dedup.LSH_MAX_BUCKET}" in capped
     assert "QUALIFY" not in uncapped
+
+
+def test_eval_doc_sample_cap_binds_and_is_deterministic(spark, sf_dir):
+    """The eval-scale guard must live in CODE (r9 verdict task 2): on a
+    corpus larger than eval_max_docs the deterministic doc-hash sample
+    must actually shrink the frame (to ~cap expected docs), pick the SAME
+    documents on every evaluation, and pass everything through when the
+    cap is disabled or not reached."""
+    from airflow_postgres_to_s3_pipeline_spark.catalog import table
+
+    d = table(spark, sf_dir, "documents")
+    total = d.count()
+    assert total > 50  # the corpus genuinely oversizes the cap below
+
+    ids1 = {r.doc_id for r in
+            dedup._eval_doc_sample(d, eval_max_docs=50).select("doc_id").collect()}
+    ids2 = {r.doc_id for r in
+            dedup._eval_doc_sample(d, eval_max_docs=50).select("doc_id").collect()}
+    assert ids1 == ids2                      # deterministic
+    assert 0 < len(ids1) < total             # the cap BINDS
+    assert len(ids1) <= 3 * 50               # ~50 expected, generous bound
+
+    # disabled (falsy) and not-reached caps both pass the corpus through
+    assert dedup._eval_doc_sample(d, eval_max_docs=0).count() == total
+    assert dedup._eval_doc_sample(d, eval_max_docs=10 * total).count() == total
+
+
+def test_lsh_recall_eval_binding_cap_matches_oracle(spark, sf_dir):
+    """At a cap that BINDS (50 of 500 docs), the Spark eval and its
+    DuckDB oracle must still agree exactly — the sample filter is part of
+    the md5-derived chain, not a Spark-only shortcut."""
+    import duckdb
+
+    got = dedup.lsh_recall_eval(spark, sf_dir, eval_max_docs=50).collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = con.sql(dedup._lsh_recall_eval_oracle(eval_max_docs=50)).fetchall()
+    assert len(got) == len(want) == 1
+    assert (got[0].n_truth, got[0].n_cand, got[0].n_hit) == want[0][:3]
+
+
+def test_simhash_chunk_cap_drops_hub_keeps_true_pairs(spark):
+    """SimHash twin of the LSH hub-bucket cap (r9 verdict task 7): 30
+    identical docs share ALL four 15-bit chunks — C(30,2)=435 uncapped
+    candidate pairs through over-cap buckets — while two near docs pair
+    through their own size-2 chunk buckets either way."""
+    hub_text = " ".join(["spark shuffle partition skew salt"] * 6)
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu one "
+            "two three")
+    rows = [(i, hub_text) for i in range(30)]
+    rows.append((100, base + " four"))
+    rows.append((101, base + " five"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    unc = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_near_pairs(
+            df, max_hamming=10, checkable=True, max_bucket=0
+        ).collect()
+    }
+    cap = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_near_pairs(
+            df, max_hamming=10, checkable=True, max_bucket=10
+        ).collect()
+    }
+    hub_pairs = {p for p in unc if p[0] < 30 and p[1] < 30}
+    assert len(hub_pairs) == 435
+    assert (100, 101) in unc
+    assert (100, 101) in cap
+    assert not (cap & hub_pairs)
+
+
+def test_simhash_binding_cap_matches_oracle(spark, tmp_path):
+    """Capped-path parity: with a max_bucket that BINDS, the Spark chunk
+    cap and the oracle's QUALIFY mirror must drop the same buckets."""
+    import duckdb
+
+    hub_text = " ".join(["spark shuffle partition skew salt"] * 6)
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu one "
+            "two three")
+    rows = [(i, hub_text) for i in range(30)]
+    rows.append((100, base + " four"))
+    rows.append((101, base + " five"))
+    d = str(tmp_path / "hub")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.parquet(f"{d}/documents.parquet")
+
+    got = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_near_pairs(
+            df, max_hamming=10, checkable=True, max_bucket=10
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{d}/documents.parquet/*.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            dedup._simhash_oracle(max_hamming=10, max_bucket=10)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_simhash_oracle_zero_cap_means_disabled():
+    """max_bucket=0 must mean cap DISABLED in the simhash oracle builder
+    exactly as in simhash_near_pairs — never QUALIFY <= 0."""
+    capped = dedup._simhash_oracle(max_bucket=dedup.LSH_MAX_BUCKET)
+    uncapped = dedup._simhash_oracle(max_bucket=0)
+    assert f"<= {dedup.LSH_MAX_BUCKET}" in capped
+    assert "QUALIFY" not in uncapped
