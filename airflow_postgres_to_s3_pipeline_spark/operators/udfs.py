@@ -357,22 +357,36 @@ _oracle(
 )
 
 
-def model_inference_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch model inference over embeddings: a deterministic linear model
-    scored with a vectorized pandas UDF (numpy matmul per Arrow batch) —
-    the shape every embedding-classifier / reward-model scoring job has at
-    100 TB.  The "model" is weights w_j = ((j * 37) % 19 - 9) / 10 so runs
-    are reproducible without shipping artifacts.
+INFERENCE_DIM = 64
+INFERENCE_TOL = 1e-9
+"""Invariant tolerance for the model-inference gate: numpy's pairwise /
+BLAS accumulation differs from a left-to-right fold only in trailing
+ULPs (~3e-12 worst case at dim=64 on unit-scale inputs), so 1e-9 has
+~300x headroom while still failing on any real defect (wrong weights,
+swapped column, truncated vector)."""
 
-    Rows-only check: numpy's pairwise summation order differs from a SQL
-    fold in final ULPs, so the oracle would be flaky by construction; the
-    equivalence with a driver-side numpy reference is pinned in
-    tests/test_udfs_inference.py instead.
-    """
+
+def _inference_weights() -> list[float]:
+    """The pinned linear 'model': w_j = ((j * 37) % 19 - 9) / 10 — runs
+    are reproducible without shipping artifacts, and w_0 = -0.9 gives the
+    direction probe below a known slope along feature 0."""
+    return [((j * 37) % 19 - 9) / 10.0 for j in range(INFERENCE_DIM)]
+
+
+def model_scores_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference over embeddings — THE SERVING PATH: a
+    deterministic linear model scored with a vectorized pandas UDF (numpy
+    matmul per Arrow batch), the shape every embedding-classifier /
+    reward-model scoring job has at 100 TB.  Returns the raw per-row
+    scores; numpy's pairwise summation order differs from a SQL fold in
+    final ULPs, so the raw floats carry no exact oracle — equivalence
+    with a driver-side numpy reference is pinned in
+    tests/test_udfs_inference.py, and the registry entry
+    (``model_inference_scores``) checks the behavioral invariants
+    instead."""
     import numpy as np
 
-    dim = 64
-    w = np.array([((j * 37) % 19 - 9) / 10.0 for j in range(dim)])
+    w = np.array(_inference_weights())
 
     @F.pandas_udf(DoubleType())
     def score(vecs: pd.Series) -> pd.Series:
@@ -383,8 +397,74 @@ def model_inference_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         "label",
+        F.col("embedding").cast("array<double>").alias("v"),
         score(F.col("embedding").cast("array<double>")).alias("model_score"),
+        score(
+            F.concat(
+                F.array(F.element_at(F.col("embedding").cast("array<double>"), 1) + F.lit(1.0)),
+                F.slice(F.col("embedding").cast("array<double>"), 2, INFERENCE_DIM - 1),
+            )
+        ).alias("model_score_f0_plus1"),
     )
+
+
+def model_inference_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registry gate over ``model_scores_raw``, upgraded from
+    rows-only to a FULL invariant oracle (r9 verdict task 5): the raw
+    numpy scores have no bit-exact SQL form, but three behavioral
+    invariants of the pinned linear model do — each computed Spark-side
+    FROM the real UDF output, so a wrong weight vector, a swapped column,
+    or a truncated embedding flips a boolean and fails the driver's hash
+    gate, while the oracle asserts the mathematically-guaranteed truth:
+
+    - ``matches_exact_linear``: the UDF score equals the exact
+      left-fold sum(w_j * x_j) within INFERENCE_TOL (the model is
+      actually computed, per row);
+    - ``within_l1_bound``: |score| <= sum |w_j * x_j| + tol (score
+      bounds);
+    - ``f0_direction_ok``: re-scoring with feature 0 incremented by 1.0
+      moves the score by exactly w_0 = -0.9 (within tol) — monotonicity
+      with the pinned slope along a pinned feature.
+
+    Row-count identity and vec_id/label exactness come from the oracle's
+    one-row-per-embedding projection.  Raw scores for downstream use:
+    ``model_scores_raw``.
+    """
+    w_arr = F.array(*[F.lit(wj) for wj in _inference_weights()])
+    scored = model_scores_raw(spark, sf_dir)
+    terms = F.zip_with(F.col("v"), w_arr, lambda a, b: a * b)
+    fold = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    l1 = F.aggregate(
+        terms, F.lit(0.0), lambda acc, x: acc + F.abs(x)
+    )
+    return scored.select(
+        "vec_id",
+        "label",
+        (F.abs(F.col("model_score") - fold) <= INFERENCE_TOL)
+        .alias("matches_exact_linear"),
+        (F.abs(F.col("model_score")) <= l1 + INFERENCE_TOL)
+        .alias("within_l1_bound"),
+        (
+            F.abs(
+                (F.col("model_score_f0_plus1") - F.col("model_score"))
+                - F.lit(_inference_weights()[0])
+            )
+            <= INFERENCE_TOL
+        ).alias("f0_direction_ok"),
+    )
+
+
+_oracle(
+    "model_inference_scores",
+    """
+    SELECT vec_id,
+           label,
+           true AS matches_exact_linear,
+           true AS within_l1_bound,
+           true AS f0_direction_ok
+    FROM embeddings
+    """,
+)
 
 
 @F.pandas_udf(DoubleType())

@@ -823,117 +823,131 @@ _MODULES = (
 # knn_pq_fold, multimodal_audio_energy, set_operations, dedup_keep_best,
 # bpe_token_count.  sequence_packing_ffd deliberately KEEPS its slot so
 # its upgraded recursive-CTE oracle (was rows-only) earns a full driver
-# hash check.  Rotation queue for r10+ (never driver-tested, ~41 left):
-# the remaining TPC-H variants (nation_volume_shipping,
-# local_supplier_volume, small_quantity_revenue, large_volume_orders,
-# order_priority_check, supplier_variety, sql_shipping_priority,
-# revenue_change_forecast, disjunctive_filter_parts,
-# inactive_high_value_customers), the DIAG extras (dq_audit, snapshot_diff,
-# profile_table, mad_outliers), the E27 text tail (lang_stats, token_count,
+# hash check.
+# Round-10 rotation (r9 verdict tasks 1/3/8 — the EVIDENCE-CLOSING round):
+# IN the 25 entries the r9 judge identified as having neither driver nor
+# judge evidence — dedup_incremental_minhash, pandas_grouped_agg,
+# large_volume_orders, disjunctive_filter_parts,
+# inactive_high_value_customers, window_ntile_quartiles,
+# tumbling_window_agg, sliding_window_agg, explode_word_freq,
+# python_udf_rowwise, embedding_random_projection, token_count,
 # doc_fingerprint, text_normalize, corpus_curation, reading_level,
-# ngram_lm_score, corpus_mix_sample, bpe_merges, winnowing_fingerprint,
-# stratified_sample_k_per_group, epoch_shuffle_order,
-# temperature_mix_allocation), E12 (event_transitions, user_value_trend),
-# E21 (pandas_grouped_agg, pandas_udaf_window, python_udf_rowwise,
-# model_inference_scores), E22 batch tiers (sessionize_events,
-# hypertable_rollup, tumbling_window_agg, sliding_window_agg), and the
-# rest (dedup_incremental_minhash, join_null_safe, explode_word_freq,
-# try_arithmetic, map_hof_functions, embedding_random_projection,
-# fuzzy_canonicalize_parts, fuzzy_match_sorted_neighborhood,
-# orders_asof_dimension, collation_group, minhash/tfidf done r9).
+# ngram_lm_score, corpus_mix_sample, fuzzy_canonicalize_parts,
+# event_transitions, user_value_trend, fuzzy_match_sorted_neighborhood,
+# epoch_shuffle_order, model_inference_scores (upgraded rows-only ->
+# full invariant oracle this round, task 5), small_quantity_revenue —
+# plus multimodal_partition_stats (E28's only never-green entry) and
+# multimodal_audio_energy (E28 keeps two in-window rows, task 8).
+# OUT (all r9-green, full hash): minhash_ml_pairs (task 3: 22.7s warm at
+# sf0.1, ~25% of the window's correctness cost; green banked in
+# CORRECTNESS_r09), orc_scan_roundtrip, filter_compound, join_semi,
+# asof_last_purchase, time_weighted_average, window_topk_per_customer,
+# sql_udf_functions, streaming_ss_full_outer_join,
+# python_stream_source_agg, lsh_band_sweep, corpus_dedup_report,
+# k_anonymity_check, knn_gemm, knn_recall_eval, embedding_lsh_recall_eval,
+# knn_probe_sweep, knn_ivfpq_refine, doc_quality, sequence_packing_ffd,
+# rerank_cross_encoder, quality_retention_curve, tfidf_ml_features,
+# returned_item_revenue, promo_revenue_share, top_supplier_revenue,
+# multimodal_tile_near_dup.  lsh_recall_eval deliberately KEEPS its slot
+# so the NEW code-enforced eval-sample cap (task 2) earns driver
+# evidence on its first round.  After this window every one of the 226
+# registry entries has a green row in some CORRECTNESS_r*.json or the
+# r9 judge's independent re-check.
 # Entries past #50 are additional variants of families already represented
 # above; all are still locally verified by tools/check_oracles.py and
 # pytest regardless of driver coverage.
 QUERIES: dict[str, QueryFn] = {
-    # -- driver window: one representative per §2 family -------------------
-    # §2A reference parity (projection+filter export query, Q1/Q2; export
-    # fingerprint; r9 rotation: the ORC roundtrip gives E1's other
-    # columnar format its first driver row)
+    # -- r10 driver window (50): closes the cumulative-evidence gap ------
+    # Composition (r9 verdict tasks 1/3/8): the 25 never-driver-tested
+    # entries rotate IN (closing every registry entry's evidence),
+    # minhash_ml_pairs rotates OUT (its full-oracle green is banked in
+    # CORRECTNESS_r09; it costs 22.7s warm at sf0.1 — see
+    # docs/SCALE.md), E28 gets TWO rows (multimodal_partition_stats'
+    # first ever + multimodal_audio_energy), and the remaining slots
+    # keep one cheap previously-green representative per SURVEY.md §2
+    # family (enforced by tests/test_registry_lint.py).
     "export_projection_filter": relational.export_projection_filter,
     "table_fingerprint": export_ops.table_fingerprint,
-    "orc_scan_roundtrip": layout.orc_scan_roundtrip,
-    # E2-E3 projection/filter
     "computed_projection": relational.computed_projection,
-    "filter_compound": relational.filter_compound,
-    # E8 flagship aggregate
+    "disjunctive_filter_parts": advanced.disjunctive_filter_parts,
     "pricing_summary": relational.pricing_summary,
-    # E4-E7 joins (equi broadcast, semi; r9 rotation: the window-based
-    # as-of join takes E7's slot from the r8-green bucketed range join)
     "join_broadcast_dims": relational.join_broadcast_dims,
-    "join_semi": relational.join_semi,
-    "asof_last_purchase": windows.asof_last_purchase,
-    # E5/E8 TPC-H Q13: outer-join count distribution
+    "small_quantity_revenue": advanced.small_quantity_revenue,
     "customer_order_distribution": advanced.customer_order_distribution,
-    # E9 distinct (HLL-sketch-with-bound tier)
+    "inactive_high_value_customers": advanced.inactive_high_value_customers,
+    "join_range": relational.join_range,
     "hll_sketch_users": sketches.hll_sketch_users,
-    # E10 rollup
     "rollup_acctbal": relational.rollup_acctbal,
-    # E11-E12 windows (reps kept from r8: ranking top-k and the
-    # irregular-timeseries integral)
-    "window_topk_per_customer": windows.window_topk_per_customer,
-    "time_weighted_average": windows.time_weighted_average,
-    # E13-E14 (r9 rotation: the NEW multiset ALL-semantics tier takes
-    # E14's slot from the r8-green distinct tier — per r8 verdict task 6)
+    "window_ntile_quartiles": windows.window_ntile_quartiles,
+    "event_transitions": windows.event_transitions,
+    "user_value_trend": windows.user_value_trend,
     "global_topk": relational.global_topk,
     "set_operations_all": relational.set_operations_all,
-    # E15-E20 scalar function families
     "string_functions": scalar_funcs.string_functions,
     "date_functions": scalar_funcs.date_functions,
     "math_functions": scalar_funcs.math_functions,
     "conditional_functions": scalar_funcs.conditional_functions,
-    "array_functions": scalar_funcs.array_functions,
+    "explode_word_freq": scalar_funcs.explode_word_freq,
     "json_functions": scalar_funcs.json_functions,
-    # E21 UDF surface (SQL-UDF rep; the four Arrow/UDTF tiers are r8-green)
-    "sql_udf_functions": sql_surface.sql_udf_functions,
-    # SQL surface (r9 rotation: session-parameterized queries — the last
-    # never-driver-tested SQL-language tier alongside collation_group)
-    "parameterized_query": sql_surface.parameterized_query,
-    # E22-E23 streaming (genuine readStream executions)
+    "pandas_grouped_agg": udfs.pandas_grouped_agg,
+    "python_udf_rowwise": udfs.python_udf_rowwise,
+    "model_inference_scores": udfs.model_inference_scores,
+    "tumbling_window_agg": windows.tumbling_window_agg,
+    "sliding_window_agg": windows.sliding_window_agg,
     "streaming_tumbling_agg": streaming_tumbling_agg,
     "streaming_stateful_running_totals": streaming_stateful_running_totals,
+    "dedup_exact": dedup.dedup_exact,
+    "dedup_incremental_minhash": dedup.dedup_incremental_minhash,
+    "fuzzy_canonicalize_parts": entity.fuzzy_canonicalize_parts,
+    "fuzzy_match_sorted_neighborhood": entity.fuzzy_match_sorted_neighborhood,
+    "lsh_recall_eval": dedup.lsh_recall_eval,
+    "embedding_random_projection": similarity.embedding_random_projection,
+    "token_count": text.token_count,
+    "doc_fingerprint": text.doc_fingerprint,
+    "text_normalize": text.text_normalize,
+    "corpus_curation": text.corpus_curation,
+    "reading_level": text.reading_level,
+    "ngram_lm_score": text.ngram_lm_score,
+    "corpus_mix_sample": curation.corpus_mix_sample,
+    "epoch_shuffle_order": curation.epoch_shuffle_order,
+    "multimodal_partition_stats": multimodal.multimodal_partition_stats,
+    "multimodal_audio_energy": multimodal.multimodal_audio_energy,
+    "triangle_count": graph.triangle_count,
+    "parameterized_query": sql_surface.parameterized_query,
+    "key_skew_profile": advanced.key_skew_profile,
+    "large_volume_orders": advanced.large_volume_orders,
+    # -- end of driver window (50) -----------------------------------------
+    # additional variants, all locally oracle/pytest-verified; every
+    # name below already has a driver-green row in some prior round's
+    # CORRECTNESS_r*.json or an independent judge re-check (r9 verdict).
+    "orc_scan_roundtrip": layout.orc_scan_roundtrip,
+    "filter_compound": relational.filter_compound,
+    "join_semi": relational.join_semi,
+    "asof_last_purchase": windows.asof_last_purchase,
+    "window_topk_per_customer": windows.window_topk_per_customer,
+    "time_weighted_average": windows.time_weighted_average,
+    "array_functions": scalar_funcs.array_functions,
+    "sql_udf_functions": sql_surface.sql_udf_functions,
     "streaming_ss_full_outer_join": streaming_ss_full_outer_join,
     "python_stream_source_agg": python_stream_source_agg,
-    # E24 exact dedup
-    "dedup_exact": dedup.dedup_exact,
-    # E25 near-dedup (r9 rotation: the MLlib LSH tier with its NEW full
-    # raw-shingle-verified oracle, plus both banding acceptance gates)
     "minhash_ml_pairs": ml_feature.minhash_ml_pairs,
-    "lsh_recall_eval": dedup.lsh_recall_eval,
     "lsh_band_sweep": dedup.lsh_band_sweep,
-    # Release diagnostics (r9 rotation: all three r8-new gates — dedup
-    # accounting, key-skew profile, k-anonymity privacy gate)
     "corpus_dedup_report": dedup.corpus_dedup_report,
-    "key_skew_profile": advanced.key_skew_profile,
     "k_anonymity_check": advanced.k_anonymity_check,
-    # E26 similarity search (GEMM serving tier + r9 rotation: the three
-    # ANN acceptance gates and the two-stage PQ->exact refine)
     "knn_gemm": similarity.knn_gemm,
     "knn_recall_eval": similarity.knn_recall_eval,
     "embedding_lsh_recall_eval": similarity.embedding_lsh_recall_eval,
     "knn_probe_sweep": similarity.knn_probe_sweep,
     "knn_ivfpq_refine": similarity.knn_ivfpq_refine,
-    # E27 text analysis / corpus curation (r9 rotation: the cross-encoder
-    # rerank stage, the quality-retention planning curve, and the MLlib
-    # TF-IDF tier with its NEW invariant oracle; sequence_packing_ffd
-    # stays in-window so its UPGRADED recursive-CTE oracle — full hash
-    # check, was rows-only — earns driver evidence)
     "doc_quality": text.doc_quality,
     "sequence_packing_ffd": curation.sequence_packing_ffd,
     "rerank_cross_encoder": text.rerank_cross_encoder,
     "quality_retention_curve": text.quality_retention_curve,
     "tfidf_ml_features": ml_feature.tfidf_ml_features,
-    # TPC-H analytic variants (r9 rotation: first driver rows for the
-    # family — Q10/Q14/Q15 shapes, per r8 verdict task 7)
     "returned_item_revenue": advanced.returned_item_revenue,
     "promo_revenue_share": advanced.promo_revenue_share,
     "top_supplier_revenue": advanced.top_supplier_revenue,
-    # graph analytics (triangle keeps its wedge-metric guard in-window)
-    "triangle_count": graph.triangle_count,
-    # E28 multimodal
     "multimodal_tile_near_dup": multimodal.multimodal_tile_near_dup,
-    # -- end of driver window (50) -----------------------------------------
-    # additional variants, all locally oracle/pytest-verified
-    # (r9 demotions, all r8-green, first)
     "mode_argmax": advanced.mode_argmax,
     "range_join_bucketed": relational.range_join_bucketed,
     "window_percent_rank": windows.window_percent_rank,
@@ -950,13 +964,11 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_static_enrich": streaming_static_enrich,
     "knn_ivf_fold": similarity.knn_ivf_fold,
     "knn_pq_fold": similarity.knn_pq_fold,
-    "multimodal_audio_energy": multimodal.multimodal_audio_energy,
     "set_operations": relational.set_operations,
     "dedup_keep_best": dedup.dedup_keep_best,
     "bpe_token_count": curation.bpe_token_count,
     "scd2_apply": advanced.scd2_apply,
     "zorder_scan_roundtrip": layout.zorder_scan_roundtrip,
-    "join_range": relational.join_range,
     "asof_join_pandas": windows.asof_join_pandas,
     "lateral_topk_orders": sql_surface.lateral_topk_orders,
     "approx_topk_terms": sketches.approx_topk_terms,
@@ -990,7 +1002,6 @@ QUERIES: dict[str, QueryFn] = {
     "hybrid_search_rrf": text.hybrid_search_rrf,
     "token_pmi_top_pairs": text.token_pmi_top_pairs,
     "bfs_hops": graph.bfs_hops,
-    "multimodal_partition_stats": multimodal.multimodal_partition_stats,
     "join_left_outer": relational.join_left_outer,
     "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
     "semantic_dedup": similarity.semantic_dedup,
@@ -1018,7 +1029,6 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_sliding_agg": streaming_sliding_agg,
     "dedup_keep_first": dedup.dedup_keep_first,
     "dedup_incremental": dedup.dedup_incremental,
-    "dedup_incremental_minhash": dedup.dedup_incremental_minhash,
     "embedding_norms": similarity.embedding_norms,
     "embedding_near_dup": similarity.embedding_near_dup,
     "multimodal_resize": multimodal.multimodal_resize,
@@ -1026,7 +1036,6 @@ QUERIES: dict[str, QueryFn] = {
     "join_shuffle_multiway": relational.join_shuffle_multiway,
     "join_full_outer": relational.join_full_outer,
     "join_null_safe": relational.join_null_safe,
-    "pandas_grouped_agg": udfs.pandas_grouped_agg,
     "pandas_udaf_window": udfs.pandas_udaf_window,
     "join_anti": relational.join_anti,
     "agg_stats": relational.agg_stats,
@@ -1058,35 +1067,17 @@ QUERIES: dict[str, QueryFn] = {
     "funnel_conversion": advanced.funnel_conversion,
     "order_priority_check": advanced.order_priority_check,
     "supplier_variety": advanced.supplier_variety,
-    "large_volume_orders": advanced.large_volume_orders,
     "nation_volume_shipping": advanced.nation_volume_shipping,
     "local_supplier_volume": advanced.local_supplier_volume,
-    "small_quantity_revenue": advanced.small_quantity_revenue,
     "embedding_dim_stats": similarity.embedding_dim_stats,
     "sequence_packing_bpe": curation.sequence_packing_bpe,
-    "disjunctive_filter_parts": advanced.disjunctive_filter_parts,
-    "inactive_high_value_customers": advanced.inactive_high_value_customers,
     "sessionize_events": windows.sessionize_events,
-    "window_ntile_quartiles": windows.window_ntile_quartiles,
     "hypertable_rollup": windows.hypertable_rollup,
-    "tumbling_window_agg": windows.tumbling_window_agg,
-    "sliding_window_agg": windows.sliding_window_agg,
-    "explode_word_freq": scalar_funcs.explode_word_freq,
     "try_arithmetic": scalar_funcs.try_arithmetic,
     "map_hof_functions": scalar_funcs.map_hof_functions,
-    "python_udf_rowwise": udfs.python_udf_rowwise,
-    "model_inference_scores": udfs.model_inference_scores,
     "streaming_dynamic_session": streaming_dynamic_session,
     "streaming_ss_left_outer_join": streaming_ss_left_outer_join,
-    "embedding_random_projection": similarity.embedding_random_projection,
     "lang_stats": text.lang_stats,
-    "token_count": text.token_count,
-    "doc_fingerprint": text.doc_fingerprint,
-    "text_normalize": text.text_normalize,
-    "corpus_curation": text.corpus_curation,
-    "reading_level": text.reading_level,
-    "ngram_lm_score": text.ngram_lm_score,
-    "corpus_mix_sample": curation.corpus_mix_sample,
     "bpe_merges": curation.bpe_merges_table,
     "winnowing_fingerprint": text.winnowing_fingerprint,
     "chunk_dedup": dedup.chunk_dedup,
@@ -1094,26 +1085,14 @@ QUERIES: dict[str, QueryFn] = {
     "min_cost_supplier": advanced.min_cost_supplier,
     "pandas_udf_score": udfs.pandas_udf_score,
     "collation_group": sql_surface.collation_group,
-    "fuzzy_canonicalize_parts": entity.fuzzy_canonicalize_parts,
     "simhash_dedup": dedup.simhash_dedup,
     "fuzzy_match_parts": entity.fuzzy_match_parts,
     "mad_outliers": advanced.mad_outliers,
-    "event_transitions": windows.event_transitions,
-    "user_value_trend": windows.user_value_trend,
     "weighted_sample_sus": curation.weighted_sample_sus,
-    "fuzzy_match_sorted_neighborhood": entity.fuzzy_match_sorted_neighborhood,
     "orders_asof_dimension": advanced.orders_asof_dimension,
     "stratified_sample_k_per_group": curation.stratified_sample_k_per_group,
     "recursive_cte_order_chains": sql_surface.recursive_cte_order_chains,
-    "epoch_shuffle_order": curation.epoch_shuffle_order,
     "temperature_mix_allocation": curation.temperature_mix_allocation,
-    # round 8: two-stage ANN serving (PQ slate -> exact refine) and the
-    # retrieval rerank stage completing retrieve -> fuse -> rerank
-    # round 8: pipeline-acceptance operators — the curator's threshold
-    # planning table and the LSH-config recall/precision gate
-    # round 9: second tiers for the three single-entry families (E16
-    # interval/ISO-calendar, E17 trig/bitwise) and the nested-type
-    # parquet roundtrip with subfield schema pruning (E1/E2)
     "date_interval_functions": scalar_funcs.date_interval_functions,
     "math_trig_bits": scalar_funcs.math_trig_bits,
     "nested_struct_roundtrip": layout.nested_struct_roundtrip,
