@@ -281,6 +281,7 @@ def main() -> int:
                    "events_twap", "events_trend", "events_skew_profile",
                    "events_k_anonymity",
                    "text_dedup_report", "text_dedup_report_5m",
+                   "text_simhash_500k", "text_simhash_5m",
                    "sus_two_phase", "sus_global_window", "tile_near_dup"}
     if not only or (only & text_labels):
         import shutil
@@ -393,6 +394,22 @@ def main() -> int:
             "text_dedup_report_5m", ndr,
             lambda: _cached(lambda: write_docs(ndr), ("docs", ndr)),
             lambda d: dedup_ops.corpus_dedup_report(spark, d)))
+        # r10: simhash near-dedup at 500k and 5M docs — runnable at all
+        # ONLY because of the chunk-bucket cap (r9 verdict task 7): the
+        # 20-word vocabulary drives near-constant per-bit votes, so single
+        # 15-bit chunk values collect Θ(n) docs (measured: max bucket
+        # 39,316 at 500k / 394,907 at 5M; uncapped candidate bound 6.7B ≈
+        # n²/37 at 500k and 670B at 5M — certain JVM death; capped bound
+        # 130M / 309M, growing 2.4x for 10x docs because more hub buckets
+        # cross the cap and drop outright).
+        results.append(run_dir(
+            "text_simhash_500k", nw,
+            lambda: _cached(lambda: write_docs(nw), ("docs", nw)),
+            lambda d: dedup_ops.simhash_dedup(spark, d)))
+        results.append(run_dir(
+            "text_simhash_5m", ndr,
+            lambda: _cached(lambda: write_docs(ndr), ("docs", ndr)),
+            lambda d: dedup_ops.simhash_dedup(spark, d)))
 
         # entity resolution: vocabulary-scale multi-pass blocking.  ~1M
         # records collapse to ~950k DISTINCT two-token names over a
