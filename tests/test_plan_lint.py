@@ -88,6 +88,13 @@ ALLOWED_PRODUCT = {
     "key_skew_profile",  # broadcasts the 1-row top-key frame onto the
     # 1-row stats aggregate — scalar collection statistic, the
     # hll_sketch_users shape
+    "lsh_recall_eval",  # r10 eval-sample cap: broadcasts the 1-row
+    # corpus-count frame onto the documents scan so the sampling stride
+    # is derived inside the plan — scalar collection statistic, the
+    # weighted_sample_sus shape; candidate pairing stays the banded
+    # equi-join and the truth side the shingle equi-join
+    "lsh_band_sweep",  # same 1-row count broadcast via the shared
+    # _eval_doc_sample source
 }
 
 # Streaming queries execute eagerly on build (memory-sink materialization);
