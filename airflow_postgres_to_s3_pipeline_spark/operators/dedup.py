@@ -268,11 +268,14 @@ hash match is preserved even where it does bind.
 """
 
 
-def _cap_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:
-    """Drop rows of band buckets larger than ``max_bucket`` — one window
-    count over the same (band, band_hash) key the subsequent join shuffles
-    on, so the cap adds no extra exchange of the banded frame."""
-    w = Window.partitionBy("band", "band_hash")
+def _cap_buckets(banded: DataFrame, max_bucket: int,
+                 keys: tuple[str, str] = ("band", "band_hash")) -> DataFrame:
+    """Drop rows of buckets larger than ``max_bucket`` — one window count
+    over the same ``keys`` the subsequent join shuffles on, so the cap
+    adds no extra exchange of the banded frame.  Shared by the MinHash
+    band join (band, band_hash) and the SimHash chunk join
+    (chunk_id, chunk) so the cap semantics cannot drift between them."""
+    w = Window.partitionBy(*keys)
     return (
         banded.withColumn("bsz", F.count(F.lit(1)).over(w))
         .filter(F.col("bsz") <= max_bucket)
@@ -1062,12 +1065,7 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
         ).alias("ch"),
     ).select("doc_id", "simhash", F.col("ch.chunk_id").alias("chunk_id"), F.col("ch.chunk").alias("chunk"))
     if max_bucket:
-        w = Window.partitionBy("chunk_id", "chunk")
-        chunks = (
-            chunks.withColumn("bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("bsz") <= max_bucket)
-            .drop("bsz")
-        )
+        chunks = _cap_buckets(chunks, max_bucket, keys=("chunk_id", "chunk"))
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (

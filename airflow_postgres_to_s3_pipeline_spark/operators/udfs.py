@@ -368,22 +368,15 @@ swapped column, truncated vector)."""
 
 def _inference_weights() -> list[float]:
     """The pinned linear 'model': w_j = ((j * 37) % 19 - 9) / 10 — runs
-    are reproducible without shipping artifacts, and w_0 = -0.9 gives the
-    direction probe below a known slope along feature 0."""
+    are reproducible without shipping artifacts, and the first two
+    weights give the direction probes below known opposite-sign slopes
+    (w_0 = -0.9 decreasing, w_1 = +0.9 increasing)."""
     return [((j * 37) % 19 - 9) / 10.0 for j in range(INFERENCE_DIM)]
 
 
-def model_scores_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch model inference over embeddings — THE SERVING PATH: a
-    deterministic linear model scored with a vectorized pandas UDF (numpy
-    matmul per Arrow batch), the shape every embedding-classifier /
-    reward-model scoring job has at 100 TB.  Returns the raw per-row
-    scores; numpy's pairwise summation order differs from a SQL fold in
-    final ULPs, so the raw floats carry no exact oracle — equivalence
-    with a driver-side numpy reference is pinned in
-    tests/test_udfs_inference.py, and the registry entry
-    (``model_inference_scores``) checks the behavioral invariants
-    instead."""
+def _score_udf():
+    """The vectorized scorer (numpy matmul per Arrow batch), built once
+    per plan so the serving path and the gate share one definition."""
     import numpy as np
 
     w = np.array(_inference_weights())
@@ -393,64 +386,91 @@ def model_scores_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         mat = np.stack(vecs.to_numpy())
         return pd.Series(mat @ w)
 
+    return score
+
+
+def model_scores_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference over embeddings — THE SERVING PATH: a
+    deterministic linear model scored with a vectorized pandas UDF (numpy
+    matmul per Arrow batch), the shape every embedding-classifier /
+    reward-model scoring job has at 100 TB.  One inference per row and
+    no gate-only columns (r10 review): the probe inferences and the
+    embedding copy live in ``model_inference_scores``.  The raw floats
+    carry no exact oracle (numpy's pairwise summation differs from a SQL
+    fold in final ULPs) — equivalence with a driver-side numpy reference
+    is pinned in tests/test_udfs_inference.py."""
+    score = _score_udf()
     e = table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
         "label",
-        F.col("embedding").cast("array<double>").alias("v"),
         score(F.col("embedding").cast("array<double>")).alias("model_score"),
-        score(
-            F.concat(
-                F.array(F.element_at(F.col("embedding").cast("array<double>"), 1) + F.lit(1.0)),
-                F.slice(F.col("embedding").cast("array<double>"), 2, INFERENCE_DIM - 1),
-            )
-        ).alias("model_score_f0_plus1"),
+    )
+
+
+def _bump_feature(v, j: int):
+    """``v`` with feature ``j`` incremented by 1.0 — the input
+    perturbation of the direction probes."""
+    return F.concat(
+        F.slice(v, 1, j),
+        F.array(F.element_at(v, j + 1) + F.lit(1.0)),
+        F.slice(v, j + 2, INFERENCE_DIM - j - 1),
     )
 
 
 def model_inference_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The registry gate over ``model_scores_raw``, upgraded from
-    rows-only to a FULL invariant oracle (r9 verdict task 5): the raw
-    numpy scores have no bit-exact SQL form, but three behavioral
-    invariants of the pinned linear model do — each computed Spark-side
-    FROM the real UDF output, so a wrong weight vector, a swapped column,
-    or a truncated embedding flips a boolean and fails the driver's hash
-    gate, while the oracle asserts the mathematically-guaranteed truth:
+    """The registry gate for the inference path, upgraded from rows-only
+    to a FULL invariant oracle (r9 verdict task 5): the raw numpy scores
+    have no bit-exact SQL form, but behavioral invariants of the pinned
+    linear model do — each computed Spark-side FROM real UDF output, so a
+    wrong weight vector, a swapped column, or a truncated embedding flips
+    a boolean and fails the driver's hash gate, while the oracle asserts
+    the mathematically-guaranteed truth:
 
-    - ``matches_exact_linear``: the UDF score equals the exact
-      left-fold sum(w_j * x_j) within INFERENCE_TOL (the model is
-      actually computed, per row);
-    - ``within_l1_bound``: |score| <= sum |w_j * x_j| + tol (score
-      bounds);
-    - ``f0_direction_ok``: re-scoring with feature 0 incremented by 1.0
-      moves the score by exactly w_0 = -0.9 (within tol) — monotonicity
-      with the pinned slope along a pinned feature.
+    - ``matches_exact_linear``: the UDF score equals the exact left-fold
+      sum(w_j * x_j) within a SCALE-AWARE tolerance (the model is
+      actually computed, per row).  This subsumes any score bound: a
+      score within tol of the fold is within tol of sum |w_j x_j|.
+      Tolerance is INFERENCE_TOL * (1 + sum|w_j x_j|) so the gate holds
+      on any input scale — a fixed absolute tol would false-fail on
+      large-magnitude embeddings whose ULP error exceeds it (r10
+      review);
+    - ``f0_direction_ok`` / ``f1_direction_ok``: re-scoring with feature
+      0 (then 1) incremented by 1.0 moves the score by exactly w_0 =
+      -0.9 / w_1 = +0.9 within the same tolerance — monotonicity with
+      pinned opposite-sign slopes along two pinned features, each an
+      independent end-to-end inference through the UDF.
 
     Row-count identity and vec_id/label exactness come from the oracle's
     one-row-per-embedding projection.  Raw scores for downstream use:
-    ``model_scores_raw``.
+    ``model_scores_raw`` (which stays one-inference-per-row; the two
+    probe inferences are paid only here, in the gate).
     """
-    w_arr = F.array(*[F.lit(wj) for wj in _inference_weights()])
-    scored = model_scores_raw(spark, sf_dir)
+    weights = _inference_weights()
+    score = _score_udf()
+    e = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    scored = e.select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        score(v).alias("s"),
+        score(_bump_feature(v, 0)).alias("s_f0"),
+        score(_bump_feature(v, 1)).alias("s_f1"),
+    )
+    w_arr = F.array(*[F.lit(wj) for wj in weights])
     terms = F.zip_with(F.col("v"), w_arr, lambda a, b: a * b)
     fold = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
-    l1 = F.aggregate(
-        terms, F.lit(0.0), lambda acc, x: acc + F.abs(x)
-    )
+    l1 = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + F.abs(x))
+    tol = F.lit(INFERENCE_TOL) * (F.lit(1.0) + l1)
     return scored.select(
         "vec_id",
         "label",
-        (F.abs(F.col("model_score") - fold) <= INFERENCE_TOL)
-        .alias("matches_exact_linear"),
-        (F.abs(F.col("model_score")) <= l1 + INFERENCE_TOL)
-        .alias("within_l1_bound"),
-        (
-            F.abs(
-                (F.col("model_score_f0_plus1") - F.col("model_score"))
-                - F.lit(_inference_weights()[0])
-            )
-            <= INFERENCE_TOL
-        ).alias("f0_direction_ok"),
+        (F.abs(F.col("s") - fold) <= tol).alias("matches_exact_linear"),
+        (F.abs((F.col("s_f0") - F.col("s")) - F.lit(weights[0])) <= tol)
+        .alias("f0_direction_ok"),
+        (F.abs((F.col("s_f1") - F.col("s")) - F.lit(weights[1])) <= tol)
+        .alias("f1_direction_ok"),
     )
 
 
@@ -460,8 +480,8 @@ _oracle(
     SELECT vec_id,
            label,
            true AS matches_exact_linear,
-           true AS within_l1_bound,
-           true AS f0_direction_ok
+           true AS f0_direction_ok,
+           true AS f1_direction_ok
     FROM embeddings
     """,
 )

@@ -1021,10 +1021,21 @@ def _parquet_row_count(sf_dir: str, name: str) -> int:
         # leaf files instead of silently undercounting via a top-level-only
         # scan (ADVICE r9) — an undercount is positive-but-wrong and skips
         # the -1 fallback that would engage the parallelism default.
-        files = glob.glob(
-            os.path.join(sf_dir, f"{name}.parquet", "**", "*.parquet"),
-            recursive=True,
-        )
+        # Skip any path component starting with '_' or '.' (the same rule
+        # Spark's file index applies): a crashed write leaves orphaned
+        # part files under _temporary/, and counting them would OVERcount
+        # (r10 review) — committed data never lives under such segments.
+        base = os.path.join(sf_dir, f"{name}.parquet")
+        files = [
+            f
+            for f in glob.glob(
+                os.path.join(base, "**", "*.parquet"), recursive=True
+            )
+            if not any(
+                part.startswith(("_", "."))
+                for part in os.path.relpath(f, base).split(os.sep)
+            )
+        ]
         if not files:
             single = os.path.join(sf_dir, f"{name}.parquet")
             files = [single] if os.path.isfile(single) else []
