@@ -59,30 +59,36 @@ def stratified_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Rank = row_number over (md5(doc_id), doc_id) inside the stratum: a pure
     function of the rows, so the SAME K docs are chosen on any engine or
-    partitioning.  One shuffle on the stratum key; the rank is a
-    WindowGroupLimit candidate (top-K pushdown) because the filter bounds
-    rn.  Returns the kept docs' per-stratum count and char volume plus the
-    stratum's original size — the quota audit a curation run logs.
+    partitioning.  ONE shuffle on the stratum key serves both the rank
+    and the stratum-size count (a whole-partition window on the same
+    keys), so the corpus is scanned once with no totals join.  Returns
+    the kept docs' per-stratum count and char volume plus the stratum's
+    original size — the quota audit a curation run logs.
     """
     d = table(spark, sf_dir, "documents")
     rank_key = F.md5(
         F.concat(F.col("doc_id").cast("string"), F.lit("-strat")).cast("binary")
     )
     w = Window.partitionBy("lang", "source").orderBy(rank_key, "doc_id")
+    # stratum_size rides the SAME (lang, source) exchange as the ranking
+    # window (r10 review): the former separate groupBy re-scanned the
+    # corpus and paid a join; a whole-partition count window reuses the
+    # shuffle the row_number already requires.  (This forgoes the
+    # WindowGroupLimit pre-shuffle top-K prune — the quota audit needs
+    # every row counted, so the full partition must arrive either way.)
+    wsz = Window.partitionBy("lang", "source")
     ranked = d.select(
-        "lang", "source", "n_chars", F.row_number().over(w).alias("rn")
+        "lang",
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wsz).alias("stratum_size"),
     )
     kept = ranked.filter(F.col("rn") <= STRATA_K)
-    totals = d.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("stratum_size")
-    )
-    return (
-        kept.groupBy("lang", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.sum("n_chars").alias("kept_chars"),
-        )
-        .join(totals, ["lang", "source"])
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.min("stratum_size").alias("stratum_size"),
     )
 
 
@@ -346,6 +352,16 @@ def _bpe_learn(words_freq: DataFrame) -> tuple[DataFrame, list[tuple[str, str]]]
     collect — the same scalar-driver-state pattern as pagerank/BFS.  The
     per-iteration replace chain stays a narrow row-local expression.
     """
+    from airflow_postgres_to_s3_pipeline_spark.cache import tracked_persist
+
+    # Persist the vocabulary frame BEFORE the iteration loop: every
+    # merge's 1-row argmax action replays its full lineage, so without
+    # this barrier all BPE_MERGES iterations re-run the corpus
+    # tokenize+explode+groupBy from parquet (r10 review) — ~25 corpus
+    # passes where the docstring promises vocabulary-bounded training.
+    # With it, each iteration replays only the growing (row-local)
+    # replace chain over the thin (word, freq) frame.
+    words_freq = tracked_persist(words_freq)
     seg0 = F.concat(
         F.lit(" "), F.array_join(F.split("word", ""), " "), F.lit(" ")
     )
@@ -627,10 +643,15 @@ def weighted_sample_sus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "source", "lang", F.col("n_chars").cast("long").alias("w")
     )
+    from airflow_postgres_to_s3_pipeline_spark.cache import tracked_persist
+
     b = d.withColumn("bucket", F.expr(f"doc_id DIV {SUS_BUCKET}"))
+    # persisted: the thin n/4096-row bucket-total frame feeds BOTH the
+    # offset prefix sum and the total-weight scalar below; without the
+    # barrier each consumer re-runs the corpus scan + bucket aggregate
+    bucket_w = tracked_persist(b.groupBy("bucket").agg(F.sum("w").alias("bw")))
     bucket_offsets = (
-        b.groupBy("bucket")
-        .agg(F.sum("w").alias("bw"))
+        bucket_w
         .withColumn(
             "boff",
             F.coalesce(
@@ -654,7 +675,10 @@ def weighted_sample_sus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("c_hi", F.col("boff") + F.sum("w").over(within))
         .withColumn("c_lo", F.col("c_hi") - F.col("w"))
     )
-    totals = d.agg(F.sum("w").alias("tw")).withColumn(
+    # total weight from the ALREADY-AGGREGATED n/4096-row bucket frame,
+    # not a third corpus scan (r10 review) — sum(bw) == sum(w) exactly
+    # (both are int64 sums of the same addends, associativity exact)
+    totals = bucket_w.agg(F.sum("bw").alias("tw")).withColumn(
         "off",
         F.conv(
             F.substring(F.md5(F.lit("sus-offset-v1").cast("binary")), 1, 15),
@@ -901,19 +925,14 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
     )
     is_target = F.col("source") == DSIR_TARGET_SOURCE
-    tgt = feats.filter(is_target).groupBy("b").agg(
-        F.count(F.lit(1)).alias("tc")
-    )
-    raw = feats.filter(~is_target).groupBy("b").agg(
-        F.count(F.lit(1)).alias("rc")
-    )
-    lam = (
-        tgt.join(raw, "b", "full_outer")
-        .select(
-            "b",
-            F.coalesce("tc", F.lit(0)).alias("tc"),
-            F.coalesce("rc", F.lit(0)).alias("rc"),
-        )
+    # ONE conditional aggregation fits both models (r10 review): the
+    # previous two filtered groupBys each re-ran the corpus-sized
+    # explode+hash subplan and needed a full_outer join + coalesce pair
+    # to reunite the 256 buckets; a single pass over the feature stream
+    # computes both counts with the same map-side combine.
+    lam = feats.groupBy("b").agg(
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("tc"),
+        F.sum(F.when(~is_target, 1).otherwise(0)).alias("rc"),
     )
     tot = lam.agg(F.sum("tc").alias("_tt"), F.sum("rc").alias("_rt"))
     lam = lam.crossJoin(F.broadcast(tot)).select(
@@ -1101,18 +1120,24 @@ def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = per_lang.select("lang", "n_docs", "n_tokens",
                                s_micro.alias("s_micro"))
     tot = weighted.agg(F.sum("s_micro").alias("_ts"))
+    # token_budget is computed once and oversample_factor derives from
+    # the COLUMN (r10 review): a duplicated allocation expression would
+    # let a future rule edit silently desynchronize the two.
     return (
         weighted.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "token_budget",
+            F.expr(f"CAST(({MIX_TOKEN_BUDGET} * s_micro) div _ts AS BIGINT)"),
+        )
         .select(
             "lang",
             "n_docs",
             "n_tokens",
             "s_micro",
-            F.expr(f"CAST(({MIX_TOKEN_BUDGET} * s_micro) div _ts AS BIGINT)")
-                .alias("token_budget"),
+            "token_budget",
             (
-                F.expr(f"CAST(({MIX_TOKEN_BUDGET} * s_micro) div _ts AS BIGINT)")
-                .cast("double") / F.col("n_tokens").cast("double")
+                F.col("token_budget").cast("double")
+                / F.col("n_tokens").cast("double")
             ).alias("oversample_factor"),
         )
         .orderBy("lang")

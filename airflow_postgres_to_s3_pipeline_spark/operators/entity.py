@@ -90,6 +90,14 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str,
 
     def blocked_pass(token_pos: int) -> DataFrame:
         key = F.split(F.col("name"), " ").getItem(token_pos)
+        if token_pos > 0:
+            # An EMPTY later token (consecutive/trailing spaces in a name)
+            # must not become a joinable '' block: getItem yields '' there
+            # while the oracle's NULLIF(split_part(...), '') yields NULL —
+            # names like 'ab ' and 'ac ' would pair on Spark but not in
+            # SQL (r10 review).  NULLIF both sides; NULL keys drop out of
+            # the inner equi-joins identically in both engines.
+            key = F.nullif(key, F.lit(""))
         blocked = names.select("name", "n_records", key.alias("blk"))
         # stop-token skew bound: drop over-frequent blocking keys
         sizes = blocked.groupBy("blk").agg(F.count(F.lit(1)).alias("bsz"))
@@ -160,8 +168,9 @@ _oracle(
         ) s USING (blk)
         WHERE s.bsz <= {MAX_BLOCK}
     ),
-    -- NULLIF mirrors Spark's split().getItem(1), which is NULL (not '')
-    -- for single-token names, so those never equi-join in pass 2
+    -- NULLIF mirrors the Spark side's nullif(getItem(1), ''): NULL for
+    -- single-token names AND for empty second tokens (consecutive or
+    -- trailing spaces), so neither ever equi-joins in pass 2
     blk2 AS (
         SELECT name, n_records,
                NULLIF(split_part(name, ' ', 2), '') AS blk

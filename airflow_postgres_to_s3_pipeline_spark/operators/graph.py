@@ -59,7 +59,11 @@ def part_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast joins of the (part-count-sized) marginals.  lift is computed
     as one integer product then a single division — no float accumulation.
     """
-    b = _baskets(spark, sf_dir)
+    # persisted: the distinct (order, part) shuffle is the heaviest stage
+    # and is consumed by FOUR references (the n_orders action, both
+    # self-join sides, the marginals) — exchange reuse dedupes within one
+    # job but not across the count action and the result job (r10 review)
+    b = tracked_persist(_baskets(spark, sf_dir))
     n_orders = b.select("l_orderkey").distinct().count()  # collection stat
     part_orders = b.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("c")

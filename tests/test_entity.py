@@ -135,3 +135,49 @@ def test_snm_recall_tradeoff_is_pinned(spark):
             "widget",
         )
     }
+
+
+def test_empty_second_token_blocking_matches_oracle(spark, tmp_path):
+    """Names with trailing/consecutive spaces produce an EMPTY second
+    token: Spark's split().getItem(1) yields '' where the oracle's
+    NULLIF yields NULL, so pass 2 must not pair such names on '' (r10
+    review — the pair ('ab ', 'ac ') formed on Spark but not in SQL).
+    Both engines now NULLIF; compare them on a planted vocabulary."""
+    import duckdb
+
+    rows = [
+        (1, "ab "),          # trailing space -> empty second token
+        (2, "ac "),          # levenshtein('ab ', 'ac ') = 1
+        (3, "xy  z"),        # consecutive spaces -> empty second token
+        (4, "xz  z"),        # would pair with 3 via blk='' without the fix
+        (5, "cold widget"),  # a genuine two-token pair
+        (6, "bold widget"),
+    ]
+    d = str(tmp_path / "parts")
+    spark.createDataFrame(rows, "p_partkey long, p_name string").write.parquet(
+        f"{d}/part.parquet"
+    )
+    got = sorted(
+        (r.name_a, r.name_b, r.edit_dist)
+        for r in entity.fuzzy_match_parts(spark, d).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW part AS SELECT * FROM '{d}/part.parquet/*.parquet'"
+    )
+    from airflow_postgres_to_s3_pipeline_spark.registry import ORACLES
+
+    want = sorted(
+        (r[0], r[1], r[2])
+        for r in con.sql(ORACLES["fuzzy_match_parts"]).fetchall()
+    )
+    assert got == want
+    # the genuine pair survives; pass 1 still pairs 'ab '/'ac ' on their
+    # FIRST tokens? no — 'ab' != 'ac' — so they pair only via the (kept)
+    # levenshtein over pass-1 blocks when first tokens match, which they
+    # don't here: the empty-token pairs must be absent entirely
+    names = {(a, b) for a, b, _ in got}
+    assert ("cold widget", "bold widget") in names or (
+        "bold widget", "cold widget") in names
+    assert ("ab ", "ac ") not in names
+    assert ("xy  z", "xz  z") not in names
