@@ -43,17 +43,22 @@ ZORDER_MAX_PARTKEY = 180
 
 
 def _roundtrip_dir(prefix: str, sf_dir: str) -> str:
-    """Pid-suffixed scratch dir for a write->read roundtrip entry.
+    """Per-CALL scratch dir for a write->read roundtrip entry.
 
     The pid suffix keeps concurrent harnesses (pytest + oracle sweep +
-    the driver) off each other's layouts, but it also means a new
-    process never reuses an old dir — so each dir is registered for
-    atexit removal, otherwise every bench round / driver session leaves
-    a full table copy under /tmp.
+    the driver) off each other's layouts; the per-call counter keeps a
+    SECOND invocation in the same process off the files that still back
+    the FIRST call's lazy DataFrame — with a pid-only suffix, re-running
+    the entry overwrote the directory under the earlier frame, so
+    collecting it later read partial/deleted files (r10 review).  Every
+    dir is registered for atexit removal, otherwise each bench round /
+    driver session leaves table copies under /tmp.
     """
+    _CALL_COUNTER[prefix] = _CALL_COUNTER.get(prefix, 0) + 1
     out = os.path.join(
         f"/tmp/spark_graft_{prefix}",
-        f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}_{_CALL_COUNTER[prefix]}",
     )
     if out not in _CLEANUP_DIRS:
         _CLEANUP_DIRS.add(out)
@@ -62,6 +67,7 @@ def _roundtrip_dir(prefix: str, sf_dir: str) -> str:
 
 
 _CLEANUP_DIRS: set[str] = set()
+_CALL_COUNTER: dict[str, int] = {}
 
 
 def zorder_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

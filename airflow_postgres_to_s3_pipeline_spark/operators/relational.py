@@ -639,7 +639,13 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
             building.intersect(wealthy).select(F.lit("intersect").alias("op"), "c_custkey")
         )
         .unionByName(
-            building.exceptAll(wealthy).distinct().select(
+            # subtract IS SQL EXCEPT (distinct, set semantics).  The
+            # earlier exceptAll().distinct() diverges whenever the left
+            # bag holds duplicates that also appear on the right (A=[1,1,2]
+            # B=[1]: EXCEPT -> [2], exceptAll+distinct -> [1,2]) — masked
+            # here only because c_custkey is unique per customer (r10
+            # review); the ALL tier lives in set_operations_all.
+            building.subtract(wealthy).select(
                 F.lit("except").alias("op"), "c_custkey"
             )
         )
@@ -747,6 +753,11 @@ def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.count(F.lit(1)))
+        # pivot+count yields NULL (not 0) for a (priority, status) combo
+        # with no rows, while the oracle's COUNT(CASE...) yields 0 — all
+        # 15 combos exist on today's corpora, but a filtered batch would
+        # desync the engines (r10 review); fill makes absent = 0 like SQL
+        .na.fill(0, ["F", "O", "P"])
     )
 
 

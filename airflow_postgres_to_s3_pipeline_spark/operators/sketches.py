@@ -133,11 +133,20 @@ _oracle(
 )
 
 
+HEAVY_HITTERS_PPM = 2000
+"""Shared threshold, interpolated into the oracle below — the module's
+constant-sharing convention (APPROX_TOPK_K) — so a caller overriding
+``threshold_ppm`` cannot silently compare against a 2000-ppm oracle
+(r10 review)."""
+
+
 def heavy_hitters_terms(spark: SparkSession, sf_dir: str,
-                        threshold_ppm: int = 2000) -> DataFrame:
+                        threshold_ppm: int = HEAVY_HITTERS_PPM) -> DataFrame:
     """Exact heavy hitters: words above threshold_ppm parts-per-million of
     total corpus tokens.  Two shuffles (term count + scalar total broadcast);
-    the sketch path (Count-Min) approximates exactly this output."""
+    the sketch path (Count-Min) approximates exactly this output.  The
+    registered oracle is generated at HEAVY_HITTERS_PPM — re-register via
+    ``_heavy_hitters_oracle(ppm)`` when calling with another threshold."""
     d = table(spark, sf_dir, "documents")
     tokens = d.select(F.explode(F.split("text", " ")).alias("term")).filter(
         F.length("term") > 0
@@ -155,9 +164,8 @@ def heavy_hitters_terms(spark: SparkSession, sf_dir: str,
     )
 
 
-_oracle(
-    "heavy_hitters_terms",
-    """
+def _heavy_hitters_oracle(threshold_ppm: int = HEAVY_HITTERS_PPM) -> str:
+    return f"""
     WITH tokens AS (
         SELECT UNNEST(string_split(text, ' ')) AS term FROM documents
     ), t2 AS (
@@ -169,9 +177,11 @@ _oracle(
     )
     SELECT term, freq, freq * 1000000 / CAST(total AS DOUBLE) AS ppm
     FROM counts, total
-    WHERE freq * 1000000 >= 2000 * total
-    """,
-)
+    WHERE freq * 1000000 >= {threshold_ppm} * total
+    """
+
+
+_oracle("heavy_hitters_terms", _heavy_hitters_oracle())
 
 
 APPROX_TOPK_K = 8
@@ -200,7 +210,7 @@ def approx_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"approx_top_k(word, {APPROX_TOPK_K})").alias("tk")
     )
     topk = sketch.select(
-        F.posexplode("tk").alias("pos", "entry")
+        F.explode("tk").alias("entry")
     ).select(
         F.col("entry.item").alias("_item"),
         F.col("entry.count").alias("approx_count"),

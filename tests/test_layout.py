@@ -272,3 +272,18 @@ def test_nested_struct_roundtrip_matches_flat_recompute(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_roundtrip_reinvocation_keeps_prior_frame_readable(spark, sf_dir):
+    """A second call to a roundtrip entry must NOT overwrite the files
+    backing the first call's lazy DataFrame (r10 review: the pid-only
+    scratch suffix made call 2's mode='overwrite' delete call 1's layout
+    mid-lifetime).  Build frame 1, invoke again, then collect frame 1."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import (
+        layout as layout_ops,
+    )
+
+    df1 = layout_ops.orc_scan_roundtrip(spark, sf_dir)
+    first = df1.collect()
+    layout_ops.orc_scan_roundtrip(spark, sf_dir).collect()
+    assert df1.collect() == first
