@@ -9,6 +9,7 @@ partition pruning in play (verify with ``df.explain('formatted')`` —
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -50,17 +51,47 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# per-session cache of analyzed table DataFrames: spark.read.parquet
+# resolves the schema from a footer at creation, so re-creating the frame
+# for every operator call re-pays one footer read per table per query
+# (the r10 review measured register_views re-reading all 10 footers per
+# SQL-surface call).  A DataFrame is an immutable plan — reusing it is
+# semantically identical — but its FILE LISTING is resolved eagerly, so
+# only the immutable driver testdata roots are cached: a test/smoke corpus
+# rewritten in place between calls must be re-listed, exactly as before.
+# Weak keying drops the cache with the session.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+_IMMUTABLE_ROOT = "/root/testdata/"
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table as a DataFrame (schema comes from parquet);
     ``events.ts`` is normalized to TIMESTAMP (see normalize_events_ts)."""
     tune_runtime(spark)
+    abs_dir = os.path.abspath(sf_dir)
+    cacheable = (abs_dir + "/").startswith(_IMMUTABLE_ROOT)
+    if cacheable:
+        per_session = _TABLE_CACHE.setdefault(spark, {})
+        df = per_session.get((abs_dir, name))
+        if df is not None:
+            return df
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_events_ts(df)
+    if cacheable:
+        per_session[(abs_dir, name)] = df
     return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every testdata table as a temp view for Spark SQL queries."""
+    """Register every testdata table as a temp view for Spark SQL queries.
+
+    Re-registration on every call is deliberate (self-healing if a caller
+    clobbered a view name); it's a catalog-only operation — the I/O-bearing
+    part, footer/schema resolution, is cached per session in ``table``.
+    """
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)

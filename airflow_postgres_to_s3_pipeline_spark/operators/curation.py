@@ -59,36 +59,39 @@ def stratified_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Rank = row_number over (md5(doc_id), doc_id) inside the stratum: a pure
     function of the rows, so the SAME K docs are chosen on any engine or
-    partitioning.  ONE shuffle on the stratum key serves both the rank
-    and the stratum-size count (a whole-partition window on the same
-    keys), so the corpus is scanned once with no totals join.  Returns
-    the kept docs' per-stratum count and char volume plus the stratum's
-    original size — the quota audit a curation run logs.
+    partitioning.  The rn <= K filter makes the ranking window a
+    WindowGroupLimit (top-K pushdown): each map partition forwards at
+    most K rows per stratum into the exchange, so the shuffle carries
+    ~K x strata x map-partitions rows, not the corpus.  stratum_size
+    comes from a SECOND scan with a map-side partial count (the shuffle
+    is strata-sized) joined back by broadcast.  The tempting
+    "one-shuffle" alternative — a whole-partition count(*) window on the
+    same keys — was tried in r10 and reverted: counting every row from
+    inside the window plan defeats WindowGroupLimit, so the ENTIRE corpus
+    crosses the stratum exchange.  At 100 TB a second linear parquet scan
+    (columnar, footer-pruned to 4 columns) plus a tiny broadcast join is
+    orders cheaper than shuffling 100 TB.
     """
     d = table(spark, sf_dir, "documents")
     rank_key = F.md5(
         F.concat(F.col("doc_id").cast("string"), F.lit("-strat")).cast("binary")
     )
     w = Window.partitionBy("lang", "source").orderBy(rank_key, "doc_id")
-    # stratum_size rides the SAME (lang, source) exchange as the ranking
-    # window (r10 review): the former separate groupBy re-scanned the
-    # corpus and paid a join; a whole-partition count window reuses the
-    # shuffle the row_number already requires.  (This forgoes the
-    # WindowGroupLimit pre-shuffle top-K prune — the quota audit needs
-    # every row counted, so the full partition must arrive either way.)
-    wsz = Window.partitionBy("lang", "source")
     ranked = d.select(
-        "lang",
-        "source",
-        "n_chars",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wsz).alias("stratum_size"),
+        "lang", "source", "n_chars", F.row_number().over(w).alias("rn")
     )
     kept = ranked.filter(F.col("rn") <= STRATA_K)
-    return kept.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.sum("n_chars").alias("kept_chars"),
-        F.min("stratum_size").alias("stratum_size"),
+    # strata-count-sized after the map-side partial agg — broadcast it
+    totals = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("stratum_size")
+    )
+    return (
+        kept.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .join(F.broadcast(totals), ["lang", "source"])
     )
 
 

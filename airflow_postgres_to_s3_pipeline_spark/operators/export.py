@@ -65,10 +65,17 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     a Postgres->S3 handoff needs on BOTH ends (the reference ships CSVs
     with no way to prove the lake copy equals the source;
     dags/airbnb_postgres_to_s3.py:149 just uploads).  Rows are
-    canonically serialized, hashed, and combined with BIT_XOR — a
+    canonically serialized, hashed, and combined with SUM mod 2^60 — a
     commutative/associative fold, so the checksum is independent of row
     order, partitioning, and engine, and two sides can each compute it
-    locally and compare one number per export partition.
+    locally and compare one number per export partition.  SUM, not
+    BIT_XOR (the r10 review): under XOR any row duplicated an EVEN
+    number of times cancels out entirely, so {A,A,rest} and {B,B,rest}
+    share both n_rows and fingerprint — exactly the duplicate-and-drop
+    corruption an export integrity check exists to catch.  Under SUM
+    every multiplicity shifts the total; mod 2^60 keeps the fold in the
+    60-bit domain both engines compute exactly (the sum itself runs in
+    DECIMAL(38,0)/HUGEINT, overflow-free past 2^66 rows).
 
     Serialization discipline: every column is cast to a type with ONE
     cross-engine string form — ints/strings/dates verbatim, the money
@@ -79,8 +86,8 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialize identically), so per-column coalesce is load-bearing, not
     defensive.
 
-    Scale shape: map-side BIT_XOR partials per o_orderdate group — one
-    thin shuffle of (date, 64-bit) partials regardless of table size.
+    Scale shape: map-side SUM partials per o_orderdate group — one thin
+    shuffle of (date, decimal) partials regardless of table size.
     """
     from airflow_postgres_to_s3_pipeline_spark.catalog import table
     from pyspark.sql import functions as F
@@ -107,7 +114,12 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("export_date")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.expr("bit_xor(h)").alias("fingerprint"),
+            (
+                F.sum(F.col("h").cast("decimal(38,0)"))
+                % F.lit(2**60).cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("fingerprint"),
         )
     )
 
@@ -116,7 +128,7 @@ ORACLES: dict[str, str] = {
     "table_fingerprint": r"""
     SELECT o_orderdate AS export_date,
            COUNT(*) AS n_rows,
-           BIT_XOR(('0x' || substring(md5(
+           CAST(SUM(('0x' || substring(md5(
                COALESCE(CAST(o_orderkey AS VARCHAR), '\N') || '|' ||
                COALESCE(CAST(o_custkey AS VARCHAR), '\N') || '|' ||
                COALESCE(o_orderstatus, '\N') || '|' ||
@@ -124,7 +136,8 @@ ORACLES: dict[str, str] = {
                         '\N') || '|' ||
                COALESCE(CAST(o_orderdate AS VARCHAR), '\N') || '|' ||
                COALESCE(o_orderpriority, '\N')
-           ), 1, 15))::BIGINT) AS fingerprint
+           ), 1, 15))::BIGINT)
+                % 1152921504606846976 AS BIGINT) AS fingerprint
     FROM orders
     GROUP BY o_orderdate
     """,

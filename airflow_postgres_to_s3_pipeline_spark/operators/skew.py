@@ -77,7 +77,7 @@ def salted_aggregate(
                     f"{sorted(_MERGE_FNS)}, got {merge!r}"
                 )
         else:
-            builder, merge = spec, _infer_merge(name, str(spec()))
+            builder, merge = spec, _infer_merge(name, spec())
         specs[name] = (builder, merge)
     salted = with_salt(df, n_salts, deterministic_by=salt_source)
     phase1 = salted.groupBy(*group_cols, "_salt").agg(
@@ -91,40 +91,57 @@ def salted_aggregate(
     )
 
 
-def _infer_merge(name: str, expr_str: str) -> str:
-    """Infer the phase-2 merge for a plain aggregate from its expression
-    string; raise for anything whose partials don't merge by sum/min/max.
-    The OUTERMOST aggregate decides (earliest token — cast wrappers aside),
-    so ``cast(sum(x) as double)`` infers "sum"."""
-    mergeable = {"sum(": "sum", "count(": "sum", "min(": "min", "max(": "max"}
-    unmergeable = (
-        "avg(", "mean(", "first(", "last(", "collect_list(", "collect_set(",
-        "stddev", "var_", "variance(", "percentile", "approx_", "corr(",
-        "covar_", "median(", "mode(", "count(distinct",
-    )
-    s = expr_str.lower()
-    best: str | None = None
-    best_pos = len(s) + 1
-    for tok, merge in mergeable.items():
-        pos = s.find(tok)
-        if 0 <= pos < best_pos:
-            best, best_pos = merge, pos
-    # <= so the longer, more specific token wins a tie at the same offset
-    # ("count(distinct" vs "count(").
-    for tok in unmergeable:
-        pos = s.find(tok)
-        if 0 <= pos <= best_pos:
-            raise ValueError(
-                f"aggregate {name!r} ({expr_str}): partials of {tok!r} do "
-                "not merge by sum/min/max — pass an explicit "
-                "(builder, merge) spec or decompose the aggregate"
-            )
-    if best is None:
-        raise ValueError(
-            f"aggregate {name!r} ({expr_str}): cannot infer a merge — pass "
-            "an explicit (builder, merge) spec"
+# top-level aggregate function -> how its per-salt partials combine.
+# count partials merge as sum.
+_INFERABLE_FNS = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def _infer_merge(name: str, col: Column) -> str:
+    """Infer the phase-2 merge for a plain aggregate from its unresolved
+    Catalyst tree; raise for anything whose partials don't merge by
+    sum/min/max.  The column's TOP node (Cast/Alias wrappers unwrapped)
+    must itself be a non-DISTINCT sum/count/min/max call: string matching
+    on ``str(col)`` is NOT sound here — Spark renders ``sum_distinct(x)``
+    as "sum(x)" (the DISTINCT flag lives on the node, invisible in the
+    string) and a composite like ``sum(x)/count(x)`` contains "sum(" even
+    though its top node is "/" — both previously inferred "sum" and
+    silently double-counted across salt buckets."""
+
+    def _fail(why: str) -> ValueError:
+        return ValueError(
+            f"aggregate {name!r} ({col}): {why} — pass an explicit "
+            "(builder, merge) spec or decompose the aggregate "
+            "(avg = merged sum / merged count)"
         )
-    return best
+
+    try:
+        node = col._jc.node()
+        for _ in range(8):
+            cls = node.getClass().getSimpleName()
+            if cls in ("Cast", "Alias"):
+                node = node.child()
+            else:
+                break
+        cls = node.getClass().getSimpleName()
+        if cls != "UnresolvedFunction":
+            raise _fail(f"top expression node is {cls}, not an aggregate call")
+        fn = node.functionName().lower()
+        distinct = bool(node.isDistinct())
+    except ValueError:
+        raise
+    except Exception as exc:  # no classic-mode column tree (e.g. Connect)
+        raise _fail(
+            f"cannot introspect the expression tree ({type(exc).__name__})"
+        ) from exc
+    if distinct:
+        raise _fail(
+            f"partials of {fn.upper()}(DISTINCT ...) do not merge — a value "
+            "present under two salts would be counted twice"
+        )
+    merge = _INFERABLE_FNS.get(fn)
+    if merge is None:
+        raise _fail(f"partials of {fn!r} do not merge by sum/min/max")
+    return merge
 
 
 def salted_broadcast_left(

@@ -27,6 +27,8 @@ exactly one partition.
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -88,11 +90,18 @@ def read_snapshots(
     )
 
 
-def with_batch_columns(df: DataFrame) -> DataFrame:
+def with_batch_columns(df: DataFrame, ds: str | None = None) -> DataFrame:
     """L1's DEFAULT-column semantics: engine-side load_date/processed_at
     (the reference relies on Postgres DEFAULTs by omitting the columns from
-    the COPY list, dags/airbnb_postgres_to_s3.py:96-115)."""
-    return df.withColumn("load_date", F.current_date()).withColumn(
+    the COPY list, dags/airbnb_postgres_to_s3.py:96-115).
+
+    ``ds`` (ISO date) pins the batch date like Airflow's ``{{ ds }}`` did
+    in the reference; without it the plan-evaluated ``current_date()`` is
+    used — fine for a standalone load, but a multi-step run must pass one
+    ``ds`` to every step (see ``run_pipeline``) or a run crossing UTC
+    midnight stamps and exports DIFFERENT dates."""
+    load_date = F.to_date(F.lit(ds)) if ds is not None else F.current_date()
+    return df.withColumn("load_date", load_date).withColumn(
         "processed_at", F.current_timestamp()
     )
 
@@ -156,15 +165,32 @@ def run_pipeline(
     warehouse_path: str,
     export_path: str,
     export_fmt: str = "csv",
+    ds: str | None = None,
 ) -> DataFrame:
     """The whole reference DAG as one lazy Spark program (SURVEY.md §3.1).
 
     download >> preprocess >> create_table >> load >> transfer becomes a
     single linear plan; returns the exported DataFrame for inspection.
+
+    One batch date (``ds``, defaulting to the driver's UTC today, resolved
+    ONCE here) is threaded through both the load stamp and the export
+    predicate — the reference got this stability from Airflow's ``{{ ds }}``
+    macro on both sides.  Evaluating ``current_date()`` independently in
+    each plan (the pre-r10 shape) silently exported ZERO rows when the run
+    crossed UTC midnight: the load stamped 2026-08-15, the export filtered
+    2026-08-16, and the empty file wrote without error.
     """
+    if ds is None:
+        ds = datetime.datetime.now(datetime.timezone.utc).date().isoformat()
+    # defense in depth: a malformed ds must fail here, not inject SQL
+    ds = datetime.date.fromisoformat(ds).isoformat()
     raw = read_snapshots(spark, snapshot_paths)
-    staged = with_batch_columns(raw)
+    staged = with_batch_columns(raw, ds)
     load_warehouse(staged, warehouse_path)
-    result = export_query(spark, warehouse_path)
+    result = export_query(
+        spark,
+        warehouse_path,
+        query=f"SELECT * FROM listings WHERE load_date = DATE'{ds}'",
+    )
     export_to_storage(result, export_path, export_fmt)
     return result

@@ -14,6 +14,7 @@ Scale posture (100 TB north star):
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -68,13 +69,28 @@ def get_spark(
     return builder.getOrCreate()
 
 
+# sessions already tuned, mapped to the AQE flag they were tuned with —
+# weak keys so a stopped session's entry dies with it.  catalog.table calls
+# tune_runtime before EVERY query (the vanilla-driver guarantee), which was
+# 5 redundant conf RPCs per table read once the session is tuned (r10
+# review); the memo keeps the guarantee at zero marginal cost and re-tunes
+# if SPARK_GRAFT_AQE changes between calls.
+_TUNED: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def tune_runtime(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an externally created session.
 
     The driver harness passes us its own SparkSession; these confs are the
     subset we rely on for correctness (timezone-stable timestamps, arrow
-    batching) and can be set after JVM start.
+    batching) and can be set after JVM start.  Idempotent and memoized —
+    callers may (and do) invoke it before every query.
     """
+    aqe_flag = os.environ.get("SPARK_GRAFT_AQE", "")
+    if _TUNED.get(spark) == aqe_flag:
+        return spark
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set(
@@ -90,4 +106,5 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
     # The testdata writes TIMESTAMP(NANOS) parquet, which Spark rejects by
     # default; read as int64 and convert explicitly (catalog.table).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _TUNED[spark] = aqe_flag
     return spark

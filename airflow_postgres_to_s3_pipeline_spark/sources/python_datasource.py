@@ -95,6 +95,17 @@ class SyntheticEventsDataSource(DataSource):
         return SCHEMA_DDL
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        # with_ts is a STREAM-reader tier (event time is keyed off the
+        # micro-batch counter, which a batch scan doesn't have).  schema()
+        # advertises the ts column whenever the option is set, so letting a
+        # batch read proceed would crash every partition on a 4-tuple vs
+        # 5-field schema mismatch — reject the combination up front instead.
+        if self.options.get("with_ts", "false").lower() == "true":
+            raise ValueError(
+                "synthetic_events: with_ts=true is only supported for "
+                "readStream (event time derives from the micro-batch "
+                "counter); use spark.readStream or drop the option"
+            )
         return _EventsReader(self.options)
 
     def streamReader(self, schema: StructType) -> "DataSourceStreamReader":
@@ -362,12 +373,14 @@ class SyntheticEventsRestartableDataSource(DataSource):
 # ---------------------------------------------------------------------------
 # Writer tier (Spark 4 DataSourceWriter / DataSourceStreamWriter): a
 # two-phase-commit JSON-lines directory sink.  Executors stage each task's
-# rows under <path>/_staging/<uuid>.jsonl and return the staged name as
-# their WriterCommitMessage; the DRIVER's commit() promotes exactly the
-# acknowledged files and writes a _SUCCESS manifest — so a failed/retried
-# task can never leak half-written output into the committed set (the same
-# protocol FileFormatWriter implements for parquet).  abort() discards the
-# staging dir.  Local-FS paths here; on a cluster the path must be shared
+# rows under <path>/_staging/<writer-or-task-uuid>/<uuid>.jsonl and return
+# the staged dir + name as their WriterCommitMessage; the DRIVER's commit()
+# promotes exactly the acknowledged files and writes a _SUCCESS manifest —
+# so a failed/retried task can never leak half-written output into the
+# committed set (the same protocol FileFormatWriter implements for parquet,
+# with the uuid subdir playing its per-jobId role so concurrent writes to
+# one path cannot see each other's staged files).  abort() discards only
+# this write's staging dirs.  Local-FS paths here; on a cluster the path must be shared
 # storage (s3a://, hdfs://) exactly as with any file sink.
 # ---------------------------------------------------------------------------
 
@@ -384,13 +397,18 @@ from pyspark.sql.datasource import (  # noqa: E402
 
 
 class _StagedFile(WriterCommitMessage):
-    def __init__(self, name: str, n_rows: int):
+    def __init__(self, name: str, n_rows: int, staged_dir: str):
         self.name = name
         self.n_rows = n_rows
+        # full staging dir, carried IN the commit message: the streaming
+        # commit runs in a separate Python process that RE-INSTANTIATES the
+        # writer (PythonStreamingSinkCommitRunner), so any id minted in
+        # __init__ differs between the task side and the commit side — the
+        # message is the only channel that survives the hop
+        self.staged_dir = staged_dir
 
 
-def _stage_rows(path: str, iterator) -> "_StagedFile":
-    staging = _os.path.join(path, "_staging")
+def _stage_rows(staging: str, iterator) -> "_StagedFile":
     _os.makedirs(staging, exist_ok=True)
     name = f"{_uuid.uuid4().hex}.jsonl"
     n = 0
@@ -398,13 +416,32 @@ def _stage_rows(path: str, iterator) -> "_StagedFile":
         for row in iterator:
             f.write(_json.dumps(row.asDict()) + "\n")
             n += 1
-    return _StagedFile(name, n)
+    return _StagedFile(name, n, staging)
+
+
+def _cleanup_staging(staging: str) -> None:
+    """Remove ONE writer's staging dir, then the shared _staging root if
+    (and only if) no other writer still has files there."""
+    _shutil.rmtree(staging, ignore_errors=True)
+    try:
+        _os.rmdir(_os.path.dirname(staging))  # fails non-empty: that's fine
+    except OSError:
+        pass
 
 
 class _JsonDirWriter(DataSourceWriter):
     def __init__(self, options: dict):
         self.path = options["path"]
         self.fail_on_partition = int(options.get("fail_on_partition", "-1"))
+        # Per-WRITER staging subdir (the uuid is minted on the driver and
+        # rides the pickle to every task), exactly as FileFormatWriter
+        # stages under a per-jobId directory: two concurrent writes to the
+        # same path must not see — let alone rmtree — each other's staged
+        # files.  With a shared <path>/_staging, writer A's commit
+        # destroyed writer B's in-flight staged files (r10 review).
+        self._staging = _os.path.join(
+            options["path"], "_staging", _uuid.uuid4().hex
+        )
 
     def write(self, iterator):
         from pyspark import TaskContext
@@ -412,27 +449,24 @@ class _JsonDirWriter(DataSourceWriter):
         pid = TaskContext.get().partitionId()
         if pid == self.fail_on_partition:  # test hook: simulated task crash
             raise RuntimeError(f"simulated failure on partition {pid}")
-        return _stage_rows(self.path, iterator)
+        return _stage_rows(self._staging, iterator)
 
     def commit(self, messages):
-        staging = _os.path.join(self.path, "_staging")
         names = []
         total = 0
         for m in messages:
             _os.rename(
-                _os.path.join(staging, m.name),
+                _os.path.join(self._staging, m.name),
                 _os.path.join(self.path, m.name),
             )
             names.append(m.name)
             total += m.n_rows
         with open(_os.path.join(self.path, "_SUCCESS"), "w") as f:
             _json.dump({"files": sorted(names), "rows": total}, f)
-        _shutil.rmtree(staging, ignore_errors=True)
+        _cleanup_staging(self._staging)
 
     def abort(self, messages):
-        _shutil.rmtree(
-            _os.path.join(self.path, "_staging"), ignore_errors=True
-        )
+        _cleanup_staging(self._staging)
 
 
 class _JsonDirStreamWriter(DataSourceStreamWriter):
@@ -446,10 +480,16 @@ class _JsonDirStreamWriter(DataSourceStreamWriter):
         self.path = options["path"]
 
     def write(self, iterator):
-        return _stage_rows(self.path, iterator)
+        # per-TASK uuid staging dir; the commit message carries the dir
+        # (see _StagedFile.staged_dir — the streaming commit re-instantiates
+        # this writer in another process, so writer state can't be shared
+        # between write() and commit()).  Isolation from any concurrent
+        # write to the same path comes for free: nothing touches a staging
+        # dir it didn't stage.
+        staging = _os.path.join(self.path, "_staging", _uuid.uuid4().hex)
+        return _stage_rows(staging, iterator)
 
     def commit(self, messages, batchId: int) -> None:
-        staging = _os.path.join(self.path, "_staging")
         batch_dir = _os.path.join(self.path, f"batch={batchId}")
         if _os.path.isdir(batch_dir):  # replayed batch: replace, don't dup
             _shutil.rmtree(batch_dir)
@@ -458,18 +498,23 @@ class _JsonDirStreamWriter(DataSourceStreamWriter):
         total = 0
         for m in messages:
             _os.rename(
-                _os.path.join(staging, m.name),
+                _os.path.join(m.staged_dir, m.name),
                 _os.path.join(batch_dir, m.name),
             )
             names.append(m.name)
             total += m.n_rows
         with open(_os.path.join(batch_dir, "_MANIFEST"), "w") as f:
             _json.dump({"files": sorted(names), "rows": total}, f)
+        for m in messages:
+            _cleanup_staging(m.staged_dir)
 
     def abort(self, messages, batchId: int) -> None:
-        _shutil.rmtree(
-            _os.path.join(self.path, "_staging"), ignore_errors=True
-        )
+        # only the acknowledged tasks' staging dirs: a crashed task's
+        # orphan (bounded, underscore-hidden) beats rmtree-ing a dir a
+        # concurrent writer to the same path may still be staging into
+        for m in messages:
+            if m is not None:
+                _cleanup_staging(m.staged_dir)
 
 
 class JsonDirSinkDataSource(DataSource):

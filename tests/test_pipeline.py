@@ -57,6 +57,29 @@ def test_default_columns_populated(spark, tmp_path):
     assert row["processed_at"] is not None
 
 
+def test_pinned_ds_threads_load_and_export(spark, tmp_path):
+    """One explicit batch date must govern BOTH the load stamp and the
+    export predicate (the reference used Airflow's {{ ds }} on both sides).
+    Before r10, run_pipeline planned current_date() independently at load
+    and export time, so a run crossing UTC midnight exported zero rows
+    silently.  A pinned non-today ds proves the export filters on the
+    threaded date, not on a re-evaluated clock."""
+    import pytest
+
+    csv = _write_snapshot(tmp_path, "s1.csv", [ROW_FULL, ROW_NULLS])
+    wh = os.path.join(str(tmp_path), "warehouse")
+    ex = os.path.join(str(tmp_path), "export")
+    result = pipeline.run_pipeline(spark, [csv], wh, ex, ds="2024-03-09")
+    rows = result.collect()
+    assert len(rows) == 2
+    assert all(r["load_date"].isoformat() == "2024-03-09" for r in rows)
+    # a malformed / injection-shaped ds fails fast, before any write
+    with pytest.raises(ValueError):
+        pipeline.run_pipeline(
+            spark, [csv], wh, ex, ds="2024-03-09' OR '1'='1"
+        )
+
+
 def test_idempotent_rerun(spark, tmp_path):
     """Running the same batch twice must not duplicate rows (the reference's
     delete-then-reload pattern, replaced by dynamic partition overwrite)."""

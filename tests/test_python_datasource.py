@@ -127,6 +127,68 @@ def test_json_dir_sink_batch_two_phase_commit(spark, tmp_path):
     )
 
 
+def test_json_dir_sink_concurrent_writers_isolated(tmp_path):
+    """Two writers targeting the same path stage under per-writer UUID
+    subdirs (the FileFormatWriter per-jobId pattern): one writer's
+    commit/abort must not see — let alone delete — the other's in-flight
+    staged files.  Before r10 both shared <path>/_staging and commit()
+    rmtree'd the whole thing, destroying any overlapping write."""
+    import os
+
+    from pyspark.sql import Row
+
+    from airflow_postgres_to_s3_pipeline_spark.sources.python_datasource import (
+        _JsonDirWriter,
+        _stage_rows,
+    )
+
+    out = str(tmp_path / "sink_conc")
+    os.makedirs(out)
+    wa = _JsonDirWriter({"path": out})
+    wb = _JsonDirWriter({"path": out})
+    assert wa._staging != wb._staging
+    ma = _stage_rows(wa._staging, iter([Row(id=1), Row(id=2)]))
+    mb = _stage_rows(wb._staging, iter([Row(id=3)]))
+    wa.commit([ma])  # A commits while B's staged file is still in flight
+    assert os.path.exists(os.path.join(wb._staging, mb.name)), (
+        "A's commit destroyed B's staged file"
+    )
+    wb.commit([mb])
+    committed = [p for p in os.listdir(out) if p.endswith(".jsonl")]
+    assert sorted(committed) == sorted([ma.name, mb.name])
+    assert not os.path.isdir(os.path.join(out, "_staging")), (
+        "shared staging root must be gone once the last writer commits"
+    )
+    # abort path: a third writer's abort leaves committed output intact
+    wc = _JsonDirWriter({"path": out})
+    _stage_rows(wc._staging, iter([Row(id=9)]))
+    wc.abort([])
+    assert sorted(
+        p for p in os.listdir(out) if p.endswith(".jsonl")
+    ) == sorted(committed)
+
+
+def test_synthetic_events_batch_rejects_with_ts(spark):
+    """with_ts is a stream-reader tier; schema() advertises ts whenever the
+    option is set, but the batch reader never emits it — a batch read must
+    fail fast at plan time, not crash per-partition on a tuple/schema
+    mismatch (r10 review)."""
+    import pytest as _pytest
+
+    from airflow_postgres_to_s3_pipeline_spark.sources.python_datasource import (
+        SyntheticEventsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    with _pytest.raises(Exception, match="with_ts"):
+        (
+            spark.read.format("synthetic_events")
+            .option("with_ts", "true")
+            .load()
+            .count()
+        )
+
+
 def test_json_dir_sink_failed_task_commits_nothing(spark, tmp_path):
     """Two-phase commit contract: a task failure means NO _SUCCESS and no
     committed data files — partial task output stays in staging only."""

@@ -148,6 +148,70 @@ def test_salted_aggregate_rejects_unmergeable(spark):
         )
 
 
+def test_salted_aggregate_rejects_distinct(spark):
+    """sum_distinct/count_distinct partials double-count values present
+    under two salt buckets.  Spark renders them as plain "sum(x)" /
+    "count(x)" in Column strings (the DISTINCT flag lives on the Catalyst
+    node), so the old substring guard NEVER fired: the r10 review's live
+    repro got 120.0 for a true sum(DISTINCT)=30.0 with no error.  The
+    tree-based inference must raise."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 10.0), (1, 20.0), (2, 10.0)], ["k", "v"]
+    )
+    with pytest.raises(ValueError, match="DISTINCT"):
+        skew.salted_aggregate(
+            df, ["k"], {"sd": lambda: F.sum_distinct(F.col("v"))}, n_salts=4
+        )
+    with pytest.raises(ValueError, match="DISTINCT"):
+        skew.salted_aggregate(
+            df, ["k"], {"cd": lambda: F.count_distinct(F.col("v"))}, n_salts=4
+        )
+
+
+def test_salted_aggregate_rejects_composite(spark):
+    """A composite over mergeable aggregates (sum/count = avg) must raise,
+    not merge per-salt ratios by sum: the r10 review's live repro got 60.0
+    for a true mean of 15.0 because the substring scan found "sum(" inside
+    "/(sum(x), count(x))".  The top node is "/", not an aggregate."""
+    import pytest
+
+    df = spark.createDataFrame([(1, 10.0), (1, 20.0)], ["k", "v"])
+    with pytest.raises(ValueError, match="do not merge"):
+        skew.salted_aggregate(
+            df, ["k"], {"m": lambda: F.sum("v") / F.count("v")}, n_salts=4
+        )
+    # non-aggregate top node (arithmetic over a plain column; "*" is an
+    # UnresolvedFunction too, rejected by the same not-mergeable rule)
+    with pytest.raises(ValueError, match="do not merge"):
+        skew.salted_aggregate(
+            df, ["k"], {"x": lambda: F.col("v") * 2}, n_salts=4
+        )
+
+
+def test_salted_aggregate_infers_through_cast_and_alias(spark):
+    """Cast/Alias wrappers unwrap to the aggregate beneath: the inferred
+    merge for cast(sum(v) as double) is sum, and results match the plain
+    single-phase groupBy."""
+    df = spark.createDataFrame(
+        [(1, 1.5), (1, 2.5), (2, 4.0), (2, 6.0), (2, 10.0)], ["k", "v"]
+    )
+    out = {
+        r["k"]: (r["s"], r["n"])
+        for r in skew.salted_aggregate(
+            df,
+            ["k"],
+            {
+                "s": lambda: F.sum("v").cast("double").alias("ignored"),
+                "n": lambda: F.count(F.lit(1)),
+            },
+            n_salts=3,
+        ).collect()
+    }
+    assert out == {1: (4.0, 2), 2: (20.0, 3)}
+
+
 def test_salted_aggregate_explicit_merge_spec(spark):
     """The (builder, merge) form: min partials merged by min."""
     df = spark.createDataFrame(
