@@ -85,7 +85,12 @@ def tfidf_ml_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf_total.cast("long").alias("tf_total"),
         ((n_buckets >= 1) & (n_buckets <= n_distinct))
         .alias("buckets_within_bound"),
-        (F.array_max(tfidf_arr) >= 0.0).alias("weight_nonneg"),
+        # array_MIN, not max (r10 review): on a mostly-zero dense vector
+        # max >= 0 is vacuously true, so a negative IDF weight could never
+        # trip it; min == 0 when every weight is nonnegative and goes
+        # negative with the first bad weight.  ArrayMin is a codegen'd
+        # JVM builtin, not an interpreted HOF.
+        (F.array_min(tfidf_arr) >= 0.0).alias("weight_nonneg"),
     )
 
 

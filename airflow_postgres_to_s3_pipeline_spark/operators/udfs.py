@@ -113,30 +113,62 @@ _oracle(
 
 
 def apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped applyInPandas: z-score of customer balance within segment.
+    """Grouped applyInPandas: z-score of customer balance within segment,
+    emitted as FLOOR(z * 1e4) bigint.
 
     The group key (mktsegment) is low-cardinality but each group fits
     executor memory by construction at any SF (bounded customers/segment x
     fixed row width); for unbounded groups use window functions instead
     (see windows.py) — noted here because applyInPandas materializes each
     group in one pandas frame.
+
+    Determinism (r10 review — the old pandas mean/std + round(4) relied on
+    the corpus avoiding ties: pandas pairwise summation vs DuckDB streaming
+    AVG/STDDEV differ in trailing ULPs, round is half-even in pandas vs
+    half-away in DuckDB, and a 1-row group gave NaN vs NULL).  Now both
+    engines compute the SAME exact integer moments in the cents domain
+    (c_acctbal is DECIMAL(15,2), so cents are exact int64; sums/squares in
+    Python ints / HUGEINT — no overflow, no float accumulation), then
+    evaluate one identically-spelled IEEE expression
+        z = (A/n) / sqrt(D/m),  A = x*n - S,  D = Q*n - S^2,  m = n*(n-1)
+    whose inputs are exactly-rounded doubles of exact ints — bit-identical
+    on any engine — and FLOOR has no tie cases (functions/numeric.py).
+    Degenerate groups (n < 2 or zero variance) yield NULL on both sides.
     """
     schema = StructType(
         [
             StructField("c_custkey", LongType()),
             StructField("c_mktsegment", StringType()),
-            StructField("zscore", DoubleType()),
+            StructField("z_micro", LongType()),
         ]
     )
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        mean = pdf["c_acctbal"].mean()
-        std = pdf["c_acctbal"].std(ddof=1)
+        import math
+
+        # exact integer moments: values are DECIMAL(15,2) -> cents fit
+        # int64; Python-int accumulation is exact at any group size
+        cents = [int(round(float(v) * 100.0)) for v in pdf["c_acctbal"]]
+        n = len(cents)
+        s = sum(cents)
+        q = sum(v * v for v in cents)
+        d = q * n - s * s
+        m = n * (n - 1)
+        if n < 2 or d <= 0:
+            z_micro = [None] * n
+        else:
+            denom = math.sqrt(float(d) / float(m))
+            z_micro = [
+                math.floor(
+                    (float(x * n - s) / float(n)) / denom * 10000.0
+                )
+                for x in cents
+            ]
         return pd.DataFrame(
             {
                 "c_custkey": pdf["c_custkey"],
                 "c_mktsegment": pdf["c_mktsegment"],
-                "zscore": ((pdf["c_acctbal"] - mean) / std).round(4),
+                "z_micro": pd.array(z_micro, dtype="Int64"),
             }
         )
 
@@ -147,10 +179,28 @@ def apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 _oracle(
     "apply_in_pandas_zscore",
     """
-    SELECT c_custkey, c_mktsegment,
-           ROUND((c_acctbal - AVG(c_acctbal) OVER w) / STDDEV_SAMP(c_acctbal) OVER w, 4) AS zscore
-    FROM customer
-    WINDOW w AS (PARTITION BY c_mktsegment)
+    WITH cents AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(c_acctbal * 100 AS BIGINT) AS c
+        FROM customer
+    ), g AS (
+        SELECT c_mktsegment,
+               COUNT(*) AS n,
+               SUM(CAST(c AS HUGEINT)) AS s,
+               SUM(CAST(c AS HUGEINT) * c) AS q
+        FROM cents GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment,
+           CASE WHEN g.n >= 2 AND (g.q * g.n - g.s * g.s) > 0 THEN
+               CAST(FLOOR(
+                   (CAST(CAST(c.c AS HUGEINT) * g.n - g.s AS DOUBLE)
+                        / CAST(g.n AS DOUBLE))
+                   / sqrt(CAST(g.q * g.n - g.s * g.s AS DOUBLE)
+                        / CAST(g.n * (g.n - 1) AS DOUBLE))
+                   * 10000.0
+               ) AS BIGINT)
+           ELSE NULL END AS z_micro
+    FROM cents c JOIN g USING (c_mktsegment)
     """,
 )
 
@@ -281,9 +331,7 @@ class ExpandWords:
 
 
 def python_udtf_word_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from airflow_postgres_to_s3_pipeline_spark.catalog import table as _table
-
-    d = _table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents")
     # lateral join: one row per word per document
     return (
         d.lateralJoin(ExpandWords(F.col("text").outer()))
@@ -333,9 +381,7 @@ def python_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-3-words wide extraction via the polymorphic UDTF: one output
     row per document, column count decided by ``analyze()`` from the
     constant argument."""
-    from airflow_postgres_to_s3_pipeline_spark.catalog import table as _table
-
-    d = _table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents")
     return d.lateralJoin(
         LeadingWords(F.col("text").outer(), F.lit(3))
     ).select("doc_id", "w1", "w2", "w3")

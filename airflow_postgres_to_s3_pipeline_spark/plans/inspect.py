@@ -19,9 +19,18 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """PushedFilters entries from the formatted plan (parquet pushdown)."""
+    """PushedFilters entries from the formatted plan (parquet pushdown),
+    one string per scan.  Matches to the LAST ``]`` on the line, not the
+    first (r10 review): an In-list pushdown prints nested brackets —
+    ``PushedFilters: [In(a, [1, 2]), IsNotNull(b)]`` — and the old
+    ``[^\\]]*`` regex cut it mid-entry, dropping every filter after the
+    In and silently weakening the plan-shape assertions built on this."""
     text = explain_str(df)
-    return re.findall(r"PushedFilters: \[([^\]]*)\]", text)
+    return [
+        m.group(1)
+        for line in text.splitlines()
+        if (m := re.search(r"PushedFilters: \[(.*)\]\s*$", line))
+    ]
 
 
 def has_broadcast_join(df: DataFrame) -> bool:

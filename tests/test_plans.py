@@ -25,6 +25,27 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     assert "o_orderstatus" in filters, f"pushdown missing: {filters}"
 
 
+def test_pushed_filters_survive_in_list_brackets(spark, sf_dir):
+    """An In-list pushdown prints nested brackets in the plan line —
+    PushedFilters: [In(o_orderstatus, [F, O]), IsNotNull(...)] — and the
+    pre-r10 regex stopped at the first ']', mangling the In entry and
+    dropping every filter after it.  Both the full In-list and a filter
+    AFTER it must survive parsing."""
+    from pyspark.sql import functions as F
+
+    df = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .filter(F.col("o_custkey") > 100)
+        .select("o_orderkey")
+    )
+    filters = " ".join(pushed_filters(df))
+    assert "In(o_orderstatus, [F,O])" in filters.replace(", [F, O]", ", [F,O]"), (
+        f"In-list entry truncated: {filters}"
+    )
+    assert "o_custkey" in filters, f"filter after the In-list lost: {filters}"
+
+
 def test_column_pruning(spark, sf_dir):
     df = table(spark, sf_dir, "lineitem").select("l_orderkey")
     plan = explain_str(df)

@@ -111,7 +111,16 @@ def main() -> int:
             release_persisted()
         elapsed = time.time() - t0
         if name not in oracles:
-            print(f"rows-only  {name}: {len(rows)} rows  ({elapsed:.1f}s)")
+            # rows-only entries (no SQL-expressible oracle) must still
+            # produce SOMETHING: a regression to an empty frame (inverted
+            # filter, dead candidate chain) previously printed here and the
+            # gate exited 0 anyway (r10 review) — mirror the driver's
+            # rows>0 smoke so it fails pre-commit instead
+            if len(rows) == 0:
+                print(f"FAIL  {name}: rows-only entry returned 0 rows")
+                failures.append(name)
+            else:
+                print(f"rows-only  {name}: {len(rows)} rows  ({elapsed:.1f}s)")
             continue
         try:
             res = con.execute(oracles[name])

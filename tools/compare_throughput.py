@@ -35,6 +35,7 @@ def main() -> int:
 
     from airflow_postgres_to_s3_pipeline_spark.session import get_spark
     from airflow_postgres_to_s3_pipeline_spark import registry
+    from airflow_postgres_to_s3_pipeline_spark.cache import release_persisted
 
     spark = get_spark(app_name="compare")
     spark.sparkContext.setLogLevel("ERROR")
@@ -58,10 +59,19 @@ def main() -> int:
         if name.startswith("streaming_"):
             continue  # memory-sink materialization isn't comparable
         t0 = time.time()
-        registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        spark_s = time.time() - t0
+        try:
+            registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            spark_s = time.time() - t0
+        finally:
+            # cache.py's policy: the terminal consumer releases tracked
+            # persists between queries — without this the sweep accumulates
+            # corpus-sized caches across ~150 entries (memory pressure is
+            # exactly the timing skew this tool exists to detect).  Outside
+            # the timed span: the unpersist RPC is bookkeeping, not query.
+            release_persisted()
+            spark.catalog.clearCache()
         t0 = time.time()
         con.execute(registry.ORACLES[name]).fetchall()
         duck_s = time.time() - t0

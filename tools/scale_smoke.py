@@ -67,23 +67,31 @@ def main() -> int:
     )
 
     results = []
-    # warm codegen
-    fact().filter(F.col("qty") > 45).agg(F.count("*")).write.format("noop").mode("overwrite").save()
+    base_labels = {"filter_aggregate", "hash_aggregate_2key",
+                   "broadcast_join_agg", "shuffle_join", "window_topk",
+                   "exact_dedup"}
+    if not only or (only & base_labels):
+        # warm codegen — gated with the base shapes it warms (r10 review:
+        # this is a real n-row job, wasted when `only` selects no base
+        # shape; the other sections have their own first-query warm cost)
+        fact().filter(F.col("qty") > 45).agg(F.count("*")).write.format(
+            "noop"
+        ).mode("overwrite").save()
 
-    results.append(run("filter_aggregate", fact().filter(F.col("qty") > 25).agg(
-        F.sum("price").alias("s"), F.count("*").alias("c"))))
-    results.append(run("hash_aggregate_2key", fact().groupBy("flag", "qty").agg(
-        F.sum("price").alias("s"), F.count("*").alias("c"))))
-    results.append(run("broadcast_join_agg", fact().join(F.broadcast(dim), "partkey")
-                       .groupBy("brand").agg(F.sum("price").alias("s"))))
-    results.append(run("shuffle_join", fact().alias("a").join(
-        fact().select(F.col("id"), F.col("custkey").alias("ck2")).alias("b"), "id")
-        .agg(F.count("*").alias("c"))))
-    w = Window.partitionBy("custkey").orderBy(F.col("price").desc())
-    results.append(run("window_topk", fact().withColumn("rn", F.row_number().over(w))
-                       .filter(F.col("rn") <= 3).agg(F.count("*").alias("c"))))
-    results.append(run("exact_dedup", fact().dropDuplicates(["custkey", "qty"])
-                       .agg(F.count("*").alias("c"))))
+        results.append(run("filter_aggregate", fact().filter(F.col("qty") > 25).agg(
+            F.sum("price").alias("s"), F.count("*").alias("c"))))
+        results.append(run("hash_aggregate_2key", fact().groupBy("flag", "qty").agg(
+            F.sum("price").alias("s"), F.count("*").alias("c"))))
+        results.append(run("broadcast_join_agg", fact().join(F.broadcast(dim), "partkey")
+                           .groupBy("brand").agg(F.sum("price").alias("s"))))
+        results.append(run("shuffle_join", fact().alias("a").join(
+            fact().select(F.col("id"), F.col("custkey").alias("ck2")).alias("b"), "id")
+            .agg(F.count("*").alias("c"))))
+        w = Window.partitionBy("custkey").orderBy(F.col("price").desc())
+        results.append(run("window_topk", fact().withColumn("rn", F.row_number().over(w))
+                           .filter(F.col("rn") <= 3).agg(F.count("*").alias("c"))))
+        results.append(run("exact_dedup", fact().dropDuplicates(["custkey", "qty"])
+                           .agg(F.count("*").alias("c"))))
 
     # Vector shapes: run the REAL similarity operators against synthetic
     # embeddings written once to a temp dir (so catalog.table reads them
@@ -117,17 +125,29 @@ def main() -> int:
             ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
             return d
 
+        # one write per distinct corpus size (r10 review: the 500k corpus
+        # was written 4x, 2M 2x, 200k 2x); cached dirs die at section end
+        # plus an atexit belt for JVM-killing ops
+        _vec_cache: dict[int, str] = {}
+
+        def vec_dir(nv: int) -> str:
+            if nv not in _vec_cache:
+                import atexit
+
+                _vec_cache[nv] = write_vectors(nv)
+                atexit.register(
+                    shutil.rmtree, _vec_cache[nv], ignore_errors=True
+                )
+            return _vec_cache[nv]
+
         def run_vec(label, nv, fn):
             if only and label not in only:
                 return None
-            d = write_vectors(nv)
-            try:
-                t0 = time.time()
-                fn(d).write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                return label, round(dt, 2), int(nv / dt)
-            finally:
-                shutil.rmtree(d, ignore_errors=True)
+            d = vec_dir(nv)
+            t0 = time.time()
+            fn(d).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            return label, round(dt, 2), int(nv / dt)
 
         nv_knn = min(n, 2_000_000)
         results.append(run_vec(
@@ -209,6 +229,10 @@ def main() -> int:
         nv_pq = min(n, 200_000)
         results.append(run_vec("vector_pq_encode_hof", nv_pq, pq_hof))
         results.append(run_vec("vector_pq_encode_gemm", nv_pq, pq_gemm))
+
+        for d in _vec_cache.values():
+            shutil.rmtree(d, ignore_errors=True)
+        _vec_cache.clear()
 
     # Skewed shuffle join: one key carries 10% of all rows (a hot customer /
     # null-ish key — the classic 100 TB killer).  Run the SAME sort-merge
@@ -507,7 +531,8 @@ def main() -> int:
 
         no = min(n, 2_000_000)
         results.append(run_dir(
-            "graph_pagerank", no, lambda: write_edges(no),
+            "graph_pagerank", no,
+            lambda: _cached(lambda: write_edges(no), ("edges", no)),
             lambda d: graph.pagerank_parts(spark, d)))
 
         # triangles: at 500k orders the hash-random basket graph has ~3M
@@ -516,7 +541,8 @@ def main() -> int:
         # degree-orientation note in the docstring is about
         nb = min(n, 2_000_000)
         results.append(run_dir(
-            "graph_bfs", nb, lambda: write_edges(nb),
+            "graph_bfs", nb,
+            lambda: _cached(lambda: write_edges(nb), ("edges", nb)),
             lambda d: graph.bfs_hops(spark, d)))
 
         # 2M orders (r8): the edge-iterator kernel (r7 default) at 4x the
@@ -526,7 +552,8 @@ def main() -> int:
         # the broadcast fast path the fixture tests cover
         nt = min(n, 2_000_000)
         results.append(run_dir(
-            "graph_triangles", nt, lambda: write_edges(nt),
+            "graph_triangles", nt,
+            lambda: _cached(lambda: write_edges(nt), ("edges", nt)),
             lambda d: graph.triangle_count(spark, d)))
 
         # skewed co-purchase graph: one MID-ID hub part appears in ~2% of
@@ -550,10 +577,12 @@ def main() -> int:
 
         ns = min(n, 200_000)
         results.append(run_dir(
-            "graph_triangles_skew_degree", ns, lambda: write_skew_edges(ns),
+            "graph_triangles_skew_degree", ns,
+            lambda: _cached(lambda: write_skew_edges(ns), ("skew_edges", ns)),
             lambda d: graph.triangle_count(spark, d, orient="degree")))
         results.append(run_dir(
-            "graph_triangles_skew_id", ns, lambda: write_skew_edges(ns),
+            "graph_triangles_skew_id", ns,
+            lambda: _cached(lambda: write_skew_edges(ns), ("skew_edges", ns)),
             lambda d: graph.triangle_count(spark, d, orient="id")))
 
         # SUS weighted sampling: the two-phase bucketed prefix sum (the
@@ -605,15 +634,18 @@ def main() -> int:
 
         ntile = min(n, 2_000_000)
         results.append(run_dir(
-            "tile_near_dup", ntile, lambda: write_docs(ntile),
+            "tile_near_dup", ntile,
+            lambda: _cached(lambda: write_docs(ntile), ("docs", ntile)),
             lambda d: multimodal.multimodal_tile_near_dup(spark, d)))
 
         nsus = min(n, 50_000_000)
         results.append(run_dir(
-            "sus_two_phase", nsus, lambda: write_lean_docs(nsus),
+            "sus_two_phase", nsus,
+            lambda: _cached(lambda: write_lean_docs(nsus), ("lean", nsus)),
             lambda d: curation.weighted_sample_sus(spark, d)))
         results.append(run_dir(
-            "sus_global_window", nsus, lambda: write_lean_docs(nsus),
+            "sus_global_window", nsus,
+            lambda: _cached(lambda: write_lean_docs(nsus), ("lean", nsus)),
             sus_naive))
 
         for d in _dir_cache.values():
