@@ -306,6 +306,7 @@ def main() -> int:
                    "events_k_anonymity",
                    "text_dedup_report", "text_dedup_report_5m",
                    "text_simhash_500k", "text_simhash_5m",
+                   "text_dedup_components",
                    "sus_two_phase", "sus_global_window", "tile_near_dup"}
     if not only or (only & text_labels):
         import shutil
@@ -434,6 +435,47 @@ def main() -> int:
             "text_simhash_5m", ndr,
             lambda: _cached(lambda: write_docs(ndr), ("docs", ndr)),
             lambda d: dedup_ops.simhash_dedup(spark, d)))
+        # r10: the ITERATIVE kernel at corpus scale — LSH pairs ->
+        # connected components (small-star label propagation with
+        # localCheckpoint per round).  The vocab corpus is useless here
+        # (probed: its n-gram shingles distinguish every doc, so ALL
+        # capped candidates fail Jaccard and the edge set is EMPTY — the
+        # run would measure candidate rejection, not merging).  Instead a
+        # planted-duplicates corpus: groups of 5 docs share a base text,
+        # four verbatim + one with a tail token, the realistic
+        # crawl-dedup input — ~nd/5 true clusters for the loop to merge.
+        def write_dup_docs(nd: int, words_per_doc: int = 40) -> str:
+            d2 = tempfile.mkdtemp(prefix="scale_dup_")
+            vocab = F.array(*[F.lit(w) for w in VOCAB])
+            base = (F.col("id") / 5).cast("long")
+            body = F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+                    lambda w: F.element_at(
+                        vocab,
+                        F.pmod(F.hash(base.cast("int"), w.cast("int")),
+                               F.lit(len(VOCAB))).cast("int") + 1,
+                    ),
+                ),
+                " ",
+            )
+            body = F.when(
+                F.pmod(F.col("id"), F.lit(5)) == 4,
+                F.concat(body, F.lit(" trailer"), base.cast("string")),
+            ).otherwise(body)
+            spark.range(0, nd, 1, parallelism).select(
+                F.col("id").alias("doc_id"),
+                body.alias("text"),
+                F.lit("en").alias("lang"),
+                F.pmod(F.col("id"), F.lit(20)).cast("string").alias("source"),
+                F.length(body).alias("n_chars"),
+            ).write.mode("overwrite").parquet(f"{d2}/documents.parquet")
+            return d2
+
+        results.append(run_dir(
+            "text_dedup_components", nw,
+            lambda: _cached(lambda: write_dup_docs(nw), ("dupdocs", nw)),
+            lambda d: dedup_ops.dedup_components(spark, d)))
 
         # entity resolution: vocabulary-scale multi-pass blocking.  ~1M
         # records collapse to ~950k DISTINCT two-token names over a
