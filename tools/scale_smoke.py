@@ -303,7 +303,10 @@ def main() -> int:
                    "graph_triangles", "graph_triangles_skew_degree",
                    "graph_triangles_skew_id", "graph_bfs", "events_funnel",
                    "events_twap", "events_trend", "events_skew_profile",
-                   "events_k_anonymity",
+                   "events_k_anonymity", "events_sessionize",
+                   "events_hypertable", "events_asof_pandas",
+                   "warehouse_merge_upsert", "warehouse_scd2",
+                   "curation_packing",
                    "text_dedup_report", "text_dedup_report_5m",
                    "text_simhash_500k", "text_simhash_5m",
                    "text_dedup_components",
@@ -562,6 +565,114 @@ def main() -> int:
             "events_k_anonymity", nka,
             lambda: _cached(lambda: write_events(nka), ("events", nka)),
             lambda d: adv_ops.k_anonymity_check(spark, d)))
+
+        from airflow_postgres_to_s3_pipeline_spark.operators import (
+            curation as curation_pack,
+        )
+
+        # r10 session 3: the time-series shapes that had no scale row.
+        # sessionize = lag + running-sum + group-by, all on ONE user_id
+        # shuffle (same window spec); hypertable = raw scan once, daily
+        # tier re-aggregates hourly PARTIALS at bucket cardinality; the
+        # as-of pandas tier moves the WHOLE corpus through Arrow in
+        # ~ASOF_TARGET_ROWS_PER_BUCKET-row calls — this row prices that
+        # Arrow round-trip against the pure-window twin at the same scale.
+        results.append(run_dir(
+            "events_sessionize", nev,
+            lambda: _cached(lambda: write_events(nev), ("events", nev)),
+            lambda d: win_ops.sessionize_events(spark, d)))
+        results.append(run_dir(
+            "events_hypertable", nev,
+            lambda: _cached(lambda: write_events(nev), ("events", nev)),
+            lambda d: win_ops.hypertable_rollup(spark, d)))
+        results.append(run_dir(
+            "events_asof_pandas", nev,
+            lambda: _cached(lambda: write_events(nev), ("events", nev)),
+            lambda d: win_ops.asof_join_pandas(spark, d)))
+
+        # warehouse-maintenance shapes at dimension scale: MERGE as a
+        # keyed full-outer join + coalesce (one shuffle per side), SCD2 as
+        # change-batch argmax + one dimension join + union.  Orders span
+        # 1992-1998.5 so the post-cutoff SCD2 change batch is a sliver of
+        # the dimension — the realistic daily-apply profile where AQE
+        # broadcasts the batch.
+        def write_orders_customers(no_rows: int, nc_rows: int) -> str:
+            d = tempfile.mkdtemp(prefix="scale_wh_")
+            status = F.element_at(
+                F.array(F.lit("O"), F.lit("F"), F.lit("P")),
+                F.pmod(F.xxhash64("id", F.lit(11)), F.lit(3)).cast("int") + 1,
+            )
+            odate = F.timestamp_seconds(
+                F.lit(694224000)  # 1992-01-01
+                + F.pmod(F.xxhash64("id", F.lit(12)), F.lit(205_000_000))
+            )
+            price = (
+                (F.pmod(F.xxhash64("id", F.lit(13)), F.lit(9_000_000)) + 100)
+                / 100.0
+            )
+            spark.range(0, no_rows, 1, parallelism).select(
+                F.col("id").alias("o_orderkey"),
+                F.pmod(F.xxhash64("id", F.lit(14)), F.lit(nc_rows)).alias(
+                    "o_custkey"
+                ),
+                status.alias("o_orderstatus"),
+                price.alias("o_totalprice"),
+                odate.alias("o_orderdate"),
+            ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+            spark.range(0, nc_rows, 1, parallelism).select(
+                F.col("id").alias("c_custkey"),
+                ((F.pmod(F.xxhash64("id", F.lit(15)), F.lit(1_099_999))
+                  - 99_999) / 100.0).alias("c_acctbal"),
+            ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+            return d
+
+        nwh = min(n, 50_000_000)
+        nwc = max(1, nwh // 10)
+        results.append(run_dir(
+            "warehouse_merge_upsert", nwh,
+            lambda: _cached(lambda: write_orders_customers(nwh, nwc),
+                            ("warehouse", nwh)),
+            lambda d: adv_ops.merge_upsert(spark, d)))
+        results.append(run_dir(
+            "warehouse_scd2", nwh,
+            lambda: _cached(lambda: write_orders_customers(nwh, nwc),
+                            ("warehouse", nwh)),
+            lambda d: adv_ops.scd2_apply(spark, d)))
+
+        # contiguous packing: the per-lang window cumsum is the inherent
+        # sequential cost of ordered packing — on a SINGLE-lang corpus it
+        # is one task scanning everything, so the realistic smoke input is
+        # multi-lang (32 langs => 32-way parallel scans, the "pack within
+        # (lang, shard)" posture the docstring prescribes for 100 TB).
+        def write_ml_docs(nd_rows: int, n_langs: int = 32) -> str:
+            d = tempfile.mkdtemp(prefix="scale_mldocs_")
+            vocab = F.array(*[F.lit(w) for w in VOCAB])
+            body = F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(39)),
+                    lambda w: F.element_at(
+                        vocab,
+                        F.pmod(F.hash(F.col("id").cast("int"), w.cast("int")),
+                               F.lit(len(VOCAB))).cast("int") + 1,
+                    ),
+                ),
+                " ",
+            )
+            spark.range(0, nd_rows, 1, parallelism).select(
+                F.col("id").alias("doc_id"),
+                body.alias("text"),
+                F.concat(F.lit("l"), F.pmod(F.col("id"), F.lit(n_langs)))
+                    .alias("lang"),
+                F.pmod(F.col("id"), F.lit(20)).cast("string").alias("source"),
+                F.length(body).alias("n_chars"),
+            ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+            return d
+
+        npk = min(n, 2_000_000)
+        results.append(run_dir(
+            "curation_packing", npk,
+            lambda: _cached(lambda: write_ml_docs(npk), ("mldocs", npk)),
+            lambda d: curation_pack.sequence_packing(spark, d)))
 
         def write_edges(no: int, lines_per_order: int = 4) -> str:
             d = tempfile.mkdtemp(prefix="scale_graph_")
