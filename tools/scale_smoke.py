@@ -306,7 +306,8 @@ def main() -> int:
                    "events_k_anonymity", "events_sessionize",
                    "events_hypertable", "events_asof_pandas",
                    "warehouse_merge_upsert", "warehouse_scd2",
-                   "curation_packing",
+                   "curation_packing", "stream_tumbling",
+                   "stream_dedup_wm", "stream_session",
                    "text_dedup_report", "text_dedup_report_5m",
                    "text_simhash_500k", "text_simhash_5m",
                    "text_dedup_components",
@@ -589,6 +590,107 @@ def main() -> int:
             "events_asof_pandas", nev,
             lambda: _cached(lambda: write_events(nev), ("events", nev)),
             lambda d: win_ops.asof_join_pandas(spark, d)))
+
+        # Structured Streaming throughput (first scale rows for E22/E23):
+        # a TIME-ORDERED corpus written as 8 sequential chunk jobs (mtime
+        # order = event-time order, 4 files each), driven with
+        # maxFilesPerTrigger=4 + Trigger.availableNow => 8 genuine
+        # micro-batches with the watermark advancing and evicting state
+        # BETWEEN batches — the incremental execution a one-shot batch
+        # replay would fake.  Timestamps are monotone ACROSS chunks and the
+        # watermark only moves at batch end, so no row is ever
+        # late-dropped: the measured rows/s is full-corpus processing, not
+        # drop throughput.  Sink is noop, checkpoint a temp dir.
+        from airflow_postgres_to_s3_pipeline_spark.streaming import (
+            windows as stream_win,
+        )
+
+        def write_stream_events(ne_rows: int, n_chunks: int = 8,
+                                files_per_chunk: int = 4) -> str:
+            d = tempfile.mkdtemp(prefix="scale_stream_")
+            etype = F.element_at(
+                F.array(*[F.lit(t) for t in
+                          ("view", "click", "purchase", "signup", "error")]),
+                F.pmod(F.xxhash64("id", F.lit(3)), F.lit(5)).cast("int") + 1,
+            )
+            ts = F.timestamp_seconds(
+                F.lit(1704067200)
+                + (F.col("id") * F.lit(2_592_000) / F.lit(ne_rows)).cast(
+                    "long")
+            )
+            value = (
+                (F.pmod(F.xxhash64("id", F.lit(5)), F.lit(49000)) + 1) / 100.0
+            )
+            # the file stream source (read_events_stream) globs flat
+            # events*.parquet FILES like the testdata layout, so each
+            # chunk's part files are renamed up out of the staging dir;
+            # rename keeps mtime, preserving chunk order for the source's
+            # mtime-sorted listing
+            import glob as globmod
+            import os
+
+            for c in range(n_chunks):
+                lo = ne_rows * c // n_chunks
+                hi = ne_rows * (c + 1) // n_chunks
+                staging = f"{d}/_staging"
+                spark.range(lo, hi, 1, files_per_chunk).select(
+                    F.col("id").alias("event_id"),
+                    ts.alias("ts"),
+                    F.pmod(F.xxhash64("id", F.lit(6)), F.lit(1_000_000))
+                        .alias("user_id"),
+                    etype.alias("event_type"),
+                    value.alias("value"),
+                ).write.mode("overwrite").parquet(staging)
+                parts = sorted(globmod.glob(f"{staging}/part-*.parquet"))
+                for i, p in enumerate(parts):
+                    os.rename(p, f"{d}/events-{c:02d}-{i:02d}.parquet")
+                shutil.rmtree(staging, ignore_errors=True)
+            return d
+
+        def run_stream(label, nrows, write_fn, build, mode):
+            if only and label not in only:
+                return None
+            d = write_fn()
+            cached = d in _dir_cache.values()
+            ck = tempfile.mkdtemp(prefix="scale_ckpt_")
+            try:
+                src = stream_win.read_events_stream(
+                    spark, d, max_files_per_trigger=4
+                )
+                t0 = time.time()
+                q = (
+                    build(src)
+                    .writeStream.format("noop")
+                    .outputMode(mode)
+                    .option("checkpointLocation", ck)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                dt = time.time() - t0
+                return label, round(dt, 2), int(nrows / dt)
+            finally:
+                shutil.rmtree(ck, ignore_errors=True)
+                if not cached:
+                    shutil.rmtree(d, ignore_errors=True)
+
+        nst = min(n, 50_000_000)
+        results.append(run_stream(
+            "stream_tumbling", nst,
+            lambda: _cached(lambda: write_stream_events(nst),
+                            ("stream_events", nst)),
+            lambda s: stream_win.tumbling_counts(s), "update"))
+        results.append(run_stream(
+            "stream_dedup_wm", nst,
+            lambda: _cached(lambda: write_stream_events(nst),
+                            ("stream_events", nst)),
+            lambda s: stream_win.dedup_stream(s, within_watermark=True),
+            "append"))
+        results.append(run_stream(
+            "stream_session", nst,
+            lambda: _cached(lambda: write_stream_events(nst),
+                            ("stream_events", nst)),
+            lambda s: stream_win.session_counts(s), "append"))
 
         # warehouse-maintenance shapes at dimension scale: MERGE as a
         # keyed full-outer join + coalesce (one shuffle per side), SCD2 as
