@@ -1175,19 +1175,44 @@ _oracle("simhash_dedup", _simhash_oracle())
 # E25c: n-gram Jaccard similarity (exact, blocked by language)
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+NGRAM_DF_CAP = LSH_MAX_BUCKET
+"""Document-frequency cap for the exact n-gram posting join, IN CODE.
+
+``ngram_jaccard_pairs`` intersects docs by self-joining the exploded
+(lang, shingle) posting lists — the same shape whose hub failure mode the
+MinHash band join (``LSH_MAX_BUCKET``), the SimHash chunk join, and the
+eval ground truths (``LSH_EVAL_MAX_DOCS``) were measured and capped for:
+ONE boilerplate shingle shared by b docs emits C(b,2) intersection rows,
+so a Θ(n) posting makes the stage Θ(n²) (measured r10 session 3 — see
+docs/SCALE.md).  Shingles in more than this many same-language docs are
+dropped from BOTH the intersection AND the set sizes (one window count on
+the join's own shuffle key, shared ``_cap_buckets``), so the result is
+exact Jaccard over sub-cap-df shingles — symmetric, so verbatim
+duplicates keep J = 1 and a doc of pure boilerplate (every shingle
+over-cap) is reported by the exact-hash tier, not here.  Mirrored as a
+QUALIFY in the SQL oracle; never binds on testdata (max sf0.1 posting:
+14 docs)."""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
+                        max_posting: int = NGRAM_DF_CAP) -> DataFrame:
     """Exact word-3-gram Jaccard for same-language doc pairs above 0.5.
 
     Blocking on lang bounds the pair space; the intersection is computed by
     joining the exploded shingle tables (shuffle on shingle), never by a
-    cartesian product — the same shape scales to 100 TB with a
-    higher-selectivity blocking key.  Exact and deterministic, so it carries
-    a full SQL oracle (shingling mirrored with list_transform/UNNEST).
+    cartesian product.  Postings larger than ``max_posting`` docs are
+    dropped on both sides of the Jaccard (see ``NGRAM_DF_CAP`` for the
+    quadratic failure mode this bounds; 0/None disables, matching the
+    other cap sites).  Exact and deterministic, so it carries a full SQL
+    oracle (shingling mirrored with list_transform/UNNEST, the cap as a
+    QUALIFY).
     """
     d = table(spark, sf_dir, "documents")
     sh = shingle(d, "text", "doc_id", k=3)
     langs = d.select(F.col("doc_id"), F.col("lang"))
     sh = sh.join(langs, "doc_id")
+    if max_posting:
+        sh = _cap_buckets(sh, max_posting, keys=("lang", "shingle"))
     sizes = sh.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("set_size"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("lang"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("lang"), "shingle")
@@ -1348,21 +1373,35 @@ def _chunk_near_dedup_oracle() -> str:
 _oracle("chunk_near_dedup", _chunk_near_dedup_oracle())
 
 
-_oracle(
-    "ngram_jaccard_pairs",
-    """
+def _ngram_jaccard_oracle(max_posting: int = NGRAM_DF_CAP) -> str:
+    """ngram_jaccard_pairs' oracle, parameterized on the df cap so the
+    binding-cap parity test can run both engines at a cap that binds;
+    0/None means cap DISABLED (no QUALIFY), matching the Spark builder."""
+    cap_cte = (
+        f"""sh AS (
+        -- the df cap, stride-for-stride with _cap_buckets on (lang,
+        -- shingle): postings larger than the cap drop from both the
+        -- intersection and the set sizes
+        SELECT doc_id, lang, shingle FROM sh_all
+        QUALIFY COUNT(*) OVER (PARTITION BY lang, shingle)
+                <= {max_posting}
+    )"""
+        if max_posting
+        else "sh AS (SELECT doc_id, lang, shingle FROM sh_all)"
+    )
+    return f"""
     WITH w AS (
         SELECT doc_id, lang, string_split(text, ' ') AS ws
         FROM documents
         WHERE LEN(string_split(text, ' ')) >= 3
-    ), sh AS (
+    ), sh_all AS (
         SELECT doc_id, lang,
                UNNEST(list_distinct(list_transform(
                    generate_series(1, LEN(ws) - 2),
                    i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
                ))) AS shingle
         FROM w
-    ), sizes AS (
+    ), {cap_cte}, sizes AS (
         SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
     ), inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
@@ -1376,8 +1415,10 @@ _oracle(
     JOIN sizes za ON za.doc_id = doc_a
     JOIN sizes zb ON zb.doc_id = doc_b
     WHERE ROUND(n_inter / (za.set_size + zb.set_size - n_inter), 3) >= 0.5
-    """,
-)
+    """
+
+
+_oracle("ngram_jaccard_pairs", _ngram_jaccard_oracle())
 
 
 # ---------------------------------------------------------------------------

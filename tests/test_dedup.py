@@ -431,3 +431,74 @@ def test_simhash_oracle_zero_cap_means_disabled():
     uncapped = dedup._simhash_oracle(max_bucket=0)
     assert f"<= {dedup.LSH_MAX_BUCKET}" in capped
     assert "QUALIFY" not in uncapped
+
+
+def _ngram_hub_corpus(spark, tmp_path):
+    """30 verbatim copies of one boilerplate doc (every shingle's posting
+    = 30) plus a distinct near-dup pair whose postings are all size <= 2;
+    returns the on-disk dir ngram_jaccard_pairs reads."""
+    hub_text = " ".join(["click here to subscribe now"] * 4)
+    rows = [(i, hub_text, "en") for i in range(30)]
+    rows.append((100, BASE, "en"))
+    rows.append((101, BASE, "en"))
+    d = str(tmp_path / "ngram_hub")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_ngram_df_cap_drops_hub_keeps_true_pairs(spark, tmp_path):
+    """The exact posting join's twin of the LSH/SimHash hub caps: 30
+    verbatim boilerplate docs make every one of their shingle postings 30
+    docs long — C(30,2)=435 output pairs and a quadratic intersection
+    stage uncapped — while the true pair's postings are size 2 and must
+    survive the cap with jaccard 1.0 (the cap is symmetric: both the
+    numerator and the set sizes drop over-cap shingles)."""
+    d = _ngram_hub_corpus(spark, tmp_path)
+    unc = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(spark, d, max_posting=0).collect()
+    }
+    cap = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(spark, d, max_posting=10).collect()
+    }
+    hub_pairs = {p for p in unc if p[0] < 30 and p[1] < 30}
+    assert len(hub_pairs) == 435
+    assert unc[(100, 101)] == 1.0
+    assert cap[(100, 101)] == 1.0
+    assert not (set(cap) & hub_pairs)
+
+
+def test_ngram_binding_cap_matches_oracle(spark, tmp_path):
+    """Capped-path parity: with a max_posting that BINDS, the Spark window
+    cap and the oracle's QUALIFY mirror must drop the same postings and
+    agree on every surviving pair's jaccard."""
+    import duckdb
+
+    d = _ngram_hub_corpus(spark, tmp_path)
+    got = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(spark, d, max_posting=10).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{d}/documents.parquet/*.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(dedup._ngram_jaccard_oracle(max_posting=10)).fetchall()
+    )
+    assert got == want
+    assert len(got) > 0  # the surviving true pair, never vacuous
+
+
+def test_ngram_oracle_zero_cap_means_disabled():
+    """max_posting=0 must mean cap DISABLED in the ngram oracle builder
+    exactly as in ngram_jaccard_pairs — never QUALIFY <= 0."""
+    capped = dedup._ngram_jaccard_oracle()
+    uncapped = dedup._ngram_jaccard_oracle(max_posting=0)
+    assert f"<= {dedup.NGRAM_DF_CAP}" in capped
+    assert "QUALIFY" not in uncapped

@@ -310,7 +310,7 @@ def main() -> int:
                    "stream_dedup_wm", "stream_session",
                    "text_dedup_report", "text_dedup_report_5m",
                    "text_simhash_500k", "text_simhash_5m",
-                   "text_dedup_components",
+                   "text_dedup_components", "text_ngram_jaccard",
                    "sus_two_phase", "sus_global_window", "tile_near_dup"}
     if not only or (only & text_labels):
         import shutil
@@ -480,6 +480,47 @@ def main() -> int:
             "text_dedup_components", nw,
             lambda: _cached(lambda: write_dup_docs(nw), ("dupdocs", nw)),
             lambda d: dedup_ops.dedup_components(spark, d)))
+
+        # r10 session 3: the EXACT posting join under a realistic hub —
+        # 1M-token hash vocabulary (so base-text shingles have df ~= group
+        # size 2) with one 6-token boilerplate sentence appended to every
+        # 10th doc: each boilerplate shingle's posting is n/10 docs, so
+        # the uncapped intersection bound is ~4 x C(n/10, 2) pairs
+        # (5.0e9 at 500k docs — JVM death); NGRAM_DF_CAP drops exactly
+        # those postings and the planted verbatim pairs survive on their
+        # own df-2 shingles.
+        def write_boiler_docs(nd_rows: int, words_per_doc: int = 30) -> str:
+            d2 = tempfile.mkdtemp(prefix="scale_boiler_")
+            base = (F.col("id") / 2).cast("long")
+            body = F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+                    lambda w: F.concat(
+                        F.lit("t"),
+                        F.pmod(F.hash(base.cast("int"), w.cast("int")),
+                               F.lit(1_000_000)).cast("string"),
+                    ),
+                ),
+                " ",
+            )
+            body = F.when(
+                F.pmod(F.col("id"), F.lit(10)) == 0,
+                F.concat(body,
+                         F.lit(" subscribe to our newsletter today please")),
+            ).otherwise(body)
+            spark.range(0, nd_rows, 1, parallelism).select(
+                F.col("id").alias("doc_id"),
+                body.alias("text"),
+                F.lit("en").alias("lang"),
+                F.pmod(F.col("id"), F.lit(20)).cast("string").alias("source"),
+                F.length(body).alias("n_chars"),
+            ).write.mode("overwrite").parquet(f"{d2}/documents.parquet")
+            return d2
+
+        results.append(run_dir(
+            "text_ngram_jaccard", nw,
+            lambda: _cached(lambda: write_boiler_docs(nw), ("boiler", nw)),
+            lambda d: dedup_ops.ngram_jaccard_pairs(spark, d)))
 
         # entity resolution: vocabulary-scale multi-pass blocking.  ~1M
         # records collapse to ~950k DISTINCT two-token names over a
