@@ -30,6 +30,10 @@ from airflow_postgres_to_s3_pipeline_spark.functions.vector import (
     sq_l2,
     to_double_array,
 )
+from airflow_postgres_to_s3_pipeline_spark.operators.dedup import (
+    LSH_MAX_BUCKET,
+    _cap_buckets,
+)
 
 ORACLES: dict[str, str] = {}
 
@@ -451,7 +455,8 @@ ORACLES["knn_ivf_fold"] = ORACLES["knn_ivf"]
 
 def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str,
                            n_planes: int = 24, n_bands: int = 4,
-                           threshold: float = NEAR_DUP_THRESHOLD) -> DataFrame:
+                           threshold: float = NEAR_DUP_THRESHOLD,
+                           max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
     """Random-hyperplane LSH near-dup: banded sign-pattern buckets, exact
     cosine verified only on candidates.  Fully DuckDB-oracle-checked: the
     plane matrix is md5-derived exact rationals ((h % 20001 - 10000)/1e4 —
@@ -469,10 +474,22 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str,
       the default 4x6 bits suits the moderate 0.4 testdata threshold;
       a production near-dup corpus (threshold ~0.9) uses 8x16-bit bands,
       where candidates collapse to genuine near-dups only.
-    - A colliding pair is emitted by its FIRST matching band only (both
-      sides carry the full band array; earlier-band disagreement is a
-      row-local array predicate), so dedup needs no extra shuffle of the
-      candidate pairs.
+    - Band buckets larger than ``max_bucket`` are dropped before the
+      self-join (shared ``_cap_buckets`` on the join's own (band_idx,
+      band_val) shuffle key; 0/None disables): a bucket of b identical or
+      near-identical vectors — the dead-encoder-rows case the zero-norm
+      work already met — emits C(b,2) candidate rows, so ONE Θ(n) bucket
+      makes the stage Θ(n²) exactly as in the MinHash/SimHash/n-gram
+      chains (measured r10 session 3: a 10% constant-vector hub at 500k
+      vectors is a 5.0B-pair bound — docs/SCALE.md).  QUALIFY-mirrored in
+      the oracle; never binds on testdata.
+    - Pair dedup across bands is an explicit DISTINCT of the thin
+      (id_a, id_b) candidates — the oracle's formulation, and the same
+      choice as ``dedup_incremental_minhash``.  (The previous
+      first-match-band predicate was row-local but is semantically
+      incompatible with bucket capping: a pair whose FIRST matching band
+      is capped away would be wrongly suppressed at every later band,
+      since the earlier bands still agree.)
     - The hyperplane matrix is generated ENGINE-side as one flat
       pseudo-random array (hash(plane*1000+dim) scaled to [-1,1]) on a
       broadcast 1-row frame, evaluated once — the round-1 version built
@@ -483,24 +500,33 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str,
         "vec_id", to_double_array("embedding").alias("v")
     )
     sig = tracked_persist(_lsh_band_signatures(spark, e, n_planes, n_bands))
-    # The probe side drives the join's parallelism: a single-file corpus
-    # arrives as ONE partition and would run candidate generation in one
-    # task (same trap as embedding_near_dup).
-    a = sig.repartition(spark.sparkContext.defaultParallelism).select(
-        F.col("vec_id").alias("id_a"), F.col("bands").alias("bands_a")
-    ).select(
-        "id_a", "bands_a", F.posexplode("bands_a").alias("band_idx", "band_val")
+    exploded = sig.select(
+        "vec_id", F.posexplode("bands").alias("band_idx", "band_val")
     )
-    b = sig.select(
-        F.col("vec_id").alias("id_b"), F.col("bands").alias("bands_b")
-    ).select(
-        "id_b", "bands_b", F.posexplode("bands_b").alias("band_idx", "band_val")
+    if max_bucket:
+        # the cap's window exchange hash-partitions on the join key, which
+        # also spreads a single-file corpus (the one-task trap below)
+        exploded = _cap_buckets(
+            exploded, max_bucket, keys=("band_idx", "band_val")
+        )
+    else:
+        # A single-file corpus arrives as ONE partition and would run
+        # candidate generation in one task (same trap as
+        # embedding_near_dup).
+        exploded = exploded.repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    a = exploded.select(
+        F.col("vec_id").alias("id_a"), "band_idx", "band_val"
+    )
+    b = exploded.select(
+        F.col("vec_id").alias("id_b"), "band_idx", "band_val"
     )
     cand = (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(_first_match_band("bands_a", "bands_b"))
         .select("id_a", "id_b")
+        .distinct()
     )
     va = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     vb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
@@ -582,23 +608,20 @@ def _lsh_band_signatures(spark: SparkSession, e: DataFrame,
     return with_planes.select("vec_id", bands.alias("bands"))
 
 
-def _first_match_band(bands_a: str, bands_b: str):
-    """First-matching-band emission predicate: all earlier bands must
-    DISAGREE — row-local over the two band arrays, so banded-join pair
-    dedup needs no extra shuffle."""
-    return F.forall(
-        F.zip_with(
-            F.slice(bands_a, F.lit(1), F.col("band_idx")),
-            F.slice(bands_b, F.lit(1), F.col("band_idx")),
-            lambda x, y: x != y,
-        ),
-        lambda d: d,
+def _embedding_lsh_oracle(max_bucket: int = LSH_MAX_BUCKET) -> str:
+    """embedding_lsh_near_dup's oracle, parameterized on the bucket cap so
+    the binding-cap parity test can run both engines at a cap that binds;
+    0/None disables (no QUALIFY), matching the Spark builder."""
+    cap_cte = (
+        f"""bv AS (
+        SELECT vec_id, band_idx, band_val FROM bandvals
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_val)
+                <= {max_bucket}
+    )"""
+        if max_bucket
+        else "bv AS (SELECT vec_id, band_idx, band_val FROM bandvals)"
     )
-
-
-_oracle(
-    "embedding_lsh_near_dup",
-    f"""
+    return f"""
     WITH e AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -624,11 +647,11 @@ _oracle(
                list_reduce(list(bit ORDER BY p),
                            (acc, b) -> acc * 2 + b) AS band_val
         FROM bits GROUP BY vec_id, p // 6
-    ), cand AS (
-        -- first-match-band emission dedups pairs engine-side; the SET of
-        -- pairs equals DISTINCT over any-band collisions
+    ), {cap_cte}, cand AS (
+        -- Spark dedups pairs with an explicit DISTINCT over any-band
+        -- collisions among sub-cap buckets; same formulation here
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM bandvals a JOIN bandvals b
+        FROM bv a JOIN bv b
           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
          AND a.vec_id < b.vec_id
     )
@@ -638,13 +661,16 @@ _oracle(
     JOIN e x ON x.vec_id = id_a
     JOIN e y ON y.vec_id = id_b
     WHERE ROUND(list_cosine_similarity(x.v, y.v), 4) >= {NEAR_DUP_THRESHOLD}
-    """,
-)
+    """
+
+
+_oracle("embedding_lsh_near_dup", _embedding_lsh_oracle())
 
 
 def embedding_incremental_dedup(spark: SparkSession, sf_dir: str,
                                 n_planes: int = 24, n_bands: int = 4,
-                                threshold: float = NEAR_DUP_THRESHOLD
+                                threshold: float = NEAR_DUP_THRESHOLD,
+                                max_bucket: int = LSH_MAX_BUCKET
                                 ) -> DataFrame:
     """Embedding-side ADMISSION dedup: a new batch of vectors is checked
     against the EXISTING corpus, and only vectors with no near-duplicate
@@ -659,9 +685,12 @@ def embedding_incremental_dedup(spark: SparkSession, sf_dir: str,
     corpus signatures are a PRECOMPUTED index (100 TB posture: the batch
     only pays signatures for its own rows + an equi-join against the
     index), and crucially new x new pairs never form (within-batch dedup
-    is a separate concern, handled by embedding_lsh_near_dup).  Exact
-    cosine verifies candidates; one groupBy per new id counts confirmed
-    duplicates.
+    is a separate concern, handled by embedding_lsh_near_dup).  Band
+    buckets over ``max_bucket`` drop before the join — computed on the
+    UNION frame, same discipline and shared helper as the other LSH cap
+    sites (see embedding_lsh_near_dup for the measured failure mode).
+    Exact cosine verifies candidates; one groupBy per new id counts
+    confirmed duplicates.
 
     Returns (vec_id, n_dups, admitted) for every NEW vector.
     """
@@ -676,27 +705,32 @@ def embedding_incremental_dedup(spark: SparkSession, sf_dir: str,
             "is_new", is_new
         )
     )
-    new_side = (
-        sig.filter(F.col("is_new"))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(F.col("vec_id").alias("id_new"), F.col("bands").alias("bands_a"))
-        .select(
-            "id_new", "bands_a",
-            F.posexplode("bands_a").alias("band_idx", "band_val"),
-        )
+    exploded = sig.select(
+        "vec_id", "is_new",
+        F.posexplode("bands").alias("band_idx", "band_val"),
     )
-    old_side = (
-        sig.filter(~F.col("is_new"))
-        .select(F.col("vec_id").alias("id_old"), F.col("bands").alias("bands_b"))
-        .select(
-            "id_old", "bands_b",
-            F.posexplode("bands_b").alias("band_idx", "band_val"),
+    if max_bucket:
+        # cap over the UNION frame (existing + incoming), same as
+        # dedup_incremental_minhash: a hub bucket is a hub regardless of
+        # which side its members arrive on; the window's exchange also
+        # spreads a single-file corpus
+        exploded = _cap_buckets(
+            exploded, max_bucket, keys=("band_idx", "band_val")
         )
+    else:
+        exploded = exploded.repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    new_side = exploded.filter(F.col("is_new")).select(
+        F.col("vec_id").alias("id_new"), "band_idx", "band_val"
+    )
+    old_side = exploded.filter(~F.col("is_new")).select(
+        F.col("vec_id").alias("id_old"), "band_idx", "band_val"
     )
     cand = (
         new_side.join(old_side, ["band_idx", "band_val"])
-        .filter(_first_match_band("bands_a", "bands_b"))
         .select("id_new", "id_old")
+        .distinct()
     )
     vn = e.select(F.col("vec_id").alias("id_new"), F.col("v").alias("vn"))
     vo = e.select(F.col("vec_id").alias("id_old"), F.col("v").alias("vo"))
@@ -722,9 +756,20 @@ def embedding_incremental_dedup(spark: SparkSession, sf_dir: str,
     )
 
 
-_oracle(
-    "embedding_incremental_dedup",
-    f"""
+def _embedding_incremental_oracle(max_bucket: int = LSH_MAX_BUCKET) -> str:
+    """embedding_incremental_dedup's oracle, parameterized on the bucket
+    cap (computed over the union frame, as in the Spark builder); 0/None
+    disables."""
+    cap_cte = (
+        f"""bv AS (
+        SELECT vec_id, is_new, band_idx, band_val FROM bandvals
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_val)
+                <= {max_bucket}
+    )"""
+        if max_bucket
+        else "bv AS (SELECT vec_id, is_new, band_idx, band_val FROM bandvals)"
+    )
+    return f"""
     WITH e AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -751,11 +796,11 @@ _oracle(
                list_reduce(list(bit ORDER BY p),
                            (acc, b) -> acc * 2 + b) AS band_val
         FROM bits GROUP BY vec_id, is_new, p // 6
-    ), cand AS (
-        -- first-match-band emission dedups (new, old) pairs engine-side;
-        -- the SET equals DISTINCT over any-band collisions
+    ), {cap_cte}, cand AS (
+        -- Spark dedups (new, old) pairs with an explicit DISTINCT over
+        -- any-band collisions among sub-cap buckets
         SELECT DISTINCT n.vec_id AS id_new, o.vec_id AS id_old
-        FROM bandvals n JOIN bandvals o
+        FROM bv n JOIN bv o
           ON n.band_idx = o.band_idx AND n.band_val = o.band_val
         WHERE n.is_new AND NOT o.is_new
     ), dups AS (
@@ -772,8 +817,10 @@ _oracle(
            COALESCE(d.n_dups, 0) = 0 AS admitted
     FROM e LEFT JOIN dups d ON d.id_new = e.vec_id
     WHERE e.is_new
-    """,
-)
+    """
+
+
+_oracle("embedding_incremental_dedup", _embedding_incremental_oracle())
 
 
 def kmeans_assign(e: DataFrame, centroids: DataFrame,

@@ -613,3 +613,114 @@ def test_knn_zero_norm_vectors_are_not_neighbors(spark, tmp_path):
     assert not (neighbors & {100, 101, 102, 103, 104, 105})
     # every query still gets its full top-k from the real corpus
     assert len(hof) == 10 * 5
+
+
+def _lsh_hub_corpus(spark, tmp_path):
+    """30 identical vectors (a dead-encoder hub: every band bucket they
+    form is size 30) plus a distinct near pair whose buckets are size 2;
+    returns the dir embedding_lsh_near_dup reads."""
+    import random
+
+    rnd = random.Random(7)
+    hub = [0.5] * 64
+    base = [rnd.uniform(-1.0, 1.0) for _ in range(64)]
+    near = [x * 1.001 + 0.0005 for x in base]
+    rows = [(i, hub) for i in range(30)]
+    rows.append((100, base))
+    rows.append((101, near))
+    out = str(tmp_path / "lsh_hub")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(out + "/embeddings.parquet")
+    return out
+
+
+def test_embedding_lsh_bucket_cap_drops_hub_keeps_true_pairs(spark, tmp_path):
+    """The embedding-LSH twin of the MinHash/SimHash/n-gram hub caps: 30
+    identical vectors share every band bucket — C(30,2)=435 candidate
+    (and, at sim 1.0, output) pairs uncapped — while the planted near
+    pair's buckets are size 2 and must survive the cap."""
+    d = _lsh_hub_corpus(spark, tmp_path)
+    unc = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_lsh_near_dup(
+            spark, d, max_bucket=0
+        ).collect()
+    }
+    cap = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_lsh_near_dup(
+            spark, d, max_bucket=10
+        ).collect()
+    }
+    hub_pairs = {p for p in unc if p[0] < 30 and p[1] < 30}
+    assert len(hub_pairs) == 435
+    assert (100, 101) in unc
+    assert (100, 101) in cap
+    assert not (cap & hub_pairs)
+
+
+def test_embedding_lsh_binding_cap_matches_oracle(spark, tmp_path):
+    """Capped-path parity: with a max_bucket that BINDS, the Spark window
+    cap and the oracle's QUALIFY mirror must drop the same buckets and
+    agree on every surviving pair."""
+    import duckdb
+
+    d = _lsh_hub_corpus(spark, tmp_path)
+    got = sorted(
+        (r.id_a, r.id_b, r.sim)
+        for r in similarity.embedding_lsh_near_dup(
+            spark, d, max_bucket=10
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{d}/embeddings.parquet/*.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            similarity._embedding_lsh_oracle(max_bucket=10)
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) > 0  # the surviving true pair, never vacuous
+
+
+def test_embedding_incremental_binding_cap_matches_oracle(spark, tmp_path):
+    """Same binding-cap parity for the cross-set admission path (cap over
+    the union frame in both engines)."""
+    import duckdb
+
+    d = _lsh_hub_corpus(spark, tmp_path)
+    got = sorted(
+        (r.vec_id, r.n_dups, r.admitted)
+        for r in similarity.embedding_incremental_dedup(
+            spark, d, max_bucket=10
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{d}/embeddings.parquet/*.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            similarity._embedding_incremental_oracle(max_bucket=10)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_embedding_lsh_oracle_zero_cap_means_disabled():
+    """max_bucket=0 must mean cap DISABLED in both oracle builders exactly
+    as in the Spark builders — never QUALIFY <= 0."""
+    assert f"<= {similarity.LSH_MAX_BUCKET}" in similarity._embedding_lsh_oracle()
+    assert "QUALIFY" not in similarity._embedding_lsh_oracle(0)
+    assert (
+        f"<= {similarity.LSH_MAX_BUCKET}"
+        in similarity._embedding_incremental_oracle()
+    )
+    assert "QUALIFY" not in similarity._embedding_incremental_oracle(0)

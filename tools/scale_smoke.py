@@ -98,7 +98,8 @@ def main() -> int:
     # like any corpus).  Sizes are capped independently of n — the pairwise
     # shapes have their own scaling laws (see each operator's docstring).
     vector_labels = {"vector_knn_hof", "vector_knn_gemm",
-                     "vector_lsh_near_dup", "vector_semantic_dedup",
+                     "vector_lsh_near_dup", "vector_lsh_hub",
+                     "vector_semantic_dedup",
                      "vector_kmeans", "vector_knn_ivf",
                      "vector_pq_encode_hof", "vector_pq_encode_gemm",
                      "vector_incremental_dedup", "vector_ivfpq_refine",
@@ -163,6 +164,46 @@ def main() -> int:
             "vector_lsh_near_dup", nv_lsh,
             lambda d: similarity.embedding_lsh_near_dup(
                 spark, d, n_planes=64, n_bands=4)))
+        # r10 session 3: the hub corpus — every 10th vector is the SAME
+        # constant (dead encoder rows), so the hub's 4 band buckets each
+        # hold nv/10 vectors and the uncapped candidate bound is
+        # 4 x C(nv/10, 2) (5.0B at 500k — JVM death); LSH_MAX_BUCKET
+        # drops those buckets and the job completes.  The hub vectors ARE
+        # mutual duplicates, but at 50k copies pairwise output is itself
+        # quadratic — dedup of an over-cap identity class is the exact
+        # md5/keep-first tier's job, not the pair lister's.
+        def write_hub_vectors(nv: int) -> str:
+            d = tempfile.mkdtemp(prefix="scale_vechub_")
+            emb = F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda j: (
+                    F.hash((F.col("id") * 64 + j).cast("int")).cast("double")
+                    / F.lit(2147483647.0)
+                ).cast("float"),
+            )
+            hub = F.array_repeat(F.lit(0.5).cast("float"), 64)
+            spark.range(nv).select(
+                F.col("id").alias("vec_id"),
+                F.when(F.pmod(F.col("id"), F.lit(10)) == 0, hub)
+                    .otherwise(emb).alias("embedding"),
+                F.pmod(F.col("id"), F.lit(10)).cast("int").alias("label"),
+            ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+            return d
+
+        if not only or "vector_lsh_hub" in only:
+            dh = write_hub_vectors(nv_lsh)
+            try:
+                t0 = time.time()
+                similarity.embedding_lsh_near_dup(
+                    spark, dh, n_planes=64, n_bands=4
+                ).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                results.append(
+                    ("vector_lsh_hub", round(dt, 2), int(nv_lsh / dt))
+                )
+            finally:
+                shutil.rmtree(dh, ignore_errors=True)
+
         # admission dedup at the lsh_near_dup scale: same wide-band
         # settings; the batch side is ~1/16 of the corpus
         results.append(run_vec(
