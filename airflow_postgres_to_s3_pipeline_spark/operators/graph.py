@@ -8,7 +8,9 @@ edge list is the canonical self-join fact-derived graph.
 
 Scale notes (100 TB):
 - Edge construction is a self-equi-join on the order key — quadratic only
-  in lines-per-order (bounded small by the data model), linear in orders.
+  in lines-per-order, which ``BASKET_CAP`` bounds IN CODE (the data model
+  keeps baskets small, but one malformed Θ(n)-line order would emit
+  C(n,2) edges; the same hub discipline as the dedup chains' LSH caps).
 - Each PageRank iteration is one (edge join + dst-keyed aggregate): two
   shuffles per iteration on a frame of |V| + |E| rows, the textbook
   distributed formulation.  Iterations are a fixed small count here; a
@@ -23,7 +25,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_postgres_to_s3_pipeline_spark.cache import tracked_persist
@@ -40,30 +42,68 @@ MIN_SUPPORT = 2
 LIFT_TOP_N = 50
 
 
-def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (order, part) pairs — the basket relation."""
-    return (
+BASKET_CAP = 1024
+"""Max distinct parts per order admitted to the co-purchase kernels.
+
+Every graph kernel here starts from the basket self-join on l_orderkey,
+which emits C(b,2) edge rows for a b-part order — so ONE malformed or
+bot-generated Θ(n)-line order makes edge CONSTRUCTION quadratic before
+any downstream skew handling (degree orientation bounds the wedge join,
+not the edge join that feeds it).  Orders wider than this cap are
+excluded from the analysis entirely (one window count on the join's own
+shuffle key; a basket containing everything carries no co-purchase
+signal), mirrored as a QUALIFY in every oracle via ``_basket_sql``.
+Never binds on testdata (TPC-H orders hold <= 7 lines); 0/None disables,
+the convention shared with the dedup-chain caps."""
+
+
+def _baskets(spark: SparkSession, sf_dir: str,
+             max_basket: int = BASKET_CAP) -> DataFrame:
+    """Distinct (order, part) pairs — the basket relation, hub-capped."""
+    b = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
+    if max_basket:
+        w = Window.partitionBy("l_orderkey")
+        b = (
+            b.withColumn("bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("bsz") <= max_basket)
+            .drop("bsz")
+        )
+    return b
 
 
-def part_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _basket_sql(max_basket: int = BASKET_CAP) -> str:
+    """The basket relation as a single SQL body (the ``b`` CTE of every
+    graph oracle), QUALIFY-mirroring ``_baskets``; 0/None disables."""
+    if not max_basket:
+        return "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+    return f"""SELECT l_orderkey, l_partkey
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        QUALIFY COUNT(*) OVER (PARTITION BY l_orderkey) <= {max_basket}"""
+
+
+def part_cooccurrence_lift(spark: SparkSession, sf_dir: str,
+                           max_basket: int = BASKET_CAP) -> DataFrame:
     """Market-basket association: for part pairs co-occurring in >=
     MIN_SUPPORT orders, lift = P(a,b) / (P(a) P(b)) — the classic
     co-purchase affinity score, top-N by lift.
 
     Shape: one distinct (order, part) shuffle, a self-join on the order
-    key (quadratic only within an order), a pair-keyed count, and two
-    broadcast joins of the (part-count-sized) marginals.  lift is computed
-    as one integer product then a single division — no float accumulation.
+    key (quadratic only within an order, which ``BASKET_CAP`` bounds), a
+    pair-keyed count, and two broadcast joins of the (part-count-sized)
+    marginals.  lift is computed as one integer product then a single
+    division — no float accumulation.  Over-cap orders are excluded from
+    n_orders and the marginals too, so the lift denominator stays
+    consistent with the pair universe.
     """
     # persisted: the distinct (order, part) shuffle is the heaviest stage
     # and is consumed by FOUR references (the n_orders action, both
     # self-join sides, the marginals) — exchange reuse dedupes within one
     # job but not across the count action and the result job (r10 review)
-    b = tracked_persist(_baskets(spark, sf_dir))
+    b = tracked_persist(_baskets(spark, sf_dir, max_basket))
     n_orders = b.select("l_orderkey").distinct().count()  # collection stat
     part_orders = b.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("c")
@@ -113,7 +153,7 @@ _oracle(
     "part_cooccurrence_lift",
     f"""
     WITH b AS (
-        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        {_basket_sql()}
     ), n AS (
         SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM b
     ), po AS (
@@ -144,9 +184,10 @@ PR_DAMP_NUM = 85          # damping 0.85 as an integer ratio
 PR_TOP_N = 20
 
 
-def _symmetric_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _symmetric_edges(spark: SparkSession, sf_dir: str,
+                     max_basket: int = BASKET_CAP) -> DataFrame:
     """Undirected co-purchase edges as a symmetric directed list."""
-    b = _baskets(spark, sf_dir)
+    b = _baskets(spark, sf_dir, max_basket)
     a = b.alias("a")
     c = b.alias("c")
     half = (
@@ -166,7 +207,8 @@ def _symmetric_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pagerank_parts(spark: SparkSession, sf_dir: str,
-                   iterations: int = PR_ITERATIONS) -> DataFrame:
+                   iterations: int = PR_ITERATIONS,
+                   max_basket: int = BASKET_CAP) -> DataFrame:
     """Fixed-iteration PageRank over the undirected co-purchase graph,
     in PURE integer arithmetic: rank_micro starts at SCALE div N; each
     round every node sends rank_micro div degree along its edges and
@@ -181,7 +223,7 @@ def pagerank_parts(spark: SparkSession, sf_dir: str,
     variant follows dedup.connected_components (scalar convergence
     action + localCheckpoint lineage cuts).
     """
-    edges = tracked_persist(_symmetric_edges(spark, sf_dir))
+    edges = tracked_persist(_symmetric_edges(spark, sf_dir, max_basket))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n_nodes = deg.count()  # scalar collection statistic
     teleport = (PR_SCALE * (100 - PR_DAMP_NUM) // 100) // n_nodes
@@ -244,7 +286,7 @@ def _pagerank_oracle() -> str:
     chain = ",\n    ".join(steps)
     return f"""
     WITH b AS (
-        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        {_basket_sql()}
     ), half AS (
         SELECT DISTINCT a.l_partkey AS src, c.l_partkey AS dst
         FROM b a JOIN b c
@@ -304,7 +346,8 @@ TRI_ADJ_BYTES_PER_EDGE = 24
 
 def triangle_count(spark: SparkSession, sf_dir: str,
                    orient: str = "degree",
-                   wedge_observation=None) -> DataFrame:
+                   wedge_observation=None,
+                   max_basket: int = BASKET_CAP) -> DataFrame:
     """Per-part triangle participation in the co-purchase graph — the third
     classic distributed graph kernel beside lift (local edge weights) and
     PageRank (global iteration): triangles measure neighborhood closure
@@ -333,7 +376,7 @@ def triangle_count(spark: SparkSession, sf_dir: str,
 
     Returns (l_partkey, n_triangles) for every part in >= 1 triangle.
     """
-    b = _baskets(spark, sf_dir)
+    b = _baskets(spark, sf_dir, max_basket)
     a = b.alias("a")
     c = b.alias("c")
     edges = (
@@ -508,7 +551,7 @@ _oracle(
     "triangle_count",
     f"""
     WITH b AS (
-        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        {_basket_sql()}
     ), e AS (
         SELECT a.l_partkey AS pa, c.l_partkey AS pb
         FROM b a JOIN b c
@@ -535,7 +578,8 @@ BFS_MAX_HOPS = 6
 
 
 def bfs_hops(spark: SparkSession, sf_dir: str,
-             max_hops: int = BFS_MAX_HOPS) -> DataFrame:
+             max_hops: int = BFS_MAX_HOPS,
+             max_basket: int = BASKET_CAP) -> DataFrame:
     """Single-source BFS hop distances over the co-purchase graph — the
     fourth graph kernel (after components / PageRank / triangles): "how
     far is every part from the best-connected hub" is the reachability
@@ -561,7 +605,7 @@ def bfs_hops(spark: SparkSession, sf_dir: str,
     Returns (node, hops) for every node reachable within max_hops.
     """
     edges = tracked_persist(
-        _symmetric_edges(spark, sf_dir).repartition("src")
+        _symmetric_edges(spark, sf_dir, max_basket).repartition("src")
     )
     source = edges.agg(F.min("src").alias("node")).select(
         "node", F.lit(0).cast("int").alias("hops")
@@ -590,7 +634,7 @@ _oracle(
     "bfs_hops",
     f"""
     WITH RECURSIVE b AS (
-        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        {_basket_sql()}
     ), half AS (
         SELECT DISTINCT a.l_partkey AS src, c.l_partkey AS dst
         FROM b a JOIN b c

@@ -224,3 +224,79 @@ def test_adjacency_broadcast_byte_gate(spark, monkeypatch):
     assert {
         (r["vertex"], r["n_triangles"]) for r in fast.collect()
     } == expected
+
+
+def _hub_basket_dir(spark, tmp_path):
+    """Two identical 30-part hub orders (so hub pairs pass MIN_SUPPORT)
+    plus two normal 3-part orders sharing their parts; returns the dir."""
+    rows = []
+    for okey in (900, 901):  # the hub baskets: parts 0..29
+        rows += [(okey, p) for p in range(30)]
+    for okey in (1, 2):  # normal baskets: parts 100..102 co-occur twice
+        rows += [(okey, p) for p in (100, 101, 102)]
+    d = str(tmp_path / "hub_baskets")
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.parquet(f"{d}/lineitem.parquet")
+    return d
+
+
+def test_basket_cap_drops_hub_keeps_normal_lift(spark, tmp_path):
+    """The graph kernels' twin of the dedup-chain hub caps: a 30-part
+    basket emits C(30,2)=435 pair rows per hub order — quadratic edge
+    CONSTRUCTION, before degree orientation can help — while normal
+    baskets' pairs must survive the cap untouched."""
+    d = _hub_basket_dir(spark, tmp_path)
+    unc = {
+        (r.part_a, r.part_b)
+        for r in graph.part_cooccurrence_lift(spark, d, max_basket=0).collect()
+    }
+    cap = {
+        (r.part_a, r.part_b)
+        for r in graph.part_cooccurrence_lift(spark, d, max_basket=10).collect()
+    }
+    hub_pairs = {p for p in unc if p[0] < 30 and p[1] < 30}
+    assert hub_pairs  # support 2 via the duplicated hub order
+    # uncapped, the 435 equal-lift hub pairs fill the top-N before the
+    # normal pair's part ids sort in — the hub drowning out real signal
+    # is itself part of the failure mode; capped, the normal pair is back
+    assert (100, 101) not in unc
+    assert (100, 101) in cap
+    assert not (cap & hub_pairs)
+
+
+def test_basket_cap_binding_matches_oracle(spark, tmp_path):
+    """Binding-cap parity for lift and triangles: the Spark window cap and
+    the oracle's QUALIFY (swapped in via the single-sourced _basket_sql)
+    must agree row-for-row at a cap that binds."""
+    import duckdb
+
+    d = _hub_basket_dir(spark, tmp_path)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"'{d}/lineitem.parquet/*.parquet'"
+    )
+    for name, op, key in (
+        ("part_cooccurrence_lift",
+         lambda: graph.part_cooccurrence_lift(spark, d, max_basket=10),
+         lambda r: (r[0], r[1], r[2], r[3], r[4], r[5])),
+        ("triangle_count",
+         lambda: graph.triangle_count(spark, d, max_basket=10),
+         lambda r: (r[0], r[1])),
+    ):
+        sql = graph.ORACLES[name].replace(
+            graph._basket_sql(), graph._basket_sql(10)
+        )
+        assert graph._basket_sql(10) in sql  # the swap must have landed
+        got = sorted(key(tuple(r)) for r in op().collect())
+        want = sorted(key(tuple(r)) for r in con.sql(sql).fetchall())
+        assert got == want, name
+        assert len(got) > 0, name  # normal-basket results, never vacuous
+
+
+def test_basket_sql_zero_cap_means_disabled():
+    """max_basket=0 must mean cap DISABLED in _basket_sql exactly as in
+    _baskets — never QUALIFY <= 0."""
+    assert f"<= {graph.BASKET_CAP}" in graph._basket_sql()
+    assert "QUALIFY" not in graph._basket_sql(0)
