@@ -102,9 +102,20 @@ def sessionize_events(spark: SparkSession, sf_dir: str,
     of F.session_window): a new session starts when the gap to the previous
     event exceeds the threshold.
 
-    One shuffle on user_id serves both window passes (same partitioning);
-    session_id is a per-user running count of session starts — deterministic
-    under the (ts, event_id) total order.
+    One shuffle on user_id serves both window passes AND the final
+    (user_id, session_id) aggregate (its ClusteredDistribution is
+    satisfied by the windows' HashPartitioning — plan-verified, one
+    Exchange total; 660k events/s at 50M events, docs/SCALE.md).
+    session_id is a per-user running count of session starts —
+    deterministic under the (ts, event_id) total order.
+
+    Hot-key ceiling: exact sessionization needs each user's FULL ordered
+    timeline in one partition (the same inherent bound as
+    asof_join_pandas), so a user carrying Θ(n) events serializes that
+    partition's sort — no salt can split a running count.  Measure with
+    key_skew_profile first; a bot-grade hub user should be capped or
+    routed to the streaming tier (session_window with watermark), which
+    bounds memory per user by gap eviction rather than timeline length.
     """
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")

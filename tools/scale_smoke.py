@@ -349,6 +349,7 @@ def main() -> int:
                    "warehouse_merge_upsert", "warehouse_scd2",
                    "curation_packing", "stream_tumbling",
                    "stream_dedup_wm", "stream_session",
+                   "stream_chained_rollup", "stream_ss_join",
                    "text_dedup_report", "text_dedup_report_5m",
                    "text_simhash_500k", "text_simhash_5m",
                    "text_dedup_components", "text_ngram_jaccard",
@@ -773,6 +774,27 @@ def main() -> int:
             lambda: _cached(lambda: write_stream_events(nst),
                             ("stream_events", nst)),
             lambda s: stream_win.session_counts(s), "append"))
+        # two chained stateful aggregations in ONE query (hourly -> daily)
+        results.append(run_stream(
+            "stream_chained_rollup", nst,
+            lambda: _cached(lambda: write_stream_events(nst),
+                            ("stream_events", nst)),
+            lambda s: stream_win.chained_hourly_daily(s), "append"))
+
+        # stream-stream join: both sides derive from the same source
+        # stream (filters split it), so one physical read feeds both join
+        # inputs; the time-bound condition lets state evict per batch
+        def _ss_join(s):
+            return stream_win.click_purchase_stream_join(
+                s.filter(F.col("event_type") == "click"),
+                s.filter(F.col("event_type") == "purchase"),
+            )
+
+        results.append(run_stream(
+            "stream_ss_join", nst,
+            lambda: _cached(lambda: write_stream_events(nst),
+                            ("stream_events", nst)),
+            _ss_join, "append"))
 
         # warehouse-maintenance shapes at dimension scale: MERGE as a
         # keyed full-outer join + coalesce (one shuffle per side), SCD2 as
