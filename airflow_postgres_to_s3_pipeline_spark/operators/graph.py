@@ -25,7 +25,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from airflow_postgres_to_s3_pipeline_spark.cache import tracked_persist
@@ -66,12 +66,20 @@ def _baskets(spark: SparkSession, sf_dir: str,
         .distinct()
     )
     if max_basket:
-        w = Window.partitionBy("l_orderkey")
-        b = (
-            b.withColumn("bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("bsz") <= max_basket)
-            .drop("bsz")
+        # the shared windowed-count cap (dedup._cap_buckets): its exchange
+        # on l_orderkey REPLACES the self-join's own exchange downstream,
+        # so the net cost is one per-partition sort of the basket frame —
+        # measured ~0.4-0.5s warm on triangle_count at sf0.1 (3.5 vs 3.0s
+        # min-of-3), the insurance premium for the C(b,2) hub bound.  A
+        # broadcast anti-join against the over-cap order list was A/B'd
+        # and is NOT cheaper (same ~0.5s: its broadcast side pays a full
+        # extra pass over the corpus to build the — usually empty — hub
+        # list), and unlike the window it rescans the corpus at 100 TB.
+        from airflow_postgres_to_s3_pipeline_spark.operators.dedup import (
+            _cap_buckets,
         )
+
+        b = _cap_buckets(b, max_basket, keys=("l_orderkey",))
     return b
 
 
