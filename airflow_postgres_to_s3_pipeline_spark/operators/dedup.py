@@ -1189,9 +1189,16 @@ dropped from BOTH the intersection AND the set sizes (one window count on
 the join's own shuffle key, shared ``_cap_buckets``), so the result is
 exact Jaccard over sub-cap-df shingles — symmetric, so verbatim
 duplicates keep J = 1 and a doc of pure boilerplate (every shingle
-over-cap) is reported by the exact-hash tier, not here.  Mirrored as a
-QUALIFY in the SQL oracle; never binds on testdata (max sf0.1 posting:
-14 docs)."""
+over-cap) is reported by the exact-hash tier, not here.  Two directions
+of results change when the cap binds, both inherent to df-filtered
+Jaccard (the standard crawl-dedup semantics): pairs sharing ONLY hub
+shingles are dropped, and a pair that is mostly boilerplate with a few
+shared rare shingles can be lifted ABOVE the threshold (e.g. 20 over-cap
++ 4 of 5 rare shingles shared: raw J ≈ 0.09, df-capped J ≈ 0.67) — i.e.
+the cap measures similarity of what is DISTINCTIVE about each doc, which
+is exactly what near-dup review wants but is not raw whole-text Jaccard.
+Mirrored as a QUALIFY in the SQL oracle; never binds on testdata (max
+sf0.1 posting: 14 docs)."""
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from airflow_postgres_to_s3_pipeline_spark.cache import tracked_persist
 from airflow_postgres_to_s3_pipeline_spark.catalog import table
+from airflow_postgres_to_s3_pipeline_spark.operators.dedup import _cap_buckets
 
 ORACLES: dict[str, str] = {}
 
@@ -75,10 +76,6 @@ def _baskets(spark: SparkSession, sf_dir: str,
         # and is NOT cheaper (same ~0.5s: its broadcast side pays a full
         # extra pass over the corpus to build the — usually empty — hub
         # list), and unlike the window it rescans the corpus at 100 TB.
-        from airflow_postgres_to_s3_pipeline_spark.operators.dedup import (
-            _cap_buckets,
-        )
-
         b = _cap_buckets(b, max_basket, keys=("l_orderkey",))
     return b
 

@@ -689,8 +689,19 @@ def embedding_incremental_dedup(spark: SparkSession, sf_dir: str,
     buckets over ``max_bucket`` drop before the join — computed on the
     UNION frame, same discipline and shared helper as the other LSH cap
     sites (see embedding_lsh_near_dup for the measured failure mode).
-    Exact cosine verifies candidates; one groupBy per new id counts
-    confirmed duplicates.
+
+    The cap alone would make the gate ADMIT a vector whose duplicate
+    class exceeds ``max_bucket`` (identical vectors share every band, so
+    ALL their buckets cap away — and the worst duplicates are exactly
+    the over-represented ones), so an EXACT identity tier backstops it:
+    new vectors equi-join old vectors on the raw value array.  No bucket
+    cap applies there and none is needed — new x new pairs never form on
+    the cross-set shape, so an identity class of k old + m new members
+    emits k*m rows bounded by the BATCH's dup count, not C(k+m,2); at
+    steady state this is the hash-index lookup every admission system
+    runs first.  Exact + LSH candidates union, then exact cosine
+    verifies once (zero-norm rows stay non-neighbors, the module-wide
+    rule); one groupBy per new id counts confirmed duplicates.
 
     Returns (vec_id, n_dups, admitted) for every NEW vector.
     """
@@ -727,9 +738,22 @@ def embedding_incremental_dedup(spark: SparkSession, sf_dir: str,
     old_side = exploded.filter(~F.col("is_new")).select(
         F.col("vec_id").alias("id_old"), "band_idx", "band_val"
     )
+    ev = e.withColumn("is_new", is_new)
+    exact_cand = (
+        ev.filter(F.col("is_new"))
+        .select(F.col("vec_id").alias("id_new"), F.col("v").alias("nv"))
+        .join(
+            ev.filter(~F.col("is_new")).select(
+                F.col("vec_id").alias("id_old"), F.col("v").alias("ov")
+            ),
+            F.col("nv") == F.col("ov"),
+        )
+        .select("id_new", "id_old")
+    )
     cand = (
         new_side.join(old_side, ["band_idx", "band_val"])
         .select("id_new", "id_old")
+        .unionByName(exact_cand)
         .distinct()
     )
     vn = e.select(F.col("vec_id").alias("id_new"), F.col("v").alias("vn"))
@@ -797,12 +821,19 @@ def _embedding_incremental_oracle(max_bucket: int = LSH_MAX_BUCKET) -> str:
                            (acc, b) -> acc * 2 + b) AS band_val
         FROM bits GROUP BY vec_id, is_new, p // 6
     ), {cap_cte}, cand AS (
-        -- Spark dedups (new, old) pairs with an explicit DISTINCT over
-        -- any-band collisions among sub-cap buckets
-        SELECT DISTINCT n.vec_id AS id_new, o.vec_id AS id_old
-        FROM bv n JOIN bv o
-          ON n.band_idx = o.band_idx AND n.band_val = o.band_val
-        WHERE n.is_new AND NOT o.is_new
+        -- LSH candidates (DISTINCT over any-band collisions among
+        -- sub-cap buckets) UNION the exact identity tier, which no
+        -- bucket cap touches — mirrors the Spark builder
+        SELECT DISTINCT id_new, id_old FROM (
+            SELECT n.vec_id AS id_new, o.vec_id AS id_old
+            FROM bv n JOIN bv o
+              ON n.band_idx = o.band_idx AND n.band_val = o.band_val
+            WHERE n.is_new AND NOT o.is_new
+            UNION ALL
+            SELECT n.vec_id AS id_new, o.vec_id AS id_old
+            FROM e n JOIN e o ON n.v = o.v
+            WHERE n.is_new AND NOT o.is_new
+        )
     ), dups AS (
         SELECT id_new, COUNT(*) AS n_dups
         FROM cand

@@ -724,3 +724,20 @@ def test_embedding_lsh_oracle_zero_cap_means_disabled():
         in similarity._embedding_incremental_oracle()
     )
     assert "QUALIFY" not in similarity._embedding_incremental_oracle(0)
+
+
+def test_incremental_dedup_rejects_overcap_identity_class(spark, tmp_path):
+    """The admission gate must NOT admit a vector just because its
+    duplicate class is so big the LSH cap drops every shared bucket: the
+    exact identity tier backstops the cap.  vec_id 2 is the one 'new'
+    hub member (md5 split) among 30 identical vectors — with a binding
+    cap its LSH candidates all vanish, and before the exact tier it was
+    admitted with n_dups=0."""
+    d = _lsh_hub_corpus(spark, tmp_path)
+    rows = {
+        r.vec_id: (r.n_dups, r.admitted)
+        for r in similarity.embedding_incremental_dedup(
+            spark, d, max_bucket=10
+        ).collect()
+    }
+    assert rows[2] == (29, False)  # 29 identical OLD copies, rejected
