@@ -738,16 +738,31 @@ def embedding_incremental_dedup(spark: SparkSession, sf_dir: str,
     old_side = exploded.filter(~F.col("is_new")).select(
         F.col("vec_id").alias("id_old"), "band_idx", "band_val"
     )
+    # The identity join's EQUI key is hash(v) — an 8-byte murmur3 the
+    # planner hash-partitions and hash-joins — with the raw array
+    # equality confirmed row-locally on the (rare) hash matches.  Joining
+    # on the array directly is output-identical but planned as a
+    # nested-loop (array keys don't hash-join): measured 310s vs 30s for
+    # the whole query at 500k vectors.  The oracle keeps the pure
+    # ``n.v = o.v`` form — the hash narrows candidates, never changes
+    # the match set.
     ev = e.withColumn("is_new", is_new)
     exact_cand = (
         ev.filter(F.col("is_new"))
-        .select(F.col("vec_id").alias("id_new"), F.col("v").alias("nv"))
+        .select(
+            F.col("vec_id").alias("id_new"),
+            F.col("v").alias("nv"),
+            F.hash("v").alias("vh"),
+        )
         .join(
             ev.filter(~F.col("is_new")).select(
-                F.col("vec_id").alias("id_old"), F.col("v").alias("ov")
+                F.col("vec_id").alias("id_old"),
+                F.col("v").alias("ov"),
+                F.hash("v").alias("vh"),
             ),
-            F.col("nv") == F.col("ov"),
+            "vh",
         )
+        .filter(F.col("nv") == F.col("ov"))
         .select("id_new", "id_old")
     )
     cand = (
