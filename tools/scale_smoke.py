@@ -353,6 +353,7 @@ def main() -> int:
                    "text_dedup_report", "text_dedup_report_5m",
                    "text_simhash_500k", "text_simhash_5m",
                    "text_dedup_components", "text_ngram_jaccard",
+                   "text_ngram_jaccard_5m",
                    "sus_two_phase", "sus_global_window", "tile_near_dup"}
     if not only or (only & text_labels):
         import shutil
@@ -562,6 +563,12 @@ def main() -> int:
         results.append(run_dir(
             "text_ngram_jaccard", nw,
             lambda: _cached(lambda: write_boiler_docs(nw), ("boiler", nw)),
+            lambda d: dedup_ops.ngram_jaccard_pairs(spark, d)))
+        # 10x: the linearity evidence post-cap (boilerplate postings grow
+        # to 500k docs each — uncapped bound 4 x C(500k,2) = 5e11 pairs)
+        results.append(run_dir(
+            "text_ngram_jaccard_5m", ndr,
+            lambda: _cached(lambda: write_boiler_docs(ndr), ("boiler", ndr)),
             lambda d: dedup_ops.ngram_jaccard_pairs(spark, d)))
 
         # entity resolution: vocabulary-scale multi-pass blocking.  ~1M
