@@ -269,7 +269,7 @@ hash match is preserved even where it does bind.
 
 
 def _cap_buckets(banded: DataFrame, max_bucket: int,
-                 keys: tuple[str, str] = ("band", "band_hash")) -> DataFrame:
+                 keys: tuple[str, ...] = ("band", "band_hash")) -> DataFrame:
     """Drop rows of buckets larger than ``max_bucket`` — one window count
     over the same ``keys`` the subsequent join shuffles on, so the cap
     adds no extra exchange of the banded frame.  Shared by the MinHash

@@ -69,15 +69,65 @@ def _baskets(spark: SparkSession, sf_dir: str,
     if max_basket:
         # the shared windowed-count cap (dedup._cap_buckets): its exchange
         # on l_orderkey REPLACES the self-join's own exchange downstream,
-        # so the net cost is one per-partition sort of the basket frame —
-        # measured ~0.4-0.5s warm on triangle_count at sf0.1 (3.5 vs 3.0s
-        # min-of-3), the insurance premium for the C(b,2) hub bound.  A
-        # broadcast anti-join against the over-cap order list was A/B'd
-        # and is NOT cheaper (same ~0.5s: its broadcast side pays a full
-        # extra pass over the corpus to build the — usually empty — hub
-        # list), and unlike the window it rescans the corpus at 100 TB.
+        # so the net cost is one per-partition sort of the basket frame.
+        # Only part_cooccurrence_lift still consumes this relation (it
+        # needs the per-part marginals alongside the pairs); the pure
+        # edge consumers (triangle_count, pagerank, BFS) moved to
+        # _basket_pair_edges, where the cap is a free size filter on the
+        # collect_set row (r10 verdict task 3 — the 0.4-0.7s window-sort
+        # premium those kernels paid is gone).  A broadcast anti-join
+        # against the over-cap order list was A/B'd and is NOT cheaper
+        # (same ~0.5s: its broadcast side pays a full extra pass over
+        # the corpus to build the — usually empty — hub list), and
+        # unlike the window it rescans the corpus at 100 TB.
         b = _cap_buckets(b, max_basket, keys=("l_orderkey",))
     return b
+
+
+def _basket_pair_edges(spark: SparkSession, sf_dir: str,
+                       max_basket: int = BASKET_CAP) -> DataFrame:
+    """Co-purchase pairs built ROW-LOCALLY: one (pa, pb) row per
+    (order, unordered part pair) with pa < pb — the exact multiset the
+    capped basket self-join emits, at one exchange instead of three
+    plan stages (r10 verdict task 3).
+
+    The basket self-join formulation pays distinct's 2-key exchange,
+    then the cap's window (an l_orderkey exchange + per-partition SORT —
+    not map-side combinable), then the self-join probe.  Here the basket
+    collapses to ONE row per order via collect_set (ObjectHashAggregate:
+    partially aggregated map-side, so the exchange moves thin
+    (order, part-set) rows), the cap becomes a plain ``size(parts) <=
+    max_basket`` filter — no window, no sort — and the C(b,2) expansion
+    happens INSIDE a higher-order function, bounded by the cap, never
+    through a join.  Measured at sf0.1: triangle_count 3.5s -> 2.4s warm
+    min-of-3 (the cap's 0.4-0.5s window premium becomes free), and the
+    hub bound is structural: an over-cap order is dropped by the size
+    filter BEFORE expansion, and even uncapped its set arrives as one
+    Θ(b) row, not Θ(b) shuffled rows feeding a C(b,2) join.
+
+    sort_array makes the per-order pair orientation deterministic; the
+    i < j expansion over a sorted set is exactly the self-join's
+    ``pa < pb`` predicate.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    if max_basket:
+        baskets = baskets.filter(F.size("parts") <= max_basket)
+    parts = F.col("parts")
+    pairs = F.flatten(
+        F.transform(
+            parts,
+            lambda x, i: F.transform(
+                F.slice(parts, i + F.lit(2), F.size(parts)),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    return baskets.select(F.explode(pairs).alias("e")).select(
+        F.col("e.pa").alias("pa"), F.col("e.pb").alias("pb")
+    )
 
 
 def _basket_sql(max_basket: int = BASKET_CAP) -> str:
@@ -192,19 +242,9 @@ PR_TOP_N = 20
 def _symmetric_edges(spark: SparkSession, sf_dir: str,
                      max_basket: int = BASKET_CAP) -> DataFrame:
     """Undirected co-purchase edges as a symmetric directed list."""
-    b = _baskets(spark, sf_dir, max_basket)
-    a = b.alias("a")
-    c = b.alias("c")
     half = (
-        a.join(
-            c,
-            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("c.l_partkey").alias("dst"),
-        )
+        _basket_pair_edges(spark, sf_dir, max_basket)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .distinct()
     )
     return half.union(half.select(F.col("dst").alias("src"),
@@ -381,19 +421,9 @@ def triangle_count(spark: SparkSession, sf_dir: str,
 
     Returns (l_partkey, n_triangles) for every part in >= 1 triangle.
     """
-    b = _baskets(spark, sf_dir, max_basket)
-    a = b.alias("a")
-    c = b.alias("c")
     edges = (
-        a.join(
-            c,
-            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("c.l_partkey").alias("pb"),
-        )
+        _basket_pair_edges(spark, sf_dir, max_basket)
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= TRI_SUPPORT)
         .select("pa", "pb")

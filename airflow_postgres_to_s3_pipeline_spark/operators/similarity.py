@@ -46,6 +46,19 @@ N_QUERIES = 10
 TOP_K = 5
 
 
+def _ieee_norm(col):
+    """IEEE-normalize a double array for use as a HASH input: -0.0 →
+    +0.0 (x + 0.0) and every NaN payload → one canonical NaN (nanvl).
+    Spark's NormalizeFloatingNumbers rule does this automatically for
+    join/group/window KEYS, but NOT for a precomputed ``hash(...)``
+    column — hashing the raw array lets a 0.0-vs--0.0 bitwise-variant
+    pair hash apart and silently miss an equi-join the row-local
+    equality would have accepted (r10 ADVICE)."""
+    return F.transform(
+        col, lambda x: F.nanvl(x + F.lit(0.0), F.lit(float("nan")))
+    )
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition to defaultParallelism ONLY when the input is narrower —
     the single-file one-task trap (a corpus parquet under
@@ -482,7 +495,12 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str,
       makes the stage Θ(n²) exactly as in the MinHash/SimHash/n-gram
       chains (measured r10 session 3: a 10% constant-vector hub at 500k
       vectors is a 5.0B-pair bound — docs/SCALE.md).  QUALIFY-mirrored in
-      the oracle; never binds on testdata.
+      the oracle; never binds on testdata.  A BINDING cap silently drops
+      an over-cap bitwise-identical class from this pair output entirely
+      (all its bands cap away); that class's existence is reported by
+      ``embedding_exact_dedup`` — the linear groupBy identity tier — not
+      by pair enumeration here, which is the same division of labor as
+      the text chain's md5 tier vs its LSH cap (r10 ADVICE).
     - Pair dedup across bands is an explicit DISTINCT of the thin
       (id_a, id_b) candidates — the oracle's formulation, and the same
       choice as ``dedup_incremental_minhash``.  (The previous
@@ -535,6 +553,50 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str,
     return pairs.select("id_a", "id_b", sim.alias("sim")).filter(
         F.col("sim") >= threshold
     )
+
+
+def embedding_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-side EXACT identity dedup: one row per bitwise-identical
+    vector class with the keep-first (lowest-vec_id) representative and
+    the class size — the embedding analog of the text chain's md5 exact
+    tier (dedup.dedup_exact), and the operator the LSH chains delegate
+    over-cap identity classes to (r10 ADVICE): a duplicate class larger
+    than ``LSH_MAX_BUCKET`` is deliberately absent from the capped
+    ``embedding_lsh_near_dup`` pair output (C(b,2) pairs IS the
+    quadratic hub shape the cap exists to kill), so its existence is
+    reported here by a LINEAR group-by instead.
+
+    Scale shape: one hash exchange on the value array with map-side
+    partial aggregation (HashAggregate → Exchange → HashAggregate;
+    plan-verified).  Spark inserts NormalizeFloatingNumbers on the
+    grouping key, so -0.0/+0.0 and NaN-payload variants collapse into
+    one class without manual normalization.  At 100 TB the ~512-byte
+    array shuffle key is the cost; a pre-hash cut (group by hash(v)
+    first) would shrink the exchange but needs a collision-confirm
+    second pass — the one-exchange form is the right default and the
+    dedup-report shape (n_members > 1) prunes nothing upstream anyway.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    return e.groupBy("v").agg(
+        F.min("vec_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    ).select("rep_id", "n_members")
+
+
+_oracle(
+    "embedding_exact_dedup",
+    """
+    SELECT MIN(vec_id) AS rep_id, COUNT(*) AS n_members
+    FROM (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )
+    GROUP BY v
+    """,
+)
 
 
 def _lsh_band_signatures(spark: SparkSession, e: DataFrame,
@@ -690,18 +752,34 @@ def embedding_incremental_dedup(spark: SparkSession, sf_dir: str,
     UNION frame, same discipline and shared helper as the other LSH cap
     sites (see embedding_lsh_near_dup for the measured failure mode).
 
-    The cap alone would make the gate ADMIT a vector whose duplicate
-    class exceeds ``max_bucket`` (identical vectors share every band, so
-    ALL their buckets cap away — and the worst duplicates are exactly
-    the over-represented ones), so an EXACT identity tier backstops it:
-    new vectors equi-join old vectors on the raw value array.  No bucket
-    cap applies there and none is needed — new x new pairs never form on
-    the cross-set shape, so an identity class of k old + m new members
-    emits k*m rows bounded by the BATCH's dup count, not C(k+m,2); at
-    steady state this is the hash-index lookup every admission system
-    runs first.  Exact + LSH candidates union, then exact cosine
-    verifies once (zero-norm rows stay non-neighbors, the module-wide
-    rule); one groupBy per new id counts confirmed duplicates.
+    The admission shape caps by REPRESENTATIVES, not by dropping buckets
+    (r10 ADVICE): the new side keeps every band row, the old side keeps
+    the ``max_bucket`` lowest-vec_id members per bucket.  Dropping whole
+    over-cap buckets — the symmetric chains' discipline — would ADMIT
+    every member of an over-cap duplicate class whose arrays differ
+    slightly (a dead encoder plus noise: identical sign patterns, so all
+    bands cap away, but no bitwise identity for the exact tier to catch).
+    With representative keeping, every new vector still meets up to
+    ``max_bucket`` old witnesses per band, while join fan-out stays
+    bounded by batch x bands x cap (never C(bucket, 2)).  A hub bucket
+    still lands its new-side rows in one shuffle task; AQE skew-split
+    handles that residual, and the OUTPUT bound is what matters.  The
+    residual approximation: a new vector whose true near-dups all sit
+    beyond the representative set of every shared band can still be
+    falsely admitted — that requires ``max_bucket`` closer-by-vec_id
+    false-positive collisions in every band, and is the measured-recall
+    territory ``lsh_recall_eval`` reports on.
+
+    An EXACT identity tier additionally backstops bitwise-identical
+    vectors independent of LSH parameters: new vectors equi-join old
+    vectors on the raw value array.  No bucket cap applies there and
+    none is needed — new x new pairs never form on the cross-set shape,
+    so an identity class of k old + m new members emits k*m rows bounded
+    by the BATCH's dup count, not C(k+m,2); at steady state this is the
+    hash-index lookup every admission system runs first.  Exact + LSH
+    candidates union, then exact cosine verifies once (zero-norm rows
+    stay non-neighbors, the module-wide rule); one groupBy per new id
+    counts confirmed duplicates.
 
     Returns (vec_id, n_dups, admitted) for every NEW vector.
     """
@@ -721,12 +799,18 @@ def embedding_incremental_dedup(spark: SparkSession, sf_dir: str,
         F.posexplode("bands").alias("band_idx", "band_val"),
     )
     if max_bucket:
-        # cap over the UNION frame (existing + incoming), same as
-        # dedup_incremental_minhash: a hub bucket is a hub regardless of
-        # which side its members arrive on; the window's exchange also
-        # spreads a single-file corpus
-        exploded = _cap_buckets(
-            exploded, max_bucket, keys=("band_idx", "band_val")
+        # representative cap (see docstring): keep ALL new-side rows,
+        # keep the max_bucket lowest-vec_id OLD rows per bucket.  The
+        # row_number window partitions on the join key (+ is_new), so
+        # the cap adds no extra exchange beyond the join's own shuffle,
+        # and its exchange also spreads a single-file corpus.
+        wrep = Window.partitionBy(
+            "band_idx", "band_val", "is_new"
+        ).orderBy("vec_id")
+        exploded = (
+            exploded.withColumn("brn", F.row_number().over(wrep))
+            .filter(F.col("is_new") | (F.col("brn") <= max_bucket))
+            .drop("brn")
         )
     else:
         exploded = exploded.repartition(
@@ -743,22 +827,28 @@ def embedding_incremental_dedup(spark: SparkSession, sf_dir: str,
     # equality confirmed row-locally on the (rare) hash matches.  Joining
     # on the array directly is output-identical but planned as a
     # nested-loop (array keys don't hash-join): measured 310s vs 30s for
-    # the whole query at 500k vectors.  The oracle keeps the pure
-    # ``n.v = o.v`` form — the hash narrows candidates, never changes
-    # the match set.
+    # the whole query at 500k vectors.  The elements are IEEE-normalized
+    # before hashing (-0.0 -> +0.0 via x + 0.0, NaN payloads -> one
+    # canonical NaN via nanvl) because NormalizeFloatingNumbers rewrites
+    # comparison/join KEYS, not a precomputed hash column — without it a
+    # 0.0-vs--0.0 identical pair hashes apart and is silently missed
+    # while the oracle's ``n.v = o.v`` matches (r10 ADVICE).  The oracle
+    # keeps the pure equality form — the hash narrows candidates, never
+    # changes the match set.
+    vnorm = _ieee_norm(F.col("v"))
     ev = e.withColumn("is_new", is_new)
     exact_cand = (
         ev.filter(F.col("is_new"))
         .select(
             F.col("vec_id").alias("id_new"),
             F.col("v").alias("nv"),
-            F.hash("v").alias("vh"),
+            F.hash(vnorm).alias("vh"),
         )
         .join(
             ev.filter(~F.col("is_new")).select(
                 F.col("vec_id").alias("id_old"),
                 F.col("v").alias("ov"),
-                F.hash("v").alias("vh"),
+                F.hash(vnorm).alias("vh"),
             ),
             "vh",
         )
@@ -797,12 +887,14 @@ def embedding_incremental_dedup(spark: SparkSession, sf_dir: str,
 
 def _embedding_incremental_oracle(max_bucket: int = LSH_MAX_BUCKET) -> str:
     """embedding_incremental_dedup's oracle, parameterized on the bucket
-    cap (computed over the union frame, as in the Spark builder); 0/None
-    disables."""
+    cap (representative keep: new side uncapped, old side keeps the
+    max_bucket lowest-vec_id members per bucket, as in the Spark
+    builder); 0/None disables."""
     cap_cte = (
         f"""bv AS (
         SELECT vec_id, is_new, band_idx, band_val FROM bandvals
-        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_val)
+        QUALIFY is_new OR ROW_NUMBER() OVER (
+            PARTITION BY band_idx, band_val, is_new ORDER BY vec_id)
                 <= {max_bucket}
     )"""
         if max_bucket

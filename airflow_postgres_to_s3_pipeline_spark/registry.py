@@ -853,56 +853,107 @@ _MODULES = (
 # evidence on its first round.  After this window every one of the 226
 # registry entries has a green row in some CORRECTNESS_r*.json or the
 # r9 judge's independent re-check.
+# Round-11 rotation (r10 verdict tasks 1/8 — closes cumulative driver
+# evidence at 226/226): IN the final 20 never-driver-tested entries (all
+# 20 verified green by the r10 judge's independent sf0.01 full-oracle
+# run) — bpe_merges, collation_group, date_interval_functions, dq_audit,
+# hypertable_rollup, join_null_safe, lang_stats, local_supplier_volume,
+# mad_outliers, map_hof_functions, math_trig_bits,
+# nation_volume_shipping, nested_struct_roundtrip, orders_asof_dimension,
+# pandas_udaf_window, sessionize_events, stratified_sample_k_per_group,
+# temperature_mix_allocation, try_arithmetic, winnowing_fingerprint —
+# plus knn_probe_sweep (task 8: a live E26 acceptance-gate sentinel,
+# r9-green) and embedding_exact_dedup (NEW this round — the r10 ADVICE
+# linear identity tier the LSH caps delegate over-cap classes to; it
+# enters the window so it never joins the never-driver-tested backlog).
+# OUT (all r10-green, full hash): json_functions (E20 keeps
+# map_hof_functions in-window), small_quantity_revenue,
+# user_value_trend, date_functions, math_functions,
+# conditional_functions, python_udf_rowwise, model_inference_scores,
+# tumbling_window_agg, sliding_window_agg, fuzzy_canonicalize_parts,
+# fuzzy_match_sorted_neighborhood, lsh_recall_eval, doc_fingerprint,
+# text_normalize, corpus_curation, reading_level, ngram_lm_score,
+# corpus_mix_sample, epoch_shuffle_order, multimodal_audio_energy,
+# key_skew_profile.  After this window EVERY registry entry has a green
+# row in some CORRECTNESS_r*.json.
 # Entries past #50 are additional variants of families already represented
 # above; all are still locally verified by tools/check_oracles.py and
 # pytest regardless of driver coverage.
 QUERIES: dict[str, QueryFn] = {
-    # -- r10 driver window (50): closes the cumulative-evidence gap ------
-    # Composition (r9 verdict tasks 1/3/8): the 25 never-driver-tested
-    # entries rotate IN (closing every registry entry's evidence),
-    # minhash_ml_pairs rotates OUT (its full-oracle green is banked in
-    # CORRECTNESS_r09; it costs 22.7s warm at sf0.1 — see
-    # docs/SCALE.md), E28 gets TWO rows (multimodal_partition_stats'
-    # first ever + multimodal_audio_energy), and the remaining slots
-    # keep one cheap previously-green representative per SURVEY.md §2
-    # family (enforced by tests/test_registry_lint.py).
+    # -- r11 driver window (50): the 20 last never-driver-tested entries
+    # plus one previously-green regression sentinel per SURVEY.md §2
+    # family, including the expensive-family sentinels the r10 verdict
+    # named (triangle_count, pricing_summary, dedup_exact) and a live
+    # E26 acceptance gate (knn_probe_sweep).  Family coverage enforced
+    # by tests/test_registry_lint.py.
     "export_projection_filter": relational.export_projection_filter,
     "table_fingerprint": export_ops.table_fingerprint,
+    "nested_struct_roundtrip": layout.nested_struct_roundtrip,
     "computed_projection": relational.computed_projection,
     "disjunctive_filter_parts": advanced.disjunctive_filter_parts,
     "pricing_summary": relational.pricing_summary,
     "join_broadcast_dims": relational.join_broadcast_dims,
-    "small_quantity_revenue": advanced.small_quantity_revenue,
+    "join_null_safe": relational.join_null_safe,
+    "nation_volume_shipping": advanced.nation_volume_shipping,
+    "local_supplier_volume": advanced.local_supplier_volume,
     "customer_order_distribution": advanced.customer_order_distribution,
     "inactive_high_value_customers": advanced.inactive_high_value_customers,
     "join_range": relational.join_range,
+    "orders_asof_dimension": advanced.orders_asof_dimension,
     "hll_sketch_users": sketches.hll_sketch_users,
     "rollup_acctbal": relational.rollup_acctbal,
     "window_ntile_quartiles": windows.window_ntile_quartiles,
     "event_transitions": windows.event_transitions,
-    "user_value_trend": windows.user_value_trend,
     "global_topk": relational.global_topk,
     "set_operations_all": relational.set_operations_all,
     "string_functions": scalar_funcs.string_functions,
+    "collation_group": sql_surface.collation_group,
+    "date_interval_functions": scalar_funcs.date_interval_functions,
+    "math_trig_bits": scalar_funcs.math_trig_bits,
+    "try_arithmetic": scalar_funcs.try_arithmetic,
+    "explode_word_freq": scalar_funcs.explode_word_freq,
+    "map_hof_functions": scalar_funcs.map_hof_functions,
+    "pandas_grouped_agg": udfs.pandas_grouped_agg,
+    "pandas_udaf_window": udfs.pandas_udaf_window,
+    "parameterized_query": sql_surface.parameterized_query,
+    "streaming_tumbling_agg": streaming_tumbling_agg,
+    "streaming_stateful_running_totals": streaming_stateful_running_totals,
+    "sessionize_events": windows.sessionize_events,
+    "hypertable_rollup": windows.hypertable_rollup,
+    "dedup_exact": dedup.dedup_exact,
+    "dedup_incremental_minhash": dedup.dedup_incremental_minhash,
+    "winnowing_fingerprint": text.winnowing_fingerprint,
+    "embedding_random_projection": similarity.embedding_random_projection,
+    "embedding_exact_dedup": similarity.embedding_exact_dedup,
+    "knn_probe_sweep": similarity.knn_probe_sweep,
+    "token_count": text.token_count,
+    "lang_stats": text.lang_stats,
+    "bpe_merges": curation.bpe_merges_table,
+    "stratified_sample_k_per_group": curation.stratified_sample_k_per_group,
+    "temperature_mix_allocation": curation.temperature_mix_allocation,
+    "multimodal_partition_stats": multimodal.multimodal_partition_stats,
+    "triangle_count": graph.triangle_count,
+    "dq_audit": advanced.dq_audit,
+    "mad_outliers": advanced.mad_outliers,
+    "large_volume_orders": advanced.large_volume_orders,
+    # -- end of driver window (50) -----------------------------------------
+    # additional variants, all locally oracle/pytest-verified; every
+    # name below already has a driver-green row in some prior round's
+    # CORRECTNESS_r*.json or an independent judge re-check (r9 verdict).
+    "orc_scan_roundtrip": layout.orc_scan_roundtrip,
+    "json_functions": scalar_funcs.json_functions,
+    "small_quantity_revenue": advanced.small_quantity_revenue,
+    "user_value_trend": windows.user_value_trend,
     "date_functions": scalar_funcs.date_functions,
     "math_functions": scalar_funcs.math_functions,
     "conditional_functions": scalar_funcs.conditional_functions,
-    "explode_word_freq": scalar_funcs.explode_word_freq,
-    "json_functions": scalar_funcs.json_functions,
-    "pandas_grouped_agg": udfs.pandas_grouped_agg,
     "python_udf_rowwise": udfs.python_udf_rowwise,
     "model_inference_scores": udfs.model_inference_scores,
     "tumbling_window_agg": windows.tumbling_window_agg,
     "sliding_window_agg": windows.sliding_window_agg,
-    "streaming_tumbling_agg": streaming_tumbling_agg,
-    "streaming_stateful_running_totals": streaming_stateful_running_totals,
-    "dedup_exact": dedup.dedup_exact,
-    "dedup_incremental_minhash": dedup.dedup_incremental_minhash,
     "fuzzy_canonicalize_parts": entity.fuzzy_canonicalize_parts,
     "fuzzy_match_sorted_neighborhood": entity.fuzzy_match_sorted_neighborhood,
     "lsh_recall_eval": dedup.lsh_recall_eval,
-    "embedding_random_projection": similarity.embedding_random_projection,
-    "token_count": text.token_count,
     "doc_fingerprint": text.doc_fingerprint,
     "text_normalize": text.text_normalize,
     "corpus_curation": text.corpus_curation,
@@ -910,17 +961,8 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_lm_score": text.ngram_lm_score,
     "corpus_mix_sample": curation.corpus_mix_sample,
     "epoch_shuffle_order": curation.epoch_shuffle_order,
-    "multimodal_partition_stats": multimodal.multimodal_partition_stats,
     "multimodal_audio_energy": multimodal.multimodal_audio_energy,
-    "triangle_count": graph.triangle_count,
-    "parameterized_query": sql_surface.parameterized_query,
     "key_skew_profile": advanced.key_skew_profile,
-    "large_volume_orders": advanced.large_volume_orders,
-    # -- end of driver window (50) -----------------------------------------
-    # additional variants, all locally oracle/pytest-verified; every
-    # name below already has a driver-green row in some prior round's
-    # CORRECTNESS_r*.json or an independent judge re-check (r9 verdict).
-    "orc_scan_roundtrip": layout.orc_scan_roundtrip,
     "filter_compound": relational.filter_compound,
     "join_semi": relational.join_semi,
     "asof_last_purchase": windows.asof_last_purchase,
@@ -937,7 +979,6 @@ QUERIES: dict[str, QueryFn] = {
     "knn_gemm": similarity.knn_gemm,
     "knn_recall_eval": similarity.knn_recall_eval,
     "embedding_lsh_recall_eval": similarity.embedding_lsh_recall_eval,
-    "knn_probe_sweep": similarity.knn_probe_sweep,
     "knn_ivfpq_refine": similarity.knn_ivfpq_refine,
     "doc_quality": text.doc_quality,
     "sequence_packing_ffd": curation.sequence_packing_ffd,
@@ -1035,8 +1076,6 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_frame_sample": multimodal.multimodal_frame_sample,
     "join_shuffle_multiway": relational.join_shuffle_multiway,
     "join_full_outer": relational.join_full_outer,
-    "join_null_safe": relational.join_null_safe,
-    "pandas_udaf_window": udfs.pandas_udaf_window,
     "join_anti": relational.join_anti,
     "agg_stats": relational.agg_stats,
     "corr_covar": relational.corr_covar,
@@ -1058,7 +1097,6 @@ QUERIES: dict[str, QueryFn] = {
     "unpivot_metrics": advanced.unpivot_metrics,
     "deterministic_sample": advanced.deterministic_sample,
     "merge_upsert": advanced.merge_upsert,
-    "dq_audit": advanced.dq_audit,
     "snapshot_diff": advanced.snapshot_diff,
     "profile_table": advanced.profile_table,
     "price_histogram": advanced.price_histogram,
@@ -1067,35 +1105,18 @@ QUERIES: dict[str, QueryFn] = {
     "funnel_conversion": advanced.funnel_conversion,
     "order_priority_check": advanced.order_priority_check,
     "supplier_variety": advanced.supplier_variety,
-    "nation_volume_shipping": advanced.nation_volume_shipping,
-    "local_supplier_volume": advanced.local_supplier_volume,
     "embedding_dim_stats": similarity.embedding_dim_stats,
     "sequence_packing_bpe": curation.sequence_packing_bpe,
-    "sessionize_events": windows.sessionize_events,
-    "hypertable_rollup": windows.hypertable_rollup,
-    "try_arithmetic": scalar_funcs.try_arithmetic,
-    "map_hof_functions": scalar_funcs.map_hof_functions,
     "streaming_dynamic_session": streaming_dynamic_session,
     "streaming_ss_left_outer_join": streaming_ss_left_outer_join,
-    "lang_stats": text.lang_stats,
-    "bpe_merges": curation.bpe_merges_table,
-    "winnowing_fingerprint": text.winnowing_fingerprint,
     "chunk_dedup": dedup.chunk_dedup,
     "knn_ivf": similarity.knn_ivf,
     "min_cost_supplier": advanced.min_cost_supplier,
     "pandas_udf_score": udfs.pandas_udf_score,
-    "collation_group": sql_surface.collation_group,
     "simhash_dedup": dedup.simhash_dedup,
     "fuzzy_match_parts": entity.fuzzy_match_parts,
-    "mad_outliers": advanced.mad_outliers,
     "weighted_sample_sus": curation.weighted_sample_sus,
-    "orders_asof_dimension": advanced.orders_asof_dimension,
-    "stratified_sample_k_per_group": curation.stratified_sample_k_per_group,
     "recursive_cte_order_chains": sql_surface.recursive_cte_order_chains,
-    "temperature_mix_allocation": curation.temperature_mix_allocation,
-    "date_interval_functions": scalar_funcs.date_interval_functions,
-    "math_trig_bits": scalar_funcs.math_trig_bits,
-    "nested_struct_roundtrip": layout.nested_struct_roundtrip,
 }
 
 
@@ -1181,7 +1202,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "E26": ("knn_bruteforce", "embedding_norms", "embedding_near_dup",
             "embedding_quantize", "knn_ivf", "knn_ivf_fold", "knn_gemm",
             "semantic_dedup", "kmeans_embeddings", "embedding_lsh_near_dup",
-            "embedding_random_projection", "knn_pq", "knn_ivfpq",
+            "embedding_random_projection", "embedding_exact_dedup",
+            "knn_pq", "knn_ivfpq",
             "embedding_incremental_dedup", "embedding_dim_stats",
             "contrastive_triplets",
             "knn_pq_fold", "knn_ivfpq_refine", "knn_recall_eval",

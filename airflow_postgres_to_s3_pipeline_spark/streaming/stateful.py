@@ -223,7 +223,7 @@ def session_close_on_timeout(events: DataFrame,
 # applyInPandasWithState — typed state handles (value/list/map state,
 # timers, TTL) managed by the operator instead of one opaque tuple.
 #
-# AVAILABILITY (re-checked rounds 6, 7, 8, 9 AND 10, 2026-08-15: `import
+# AVAILABILITY (re-checked rounds 6-10 and 11, 2026-08-16: `import
 # google.protobuf` still raises ModuleNotFoundError — environment-blocked,
 # not code-blocked; installs are disallowed in this container): the runtime protocol needs the `protobuf` Python package
 # (state-server RPC), which this container lacks — so this tier is the

@@ -99,6 +99,12 @@ BENCH_QUERIES = [
     "knn_recall_eval",
     "corpus_dedup_report",
     "sequence_packing_ffd",
+    # Round 11: the two streaming-shaped batch rollups that earned 50M-row
+    # scale rows in docs/SCALE.md (sessionize 660k ev/s, hypertable rollup
+    # 3.84M ev/s) but had no per-round driver-visible trend line (r10
+    # verdict task 6).
+    "sessionize_events",
+    "hypertable_rollup",
 ]
 
 
@@ -108,6 +114,16 @@ def _idle_threshold() -> float:
     fields all read it, so they cannot diverge."""
     n_cpus = os.cpu_count() or 1
     return max(2.0, n_cpus / 8)
+
+
+# load5 must sit well below the load1 threshold for the host to count as
+# idle: borderline-idle runs (load5 just under the threshold) measure
+# 5-10%+ hot and have now minted phantom regressions three times (r6 load
+# 3.91, r8 min-of-2 artifacts, r10 gate-passed at load5 1.98 and recorded
+# a +30% cold total that a truly-idle re-run read back at parity —
+# docs/SCALE.md).  0.45, not 0.5: r10's 1.98 vs a 4.0 threshold is the
+# measured counter-example that a plain half-gate still passes.
+LOAD5_IDLE_FRACTION = 0.45
 
 
 def _await_idle_host(max_wait_s: int | None = None) -> tuple[float, float, bool]:
@@ -125,7 +141,14 @@ def _await_idle_host(max_wait_s: int | None = None) -> tuple[float, float, bool]
     load5 5.93 under the old 1-min-only rule, which is exactly the spoof
     this closes.  Set SPARK_GRAFT_SKIP_IDLE_WAIT=1 to skip the wait (the
     run is still marked non-idle if either load is high); waits are
-    logged to stderr so a delayed run is explicable."""
+    logged to stderr so a delayed run is explicable.
+
+    r11 tightening (r10 verdict task 2): load5 must ALSO clear
+    ``LOAD5_IDLE_FRACTION * threshold`` — expressed as the single gate
+    metric ``max(load1, load5 / LOAD5_IDLE_FRACTION) <= threshold``.
+    r10's driver bench gate-passed at load1 0.40 / load5 1.98 against a
+    4.0 threshold and recorded a +30% hot total that a truly-idle re-run
+    read back at 79.9s parity; under this gate that host waits."""
     if max_wait_s is None:
         # load5 decays with a 5-minute time constant, so a 90s cap can
         # never clear a recent burst — default to 6 min (env-tunable)
@@ -142,7 +165,7 @@ def _await_idle_host(max_wait_s: int | None = None) -> tuple[float, float, bool]
 
     def _gate_load() -> float:
         load1, load5, _ = os.getloadavg()
-        return max(load1, load5)
+        return max(load1, load5 / LOAD5_IDLE_FRACTION)
 
     def _report() -> tuple[float, float, bool]:
         # BOTH markers are captured HERE, at gate-pass time, before any
@@ -154,7 +177,7 @@ def _await_idle_host(max_wait_s: int | None = None) -> tuple[float, float, bool]
         return (
             round(load1, 2),
             round(load5, 2),
-            max(load1, load5) <= threshold,
+            max(load1, load5 / LOAD5_IDLE_FRACTION) <= threshold,
         )
 
     load = _gate_load()
@@ -235,6 +258,33 @@ def main() -> int:
         timings[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
+
+    # Warm-total deviation vs the recorded idle baseline (r10 verdict
+    # task 2): three rounds of phantom regressions came from gate-passed
+    # borderline-idle hosts, each detected only by after-the-fact A/B
+    # adjudication (docs/SCALE.md r6/r8/r10).  The baseline file holds
+    # the per-query warm mins of the last truly-idle run
+    # (tools/record_idle_baseline.py refreshes it); deviation is computed
+    # over the COMMON query set so bench-set edits don't invalidate it.
+    baseline_common_total = None
+    vs_idle_baseline_pct = None
+    hot_run_suspected = not idle_host
+    try:
+        with open(os.path.join(REPO, "docs", "BENCH_IDLE_BASELINE.json")) as f:
+            base = json.load(f).get("queries", {})
+        common = set(base) & set(timings)
+        base_sum = sum(base[q] for q in common)
+        if base_sum > 0 and len(common) >= 10:
+            cur_sum = sum(timings[q] for q in common)
+            baseline_common_total = round(base_sum, 3)
+            vs_idle_baseline_pct = round(
+                100.0 * (cur_sum - base_sum) / base_sum, 1
+            )
+            if vs_idle_baseline_pct > 10.0:
+                hot_run_suspected = True
+    except (OSError, ValueError):
+        pass
+
     print(
         json.dumps(
             {
@@ -260,8 +310,18 @@ def main() -> int:
                 # hot vs a dual-idle host (r8: margin 0.23, ~6% hot)
                 "idle_threshold": round(_idle_threshold(), 2),
                 "idle_margin": round(
-                    _idle_threshold() - max(load_avg, load_avg_5m), 2
+                    _idle_threshold()
+                    - max(load_avg, load_avg_5m / LOAD5_IDLE_FRACTION),
+                    2,
                 ),
+                # idle-baseline adjudication fields (r10 verdict task 2):
+                # warm common-query total of the last truly-idle run, this
+                # run's % deviation from it, and the composite flag — set
+                # when the gate failed OR the warm total runs >10% over
+                # the idle baseline, i.e. "treat these numbers as hot"
+                "idle_baseline_common_total": baseline_common_total,
+                "vs_idle_baseline_pct": vs_idle_baseline_pct,
+                "hot_run_suspected": hot_run_suspected,
             }
         )
     )

@@ -300,3 +300,37 @@ def test_basket_sql_zero_cap_means_disabled():
     _baskets — never QUALIFY <= 0."""
     assert f"<= {graph.BASKET_CAP}" in graph._basket_sql()
     assert "QUALIFY" not in graph._basket_sql(0)
+
+
+def test_basket_pair_edges_matches_self_join_reference(spark, tmp_path):
+    """The row-local HOF pair expansion (r10 verdict task 3: one
+    collect_set exchange, cap as a size filter) must emit the EXACT
+    multiset of the capped basket self-join it replaced — per-order
+    C(b,2) pairs with pa < pb, over-cap orders excluded — on a corpus
+    with duplicate lineitem rows (distinct semantics), a hub order, and
+    multi-order pairs (multiset multiplicity)."""
+    d = _hub_basket_dir(spark, tmp_path)
+    for cap in (0, 10):
+        got = sorted(
+            (r.pa, r.pb)
+            for r in graph._basket_pair_edges(
+                spark, d, max_basket=cap
+            ).collect()
+        )
+        b = graph._baskets(spark, d, max_basket=cap)
+        a, c = b.alias("a"), b.alias("c")
+        want = sorted(
+            (r.pa, r.pb)
+            for r in a.join(
+                c,
+                (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+            )
+            .select(
+                F.col("a.l_partkey").alias("pa"),
+                F.col("c.l_partkey").alias("pb"),
+            )
+            .collect()
+        )
+        assert got == want, f"cap={cap}"
+        assert len(got) > 0

@@ -741,3 +741,118 @@ def test_incremental_dedup_rejects_overcap_identity_class(spark, tmp_path):
         ).collect()
     }
     assert rows[2] == (29, False)  # 29 identical OLD copies, rejected
+
+
+def test_incremental_dedup_rejects_overcap_near_identical_class(
+    spark, tmp_path
+):
+    """The r10 ADVICE false-admit: a NEAR-identical over-cap hub class
+    (dead encoder + per-row noise too small to flip any hyperplane sign:
+    identical band signatures, but arrays differ) has no bitwise identity
+    for the exact tier to catch — under the old drop-whole-bucket cap its
+    new member lost every LSH candidate and was admitted with n_dups=0.
+    The representative cap keeps max_bucket OLD witnesses per bucket, so
+    the new member must now be rejected."""
+    rows = [(i, [0.5 + i * 1e-9] * 64) for i in range(30)]
+    out = str(tmp_path / "near_hub")
+    # array<double>: at float32 the 1e-9 noise rounds away and the class
+    # becomes bitwise-identical (the OTHER test's scenario)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(out + "/embeddings.parquet")
+    got = {
+        r.vec_id: (r.n_dups, r.admitted)
+        for r in similarity.embedding_incremental_dedup(
+            spark, out, max_bucket=10
+        ).collect()
+    }
+    n_dups, admitted = got[2]  # vec 2 is the md5-split 'new' member
+    assert not admitted
+    # witnesses = the 10 lowest-vec_id OLD representatives (all bands
+    # share the same bucket membership, so the rep set is identical)
+    assert n_dups == 10
+
+
+def test_exact_identity_tier_hash_normalizes_negative_zero(spark, tmp_path):
+    """-0.0 vs +0.0 bitwise variants of the same vector must meet in the
+    exact identity tier: the hash key is IEEE-normalized before hashing
+    (r10 ADVICE — murmur3 of the raw array hashes the two sign bits
+    apart while both engines' row-local equality accepts the pair)."""
+    neg = [1.0] + [-0.0] * 63
+    pos = [1.0] + [0.0] * 63
+    # vec 2 is 'new' under the md5 admission split; give it the -0.0
+    # form and the old copy the +0.0 form
+    rows = [(2, neg), (5, pos)]
+    out = str(tmp_path / "negzero")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(out + "/embeddings.parquet")
+    got = {
+        r.vec_id: (r.n_dups, r.admitted)
+        for r in similarity.embedding_incremental_dedup(
+            spark, out
+        ).collect()
+    }
+    assert got[2] == (1, False)
+    # and the normalized hash itself is sign/payload-insensitive
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [-0.0, 1.0])], "i long, v array<double>"
+    ).select(F.hash(similarity._ieee_norm(F.col("v"))).alias("h"))
+    assert df.distinct().count() == 1
+
+
+def test_embedding_exact_dedup_reports_overcap_class(spark, tmp_path):
+    """The linear identity tier the LSH bucket cap delegates to: the
+    30-member identical hub class — absent from the capped
+    embedding_lsh_near_dup pair output by design — is reported here as
+    ONE row (rep_id = lowest member, n_members = 30), while the merely
+    NEAR pair (100, 101) stays two singleton classes."""
+    d = _lsh_hub_corpus(spark, tmp_path)
+    got = {
+        r.rep_id: r.n_members
+        for r in similarity.embedding_exact_dedup(spark, d).collect()
+    }
+    assert got[0] == 30
+    assert got[100] == 1 and got[101] == 1
+    assert len(got) == 3
+
+
+def test_embedding_exact_dedup_matches_oracle(spark, tmp_path):
+    """Cross-engine parity for the identity groupBy on a corpus with a
+    genuine duplicate class (the sf tables have none)."""
+    import duckdb
+
+    d = _lsh_hub_corpus(spark, tmp_path)
+    got = sorted(
+        (r.rep_id, r.n_members)
+        for r in similarity.embedding_exact_dedup(spark, d).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{d}/embeddings.parquet/*.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            similarity.ORACLES["embedding_exact_dedup"]
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_embedding_exact_dedup_collapses_ieee_variants(spark, tmp_path):
+    """Spark's NormalizeFloatingNumbers on the grouping key makes
+    -0.0/+0.0 bitwise variants one identity class (Spark-side pin only:
+    DuckDB's GROUP BY hashing of -0.0 is its own business and the sf
+    corpora contain no signed zeros)."""
+    rows = [(1, [0.0, 1.0]), (2, [-0.0, 1.0]), (3, [2.0, 3.0])]
+    out = str(tmp_path / "ieee")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(out + "/embeddings.parquet")
+    got = {
+        r.rep_id: r.n_members
+        for r in similarity.embedding_exact_dedup(spark, out).collect()
+    }
+    assert got == {1: 2, 3: 1}

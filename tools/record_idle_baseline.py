@@ -1,0 +1,69 @@
+"""Record docs/BENCH_IDLE_BASELINE.json from a bench run's JSON line.
+
+The baseline is the per-query warm-min table bench.py compares every
+subsequent run against (the ``hot_run_suspected`` /
+``vs_idle_baseline_pct`` fields) — so it must itself come from a
+truly-idle run: this script refuses a line whose ``idle_host`` is false
+or whose gate margin is thin.
+
+Usage:
+    python bench.py | tail -1 | python tools/record_idle_baseline.py
+    python tools/record_idle_baseline.py BENCH_rN.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "docs", "BENCH_IDLE_BASELINE.json")
+
+
+def main() -> int:
+    if len(sys.argv) > 1:
+        raw = open(sys.argv[1]).read()
+    else:
+        raw = sys.stdin.read()
+    data = json.loads(raw.strip().splitlines()[-1])
+    if not data.get("idle_host"):
+        print(
+            "refusing: idle_host is false — a hot baseline would mask "
+            "every future hot run",
+            file=sys.stderr,
+        )
+        return 1
+    margin = data.get("idle_margin")
+    if margin is not None and margin < 1.0:
+        print(
+            f"refusing: gate margin {margin} < 1.0 — borderline-idle runs "
+            "measure 5-10%+ hot (docs/SCALE.md)",
+            file=sys.stderr,
+        )
+        return 1
+    out = {
+        "recorded_from": {
+            k: data[k]
+            for k in (
+                "value",
+                "sf",
+                "runs_per_query",
+                "load_avg_at_start",
+                "load_avg_5m_at_start",
+                "idle_margin",
+            )
+            if k in data
+        },
+        "queries": data["queries"],
+    }
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {OUT}: {len(data['queries'])} queries, "
+          f"total {data['value']}s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -951,6 +951,42 @@ def main() -> int:
             lambda: _cached(lambda: write_skew_edges(ns), ("skew_edges", ns)),
             lambda d: graph.triangle_count(spark, d, orient="id")))
 
+        # planted Θ(n)-line HUB ORDER (r10 verdict task 5 — BASKET_CAP's
+        # end-to-end wall-clock bound): one malformed order holding 100k
+        # distinct parts, whose basket ALONE emits C(100k,2) ≈ 5.0e9 pair
+        # rows uncapped — edge construction dies before degree
+        # orientation can help.  BASKET_CAP (1024) drops the order at
+        # _basket_pair_edges' size filter, so these rows must land within
+        # noise of the clean-graph rows above; the hub's part ids live in
+        # a disjoint range (1M+) so the clean subgraph's results are
+        # untouched.
+        def write_hub_order_edges(no: int, lines_per_order: int = 4,
+                                  hub_lines: int = 100_000) -> str:
+            d = tempfile.mkdtemp(prefix="scale_graph_huborder_")
+            base = spark.range(0, no * lines_per_order, 1, parallelism).select(
+                (F.col("id") % no).alias("l_orderkey"),
+                F.pmod(F.xxhash64("id"), F.lit(200_000)).alias("l_partkey"),
+            )
+            hub = spark.range(0, hub_lines, 1, parallelism).select(
+                F.lit(no + 1).cast("long").alias("l_orderkey"),
+                (F.lit(1_000_000) + F.col("id")).alias("l_partkey"),
+            )
+            base.unionByName(hub).write.mode("overwrite").parquet(
+                f"{d}/lineitem.parquet")
+            return d
+
+        nh = min(n, 2_000_000)
+        results.append(run_dir(
+            "graph_triangles_hub_order", nh,
+            lambda: _cached(lambda: write_hub_order_edges(nh),
+                            ("hub_order_edges", nh)),
+            lambda d: graph.triangle_count(spark, d)))
+        results.append(run_dir(
+            "graph_pagerank_hub_order", nh,
+            lambda: _cached(lambda: write_hub_order_edges(nh),
+                            ("hub_order_edges", nh)),
+            lambda d: graph.pagerank_parts(spark, d)))
+
         # SUS weighted sampling: the two-phase bucketed prefix sum (the
         # real operator) vs the naive single global-order window doing the
         # same cumsum — the difference IS the scale story (one task scans
