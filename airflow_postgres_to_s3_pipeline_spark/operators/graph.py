@@ -60,7 +60,13 @@ the convention shared with the dedup-chain caps."""
 
 def _baskets(spark: SparkSession, sf_dir: str,
              max_basket: int = BASKET_CAP) -> DataFrame:
-    """Distinct (order, part) pairs — the basket relation, hub-capped."""
+    """Distinct (order, part) pairs — the basket relation, hub-capped.
+
+    REFERENCE formulation only: every engine path now derives from
+    `_basket_sets` (one collect_set exchange; cap as a size filter) —
+    this row form remains as the semantics oracle the parity tests pin
+    `_basket_sets`/`_basket_pair_edges` against, and as the direct
+    mirror of `_basket_sql`'s QUALIFY shape."""
     b = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -99,22 +105,40 @@ def _basket_pair_edges(spark: SparkSession, sf_dir: str,
     (order, part-set) rows), the cap becomes a plain ``size(parts) <=
     max_basket`` filter — no window, no sort — and the C(b,2) expansion
     happens INSIDE a higher-order function, bounded by the cap, never
-    through a join.  Measured at sf0.1: triangle_count 3.5s -> 2.4s warm
-    min-of-3 (the cap's 0.4-0.5s window premium becomes free), and the
-    hub bound is structural: an over-cap order is dropped by the size
-    filter BEFORE expansion, and even uncapped its set arrives as one
-    Θ(b) row, not Θ(b) shuffled rows feeding a C(b,2) join.
+    through a join.  Measured at sf0.1 (interleaved same-session A/B,
+    min-of-4, triangle_count end-to-end): self-join+window-cap 8.18s vs
+    this path 6.90s — a 16% cut that includes erasing the cap's
+    0.4-0.7s window-sort premium.  The hub bound is structural: an
+    over-cap order is dropped by the size filter BEFORE expansion, and
+    even uncapped its set arrives as one Θ(b) row, not Θ(b) shuffled
+    rows feeding a C(b,2) join.
 
     sort_array makes the per-order pair orientation deterministic; the
     i < j expansion over a sorted set is exactly the self-join's
     ``pa < pb`` predicate.
     """
+    return _pairs_from_sets(_basket_sets(spark, sf_dir, max_basket))
+
+
+def _basket_sets(spark: SparkSession, sf_dir: str,
+                 max_basket: int = BASKET_CAP) -> DataFrame:
+    """(l_orderkey, parts) — each order's distinct parts as ONE sorted
+    array row.  The collect_set is partially aggregated map-side
+    (ObjectHashAggregate), so the single exchange moves thin per-order
+    rows; the hub cap is a plain size filter, no window, no sort."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
     if max_basket:
         baskets = baskets.filter(F.size("parts") <= max_basket)
+    return baskets
+
+
+def _pairs_from_sets(baskets: DataFrame) -> DataFrame:
+    """Expand each sorted part set to its C(b,2) ordered pairs inside a
+    higher-order function — one (pa, pb) row per (order, pair), pa < pb:
+    the exact multiset the basket self-join emits (pinned by test)."""
     parts = F.col("parts")
     pairs = F.flatten(
         F.transform(
@@ -146,34 +170,34 @@ def part_cooccurrence_lift(spark: SparkSession, sf_dir: str,
     MIN_SUPPORT orders, lift = P(a,b) / (P(a) P(b)) — the classic
     co-purchase affinity score, top-N by lift.
 
-    Shape: one distinct (order, part) shuffle, a self-join on the order
-    key (quadratic only within an order, which ``BASKET_CAP`` bounds), a
-    pair-keyed count, and two broadcast joins of the (part-count-sized)
-    marginals.  lift is computed as one integer product then a single
-    division — no float accumulation.  Over-cap orders are excluded from
-    n_orders and the marginals too, so the lift denominator stays
-    consistent with the pair universe.
+    Shape (r11, on `_basket_sets`): ONE collect_set exchange builds the
+    per-order part sets (cap = size filter — see `_basket_pair_edges`);
+    the persisted set frame then serves all three consumers row-locally —
+    n_orders is a plain count of its rows (one per order), the marginals
+    explode it, and the pair counts expand it via the C(b,2) HOF — so
+    the old distinct shuffle + window cap + self-join chain is gone.
+    Two broadcast joins attach the (part-count-sized) marginals.  lift
+    is computed as one integer product then a single division — no
+    float accumulation.  Over-cap orders are excluded from n_orders and
+    the marginals too, so the lift denominator stays consistent with
+    the pair universe.
     """
-    # persisted: the distinct (order, part) shuffle is the heaviest stage
-    # and is consumed by FOUR references (the n_orders action, both
-    # self-join sides, the marginals) — exchange reuse dedupes within one
-    # job but not across the count action and the result job (r10 review)
-    b = tracked_persist(_baskets(spark, sf_dir, max_basket))
-    n_orders = b.select("l_orderkey").distinct().count()  # collection stat
-    part_orders = b.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("c")
+    # persisted: the collect_set exchange is the heaviest stage and is
+    # consumed by THREE references (the n_orders action, the marginals,
+    # the pair expansion) — exchange reuse dedupes within one job but
+    # not across the count action and the result job (r10 review)
+    b = tracked_persist(_basket_sets(spark, sf_dir, max_basket))
+    n_orders = b.count()  # one row per under-cap order
+    part_orders = (
+        b.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    a = b.alias("a")
-    c = b.alias("c")
     pairs = (
-        a.join(
-            c,
-            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
-        )
+        _pairs_from_sets(b)
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("c.l_partkey").alias("part_b"),
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
         )
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= MIN_SUPPORT)

@@ -1,0 +1,39 @@
+"""Bench harness contract lints (no Spark session needed).
+
+bench.py is the driver's per-round performance probe: a typo'd query
+name or a gate regression fails at driver time, after the round's work
+is done — these lints move that failure to pre-commit.
+"""
+
+from __future__ import annotations
+
+import bench
+from airflow_postgres_to_s3_pipeline_spark import registry
+
+
+def test_bench_queries_are_registered():
+    missing = [q for q in bench.BENCH_QUERIES if q not in registry.QUERIES]
+    assert not missing, f"BENCH_QUERIES not in registry: {missing}"
+
+
+def test_bench_queries_unique():
+    assert len(bench.BENCH_QUERIES) == len(set(bench.BENCH_QUERIES))
+
+
+def test_idle_gate_rejects_borderline_load5():
+    """The r10 failure instance: gate-passed at load1 0.40 / load5 1.98
+    against a 4.0 threshold and recorded a +30% hot total.  Under the
+    r11 gate (load5 must clear LOAD5_IDLE_FRACTION x threshold) that
+    host must NOT count as idle, while a genuinely idle host must."""
+    threshold = bench._idle_threshold()
+    frac = bench.LOAD5_IDLE_FRACTION
+
+    def idle(load1: float, load5: float) -> bool:
+        return max(load1, load5 / frac) <= threshold
+
+    # r10's borderline-idle driver host (load1 0.40 / load5 1.98 at
+    # threshold 4.0), scaled to this host's threshold
+    assert not idle(0.10 * threshold, 0.495 * threshold)
+    assert not idle(0.0, 0.50 * threshold)       # plain half-gate spoof
+    assert idle(0.1, 0.25 * threshold)           # genuinely idle
+    assert not idle(threshold + 0.1, 0.0)        # load1 still gates alone
