@@ -76,16 +76,15 @@ def _baskets(spark: SparkSession, sf_dir: str,
         # the shared windowed-count cap (dedup._cap_buckets): its exchange
         # on l_orderkey REPLACES the self-join's own exchange downstream,
         # so the net cost is one per-partition sort of the basket frame.
-        # Only part_cooccurrence_lift still consumes this relation (it
-        # needs the per-part marginals alongside the pairs); the pure
-        # edge consumers (triangle_count, pagerank, BFS) moved to
-        # _basket_pair_edges, where the cap is a free size filter on the
-        # collect_set row (r10 verdict task 3 — the 0.4-0.7s window-sort
-        # premium those kernels paid is gone).  A broadcast anti-join
-        # against the over-cap order list was A/B'd and is NOT cheaper
-        # (same ~0.5s: its broadcast side pays a full extra pass over
-        # the corpus to build the — usually empty — hub list), and
-        # unlike the window it rescans the corpus at 100 TB.
+        # No engine path consumes this relation anymore (every kernel
+        # derives from _basket_sets, where the cap is a free size filter
+        # on the collect_set row — r10 verdict task 3); it remains the
+        # parity-test reference and the uncapped fallback of
+        # _basket_pair_edges.  A broadcast anti-join against the
+        # over-cap order list was A/B'd and is NOT cheaper (same ~0.5s:
+        # its broadcast side pays a full extra pass over the corpus to
+        # build the — usually empty — hub list), and unlike the window
+        # it rescans the corpus at 100 TB.
         b = _cap_buckets(b, max_basket, keys=("l_orderkey",))
     return b
 
@@ -109,14 +108,33 @@ def _basket_pair_edges(spark: SparkSession, sf_dir: str,
     min-of-4, triangle_count end-to-end): self-join+window-cap 8.18s vs
     this path 6.90s — a 16% cut that includes erasing the cap's
     0.4-0.7s window-sort premium.  The hub bound is structural: an
-    over-cap order is dropped by the size filter BEFORE expansion, and
-    even uncapped its set arrives as one Θ(b) row, not Θ(b) shuffled
-    rows feeding a C(b,2) join.
+    over-cap order is dropped by the size filter BEFORE expansion (its
+    basket reaches the filter as one Θ(b) collect_set row, never Θ(b)
+    shuffled rows feeding a C(b,2) join probe).
+
+    The HOF expansion is only safe WITH a cap: uncapped, a hub order's
+    C(b,2) pair structs would materialize inside ONE row in one task —
+    a Θ(b²) single-task allocation strictly worse than the self-join,
+    which at least spreads that output across shuffle partitions
+    (r11 review).  ``max_basket=0/None`` (the debug/eval convention)
+    therefore takes the distributed reference self-join path.
 
     sort_array makes the per-order pair orientation deterministic; the
     i < j expansion over a sorted set is exactly the self-join's
-    ``pa < pb`` predicate.
+    ``pa < pb`` predicate (multiset parity pinned by test on both
+    paths).
     """
+    if not max_basket:
+        b = _baskets(spark, sf_dir, 0)
+        a, c = b.alias("a"), b.alias("c")
+        return a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        ).select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("c.l_partkey").alias("pb"),
+        )
     return _pairs_from_sets(_basket_sets(spark, sf_dir, max_basket))
 
 
@@ -193,9 +211,25 @@ def part_cooccurrence_lift(spark: SparkSession, sf_dir: str,
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    if max_basket:
+        raw_pairs = _pairs_from_sets(b)
+    else:
+        # uncapped debug/eval path: the HOF expansion would build a hub
+        # order's C(b,2) structs in ONE row (see _basket_pair_edges) —
+        # self-join the exploded rows instead, still off the persisted
+        # set frame
+        bp = b.select("l_orderkey", F.explode("parts").alias("l_partkey"))
+        pa, pc = bp.alias("a"), bp.alias("c")
+        raw_pairs = pa.join(
+            pc,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        ).select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("c.l_partkey").alias("pb"),
+        )
     pairs = (
-        _pairs_from_sets(b)
-        .groupBy(
+        raw_pairs.groupBy(
             F.col("pa").alias("part_a"),
             F.col("pb").alias("part_b"),
         )

@@ -801,12 +801,17 @@ def embedding_incremental_dedup(spark: SparkSession, sf_dir: str,
     if max_bucket:
         # representative cap (see docstring): keep ALL new-side rows,
         # keep the max_bucket lowest-vec_id OLD rows per bucket.  The
-        # row_number window partitions on the join key (+ is_new), so
-        # the cap adds no extra exchange beyond the join's own shuffle,
-        # and its exchange also spreads a single-file corpus.
-        wrep = Window.partitionBy(
-            "band_idx", "band_val", "is_new"
-        ).orderBy("vec_id")
+        # row_number window partitions on EXACTLY the join key — is_new
+        # lives in the ORDER clause (false sorts first, so old rows
+        # still rank 1..k and the filter keeps the same rows) — so the
+        # window's hashpartitioning(band_idx, band_val) satisfies the
+        # downstream join's clustering and the cap adds no extra
+        # exchange; partitioning on (key..., is_new) instead was
+        # plan-verified to re-shuffle BOTH join sides (r11 review).
+        # The window exchange also spreads a single-file corpus.
+        wrep = Window.partitionBy("band_idx", "band_val").orderBy(
+            "is_new", "vec_id"
+        )
         exploded = (
             exploded.withColumn("brn", F.row_number().over(wrep))
             .filter(F.col("is_new") | (F.col("brn") <= max_bucket))
@@ -894,7 +899,7 @@ def _embedding_incremental_oracle(max_bucket: int = LSH_MAX_BUCKET) -> str:
         f"""bv AS (
         SELECT vec_id, is_new, band_idx, band_val FROM bandvals
         QUALIFY is_new OR ROW_NUMBER() OVER (
-            PARTITION BY band_idx, band_val, is_new ORDER BY vec_id)
+            PARTITION BY band_idx, band_val ORDER BY is_new, vec_id)
                 <= {max_bucket}
     )"""
         if max_bucket

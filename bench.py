@@ -188,9 +188,10 @@ def _await_idle_host(max_wait_s: int | None = None) -> tuple[float, float, bool]
     while load > soft_target and time.time() < deadline:
         if not waited:
             print(
-                f"bench: waiting up to {max_wait_s}s for max(load1, load5) "
-                f"{load:.2f} to drop below the soft target "
-                f"{soft_target:.2f} (hard gate {threshold:.2f}; "
+                f"bench: waiting up to {max_wait_s}s for the gate metric "
+                f"max(load1, load5/{LOAD5_IDLE_FRACTION}) = {load:.2f} "
+                f"to drop below the soft target {soft_target:.2f} "
+                f"(hard gate {threshold:.2f}; "
                 "SPARK_GRAFT_SKIP_IDLE_WAIT=1 skips)",
                 file=sys.stderr,
             )

@@ -21,16 +21,48 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "docs", "BENCH_IDLE_BASELINE.json")
 
 
+def _parse(raw: str) -> dict:
+    """Accept either bench.py's raw one-line JSON (possibly preceded by
+    log noise) or the driver's BENCH_rN.json wrapper ({n, rc, ..., tail,
+    parsed}) — whole-document parse first, last-line fallback for piped
+    bench output."""
+    try:
+        data = json.loads(raw)
+    except json.JSONDecodeError:
+        data = json.loads(raw.strip().splitlines()[-1])
+    if "queries" not in data and isinstance(data.get("parsed"), dict):
+        data = data["parsed"]  # driver BENCH_rN.json wrapper
+    if "queries" not in data:
+        raise SystemExit(
+            "refusing: no 'queries' field — not a bench JSON line (the "
+            "driver wrapper's 'parsed' was empty; its 'tail' is "
+            "truncated and unusable)"
+        )
+    return data
+
+
 def main() -> int:
     if len(sys.argv) > 1:
         raw = open(sys.argv[1]).read()
     else:
         raw = sys.stdin.read()
-    data = json.loads(raw.strip().splitlines()[-1])
+    data = _parse(raw)
     if not data.get("idle_host"):
         print(
             "refusing: idle_host is false — a hot baseline would mask "
             "every future hot run",
+            file=sys.stderr,
+        )
+        return 1
+    if data.get("hot_run_suspected"):
+        # loads are sampled at gate-pass time, BEFORE Spark starts; a
+        # host that goes busy mid-bench still reports idle_host=true,
+        # and hot_run_suspected (warm total >10% over the previous
+        # baseline) is the only field that sees it — exactly the run
+        # class that must never become the new baseline
+        print(
+            "refusing: hot_run_suspected is true — the run's warm total "
+            "deviates >10% from the current idle baseline",
             file=sys.stderr,
         )
         return 1
