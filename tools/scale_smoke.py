@@ -210,6 +210,28 @@ def main() -> int:
             "vector_incremental_dedup", nv_lsh,
             lambda d: similarity.embedding_incremental_dedup(
                 spark, d, n_planes=64, n_bands=4)))
+
+        # admission dedup on the 10%-identical-hub corpus (r11): the
+        # representative cap's worst case — every hub band bucket holds
+        # ~nv/10 rows, the new side keeps ALL its members and meets
+        # max_bucket old representatives per band, so candidate fan-out
+        # is bounded by batch x bands x cap (~13M rows at 500k), never
+        # C(bucket, 2) (~5e9).  Proves the r10-ADVICE cap change holds
+        # its bound end-to-end at scale.
+        if not only or "vector_incremental_hub" in only:
+            dh = write_hub_vectors(nv_lsh)
+            try:
+                t0 = time.time()
+                similarity.embedding_incremental_dedup(
+                    spark, dh, n_planes=64, n_bands=4
+                ).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                results.append(
+                    ("vector_incremental_hub", round(dt, 2),
+                     int(nv_lsh / dt))
+                )
+            finally:
+                shutil.rmtree(dh, ignore_errors=True)
         nv_sem = min(n, 100_000)
         results.append(run_vec(
             "vector_semantic_dedup", nv_sem,
