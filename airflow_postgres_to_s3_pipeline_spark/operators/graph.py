@@ -125,17 +125,25 @@ def _basket_pair_edges(spark: SparkSession, sf_dir: str,
     paths).
     """
     if not max_basket:
-        b = _baskets(spark, sf_dir, 0)
-        a, c = b.alias("a"), b.alias("c")
-        return a.join(
-            c,
-            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
-        ).select(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("c.l_partkey").alias("pb"),
-        )
+        return _pairs_self_join(_baskets(spark, sf_dir, 0))
     return _pairs_from_sets(_basket_sets(spark, sf_dir, max_basket))
+
+
+def _pairs_self_join(bp: DataFrame) -> DataFrame:
+    """The distributed reference pair expansion: self-join a
+    (l_orderkey, l_partkey) row frame on the order key with pa < pb —
+    the uncapped fallback shared by `_basket_pair_edges` and lift
+    (one definition, so the two uncapped paths cannot diverge from the
+    semantics the parity test pins)."""
+    a, c = bp.alias("a"), bp.alias("c")
+    return a.join(
+        c,
+        (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("pa"),
+        F.col("c.l_partkey").alias("pb"),
+    )
 
 
 def _basket_sets(spark: SparkSession, sf_dir: str,
@@ -218,15 +226,8 @@ def part_cooccurrence_lift(spark: SparkSession, sf_dir: str,
         # order's C(b,2) structs in ONE row (see _basket_pair_edges) —
         # self-join the exploded rows instead, still off the persisted
         # set frame
-        bp = b.select("l_orderkey", F.explode("parts").alias("l_partkey"))
-        pa, pc = bp.alias("a"), bp.alias("c")
-        raw_pairs = pa.join(
-            pc,
-            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
-        ).select(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("c.l_partkey").alias("pb"),
+        raw_pairs = _pairs_self_join(
+            b.select("l_orderkey", F.explode("parts").alias("l_partkey"))
         )
     pairs = (
         raw_pairs.groupBy(

@@ -37,3 +37,33 @@ def test_idle_gate_rejects_borderline_load5():
     assert not idle(0.0, 0.50 * threshold)       # plain half-gate spoof
     assert idle(0.1, 0.25 * threshold)           # genuinely idle
     assert not idle(threshold + 0.1, 0.0)        # load1 still gates alone
+
+
+def test_scale_smoke_labels_are_section_gated():
+    """Every shape label tools/scale_smoke.py can emit must appear in
+    some section gate set (*_labels), or a selective invocation like
+    `scale_smoke.py 500000 <label>` silently skips the whole section and
+    prints empty shapes with exit 0 (r11 review: vector_incremental_hub
+    and the graph hub-order rows were emitted but never gated)."""
+    import pathlib
+    import re
+
+    src = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "tools"
+        / "scale_smoke.py"
+    ).read_text()
+    gate_sets = re.findall(r"\w*labels = \{([^}]*)\}", src)
+    gated = set(re.findall(r'"([a-z_0-9]+)"', " ".join(gate_sets)))
+    # labels at every run-helper call site (run/run_dir/run_vec/
+    # run_stream/run_skew take the label as their first string arg)
+    used = set(
+        re.findall(r'run(?:_dir|_vec|_stream|_skew)?\(\s*\n?\s*"([a-z_0-9]+)"', src)
+    )
+    # labels appended as literal ("label", round(...)) result tuples
+    used |= set(re.findall(r'\(\s*\n?\s*"([a-z_0-9]+)", round\(', src))
+    # labels in gated row lists (e.g. hub_rows) — ("label",\n lambda ...)
+    used |= set(re.findall(r'\("([a-z_0-9]+)",\s*\n\s+lambda', src))
+    missing = sorted(used - gated)
+    assert not missing, f"smoke labels not in any section gate: {missing}"
+    assert len(used) > 30  # the extraction itself must keep matching

@@ -9,6 +9,13 @@ or whose gate margin is thin.
 Usage:
     python bench.py | tail -1 | python tools/record_idle_baseline.py
     python tools/record_idle_baseline.py BENCH_rN.json
+    python tools/record_idle_baseline.py --force run.json   # see below
+
+``--force`` overrides ONLY the hot_run_suspected refusal — needed when
+a host-epoch change makes every genuinely idle run read >10% over the
+stale baseline (docs/SCALE.md records exactly this cross-epoch drift),
+which would otherwise ratchet the baseline shut forever.  idle_host
+and the gate margin are never overridable.
 """
 
 from __future__ import annotations
@@ -26,10 +33,21 @@ def _parse(raw: str) -> dict:
     log noise) or the driver's BENCH_rN.json wrapper ({n, rc, ..., tail,
     parsed}) — whole-document parse first, last-line fallback for piped
     bench output."""
+    lines = raw.strip().splitlines()
+    if not lines:
+        raise SystemExit(
+            "refusing: empty input — bench.py printed no JSON line"
+        )
     try:
         data = json.loads(raw)
     except json.JSONDecodeError:
-        data = json.loads(raw.strip().splitlines()[-1])
+        try:
+            data = json.loads(lines[-1])
+        except json.JSONDecodeError:
+            raise SystemExit(
+                "refusing: input is not JSON (neither the whole document "
+                "nor its last line parses)"
+            )
     if "queries" not in data and isinstance(data.get("parsed"), dict):
         data = data["parsed"]  # driver BENCH_rN.json wrapper
     if "queries" not in data:
@@ -42,8 +60,10 @@ def _parse(raw: str) -> dict:
 
 
 def main() -> int:
-    if len(sys.argv) > 1:
-        raw = open(sys.argv[1]).read()
+    args = [a for a in sys.argv[1:] if a != "--force"]
+    force = "--force" in sys.argv[1:]
+    if args:
+        raw = open(args[0]).read()
     else:
         raw = sys.stdin.read()
     data = _parse(raw)
@@ -54,7 +74,7 @@ def main() -> int:
             file=sys.stderr,
         )
         return 1
-    if data.get("hot_run_suspected"):
+    if data.get("hot_run_suspected") and not force:
         # loads are sampled at gate-pass time, BEFORE Spark starts; a
         # host that goes busy mid-bench still reports idle_host=true,
         # and hot_run_suspected (warm total >10% over the previous
@@ -62,7 +82,9 @@ def main() -> int:
         # class that must never become the new baseline
         print(
             "refusing: hot_run_suspected is true — the run's warm total "
-            "deviates >10% from the current idle baseline",
+            "deviates >10% from the current idle baseline.  If this is a "
+            "host-epoch change (every idle run now reads slow), re-run "
+            "with --force after confirming idle_host and the margin",
             file=sys.stderr,
         )
         return 1
@@ -93,7 +115,7 @@ def main() -> int:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
     print(f"wrote {OUT}: {len(data['queries'])} queries, "
-          f"total {data['value']}s")
+          f"total {data.get('value', '?')}s")
     return 0
 
 

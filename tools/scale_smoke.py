@@ -102,7 +102,8 @@ def main() -> int:
                      "vector_semantic_dedup",
                      "vector_kmeans", "vector_knn_ivf",
                      "vector_pq_encode_hof", "vector_pq_encode_gemm",
-                     "vector_incremental_dedup", "vector_ivfpq_refine",
+                     "vector_incremental_dedup", "vector_incremental_hub",
+                     "vector_ivfpq_refine",
                      "vector_knn_recall_eval"}
     if not only or (only & vector_labels):
         import shutil
@@ -190,17 +191,34 @@ def main() -> int:
             ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
             return d
 
-        if not only or "vector_lsh_hub" in only:
+        # both hub rows share ONE write of the 10%-identical-hub corpus
+        # (r11 review: the copy-pasted second block re-wrote the same
+        # parquet), and the same timing shape via run_hub
+        hub_rows = [
+            ("vector_lsh_hub",
+             lambda d: similarity.embedding_lsh_near_dup(
+                 spark, d, n_planes=64, n_bands=4)),
+            # admission dedup on the hub corpus (r11): the
+            # representative cap's worst case — every hub band bucket
+            # holds ~nv/10 rows, the new side keeps ALL its members and
+            # meets max_bucket old representatives per band, so
+            # candidate fan-out is bounded by batch x bands x cap
+            # (~13M rows at 500k), never C(bucket, 2) (~5e9); the
+            # dominant cost is the exact identity tier's k x m
+            # batch-dup output (see docs/SCALE.md)
+            ("vector_incremental_hub",
+             lambda d: similarity.embedding_incremental_dedup(
+                 spark, d, n_planes=64, n_bands=4)),
+        ]
+        wanted_hub = [r for r in hub_rows if not only or r[0] in only]
+        if wanted_hub:
             dh = write_hub_vectors(nv_lsh)
             try:
-                t0 = time.time()
-                similarity.embedding_lsh_near_dup(
-                    spark, dh, n_planes=64, n_bands=4
-                ).write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                results.append(
-                    ("vector_lsh_hub", round(dt, 2), int(nv_lsh / dt))
-                )
+                for label, fn in wanted_hub:
+                    t0 = time.time()
+                    fn(dh).write.format("noop").mode("overwrite").save()
+                    dt = time.time() - t0
+                    results.append((label, round(dt, 2), int(nv_lsh / dt)))
             finally:
                 shutil.rmtree(dh, ignore_errors=True)
 
@@ -210,28 +228,6 @@ def main() -> int:
             "vector_incremental_dedup", nv_lsh,
             lambda d: similarity.embedding_incremental_dedup(
                 spark, d, n_planes=64, n_bands=4)))
-
-        # admission dedup on the 10%-identical-hub corpus (r11): the
-        # representative cap's worst case — every hub band bucket holds
-        # ~nv/10 rows, the new side keeps ALL its members and meets
-        # max_bucket old representatives per band, so candidate fan-out
-        # is bounded by batch x bands x cap (~13M rows at 500k), never
-        # C(bucket, 2) (~5e9).  Proves the r10-ADVICE cap change holds
-        # its bound end-to-end at scale.
-        if not only or "vector_incremental_hub" in only:
-            dh = write_hub_vectors(nv_lsh)
-            try:
-                t0 = time.time()
-                similarity.embedding_incremental_dedup(
-                    spark, dh, n_planes=64, n_bands=4
-                ).write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                results.append(
-                    ("vector_incremental_hub", round(dt, 2),
-                     int(nv_lsh / dt))
-                )
-            finally:
-                shutil.rmtree(dh, ignore_errors=True)
         nv_sem = min(n, 100_000)
         results.append(run_vec(
             "vector_semantic_dedup", nv_sem,
@@ -364,7 +360,9 @@ def main() -> int:
                    "text_winnow_fp", "text_winnow_dedup",
                    "entity_fuzzy_match", "graph_pagerank",
                    "graph_triangles", "graph_triangles_skew_degree",
-                   "graph_triangles_skew_id", "graph_bfs", "events_funnel",
+                   "graph_triangles_skew_id", "graph_triangles_hub_order",
+                   "graph_pagerank_hub_order",
+                   "graph_bfs", "events_funnel",
                    "events_twap", "events_trend", "events_skew_profile",
                    "events_k_anonymity", "events_sessionize",
                    "events_hypertable", "events_asof_pandas",
