@@ -62,11 +62,14 @@ def _baskets(spark: SparkSession, sf_dir: str,
              max_basket: int = BASKET_CAP) -> DataFrame:
     """Distinct (order, part) pairs — the basket relation, hub-capped.
 
-    REFERENCE formulation only: every engine path now derives from
-    `_basket_sets` (one collect_set exchange; cap as a size filter) —
-    this row form remains as the semantics oracle the parity tests pin
-    `_basket_sets`/`_basket_pair_edges` against, and as the direct
-    mirror of `_basket_sql`'s QUALIFY shape."""
+    REFERENCE formulation: at the DEFAULT cap every engine path derives
+    from `_basket_sets` (one collect_set exchange; cap as a size
+    filter), but the uncapped debug/eval convention (max_basket=0/None)
+    still routes `_basket_pair_edges` — and through it triangle_count /
+    PageRank / BFS — here via `_pairs_self_join`.  This row form is also
+    the semantics oracle the parity tests pin
+    `_basket_sets`/`_basket_pair_edges` against, and the direct mirror
+    of `_basket_sql`'s QUALIFY shape."""
     b = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")

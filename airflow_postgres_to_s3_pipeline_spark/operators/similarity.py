@@ -747,10 +747,7 @@ def embedding_incremental_dedup(spark: SparkSession, sf_dir: str,
     corpus signatures are a PRECOMPUTED index (100 TB posture: the batch
     only pays signatures for its own rows + an equi-join against the
     index), and crucially new x new pairs never form (within-batch dedup
-    is a separate concern, handled by embedding_lsh_near_dup).  Band
-    buckets over ``max_bucket`` drop before the join — computed on the
-    UNION frame, same discipline and shared helper as the other LSH cap
-    sites (see embedding_lsh_near_dup for the measured failure mode).
+    is a separate concern, handled by embedding_lsh_near_dup).
 
     The admission shape caps by REPRESENTATIVES, not by dropping buckets
     (r10 ADVICE): the new side keeps every band row, the old side keeps

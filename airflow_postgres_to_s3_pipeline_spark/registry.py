@@ -880,15 +880,68 @@ _MODULES = (
 # above; all are still locally verified by tools/check_oracles.py and
 # pytest regardless of driver coverage.
 QUERIES: dict[str, QueryFn] = {
-    # -- r11 driver window (50): the 20 last never-driver-tested entries
-    # plus one previously-green regression sentinel per SURVEY.md §2
-    # family, including the expensive-family sentinels the r10 verdict
-    # named (triangle_count, pricing_summary, dedup_exact) and a live
-    # E26 acceptance gate (knn_probe_sweep).  Family coverage enforced
-    # by tests/test_registry_lint.py.
+    # -- r12 driver window (50): stalest-evidence-first rotation
+    # (tools/rotate_window.py).  One sentinel per SURVEY.md §2 family =
+    # that family's STALEST driver-green member, then the globally
+    # stalest entries — this round the full 31-entry r01 cohort plus the
+    # oldest r02/r04 survivors.  Entries below the separator keep their
+    # relative order; every name has a driver-green row in some prior
+    # CORRECTNESS_r*.json (ledger: tools/rotate_window.py).  Family
+    # coverage enforced by tests/test_registry_lint.py; staleness bias
+    # linted by test_window_is_staleness_biased.
+    "join_shuffle_multiway": relational.join_shuffle_multiway,
+    "join_full_outer": relational.join_full_outer,
+    "join_anti": relational.join_anti,
+    "agg_stats": relational.agg_stats,
+    "corr_covar": relational.corr_covar,
+    "pivot_status_counts": relational.pivot_status_counts,
+    "count_distinct_agg": relational.count_distinct_agg,
+    "heavy_hitters_terms": sketches.heavy_hitters_terms,
+    "bitmap_distinct_orders": sketches.bitmap_distinct_orders,
+    "cube_status_priority": relational.cube_status_priority,
+    "grouping_sets_agg": relational.grouping_sets_agg,
+    "scalar_subquery_threshold": advanced.scalar_subquery_threshold,
+    "correlated_agg_subquery": advanced.correlated_agg_subquery,
+    "exact_percentiles": advanced.exact_percentiles,
+    "join_skew_salted": advanced.join_skew_salted,
+    "salted_agg_hot_key": advanced.salted_agg_hot_key,
+    "window_ignore_nulls": windows.window_ignore_nulls,
+    "window_nth_value": windows.window_nth_value,
+    "conditional_aggregates": advanced.conditional_aggregates,
+    "string_agg_ordered": advanced.string_agg_ordered,
+    "unpivot_metrics": advanced.unpivot_metrics,
+    "deterministic_sample": advanced.deterministic_sample,
+    "merge_upsert": advanced.merge_upsert,
+    "snapshot_diff": advanced.snapshot_diff,
+    "profile_table": advanced.profile_table,
+    "price_histogram": advanced.price_histogram,
+    "sql_shipping_priority": advanced.sql_shipping_priority,
+    "revenue_change_forecast": advanced.revenue_change_forecast,
+    "funnel_conversion": advanced.funnel_conversion,
+    "order_priority_check": advanced.order_priority_check,
+    "supplier_variety": advanced.supplier_variety,
+    "map_functions": scalar_funcs.map_functions,
+    "apply_in_pandas_zscore": udfs.apply_in_pandas_zscore,
+    "streaming_sliding_agg": streaming_sliding_agg,
+    "dedup_keep_first": dedup.dedup_keep_first,
+    "embedding_norms": similarity.embedding_norms,
+    "multimodal_resize": multimodal.multimodal_resize,
+    "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
+    "part_cooccurrence_lift": graph.part_cooccurrence_lift,
+    "streaming_session_window": streaming_session_window,
+    "asof_join_pandas": windows.asof_join_pandas,
+    "set_operations": relational.set_operations,
+    "filter_compound": relational.filter_compound,
+    "array_functions": scalar_funcs.array_functions,
+    "returned_item_revenue": advanced.returned_item_revenue,
+    "date_functions": scalar_funcs.date_functions,
+    "math_functions": scalar_funcs.math_functions,
+    "conditional_functions": scalar_funcs.conditional_functions,
+    "nested_struct_roundtrip": layout.nested_struct_roundtrip,
+    "string_functions": scalar_funcs.string_functions,
+    # -- end of driver window (50) -------------------------------------
     "export_projection_filter": relational.export_projection_filter,
     "table_fingerprint": export_ops.table_fingerprint,
-    "nested_struct_roundtrip": layout.nested_struct_roundtrip,
     "computed_projection": relational.computed_projection,
     "disjunctive_filter_parts": advanced.disjunctive_filter_parts,
     "pricing_summary": relational.pricing_summary,
@@ -906,7 +959,6 @@ QUERIES: dict[str, QueryFn] = {
     "event_transitions": windows.event_transitions,
     "global_topk": relational.global_topk,
     "set_operations_all": relational.set_operations_all,
-    "string_functions": scalar_funcs.string_functions,
     "collation_group": sql_surface.collation_group,
     "date_interval_functions": scalar_funcs.date_interval_functions,
     "math_trig_bits": scalar_funcs.math_trig_bits,
@@ -936,17 +988,10 @@ QUERIES: dict[str, QueryFn] = {
     "dq_audit": advanced.dq_audit,
     "mad_outliers": advanced.mad_outliers,
     "large_volume_orders": advanced.large_volume_orders,
-    # -- end of driver window (50) -----------------------------------------
-    # additional variants, all locally oracle/pytest-verified; every
-    # name below already has a driver-green row in some prior round's
-    # CORRECTNESS_r*.json or an independent judge re-check (r9 verdict).
     "orc_scan_roundtrip": layout.orc_scan_roundtrip,
     "json_functions": scalar_funcs.json_functions,
     "small_quantity_revenue": advanced.small_quantity_revenue,
     "user_value_trend": windows.user_value_trend,
-    "date_functions": scalar_funcs.date_functions,
-    "math_functions": scalar_funcs.math_functions,
-    "conditional_functions": scalar_funcs.conditional_functions,
     "python_udf_rowwise": udfs.python_udf_rowwise,
     "model_inference_scores": udfs.model_inference_scores,
     "tumbling_window_agg": windows.tumbling_window_agg,
@@ -963,12 +1008,10 @@ QUERIES: dict[str, QueryFn] = {
     "epoch_shuffle_order": curation.epoch_shuffle_order,
     "multimodal_audio_energy": multimodal.multimodal_audio_energy,
     "key_skew_profile": advanced.key_skew_profile,
-    "filter_compound": relational.filter_compound,
     "join_semi": relational.join_semi,
     "asof_last_purchase": windows.asof_last_purchase,
     "window_topk_per_customer": windows.window_topk_per_customer,
     "time_weighted_average": windows.time_weighted_average,
-    "array_functions": scalar_funcs.array_functions,
     "sql_udf_functions": sql_surface.sql_udf_functions,
     "streaming_ss_full_outer_join": streaming_ss_full_outer_join,
     "python_stream_source_agg": python_stream_source_agg,
@@ -985,7 +1028,6 @@ QUERIES: dict[str, QueryFn] = {
     "rerank_cross_encoder": text.rerank_cross_encoder,
     "quality_retention_curve": text.quality_retention_curve,
     "tfidf_ml_features": ml_feature.tfidf_ml_features,
-    "returned_item_revenue": advanced.returned_item_revenue,
     "promo_revenue_share": advanced.promo_revenue_share,
     "top_supplier_revenue": advanced.top_supplier_revenue,
     "multimodal_tile_near_dup": multimodal.multimodal_tile_near_dup,
@@ -1005,12 +1047,10 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_static_enrich": streaming_static_enrich,
     "knn_ivf_fold": similarity.knn_ivf_fold,
     "knn_pq_fold": similarity.knn_pq_fold,
-    "set_operations": relational.set_operations,
     "dedup_keep_best": dedup.dedup_keep_best,
     "bpe_token_count": curation.bpe_token_count,
     "scd2_apply": advanced.scd2_apply,
     "zorder_scan_roundtrip": layout.zorder_scan_roundtrip,
-    "asof_join_pandas": windows.asof_join_pandas,
     "lateral_topk_orders": sql_surface.lateral_topk_orders,
     "approx_topk_terms": sketches.approx_topk_terms,
     "funnel_ordered_3step": windows.funnel_ordered_3step,
@@ -1044,16 +1084,13 @@ QUERIES: dict[str, QueryFn] = {
     "token_pmi_top_pairs": text.token_pmi_top_pairs,
     "bfs_hops": graph.bfs_hops,
     "join_left_outer": relational.join_left_outer,
-    "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
     "semantic_dedup": similarity.semantic_dedup,
     "embedding_lsh_near_dup": similarity.embedding_lsh_near_dup,
     "lang_id_heuristic": text.lang_id_heuristic,
     "contamination_check": curation.contamination_check,
-    "part_cooccurrence_lift": graph.part_cooccurrence_lift,
     "multimodal_decode": multimodal.multimodal_decode,
     "distinct_pairs": relational.distinct_pairs,
     "python_udtf_word_expand": udfs.python_udtf_word_expand,
-    "streaming_session_window": streaming_session_window,
     "streaming_dedup": streaming_dedup,
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
     "knn_bruteforce": similarity.knn_bruteforce,
@@ -1064,47 +1101,10 @@ QUERIES: dict[str, QueryFn] = {
     "doc_chunking": text.doc_chunking,
     "approx_percentiles": relational.approx_percentiles,
     "approx_count_distinct_users": relational.approx_count_distinct_users,
-    "map_functions": scalar_funcs.map_functions,
     "array_agg_ordered": advanced.array_agg_ordered,
-    "apply_in_pandas_zscore": udfs.apply_in_pandas_zscore,
-    "streaming_sliding_agg": streaming_sliding_agg,
-    "dedup_keep_first": dedup.dedup_keep_first,
     "dedup_incremental": dedup.dedup_incremental,
-    "embedding_norms": similarity.embedding_norms,
     "embedding_near_dup": similarity.embedding_near_dup,
-    "multimodal_resize": multimodal.multimodal_resize,
     "multimodal_frame_sample": multimodal.multimodal_frame_sample,
-    "join_shuffle_multiway": relational.join_shuffle_multiway,
-    "join_full_outer": relational.join_full_outer,
-    "join_anti": relational.join_anti,
-    "agg_stats": relational.agg_stats,
-    "corr_covar": relational.corr_covar,
-    "pivot_status_counts": relational.pivot_status_counts,
-    "count_distinct_agg": relational.count_distinct_agg,
-    "heavy_hitters_terms": sketches.heavy_hitters_terms,
-    "bitmap_distinct_orders": sketches.bitmap_distinct_orders,
-    "cube_status_priority": relational.cube_status_priority,
-    "grouping_sets_agg": relational.grouping_sets_agg,
-    "scalar_subquery_threshold": advanced.scalar_subquery_threshold,
-    "correlated_agg_subquery": advanced.correlated_agg_subquery,
-    "exact_percentiles": advanced.exact_percentiles,
-    "join_skew_salted": advanced.join_skew_salted,
-    "salted_agg_hot_key": advanced.salted_agg_hot_key,
-    "window_ignore_nulls": windows.window_ignore_nulls,
-    "window_nth_value": windows.window_nth_value,
-    "conditional_aggregates": advanced.conditional_aggregates,
-    "string_agg_ordered": advanced.string_agg_ordered,
-    "unpivot_metrics": advanced.unpivot_metrics,
-    "deterministic_sample": advanced.deterministic_sample,
-    "merge_upsert": advanced.merge_upsert,
-    "snapshot_diff": advanced.snapshot_diff,
-    "profile_table": advanced.profile_table,
-    "price_histogram": advanced.price_histogram,
-    "sql_shipping_priority": advanced.sql_shipping_priority,
-    "revenue_change_forecast": advanced.revenue_change_forecast,
-    "funnel_conversion": advanced.funnel_conversion,
-    "order_priority_check": advanced.order_priority_check,
-    "supplier_variety": advanced.supplier_variety,
     "embedding_dim_stats": similarity.embedding_dim_stats,
     "sequence_packing_bpe": curation.sequence_packing_bpe,
     "streaming_dynamic_session": streaming_dynamic_session,

@@ -59,6 +59,42 @@ def test_every_family_inside_driver_window():
     )
 
 
+def test_window_matches_rotation_policy():
+    """The driver window must be the stalest-evidence-first selection
+    pinned at rotation time (r11 verdict task 1).  tools/rotate_window.py
+    --snapshot records the evidence ledger and its selection in
+    docs/WINDOW_LEDGER.json; this replays the selection from that pinned
+    ledger (so later CORRECTNESS files don't invalidate it) and checks
+    the registry's actual first-DRIVER_WINDOW entries match as a SET
+    (intra-window order is presentation only).  A hand-edit of the
+    window, or a rotation without --snapshot, fails here."""
+    import json
+    import os
+    import sys
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(repo, "docs", "WINDOW_LEDGER.json")) as fh:
+        snap = json.load(fh)
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import rotate_window
+
+    assert set(snap["ledger"]) == set(registry.QUERIES), (
+        "registry entries changed since the last rotation snapshot — "
+        "re-run tools/rotate_window.py --snapshot"
+    )
+    expected = rotate_window.select_window(snap["ledger"])
+    assert set(snap["window"]) == set(expected)
+    actual = list(registry.QUERIES)[: registry.DRIVER_WINDOW]
+    assert set(actual) == set(expected), (
+        "driver window diverges from the pinned stalest-first selection: "
+        f"extra={sorted(set(actual) - set(expected))} "
+        f"missing={sorted(set(expected) - set(actual))}"
+    )
+    # the policy's point: the window must be staleness-biased at
+    # selection time
+    assert snap["window_median_round"] <= snap["registry_median_round"]
+
+
 def test_families_account_for_every_registry_entry():
     """union(FAMILIES) == QUERIES.keys(), both directions (r8 verdict
     task 3): an unmapped entry is invisible to the window-coverage lint

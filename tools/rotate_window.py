@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Stalest-evidence-first driver-window rotation (r11 verdict task 1).
+
+Policy (docs/ROADMAP.md "Window rotation policy"): each round the
+DRIVER_WINDOW slots go to
+
+  1. one sentinel per SURVEY.md §2 family — the family's STALEST member
+     (so sentinels rotate too, they are not pinned names), then
+  2. the globally stalest remaining entries,
+
+where staleness = the last round with a driver-green row in any
+CORRECTNESS_r*.json (rows_match and no err).  Ties break on current
+registry insertion order.  tests/test_registry_lint.py keeps the family
+constraint honest; this tool makes the staleness half mechanical.
+
+Usage:  python tools/rotate_window.py            # print ledger + window
+        python tools/rotate_window.py --emit     # print the QUERIES block
+        python tools/rotate_window.py --snapshot # pin docs/WINDOW_LEDGER.json
+
+--snapshot records the ledger AND the selected window at rotation time;
+tests/test_registry_lint.py::test_window_matches_rotation_policy replays
+the selection from that snapshot, so the lint stays green when later
+CORRECTNESS files land (they refresh the ledger but not the pinned
+selection) and fails loudly if someone hand-edits the window.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from airflow_postgres_to_s3_pipeline_spark import registry  # noqa: E402
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def evidence_ledger() -> dict[str, int]:
+    """name -> last driver-green round (0 if never)."""
+    last: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        with open(f) as fh:
+            results = json.load(fh)
+        for name, row in results.items():
+            if row.get("rows_match") and row.get("err") is None:
+                last[name] = max(last.get(name, 0), rnd)
+    return {n: last.get(n, 0) for n in registry.QUERIES}
+
+
+def select_window(last: dict[str, int] | None = None) -> list[str]:
+    last = last or evidence_ledger()
+    order = {n: i for i, n in enumerate(registry.QUERIES)}
+    key = lambda n: (last[n], order[n])  # noqa: E731
+
+    window: list[str] = []
+    seen: set[str] = set()
+    for members in registry.FAMILIES.values():
+        sentinel = min(members, key=key)
+        if sentinel not in seen:
+            seen.add(sentinel)
+            window.append(sentinel)
+    for n in sorted(registry.QUERIES, key=key):
+        if len(window) >= registry.DRIVER_WINDOW:
+            break
+        if n not in seen:
+            seen.add(n)
+            window.append(n)
+    window.sort(key=key)
+    return window
+
+
+def main() -> None:
+    last = evidence_ledger()
+    window = select_window(last)
+    if "--snapshot" in sys.argv:
+        ages = sorted(last[n] for n in window)
+        all_ages = sorted(last.values())
+        out = {
+            "ledger": last,
+            "window": window,
+            "window_median_round": ages[len(ages) // 2],
+            "registry_median_round": all_ages[len(all_ages) // 2],
+        }
+        dest = os.path.join(REPO, "docs", "WINDOW_LEDGER.json")
+        with open(dest, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+        print(f"pinned {dest}: window median r{out['window_median_round']} "
+              f"vs registry median r{out['registry_median_round']}")
+        return
+    if "--emit" in sys.argv:
+        # name -> source expression, read from the current registry module
+        src = open(
+            os.path.join(
+                REPO, "airflow_postgres_to_s3_pipeline_spark", "registry.py"
+            )
+        ).read()
+        exprs = dict(
+            re.findall(r'^    "([a-z0-9_]+)": ([\w.]+),$', src, re.M)
+        )
+        for n in window:
+            print(f'    "{n}": {exprs[n]},')
+        print("    # -- end of driver window "
+              f"({registry.DRIVER_WINDOW}) " + "-" * 37)
+        for n in registry.QUERIES:
+            if n not in set(window):
+                print(f'    "{n}": {exprs[n]},')
+        return
+    ages = sorted(last[n] for n in window)
+    print(f"window of {len(window)}: min r{ages[0]} "
+          f"median r{ages[len(ages) // 2]} max r{ages[-1]}")
+    for n in window:
+        print(f"  r{last[n]:02d} {n}")
+
+
+if __name__ == "__main__":
+    main()
