@@ -108,6 +108,30 @@ BENCH_QUERIES = [
 ]
 
 
+def _host_epoch() -> str:
+    """Host-epoch identifier: kernel release + an 8-hex hash of the CPU
+    model line.  Cross-epoch bench totals are NOT comparable (docs/
+    SCALE.md records ~40% drift between container hosts with identical
+    idle gates), so every bench line and the idle baseline's
+    recorded_from carry this marker — a phantom-regression debate
+    resolves from the JSON alone by comparing epochs (r11 verdict
+    task 7)."""
+    import hashlib
+    import platform
+
+    model = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    cpu_hash = hashlib.sha256(model.encode()).hexdigest()[:8]
+    return f"{platform.release()}/{cpu_hash}"
+
+
 def _idle_threshold() -> float:
     """THE idle gate formula — the only definition; _await_idle_host's
     pass/fail decision and the bench JSON's idle_threshold/idle_margin
@@ -269,10 +293,15 @@ def main() -> int:
     # over the COMMON query set so bench-set edits don't invalidate it.
     baseline_common_total = None
     vs_idle_baseline_pct = None
+    baseline_host_epoch = None
     hot_run_suspected = not idle_host
     try:
         with open(os.path.join(REPO, "docs", "BENCH_IDLE_BASELINE.json")) as f:
-            base = json.load(f).get("queries", {})
+            base_doc = json.load(f)
+        base = base_doc.get("queries", {})
+        baseline_host_epoch = base_doc.get("recorded_from", {}).get(
+            "host_epoch"
+        )
         common = set(base) & set(timings)
         base_sum = sum(base[q] for q in common)
         if base_sum > 0 and len(common) >= 10:
@@ -323,6 +352,13 @@ def main() -> int:
                 "idle_baseline_common_total": baseline_common_total,
                 "vs_idle_baseline_pct": vs_idle_baseline_pct,
                 "hot_run_suspected": hot_run_suspected,
+                # kernel + CPU-model hash: totals are only comparable
+                # within one host epoch (r11 verdict task 7).  When
+                # idle_baseline_host_epoch differs from host_epoch, the
+                # vs_idle_baseline_pct deviation is cross-epoch and NOT
+                # evidence of a plan regression.
+                "host_epoch": _host_epoch(),
+                "idle_baseline_host_epoch": baseline_host_epoch,
             }
         )
     )

@@ -1,13 +1,17 @@
 """Global plan lint: every registered query's physical plan must be free of
-accidental cartesian products — the one plan shape that cannot survive a
-100x scale-up. Intentional exceptions are explicit and justified."""
+accidental cartesian products and unpartitioned Window sorts — the two
+plan shapes that cannot survive a 100x scale-up. Intentional exceptions
+are explicit and justified."""
 
 from __future__ import annotations
 
 import pytest
 
 from airflow_postgres_to_s3_pipeline_spark import registry
-from airflow_postgres_to_s3_pipeline_spark.plans import explain_str
+from airflow_postgres_to_s3_pipeline_spark.plans import (
+    explain_str,
+    unpartitioned_windows,
+)
 
 # Queries allowed to contain a non-equi / product join, with why:
 # - embedding_near_dup: the intentionally-exact all-pairs baseline; the
@@ -97,6 +101,29 @@ ALLOWED_PRODUCT = {
     # _eval_doc_sample source
 }
 
+# Queries allowed to plan an unpartitioned Window (the `WindowExec: No
+# Partition Defined` single-task sort) — legal ONLY over a provably
+# bounded frame, never over a corpus-sized one (r11 verdict task 3).
+# Each whitelisted name states its bound:
+# - quality_retention_curve: cumulative sums over the quality-BUCKET
+#   frame (text.py) — <=100 rows regardless of corpus size.
+# - hybrid_search_rrf: row_number over the two per-query fusion slates
+#   (text.py ranked()) — each capped at the retrieved-list length
+#   (top-k per retriever), not corpus-sized.
+# - rerank_cross_encoder: inherits hybrid_search_rrf's slate ranks plus
+#   one more row_number over the same bounded rerank slate (text.py).
+# - weighted_sample_sus: cumulative weight offsets over the 256-bucket
+#   frame (curation.py) — fixed bucket count.
+# - approx_topk_terms: row_number over the k-row sketch output
+#   (sketches.py) — k is the operator's parameter, not the corpus.
+ALLOWED_GLOBAL_WINDOW = {
+    "quality_retention_curve",
+    "hybrid_search_rrf",
+    "rerank_cross_encoder",
+    "weighted_sample_sus",
+    "approx_topk_terms",
+}
+
 # Streaming queries execute eagerly on build (memory-sink materialization);
 # their batch result plan is a trivial LocalTableScan, so linting them checks
 # nothing — skip instead of paying ~3s each.
@@ -107,8 +134,20 @@ SKIP = {name for name in registry.QUERIES if name.startswith("streaming_")}
     "name", [n for n in sorted(registry.QUERIES) if n not in SKIP]
 )
 def test_no_accidental_cartesian(spark, sf_dir, name):
+    """One pass, two scale-fatal shapes: cartesian/nested-loop joins and
+    unpartitioned Window sorts (both whitelisted only with a stated
+    bound).  Checked in one parametrized sweep so the second lint does
+    not pay a second full registry plan build."""
     df = registry.QUERIES[name](spark, sf_dir)
     plan = explain_str(df, "simple")
+    if name not in ALLOWED_GLOBAL_WINDOW:
+        hits = unpartitioned_windows(df)
+        assert not hits, (
+            f"{name} plans {len(hits)} unpartitioned Window node(s) — a "
+            "single-task sort of the whole input.  Partition it, or "
+            "whitelist in ALLOWED_GLOBAL_WINDOW with the frame's bound:\n"
+            + "\n".join(hits)
+        )
     if name in ALLOWED_PRODUCT:
         return
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"

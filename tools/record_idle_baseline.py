@@ -106,6 +106,7 @@ def main() -> int:
                 "load_avg_at_start",
                 "load_avg_5m_at_start",
                 "idle_margin",
+                "host_epoch",
             )
             if k in data
         },
