@@ -1251,6 +1251,30 @@ FAMILIES: dict[str, tuple[str, ...]] = {
 }
 
 
+# Machine-readable eval-vs-serving tier tags (r11 verdict task 8).
+# "eval" = a measurement/acceptance gate whose cost IS the point: it
+# deliberately computes an exhaustive truth side (exact pair sets, exact
+# top-k) or an external-reference twin to grade the cheap path's recall —
+# run per corpus-parameter change, never per batch.  Everything else is
+# "serving": the paths a production pipeline runs per batch.  bench.py
+# splits its totals by this tag, and tests/test_bench_contract.py lints
+# that the adjudicated-slow MLlib reference twin stays out of the bench
+# set — codifying what docs/SCALE.md prose carried.
+EVAL_TIERS: frozenset[str] = frozenset({
+    "lsh_recall_eval",          # exact-Jaccard truth vs banded candidates
+    "lsh_band_sweep",           # 4 banding configs vs exact truth
+    "knn_recall_eval",          # exact-L2 truth vs IVF/PQ tiers
+    "knn_probe_sweep",          # exact truth vs probe-count grid
+    "embedding_lsh_recall_eval",  # exact all-pairs truth vs banded LSH
+    "minhash_ml_pairs",         # MLlib reference twin (parity gate only)
+})
+
+
+def tier(name: str) -> str:
+    """'eval' or 'serving' for a registered query name."""
+    return "eval" if name in EVAL_TIERS else "serving"
+
+
 def _collect_oracles() -> dict[str, str]:
     oracles: dict[str, str] = {}
     for module in _MODULES:

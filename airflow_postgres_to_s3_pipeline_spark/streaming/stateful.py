@@ -223,27 +223,42 @@ def session_close_on_timeout(events: DataFrame,
 # applyInPandasWithState — typed state handles (value/list/map state,
 # timers, TTL) managed by the operator instead of one opaque tuple.
 #
-# AVAILABILITY (re-checked rounds 6-10 and 11, 2026-08-16: `import
+# AVAILABILITY (re-checked every round through r12, 2026-08-16: `import
 # google.protobuf` still raises ModuleNotFoundError — environment-blocked,
-# not code-blocked; installs are disallowed in this container): the runtime protocol needs the `protobuf` Python package
-# (state-server RPC), which this container lacks — so this tier is the
-# documented API shape with an availability-gated test
+# not code-blocked; installs are disallowed in this container): the
+# state-server RPC needs EXACTLY the wheel `protobuf>=6.33.0` — pyspark
+# 4.1.2's generated pyspark/sql/streaming/proto/StateMessage_pb2.py pins
+# gencode 6.33.0 via ValidateProtobufRuntimeVersion, so any older
+# runtime fails its own version gate even if importable.  This tier is
+# therefore the documented API shape with an availability-gated test
 # (tests/test_streaming.py::test_transform_with_state_tier), NOT a
 # registry entry; `running_user_totals` (applyInPandasWithState) is the
-# executable tier with identical semantics.
+# PERMANENT executable tier, and its equivalence to the batch aggregate
+# is oracle-checked (`streaming_stateful_running_totals`).
 # ---------------------------------------------------------------------------
+
+
+# The wheel the TWS tier is missing in this container, stated once so the
+# pytest skip reason and this module can't drift (r11 verdict task 6).
+TWS_MISSING_WHEEL = "protobuf>=6.33.0"
 
 
 def has_tws_runtime() -> bool:
     """True when the transformWithState state-server protocol can run
-    (Spark 4 API present AND the protobuf dependency importable)."""
+    (Spark 4 API present AND the protobuf dependency importable at the
+    generated-gencode version — see TWS_MISSING_WHEEL)."""
     if not HAS_TWS:
         return False
     try:
-        from google.protobuf import descriptor  # noqa: F401
+        # import the generated proto itself, not just google.protobuf:
+        # it runs ValidateProtobufRuntimeVersion, so an old runtime wheel
+        # is correctly reported unavailable instead of failing mid-query
+        from pyspark.sql.streaming.proto import StateMessage_pb2  # noqa: F401
 
         return True
-    except ImportError:
+    except Exception:
+        # ModuleNotFoundError (no protobuf wheel) or the proto gencode's
+        # VersionError (wheel present but older than 6.33.0)
         return False
 
 try:  # pragma: no cover - import surface differs across 4.x minors

@@ -283,6 +283,12 @@ def main() -> int:
         timings[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
+    # eval-vs-serving split (r11 verdict task 8): acceptance-gate entries
+    # are deliberately expensive (exhaustive truth sides) — their cost
+    # must not read as serving-path cost
+    eval_queries = sorted(q for q in timings if q in registry.EVAL_TIERS)
+    total_eval = round(sum(timings[q] for q in eval_queries), 3)
+    total_serving = round(total - total_eval, 3)
 
     # Warm-total deviation vs the recorded idle baseline (r10 verdict
     # task 2): three rounds of phantom regressions came from gate-passed
@@ -325,6 +331,12 @@ def main() -> int:
                 "sf": sf,
                 "runs_per_query": n_runs,
                 "queries_cold": cold,
+                # tier split: serving = per-batch production paths,
+                # eval = acceptance gates with deliberate exhaustive
+                # truth sides (registry.EVAL_TIERS)
+                "value_serving": total_serving,
+                "value_eval": total_eval,
+                "eval_queries": eval_queries,
                 "load_avg_at_start": load_avg,
                 # 5-min average alongside the 1-min gate value: a burst
                 # that just subsided shows low 1-min / high 5-min, so

@@ -20,6 +20,45 @@ def test_bench_queries_unique():
     assert len(bench.BENCH_QUERIES) == len(set(bench.BENCH_QUERIES))
 
 
+def test_eval_tiers_registered_and_adjudicated_twin_stays_out():
+    """registry.EVAL_TIERS is the machine-readable form of the SCALE.md
+    eval-vs-serving adjudication (r11 verdict task 8): every tag must
+    point at a real entry, and the one tier adjudicated as
+    bench-excluded — minhash_ml_pairs, the 22.7s MLlib reference twin
+    whose 1.8s custom twin produces identical pairs — must stay out of
+    BENCH_QUERIES.  The eval gates that ARE benched stay benched on
+    purpose (their trend line is driver-visible), but bench.py now
+    reports them under value_eval, not the serving total."""
+    unknown = registry.EVAL_TIERS - set(registry.QUERIES)
+    assert not unknown, f"EVAL_TIERS tags unknown entries: {unknown}"
+    assert "minhash_ml_pairs" not in bench.BENCH_QUERIES
+    benched_eval = registry.EVAL_TIERS & set(bench.BENCH_QUERIES)
+    assert benched_eval == {"lsh_band_sweep", "knn_recall_eval"}, (
+        "benched eval gates changed — update this lint AND the SCALE.md "
+        f"adjudication: {sorted(benched_eval)}"
+    )
+
+
+def test_bench_and_baseline_carry_host_epoch():
+    """Cross-epoch totals are non-comparable (docs/SCALE.md); bench.py
+    must stamp each line with the host epoch and the idle baseline must
+    record the epoch it was measured on (r11 verdict task 7)."""
+    import json
+    import pathlib
+    import re
+
+    epoch = bench._host_epoch()
+    assert re.fullmatch(r"[^/]+/[0-9a-f]{8}", epoch), epoch
+    baseline = json.loads(
+        (pathlib.Path(__file__).resolve().parents[1]
+         / "docs" / "BENCH_IDLE_BASELINE.json").read_text()
+    )
+    assert "host_epoch" in baseline["recorded_from"], (
+        "idle baseline predates the host-epoch field — re-record with "
+        "tools/record_idle_baseline.py on an idle host"
+    )
+
+
 def test_idle_gate_rejects_borderline_load5():
     """The r10 failure instance: gate-passed at load1 0.40 / load5 1.98
     against a 4.0 threshold and recorded a +30% hot total.  Under the

@@ -307,7 +307,14 @@ def test_transform_with_state_tier(spark, sf_dir):
                 sw.read_events_stream(spark, sf_dir)
             )
             sw.run_stream_to_memory(out, spark, output_mode="update")
-        pytest.skip("transformWithState runtime unavailable (no protobuf)")
+        pytest.skip(
+            "transformWithState runtime unavailable: this container lacks "
+            f"the wheel {stateful.TWS_MISSING_WHEEL} (pyspark 4.1.2's "
+            "StateMessage_pb2 gencode pin; installs disallowed).  The "
+            "applyInPandasWithState tier `running_user_totals` is the "
+            "permanent equivalent, oracle-checked as "
+            "streaming_stateful_running_totals."
+        )
     events = sw.read_events_stream(spark, sf_dir)
     out = stateful.running_user_totals_tws(events)
     res = sw.run_stream_to_memory(out, spark, output_mode="update")

@@ -103,6 +103,7 @@ def main() -> int:
                      "vector_kmeans", "vector_knn_ivf",
                      "vector_pq_encode_hof", "vector_pq_encode_gemm",
                      "vector_incremental_dedup", "vector_incremental_hub",
+                     "vector_incremental_hub_near",
                      "vector_ivfpq_refine",
                      "vector_knn_recall_eval"}
     if not only or (only & vector_labels):
@@ -228,6 +229,78 @@ def main() -> int:
             "vector_incremental_dedup", nv_lsh,
             lambda d: similarity.embedding_incremental_dedup(
                 spark, d, n_planes=64, n_bands=4)))
+
+        # r12 (r11 verdict task 5): the ADVERSARIAL admission hub at 10x —
+        # every 10th vector is the dead-encoder constant PLUS tiny hash
+        # noise (+-1e-3 per dim), i.e. NEAR-identical: the whole hub class
+        # shares its hyperplane sign pattern (all its band buckets
+        # over-cap) but carries NO bitwise identity for the exact tier to
+        # catch — exactly the class that falsely admitted under the old
+        # drop-over-cap-buckets design (r10 ADVICE).  Under the r11
+        # representative cap every new hub vector must still meet
+        # max_bucket old witnesses per band, so the ORACLE RULE is exact:
+        # hub new rows all rejected, random new rows all admitted.  The
+        # smoke asserts both counts and prints them for docs/SCALE.md.
+        if not only or "vector_incremental_hub_near" in only:
+            nv_near = min(n, 5_000_000)
+            dnear = tempfile.mkdtemp(prefix="scale_vecnearhub_")
+            emb = F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda j: (
+                    F.hash((F.col("id") * 64 + j).cast("int")).cast("double")
+                    / F.lit(2147483647.0)
+                ).cast("float"),
+            )
+            near_hub = F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda j: (
+                    F.lit(0.5)
+                    + F.hash((F.col("id") * 64 + j).cast("int"))
+                    .cast("double") / F.lit(2147483647.0) / F.lit(1000.0)
+                ).cast("float"),
+            )
+            spark.range(nv_near).select(
+                F.col("id").alias("vec_id"),
+                F.when(F.pmod(F.col("id"), F.lit(10)) == 0, near_hub)
+                    .otherwise(emb).alias("embedding"),
+                F.pmod(F.col("id"), F.lit(10)).cast("int").alias("label"),
+            ).write.mode("overwrite").parquet(f"{dnear}/embeddings.parquet")
+            try:
+                t0 = time.time()
+                out = similarity.embedding_incremental_dedup(
+                    spark, dnear, n_planes=64, n_bands=4)
+                counts = {
+                    (bool(r["is_hub"]), bool(r["admitted"])): r["n"]
+                    for r in out.groupBy(
+                        (F.col("vec_id") % 10 == 0).alias("is_hub"),
+                        "admitted",
+                    ).agg(F.count(F.lit(1)).alias("n")).collect()
+                }
+                dt = time.time() - t0
+                false_admits = counts.get((True, True), 0)
+                false_rejects = counts.get((False, False), 0)
+                print(
+                    "vector_incremental_hub_near counts: "
+                    f"hub_rejected={counts.get((True, False), 0)} "
+                    f"rand_admitted={counts.get((False, True), 0)} "
+                    f"false_admits={false_admits} "
+                    f"false_rejects={false_rejects}",
+                    file=sys.stderr,
+                )
+                assert false_admits == 0, (
+                    f"near-identical hub FALSELY ADMITTED {false_admits} "
+                    "vectors — the representative cap regressed to "
+                    "drop-bucket behavior"
+                )
+                assert false_rejects == 0, (
+                    f"{false_rejects} random vectors falsely rejected"
+                )
+                results.append(
+                    ("vector_incremental_hub_near", round(dt, 2),
+                     int(nv_near / dt))
+                )
+            finally:
+                shutil.rmtree(dnear, ignore_errors=True)
         nv_sem = min(n, 100_000)
         results.append(run_vec(
             "vector_semantic_dedup", nv_sem,
