@@ -1977,6 +1977,13 @@ _oracle(
 
 # One SQL text, two engines: the query IS its own oracle (Spark 4 and
 # DuckDB both implement ANSI recursive CTEs).
+# Recursive-CTE total-row guardrail for the two WITH RECURSIVE entries:
+# high enough that linear-in-input recursions (order/customer chain
+# walks) never trip it at probe scale, finite so a genuinely diverging
+# recursion still dies; depth divergence is caught much earlier by the
+# untouched cteRecursionLevelLimit (100).
+CTE_ROW_LIMIT = 1_000_000_000
+
 RECURSIVE_CHAIN_SQL = """
     WITH RECURSIVE chain AS (
         SELECT l_orderkey, l_linenumber AS ln,
@@ -2012,9 +2019,19 @@ def recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql_surface.recursive_cte_order_chains — the deeper (~25-level)
     variant whose successor relation is derived by a ranking window and
     which documents Spark 4.1's UNION-recursion rejection.
+
+    Scale config: total rows ACROSS recursion levels equal |lineitem|,
+    so Spark's cteRecursionRowLimit default of 1e6 aborts on any real
+    fact table regardless of plan health (first hit by the r12 sf1
+    probe: 6M lineitems -> RECURSION_ROW_LIMIT_EXCEEDED).  The row limit
+    guards total emitted rows — for a depth-bounded linear walk that is
+    just the input size — so the operator raises it and leaves
+    cteRecursionLevelLimit (default 100) as the actual runaway-recursion
+    guard: depth, not row count, is what diverges on a buggy recursion.
     """
     from airflow_postgres_to_s3_pipeline_spark.catalog import register_views
 
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(CTE_ROW_LIMIT))
     register_views(spark, sf_dir)
     return spark.sql(RECURSIVE_CHAIN_SQL)
 

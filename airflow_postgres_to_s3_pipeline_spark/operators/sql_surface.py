@@ -443,9 +443,18 @@ def recursive_cte_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the aggregate is windowable (as this demo's is), the single
     window shuffle wins — the recursion tier exists for the traversals
     that are NOT windowable (variable-step state machines, graph walks).
-    Guardrails at larger inputs: spark.sql.cteRecursionLevelLimit /
-    cteRecursionRowLimit (defaults 100 / 1e6 rows).
+    Guardrails at larger inputs: cteRecursionRowLimit is raised to the
+    shared CTE_ROW_LIMIT (advanced.py) because total emitted rows for
+    this walk equal |orders| — the 1e6 default aborts at probe scale
+    (r12 sf1 finding on the sibling entry) — while
+    spark.sql.cteRecursionLevelLimit keeps its default 100 as the
+    runaway-depth guard.
     """
+    from airflow_postgres_to_s3_pipeline_spark.operators.advanced import (
+        CTE_ROW_LIMIT,
+    )
+
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(CTE_ROW_LIMIT))
     register_views(spark, sf_dir)
     return spark.sql(_CHAIN_SQL)
 
