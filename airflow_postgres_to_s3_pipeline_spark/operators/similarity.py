@@ -331,8 +331,21 @@ IVF_EVERY = 50
 IVF_N_PROBE = 2
 
 
+def _adaptive_every(n: int, floor: int = IVF_EVERY) -> int:
+    """Corpus-adaptive centroid stride: max(floor, isqrt(n)) — the
+    classic sqrt cell balance the knn_ivf docstring derives.  isqrt, not
+    floor(sqrt()): the oracle mirrors this as FLOOR(SQRT(n)) in fp64,
+    and the two agree exactly for every corpus below 2^52 rows (IEEE
+    sqrt is exact on that range's perfect squares; off perfect squares
+    both truncate the same irrational)."""
+    import math
+
+    return max(floor, math.isqrt(n))
+
+
 def knn_ivf(spark: SparkSession, sf_dir: str, n_probe: int = IVF_N_PROBE,
-            every: int = IVF_EVERY, assign_tier: str = "gemm") -> DataFrame:
+            every: int | None = None,
+            assign_tier: str = "gemm") -> DataFrame:
     """Approximate top-5 neighbors via IVF: probe the n_probe nearest
     centroid cells per query instead of the whole corpus.  Recall is
     approximate by design, but the COMPUTATION is fully deterministic
@@ -358,6 +371,15 @@ def knn_ivf(spark: SparkSession, sf_dir: str, n_probe: int = IVF_N_PROBE,
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
+    if every is None:
+        # default stride SCALES with the corpus (r12 sf1 probe: the
+        # fixed-50 default made the fold tier's index build quadratic —
+        # 16.7x wall at 10x data); one count() scan per build, amortized
+        # over every query the index serves.  The registered oracle
+        # derives the identical stride in SQL (params CTE), so the
+        # mirror holds at ANY scale factor; at the driver's sf0.001-0.1
+        # the floor keeps every=50 — bit-identical to the old default.
+        every = _adaptive_every(e.count())
     cents = _centroids(e, every)
     if assign_tier == "gemm":
         assigned = ivf_assign_gemm(
@@ -398,21 +420,31 @@ def knn_ivf(spark: SparkSession, sf_dir: str, n_probe: int = IVF_N_PROBE,
     )
 
 
-def _knn_ivf_oracle(every: int = IVF_EVERY,
+def _knn_ivf_oracle(every: int | None = None,
                     n_probe: int = IVF_N_PROBE) -> str:
     """Exact SQL mirror of ``knn_ivf(every=every, n_probe=n_probe)`` —
     generated from the SAME parameters as the Spark signature defaults so
     the registered oracle cannot silently diverge from the code path the
     driver runs (ADVICE r4: a hard-coded stride invalidates non-default
-    calls; callers with custom strides regenerate their own mirror)."""
+    calls; callers with custom strides regenerate their own mirror).
+    ``every=None`` (the default, matching the Spark signature) derives
+    the corpus-adaptive stride IN SQL — GREATEST(floor, FLOOR(SQRT(n)))
+    — so the mirror holds at any scale factor; see _adaptive_every for
+    the isqrt/FLOOR(SQRT()) agreement argument."""
+    ev = (str(every) if every is not None
+          else "(SELECT ev FROM params)")
     return f"""
     WITH e AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
+    ), params AS (
+        SELECT GREATEST({IVF_EVERY},
+                        CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS ev
+        FROM e
     ), cents AS (
-        SELECT vec_id // {every} AS centroid_id, v AS cv
-        FROM e WHERE vec_id % {every} = 0
+        SELECT vec_id // {ev} AS centroid_id, v AS cv
+        FROM e WHERE vec_id % {ev} = 0
     ), assigned AS (
         SELECT vec_id, v, centroid_id FROM (
             SELECT e.vec_id, e.v, c.centroid_id,

@@ -19,9 +19,15 @@ import sys
 
 
 def load(path: str) -> dict:
+    """Accept either a one-line bench output or the (pretty-printed)
+    idle-baseline file."""
     with open(path) as f:
-        lines = [ln for ln in f.read().splitlines() if ln.strip()]
-    return json.loads(lines[-1])
+        text = f.read()
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        lines = [ln for ln in text.splitlines() if ln.strip()]
+        return json.loads(lines[-1])
 
 
 def main() -> None:
