@@ -241,6 +241,13 @@ def main() -> int:
         # max_bucket old witnesses per band, so the ORACLE RULE is exact:
         # hub new rows all rejected, random new rows all admitted.  The
         # smoke asserts both counts and prints them for docs/SCALE.md.
+        # threshold=0.9 (the production dedup point, NEAR_DUP_THRESHOLD
+        # note), NOT the registry's oracle-friendly 0.4: at 0.4 a 5M
+        # random corpus hands every vector ~3k GENUINE near-dups
+        # (P[cos>=0.4] ~ 7e-4 x 4.7M olds — measured: 279k of 281k
+        # random new vectors correctly rejected), so "random => admitted"
+        # is only an exact rule at a threshold random pairs cannot clear
+        # while near-identical hub members (cos ~ 1-1e-6) still trip it.
         if not only or "vector_incremental_hub_near" in only:
             nv_near = min(n, 5_000_000)
             dnear = tempfile.mkdtemp(prefix="scale_vecnearhub_")
@@ -268,7 +275,7 @@ def main() -> int:
             try:
                 t0 = time.time()
                 out = similarity.embedding_incremental_dedup(
-                    spark, dnear, n_planes=64, n_bands=4)
+                    spark, dnear, n_planes=64, n_bands=4, threshold=0.9)
                 counts = {
                     (bool(r["is_hub"]), bool(r["admitted"])): r["n"]
                     for r in out.groupBy(
