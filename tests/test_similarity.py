@@ -330,12 +330,44 @@ def test_knn_ivfpq_candidates_subset_of_probed_cells(spark, sf_dir):
 
 
 def test_knn_pq_fold_bit_identical_to_gemm_tier(spark, sf_dir):
-    """The GEMM encode (default) must produce byte-for-byte the same
-    ranked output as the HOF fold reference tier (dimension-ordered
-    accumulation + first-min argmin are the equivalence contract)."""
+    """All three tiers must produce byte-for-byte the same ranked output
+    (dimension-ordered accumulation + first-min argmin are the
+    equivalence contract): the full-GEMM default, the registered
+    knn_pq_fold (GEMM encode + fold scoring), and the corpus-fold
+    ENCODE — which since r13 exists only for this small-scale
+    equivalence check (at scale it is an O(n x m x ksub x subd)
+    interpreted index build; the registered tier builds with GEMM)."""
     gemm = sorted(map(tuple, similarity.knn_pq(spark, sf_dir).collect()))
     fold = sorted(map(tuple, similarity.knn_pq_fold(spark, sf_dir).collect()))
     assert gemm == fold
+    enc_fold = sorted(
+        map(
+            tuple,
+            similarity.knn_pq(
+                spark, sf_dir, encode_tier="fold", score_tier="fold"
+            ).collect(),
+        )
+    )
+    assert gemm == enc_fold
+
+
+def test_knn_ivf_tiers_bit_identical(spark, sf_dir):
+    """The registered knn_ivf_fold (GEMM build + row-local fold probe)
+    and the corpus-fold ASSIGN tier (pytest-only since r13 — its build
+    is O(n^1.5) with the sqrt stride) must both equal the default
+    join+window plan byte for byte."""
+    gemm = sorted(map(tuple, similarity.knn_ivf(spark, sf_dir).collect()))
+    probe_fold = sorted(
+        map(tuple, similarity.knn_ivf_fold(spark, sf_dir).collect())
+    )
+    assert gemm == probe_fold
+    assign_fold = sorted(
+        map(
+            tuple,
+            similarity.knn_ivf(spark, sf_dir, assign_tier="fold").collect(),
+        )
+    )
+    assert gemm == assign_fold
 
 
 def test_knn_ivfpq_score_tiers_bit_identical(spark, sf_dir):
