@@ -1977,12 +1977,11 @@ _oracle(
 
 # One SQL text, two engines: the query IS its own oracle (Spark 4 and
 # DuckDB both implement ANSI recursive CTEs).
-# Recursive-CTE total-row guardrail for the two WITH RECURSIVE entries:
-# high enough that linear-in-input recursions (order/customer chain
-# walks) never trip it at probe scale, finite so a genuinely diverging
-# recursion still dies; depth divergence is caught much earlier by the
-# untouched cteRecursionLevelLimit (100).
-CTE_ROW_LIMIT = 1_000_000_000
+# Recursive-CTE total-row guardrail: centralized in the session factory
+# (session.CTE_ROW_LIMIT, set by get_spark + tune_runtime) so the WITH
+# RECURSIVE operators never mutate shared-session config as a hidden
+# side effect (r12 ADVICE).  Re-exported here for backward compat.
+from airflow_postgres_to_s3_pipeline_spark.session import CTE_ROW_LIMIT  # noqa: F401,E402
 
 RECURSIVE_CHAIN_SQL = """
     WITH RECURSIVE chain AS (
@@ -2023,20 +2022,99 @@ def recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale config: total rows ACROSS recursion levels equal |lineitem|,
     so Spark's cteRecursionRowLimit default of 1e6 aborts on any real
     fact table regardless of plan health (first hit by the r12 sf1
-    probe: 6M lineitems -> RECURSION_ROW_LIMIT_EXCEEDED).  The row limit
-    guards total emitted rows — for a depth-bounded linear walk that is
-    just the input size — so the operator raises it and leaves
+    probe: 6M lineitems -> RECURSION_ROW_LIMIT_EXCEEDED).  The raised
+    limit (session.CTE_ROW_LIMIT, applied by the session factory — not
+    here, so no operator mutates shared config) leaves
     cteRecursionLevelLimit (default 100) as the actual runaway-recursion
     guard: depth, not row count, is what diverges on a buggy recursion.
+    At ~sf150 even 1e9 total rows binds for a linear walk — past that,
+    the scale tier is the iterative DataFrame frontier walk
+    (frontier_order_chain below), which has no row-limit concept; this
+    SQL entry remains the SQL-surface tier.  See docs/SCALE.md
+    "Recursive-walk cutover".
     """
     from airflow_postgres_to_s3_pipeline_spark.catalog import register_views
 
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(CTE_ROW_LIMIT))
     register_views(spark, sf_dir)
     return spark.sql(RECURSIVE_CHAIN_SQL)
 
 
 _oracle("recursive_order_chain", RECURSIVE_CHAIN_SQL)
+
+
+def frontier_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative DataFrame twin of recursive_order_chain — the deep-walk
+    SCALE tier (docs/SCALE.md "Recursive-walk cutover").
+
+    Identical semantics to the WITH RECURSIVE entry, identical oracle SQL,
+    but no recursion row limit exists to bind: each hop is one equi-join
+    of the (thin, per-order) frontier against the persisted fact slice on
+    (l_orderkey, ln + 1), so total work stays linear in |lineitem| at ANY
+    scale — the SQL tier's cteRecursionRowLimit=1e9 net binds around
+    sf150 because a linear walk emits |fact| total rows across levels.
+
+    Execution shape: lineitem is projected to 3 columns, hash-partitioned
+    on l_orderkey once, and persisted; every hop's join then reuses that
+    partitioning (frontier side shuffles, fact side does not).  The only
+    per-hop driver actions are the eager localCheckpoint (lineage cut, as
+    in graph.bfs_hops) and an isEmpty early-exit probe; depth is bounded
+    up front by one scalar MAX(l_linenumber) aggregate (~7 in TPC-H
+    shape).  The running sum accumulates in linenumber order — the exact
+    ((q1+q2)+q3) fold the recursion defines — so doubles are
+    bit-identical to both the SQL tier and the DuckDB oracle.
+
+    Tier equivalence (byte-for-byte vs recursive_order_chain) is pinned
+    by tests/test_advanced.py.
+    """
+    from airflow_postgres_to_s3_pipeline_spark.cache import tracked_persist
+
+    li = tracked_persist(
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").alias("ln"),
+            F.col("l_quantity").cast("double").alias("qty"),
+        )
+        .repartition("l_orderkey")
+    )
+    max_ln_row = li.agg(F.max("ln").alias("m")).first()
+    max_ln = int(max_ln_row["m"] or 0)
+
+    frontier = (
+        li.filter(F.col("ln") == 1)
+        .select("l_orderkey", "ln", F.col("qty").alias("running_qty"))
+        .localCheckpoint(eager=True)
+    )
+    acc = frontier
+    for step in range(2, max_ln + 1):
+        nxt = (
+            li.filter(F.col("ln") == step)
+            .join(
+                frontier.select(
+                    "l_orderkey", F.col("running_qty").alias("_prev")
+                ),
+                "l_orderkey",
+            )
+            .select(
+                "l_orderkey",
+                "ln",
+                (F.col("_prev") + F.col("qty")).alias("running_qty"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        acc = acc.unionByName(nxt)
+        frontier = nxt
+    return acc.groupBy("l_orderkey").agg(
+        F.max("ln").cast("int").alias("chain_len"),
+        F.max("running_qty").alias("total_qty"),
+    )
+
+
+# Same oracle text as the SQL tier: the two tiers are interchangeable by
+# contract, and the equivalence test pins them byte-for-byte.
+_oracle("frontier_order_chain", RECURSIVE_CHAIN_SQL)
 
 
 def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -443,18 +443,16 @@ def recursive_cte_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the aggregate is windowable (as this demo's is), the single
     window shuffle wins — the recursion tier exists for the traversals
     that are NOT windowable (variable-step state machines, graph walks).
-    Guardrails at larger inputs: cteRecursionRowLimit is raised to the
-    shared CTE_ROW_LIMIT (advanced.py) because total emitted rows for
-    this walk equal |orders| — the 1e6 default aborts at probe scale
-    (r12 sf1 finding on the sibling entry) — while
-    spark.sql.cteRecursionLevelLimit keeps its default 100 as the
-    runaway-depth guard.
+    Guardrails at larger inputs: cteRecursionRowLimit is raised to
+    session.CTE_ROW_LIMIT by the session factory (get_spark +
+    tune_runtime — centralized there so no operator mutates shared
+    config; r12 ADVICE) because total emitted rows for this walk equal
+    |orders| — the 1e6 default aborts at probe scale (r12 sf1 finding on
+    the sibling entry) — while spark.sql.cteRecursionLevelLimit keeps
+    its default 100 as the runaway-depth guard.  Past ~sf150 the scale
+    tier is the iterative frontier walk (advanced.frontier_order_chain
+    demonstrates the shape); see docs/SCALE.md "Recursive-walk cutover".
     """
-    from airflow_postgres_to_s3_pipeline_spark.operators.advanced import (
-        CTE_ROW_LIMIT,
-    )
-
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(CTE_ROW_LIMIT))
     register_views(spark, sf_dir)
     return spark.sql(_CHAIN_SQL)
 

@@ -1117,6 +1117,7 @@ QUERIES: dict[str, QueryFn] = {
     "fuzzy_match_parts": entity.fuzzy_match_parts,
     "weighted_sample_sus": curation.weighted_sample_sus,
     "recursive_cte_order_chains": sql_surface.recursive_cte_order_chains,
+    "frontier_order_chain": advanced.frontier_order_chain,
 }
 
 
@@ -1235,7 +1236,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     # grouping, and the DataFrame-iterative recursive-CTE equivalent.
     "SQL": ("sql_scripting_threshold", "sql_pipe_syntax",
             "parameterized_query", "collation_group",
-            "recursive_order_chain", "scalar_subquery_threshold",
+            "recursive_order_chain", "frontier_order_chain",
+            "scalar_subquery_threshold",
             "correlated_agg_subquery"),
     # Release diagnostics: the pre-publish gates a curator runs over a
     # finished corpus/table (quality audit, drift diff, profiling, skew,

@@ -20,6 +20,19 @@ from pyspark.sql import SparkSession
 
 _MB = 1024 * 1024
 
+# Recursive-CTE total-row guardrail, applied session-wide here (not inside
+# the WITH RECURSIVE operators — a per-operator spark.conf.set would be a
+# hidden side effect on the shared session, r12 ADVICE).  Rationale: the
+# row limit counts TOTAL rows across recursion levels, so a healthy
+# linear-in-input walk (order/customer chain) emits |fact| rows and the
+# 1e6 default aborts at probe scale regardless of plan health (first hit
+# by the r12 sf1 probe: RECURSION_ROW_LIMIT_EXCEEDED at 6M lineitems).
+# Depth divergence — the failure mode that actually signals a buggy
+# recursion — is caught much earlier by cteRecursionLevelLimit (default
+# 100, untouched).  1e9 keeps the net finite: a genuinely diverging
+# recursion still dies, just not a linear walk over a real fact table.
+CTE_ROW_LIMIT = 1_000_000_000
+
 
 def get_spark(
     app_name: str = "airflow-postgres-to-s3-pipeline-spark",
@@ -61,6 +74,7 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * _MB))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * _MB))
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.cteRecursionRowLimit", str(CTE_ROW_LIMIT))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -106,5 +120,8 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
     # The testdata writes TIMESTAMP(NANOS) parquet, which Spark rejects by
     # default; read as int64 and convert explicitly (catalog.table).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Recursive-CTE guardrail (see CTE_ROW_LIMIT above): applied once here
+    # so the WITH RECURSIVE operators never mutate session config.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(CTE_ROW_LIMIT))
     _TUNED[spark] = aqe_flag
     return spark

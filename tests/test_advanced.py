@@ -331,3 +331,45 @@ def test_unpivot_metrics_drops_null_cells_like_duckdb(spark, tmp_path):
     )
     want = {r[0]: r[1] for r in con.sql(ORACLES["unpivot_metrics"]).fetchall()}
     assert got == want
+
+
+def test_frontier_order_chain_matches_recursive_tier(spark, sf_dir):
+    """Tier equivalence: the iterative frontier walk (scale tier, no
+    recursion row limit) must be byte-for-byte the WITH RECURSIVE entry
+    (SQL-surface tier) — same rows, same chain lengths, bit-identical
+    running-sum doubles (both fold quantities in linenumber order)."""
+    rec = advanced.recursive_order_chain(spark, sf_dir)
+    fro = advanced.frontier_order_chain(spark, sf_dir)
+    assert [f.name for f in fro.schema.fields] == [
+        f.name for f in rec.schema.fields
+    ]
+    key = lambda r: r["l_orderkey"]  # noqa: E731
+    a = sorted(rec.collect(), key=key)
+    b = sorted(fro.collect(), key=key)
+    assert len(a) == len(b) > 0
+    for ra, rb in zip(a, b):
+        assert ra["l_orderkey"] == rb["l_orderkey"]
+        assert ra["chain_len"] == rb["chain_len"]
+        # bit-exact: same addition order => identical IEEE doubles
+        assert repr(ra["total_qty"]) == repr(rb["total_qty"])
+
+
+def test_recursive_entries_do_not_mutate_session_conf(spark, sf_dir):
+    """r12 ADVICE: the WITH RECURSIVE operators must not set session conf
+    themselves — the raised cteRecursionRowLimit comes from the session
+    factory (session.CTE_ROW_LIMIT via get_spark/tune_runtime) so the
+    guardrail policy is centralized, not a hidden per-operator side
+    effect.  Pin by poisoning the conf and checking the operator leaves
+    it alone (tune_runtime's memo has already run for this session)."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import sql_surface
+    from airflow_postgres_to_s3_pipeline_spark.session import CTE_ROW_LIMIT
+
+    sentinel = str(CTE_ROW_LIMIT + 7)
+    prev = spark.conf.get("spark.sql.cteRecursionRowLimit")
+    try:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", sentinel)
+        advanced.recursive_order_chain(spark, sf_dir).count()
+        sql_surface.recursive_cte_order_chains(spark, sf_dir).count()
+        assert spark.conf.get("spark.sql.cteRecursionRowLimit") == sentinel
+    finally:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", prev)
