@@ -502,13 +502,26 @@ def _triangles_edge_iterator(
     orient: str = "degree",
     out_col: str = "vertex",
     broadcast_adj: bool | None = None,
+    contrib_mode: str = "single_pass",
 ) -> DataFrame:
     """Edge-iterator triangle counting from an undirected (pa, pb) edge
     list: orient, build sorted out-neighbor arrays, intersect per edge.
     Every oriented triangle has a unique (source, middle, sink)
     topological order, and the sink set of edge (source, middle) is
     exactly N+(source) ∩ N+(middle) — each triangle found once, the same
-    triple the wedge-join reference emits."""
+    triple the wedge-join reference emits.
+
+    contrib_mode (r13 A/B, docs/SCALE.md "triangle_count single-pass"):
+    'union3' is the r7 shape — a 3-branch union re-selects the intersect
+    join once per triangle role, so the adjacency joins + array_intersect
+    (the kernel's entire cost) execute THREE times; exchange reuse saves
+    the shuffles but not the probe/intersect compute.  'single_pass'
+    (default) emits every role's contribution from ONE pass: per edge,
+    structs (source, n), (middle, n) and one (sink, 1) per intersect
+    element — row-local concat/transform, one explode, identical final
+    aggregate.  Shuffle volume drops from 3|tri| rows to
+    2|edges_with_triangles| + |tri|, and the join runs once.  Counts are
+    bit-identical (pinned by tests/test_graph.py parity tests)."""
     if orient == "degree":
         edges = orient_edges_by_degree(edges)
     elif orient != "id":
@@ -530,14 +543,43 @@ def _triangles_edge_iterator(
         adj = F.broadcast(adj)
     a1 = adj.select(F.col("v").alias("pa"), F.col("nbrs").alias("na"))
     a2 = adj.select(F.col("v").alias("pb"), F.col("nbrs").alias("nb"))
-    tri = (
-        edges.join(a1, "pa")
-        .join(a2, "pb")
-        .select(
-            F.col("pa").alias("ta"),
-            F.col("pb").alias("tb"),
-            F.explode(F.array_intersect("na", "nb")).alias("tc"),
+    joined = edges.join(a1, "pa").join(a2, "pb")
+    if contrib_mode == "single_pass":
+        # materialize the intersect ONCE per row; the multi-reference of
+        # `cs` below keeps CollapseProject from inlining (and thus
+        # re-evaluating) the non-cheap array_intersect per use
+        inter = joined.select(
+            "pa", "pb", F.array_intersect("na", "nb").alias("cs")
         )
+        n = F.size("cs").cast("long")
+        contribs = F.when(
+            n > 0,
+            F.concat(
+                F.array(
+                    F.struct(F.col("pa").alias("v"), n.alias("w")),
+                    F.struct(F.col("pb").alias("v"), n.alias("w")),
+                ),
+                F.transform(
+                    F.col("cs"),
+                    lambda c: F.struct(
+                        c.alias("v"), F.lit(1).cast("long").alias("w")
+                    ),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<v:bigint,w:bigint>>"))
+        exploded = inter.select(F.explode(contribs).alias("c"))
+        return exploded.groupBy(
+            F.col("c.v").alias(out_col)
+        ).agg(F.sum("c.w").alias("n_triangles"))
+    if contrib_mode != "union3":
+        raise ValueError(
+            f"contrib_mode must be 'single_pass' or 'union3', "
+            f"got {contrib_mode!r}"
+        )
+    tri = joined.select(
+        F.col("pa").alias("ta"),
+        F.col("pb").alias("tb"),
+        F.explode(F.array_intersect("na", "nb")).alias("tc"),
     )
     members = (
         tri.select(F.col("ta").alias(out_col))

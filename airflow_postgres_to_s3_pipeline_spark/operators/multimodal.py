@@ -377,6 +377,206 @@ _oracle(
 )
 
 
+# ---------------------------------------------------------------------------
+# Container-header parsing (r12 verdict task 8): REAL binary layouts —
+# PNG signature + IHDR chunk with a genuine CRC-32, and RIFF/WAVE fmt
+# chunk — synthesized and parsed from raw bytes with struct/zlib only
+# (no codec needed).  This upgrades the E28 stub from byte statistics to
+# structured metadata extraction: magic sniffing, big-endian vs
+# little-endian field decode, chunk CRC validation, and format-consistency
+# checks are all exactly what a production media-ingest pipeline runs
+# before it ever decodes a pixel.
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+HEADER_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("container", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("bit_depth", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("payload_bytes", IntegerType()),
+    ]
+)
+
+
+def synth_container(doc_id: int, text: bytes) -> bytes:
+    """Deterministically wrap a document in a REAL container layout.
+
+    doc_id % 17 == 0 -> junk bytes (no valid magic); else even doc_ids
+    become a spec-correct PNG signature + IHDR chunk (big-endian fields,
+    real zlib CRC-32 over chunk type + data), odd doc_ids a RIFF/WAVE
+    header (little-endian fmt fields, consistent byte_rate/block_align)
+    carrying the first 16 payload bytes as the data chunk.
+    """
+    import struct
+    import zlib
+
+    if doc_id % 17 == 0:
+        return b"JUNK" + text[:12]
+    if doc_id % 2 == 0:
+        width = doc_id % 1917 + 1
+        height = doc_id % 1080 + 1
+        depth = 16 if doc_id % 3 == 0 else 8
+        chunk = b"IHDR" + struct.pack(">II5B", width, height, depth, 6, 0, 0, 0)
+        return (
+            PNG_SIG
+            + struct.pack(">I", 13)
+            + chunk
+            + struct.pack(">I", zlib.crc32(chunk))
+        )
+    channels = (doc_id // 2) % 2 + 1
+    sample_rate = 8000 + (doc_id % 5) * 4000
+    bits = 16
+    data = text[:16]
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH",
+            16,
+            1,
+            channels,
+            sample_rate,
+            sample_rate * channels * (bits // 8),
+            channels * (bits // 8),
+            bits,
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def parse_media_header(payload: bytes) -> dict:
+    """Structural header parse: magic sniff -> per-format field decode.
+
+    PNG: validates the 8-byte signature, IHDR chunk type/length, AND the
+    chunk's CRC-32 (a flipped bit anywhere in the header demotes the row
+    to 'unknown' — the corrupt-input path a real ingest must handle).
+    WAV: validates RIFF/WAVE magic, fmt chunk tag, PCM audio format, and
+    byte_rate == sample_rate * channels * bits/8 consistency.
+    Anything failing a check parses as container='unknown' with NULL
+    fields — never an exception, so one corrupt object cannot kill a
+    100 TB scan stage.
+    """
+    import struct
+    import zlib
+
+    out = {
+        "container": "unknown",
+        "width": None,
+        "height": None,
+        "bit_depth": None,
+        "channels": None,
+        "sample_rate": None,
+        "payload_bytes": len(payload),
+    }
+    if payload[:8] == PNG_SIG and len(payload) >= 33:
+        (length,) = struct.unpack_from(">I", payload, 8)
+        chunk = payload[12:16 + length]
+        if chunk[:4] == b"IHDR" and length == 13:
+            (crc,) = struct.unpack_from(">I", payload, 16 + length)
+            if zlib.crc32(chunk) == crc:
+                width, height, depth = struct.unpack_from(">IIB", payload, 16)
+                out.update(
+                    container="png", width=width, height=height,
+                    bit_depth=depth,
+                )
+    elif (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+            and len(payload) >= 44 and payload[12:16] == b"fmt "):
+        fmt_len, audio_fmt, channels, sample_rate, byte_rate, _align, bits = (
+            struct.unpack_from("<IHHIIHH", payload, 16)
+        )
+        if (fmt_len == 16 and audio_fmt == 1 and bits % 8 == 0
+                and byte_rate == sample_rate * channels * (bits // 8)):
+            out.update(
+                container="wav", channels=channels,
+                sample_rate=sample_rate, bit_depth=bits,
+            )
+    return out
+
+
+def multimodal_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> real container bytes (synth) -> structural header parse.
+
+    Both stages run in ONE mapInPandas pass (row-local, shuffle-free: the
+    scan stage streams Arrow batches through the Python worker and emits
+    thin metadata rows — payload bytes never shuffle).  The oracle
+    recomputes the expected metadata directly from doc_id/n_chars, so any
+    endianness slip, offset error, or CRC mishandling in the parser (or a
+    malformed layout from the synthesizer) diverges from DuckDB.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = synth_container(
+                    int(doc_id), (text or "").encode("utf-8")
+                )
+                rec = parse_media_header(payload)
+                rec["doc_id"] = doc_id
+                rows.append(rec)
+            out = pd.DataFrame(rows)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"].astype("int64"),
+                    "container": out["container"],
+                    "width": out["width"].astype("Int32"),
+                    "height": out["height"].astype("Int32"),
+                    "bit_depth": out["bit_depth"].astype("Int32"),
+                    "channels": out["channels"].astype("Int32"),
+                    "sample_rate": out["sample_rate"].astype("Int32"),
+                    "payload_bytes": out["payload_bytes"].astype("Int32"),
+                }
+            )
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(min(spark.sparkContext.defaultParallelism, 8))
+    )
+    return d.mapInPandas(run, HEADER_SCHEMA)
+
+
+_oracle(
+    "multimodal_header_parse",
+    """
+    -- expected metadata recomputed from the synthesis rule: the Spark
+    -- side must round-trip it through REAL container bytes (pack+parse)
+    SELECT doc_id,
+           CASE WHEN doc_id % 17 = 0 THEN 'unknown'
+                WHEN doc_id % 2 = 0 THEN 'png'
+                ELSE 'wav' END AS container,
+           CAST(CASE WHEN doc_id % 17 <> 0 AND doc_id % 2 = 0
+                     THEN doc_id % 1917 + 1 END AS INTEGER) AS width,
+           CAST(CASE WHEN doc_id % 17 <> 0 AND doc_id % 2 = 0
+                     THEN doc_id % 1080 + 1 END AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 17 = 0 THEN NULL
+                     WHEN doc_id % 2 <> 0 THEN 16
+                     WHEN doc_id % 3 = 0 THEN 16
+                     ELSE 8 END AS INTEGER) AS bit_depth,
+           CAST(CASE WHEN doc_id % 17 <> 0 AND doc_id % 2 <> 0
+                     THEN (doc_id // 2) % 2 + 1 END AS INTEGER) AS channels,
+           CAST(CASE WHEN doc_id % 17 <> 0 AND doc_id % 2 <> 0
+                     THEN 8000 + (doc_id % 5) * 4000 END AS INTEGER)
+               AS sample_rate,
+           CAST(CASE WHEN doc_id % 17 = 0
+                          THEN 4 + LEAST(octet_length(CAST(text AS BLOB)), 12)
+                     WHEN doc_id % 2 = 0 THEN 33
+                     ELSE 44 + LEAST(octet_length(CAST(text AS BLOB)), 16)
+                END AS INTEGER) AS payload_bytes
+    FROM documents
+    """,
+)
+
+
 # Tile-fingerprint near-dup: 8 x 16-byte tiles cover the leading 128 bytes
 # (the synthetic payload size); MIN_MATCH=2 separates near-dups from
 # single-tile coincidences.  A hot (tile_idx, hash) bucket — e.g. a shared

@@ -30,8 +30,11 @@ def unpartitioned_windows(df: DataFrame) -> list[str]:
     ``partitionSpec().isEmpty()``) rather than regexing the plan string:
     window expression text contains nested brackets that defeat a
     bracket-group parse, and the logical node maps 1:1 onto WindowExec.
-    Returns one ``simpleString`` per offending node for the assertion
-    message."""
+    The walk also descends into ``node.subqueries()`` (plans nested in
+    ScalarSubquery/Exists/In expressions) — children() alone leaves a
+    corpus-sized unpartitioned window hidden inside a subquery invisible
+    to the lint (r12 ADVICE).  Returns one ``simpleString`` per
+    offending node for the assertion message."""
     out: list[str] = []
 
     def walk(node) -> None:
@@ -40,6 +43,9 @@ def unpartitioned_windows(df: DataFrame) -> list[str]:
             out.append(node.simpleString(120))
         for i in range(node.children().size()):
             walk(node.children().apply(i))
+        subs = node.subqueries()
+        for i in range(subs.size()):
+            walk(subs.apply(i))
 
     walk(df._jdf.queryExecution().optimizedPlan())
     return out

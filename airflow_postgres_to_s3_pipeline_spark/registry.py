@@ -1118,6 +1118,7 @@ QUERIES: dict[str, QueryFn] = {
     "weighted_sample_sus": curation.weighted_sample_sus,
     "recursive_cte_order_chains": sql_surface.recursive_cte_order_chains,
     "frontier_order_chain": advanced.frontier_order_chain,
+    "multimodal_header_parse": multimodal.multimodal_header_parse,
 }
 
 
@@ -1228,7 +1229,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "tfidf_ml_features"),
     "E28": ("multimodal_decode", "multimodal_resize",
             "multimodal_frame_sample", "multimodal_partition_stats",
-            "multimodal_audio_energy", "multimodal_tile_near_dup"),
+            "multimodal_audio_energy", "multimodal_tile_near_dup",
+            "multimodal_header_parse"),
     "G1": ("part_cooccurrence_lift", "pagerank_parts", "triangle_count",
            "recursive_cte_order_chains", "bfs_hops"),
     # SQL-language surface beyond plain SELECT: scripting control flow,

@@ -149,6 +149,15 @@ def _idle_threshold() -> float:
 # measured counter-example that a plain half-gate still passes.
 LOAD5_IDLE_FRACTION = 0.45
 
+# Absolute margin (percentage points) added on top of an entry's recorded
+# idle-swing band before a per-query deviation is classified as a real
+# regression (r12 verdict task 6).  Covers the sampling error of bands
+# estimated from a handful of idle runs: a band measured at 10% from 3
+# samples can easily read 20% on the 4th genuinely-idle run; what it
+# cannot do is read 2x.  Totals have their own tighter gate
+# (vs_idle_baseline_pct > 10 => hot_run_suspected).
+BAND_MARGIN_PCT = 15.0
+
 
 def _await_idle_host(max_wait_s: int | None = None) -> tuple[float, float, bool]:
     """Wait (bounded) for BOTH the 1-min and 5-min load averages to drop
@@ -301,6 +310,7 @@ def main() -> int:
     vs_idle_baseline_pct = None
     baseline_host_epoch = None
     hot_run_suspected = not idle_host
+    per_query_regressions = []
     try:
         with open(os.path.join(REPO, "docs", "BENCH_IDLE_BASELINE.json")) as f:
             base_doc = json.load(f)
@@ -318,6 +328,31 @@ def main() -> int:
             )
             if vs_idle_baseline_pct > 10.0:
                 hot_run_suspected = True
+        # Per-entry noise-vs-real classification (r12 verdict task 6):
+        # idle runs whose totals agree within ~4% still swing individual
+        # entries by up to +-39.5% (the r12 five-run study), so a
+        # per-query delta is only "real" when it exceeds the entry's OWN
+        # observed idle-pair swing (bands, recorded by
+        # record_idle_baseline.py --bands) plus a fixed margin.  Entries
+        # without a band are judged against the widest recorded band —
+        # conservative, never silently strict.
+        bands = base_doc.get("bands", {})
+        if bands:
+            fallback = max(bands.values())
+            for q in common:
+                if base[q] <= 0:
+                    continue
+                dev = 100.0 * (timings[q] - base[q]) / base[q]
+                band = bands.get(q, fallback)
+                if dev > band + BAND_MARGIN_PCT:
+                    per_query_regressions.append({
+                        "query": q,
+                        "vs_baseline_pct": round(dev, 1),
+                        "band_pct": band,
+                    })
+            per_query_regressions.sort(
+                key=lambda r: -r["vs_baseline_pct"]
+            )
     except (OSError, ValueError):
         pass
 
@@ -364,6 +399,12 @@ def main() -> int:
                 "idle_baseline_common_total": baseline_common_total,
                 "vs_idle_baseline_pct": vs_idle_baseline_pct,
                 "hot_run_suspected": hot_run_suspected,
+                # entries whose warm-min deviation vs the idle baseline
+                # exceeds their recorded per-entry idle-swing band plus
+                # BAND_MARGIN_PCT — the mechanical noise-vs-real verdict
+                # for per-query deltas (empty = all inside their bands;
+                # only meaningful when the host epochs match)
+                "per_query_regressions": per_query_regressions,
                 # kernel + CPU-model hash: totals are only comparable
                 # within one host epoch (r11 verdict task 7).  When
                 # idle_baseline_host_epoch differs from host_epoch, the

@@ -106,3 +106,30 @@ def test_scale_smoke_labels_are_section_gated():
     missing = sorted(used - gated)
     assert not missing, f"smoke labels not in any section gate: {missing}"
     assert len(used) > 30  # the extraction itself must keep matching
+
+
+def test_idle_baseline_carries_variance_bands():
+    """r12 verdict task 6: per-query cold deltas were being adjudicated
+    by hand (the five-run lsh_band_sweep study).  The idle baseline must
+    carry a per-entry swing band for every baseline query, measured from
+    same-epoch idle runs (record_idle_baseline.py --bands), and bench.py
+    must consume them (BAND_MARGIN_PCT + per_query_regressions)."""
+    import json
+    import pathlib
+
+    baseline = json.loads(
+        (pathlib.Path(__file__).resolve().parents[1]
+         / "docs" / "BENCH_IDLE_BASELINE.json").read_text()
+    )
+    bands = baseline.get("bands")
+    assert bands, (
+        "idle baseline has no variance bands — run bench.py on an idle "
+        "host and record with tools/record_idle_baseline.py --bands"
+    )
+    missing = set(baseline["queries"]) - set(bands)
+    assert not missing, f"baseline queries without a band: {sorted(missing)}"
+    for q, b in bands.items():
+        assert 0.0 <= b < 500.0, (q, b)
+    assert baseline.get("bands_from", {}).get("n_samples", 0) >= 2
+    # bench.py must expose the classification contract
+    assert bench.BAND_MARGIN_PCT > 0

@@ -149,6 +149,21 @@ def test_edge_iterator_matches_wedge_join(spark, sf_dir):
         for r in graph.triangle_count(spark, sf_dir).collect()
     }
     assert fast == ref
+    # r13: the single-pass contribution explode (default) must match the
+    # r7 3-branch union shape it replaced — same multiset of counts
+    edges = (
+        graph._basket_pair_edges(spark, sf_dir)
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("pa", "pb")
+    )
+    union3 = {
+        (r["vertex"], r["n_triangles"])
+        for r in graph._triangles_edge_iterator(
+            edges, contrib_mode="union3"
+        ).collect()
+    }
+    assert union3 == fast
     # shuffle-join degradation path (the >TRI_ADJ_BROADCAST_MAX_BYTES
     # branch) on a synthetic edge list
     pairs = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (0, 3)]

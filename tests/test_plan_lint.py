@@ -154,3 +154,32 @@ def test_no_accidental_cartesian(spark, sf_dir, name):
     assert "BroadcastNestedLoopJoin" not in plan, (
         f"{name} plans a nested-loop join; broadcast-equi or banding expected"
     )
+
+
+def test_unpartitioned_window_seen_inside_subquery(spark):
+    """r12 ADVICE: the walk must descend into subquery plans — a
+    corpus-sized global window hidden in a scalar subquery previously
+    passed the lint because children() does not include expression
+    subqueries."""
+    spark.range(100).createOrReplaceTempView("_lint_probe")
+    df = spark.sql(
+        """
+        SELECT id FROM _lint_probe
+        WHERE id > (SELECT MAX(rn) - 5 FROM (
+            SELECT row_number() OVER (ORDER BY id) AS rn FROM _lint_probe
+        ))
+        """
+    )
+    hits = unpartitioned_windows(df)
+    assert hits, "global window inside a scalar subquery must be reported"
+    # and a partitioned window in the same position stays clean
+    clean = spark.sql(
+        """
+        SELECT id FROM _lint_probe
+        WHERE id > (SELECT MAX(rn) - 5 FROM (
+            SELECT row_number() OVER (PARTITION BY id % 7 ORDER BY id)
+                   AS rn FROM _lint_probe
+        ))
+        """
+    )
+    assert not unpartitioned_windows(clean)

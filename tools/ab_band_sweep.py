@@ -81,8 +81,23 @@ def main() -> None:
                 [sys.executable, os.path.abspath(__file__), variant],
                 capture_output=True, text=True, cwd=REPO,
             )
+            # A crashed child (import error, OOM kill) must surface its
+            # own stderr, not a bare IndexError/JSONDecodeError here.
+            if out.returncode != 0 or not out.stdout.strip():
+                sys.stderr.write(out.stderr)
+                raise SystemExit(
+                    f"variant {variant} child exited "
+                    f"{out.returncode} with no result line"
+                )
             line = out.stdout.strip().splitlines()[-1]
-            rec = json.loads(line)
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                sys.stderr.write(out.stderr)
+                raise SystemExit(
+                    f"variant {variant} child printed a non-JSON last "
+                    f"line: {line!r}"
+                )
             results[variant].append(rec)
             print(f"round {rnd} {variant}: {rec}", flush=True)
     for variant, recs in results.items():

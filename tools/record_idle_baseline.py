@@ -10,12 +10,25 @@ Usage:
     python bench.py | tail -1 | python tools/record_idle_baseline.py
     python tools/record_idle_baseline.py BENCH_rN.json
     python tools/record_idle_baseline.py --force run.json   # see below
+    python tools/record_idle_baseline.py --bands run1.json run2.json ...
 
 ``--force`` overrides ONLY the hot_run_suspected refusal — needed when
 a host-epoch change makes every genuinely idle run read >10% over the
 stale baseline (docs/SCALE.md records exactly this cross-epoch drift),
 which would otherwise ratchet the baseline shut forever.  idle_host
 and the gate margin are never overridable.
+
+``--bands`` (r12 verdict task 6) augments the EXISTING baseline with
+per-entry variance bands computed from additional idle runs: for each
+baseline query, band_pct = 100 * (max - min) / min over {baseline value,
+each run's value}.  The r12 five-run study showed per-entry warm mins
+swing up to +-39.5% (lsh_band_sweep) between idle runs whose TOTALS
+agree within 4.2% — so per-query deltas can only be adjudicated against
+each entry's own observed swing, which these bands record.  bench.py
+flags a per-query regression as real only when its deviation exceeds
+the entry's band plus a fixed margin; entries without a band fall back
+to the widest observed band.  Band runs must pass the same idle checks
+as the baseline itself.
 """
 
 from __future__ import annotations
@@ -59,9 +72,78 @@ def _parse(raw: str) -> dict:
     return data
 
 
+def _check_idle(data: dict, label: str, force: bool) -> str | None:
+    """Shared idle-run admission checks; returns a refusal reason or None."""
+    if not data.get("idle_host"):
+        return f"{label}: idle_host is false"
+    if data.get("hot_run_suspected") and not force:
+        return f"{label}: hot_run_suspected is true (--force to override)"
+    margin = data.get("idle_margin")
+    if margin is not None and margin < 1.0:
+        return f"{label}: gate margin {margin} < 1.0"
+    return None
+
+
+def record_bands(run_files: list[str], force: bool) -> int:
+    """Augment the existing baseline with per-entry variance bands."""
+    with open(OUT) as f:
+        baseline = json.load(f)
+    base_q: dict[str, float] = baseline["queries"]
+    samples: dict[str, list[float]] = {q: [v] for q, v in base_q.items()}
+    used = []
+    for path in run_files:
+        data = _parse(open(path).read())
+        reason = _check_idle(data, path, force)
+        if reason:
+            print(f"refusing band run — {reason}", file=sys.stderr)
+            return 1
+        epoch = data.get("host_epoch")
+        base_epoch = baseline.get("recorded_from", {}).get("host_epoch")
+        if base_epoch and epoch and epoch != base_epoch:
+            print(
+                f"refusing band run {path}: host_epoch {epoch} != baseline "
+                f"{base_epoch} — cross-epoch swings are drift, not variance",
+                file=sys.stderr,
+            )
+            return 1
+        for q, v in data["queries"].items():
+            if q in samples:
+                samples[q].append(v)
+        used.append({
+            "file": os.path.basename(path),
+            "value": data.get("value"),
+            "idle_margin": data.get("idle_margin"),
+        })
+    short = [q for q, vs in samples.items() if len(vs) < 2]
+    if short:
+        print(f"refusing: no band sample for {sorted(short)}", file=sys.stderr)
+        return 1
+    bands = {
+        q: round(100.0 * (max(vs) - min(vs)) / min(vs), 1)
+        for q, vs in samples.items()
+    }
+    baseline["bands"] = bands
+    baseline["bands_from"] = {
+        "n_samples": 1 + len(run_files),
+        "runs": used,
+    }
+    with open(OUT, "w") as f:
+        json.dump(baseline, f, indent=1, sort_keys=True)
+        f.write("\n")
+    widest = sorted(bands.items(), key=lambda kv: -kv[1])[:5]
+    print(f"wrote bands for {len(bands)} queries from "
+          f"{1 + len(run_files)} idle samples; widest: {widest}")
+    return 0
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--force"]
+    args = [a for a in sys.argv[1:] if a not in ("--force", "--bands")]
     force = "--force" in sys.argv[1:]
+    if "--bands" in sys.argv[1:]:
+        if not args:
+            print("--bands needs at least one idle run JSON", file=sys.stderr)
+            return 1
+        return record_bands(args, force)
     if args:
         raw = open(args[0]).read()
     else:

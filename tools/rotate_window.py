@@ -59,6 +59,12 @@ def select_window(last: dict[str, int] | None = None) -> list[str]:
 
     window: list[str] = []
     seen: set[str] = set()
+    # One sentinel per family must fit; more families than window slots
+    # would silently push the "stalest remaining" half out entirely.
+    assert len(registry.FAMILIES) <= registry.DRIVER_WINDOW, (
+        f"{len(registry.FAMILIES)} families exceed the "
+        f"{registry.DRIVER_WINDOW}-slot driver window"
+    )
     for members in registry.FAMILIES.values():
         sentinel = min(members, key=key)
         if sentinel not in seen:
@@ -102,6 +108,15 @@ def main() -> None:
         exprs = dict(
             re.findall(r'^    "([a-z0-9_]+)": ([\w.]+),$', src, re.M)
         )
+        # The regex only parses single-line `"name": dotted.name,` entries;
+        # a wrapped or computed value expression would KeyError deep in the
+        # loop below — fail up front naming the unparsed entries instead.
+        unparsed = [n for n in registry.QUERIES if n not in exprs]
+        if unparsed:
+            raise SystemExit(
+                "--emit cannot parse these registry entries (value must be "
+                f"a one-line dotted name): {unparsed}"
+            )
         for n in window:
             print(f'    "{n}": {exprs[n]},')
         print("    # -- end of driver window "
