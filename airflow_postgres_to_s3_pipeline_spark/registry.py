@@ -880,15 +880,57 @@ _MODULES = (
 # above; all are still locally verified by tools/check_oracles.py and
 # pytest regardless of driver coverage.
 QUERIES: dict[str, QueryFn] = {
-    # -- r12 driver window (50): stalest-evidence-first rotation
-    # (tools/rotate_window.py).  One sentinel per SURVEY.md §2 family =
-    # that family's STALEST driver-green member, then the globally
-    # stalest entries — this round the full 31-entry r01 cohort plus the
-    # oldest r02/r04 survivors.  Entries below the separator keep their
-    # relative order; every name has a driver-green row in some prior
-    # CORRECTNESS_r*.json (ledger: tools/rotate_window.py).  Family
-    # coverage enforced by tests/test_registry_lint.py; staleness bias
-    # linted by test_window_is_staleness_biased.
+    "frontier_order_chain": advanced.frontier_order_chain,
+    "multimodal_header_parse": multimodal.multimodal_header_parse,
+    "union_snapshots": advanced.union_snapshots,
+    "approx_percentiles": relational.approx_percentiles,
+    "approx_count_distinct_users": relational.approx_count_distinct_users,
+    "array_agg_ordered": advanced.array_agg_ordered,
+    "dedup_incremental": dedup.dedup_incremental,
+    "embedding_near_dup": similarity.embedding_near_dup,
+    "multimodal_frame_sample": multimodal.multimodal_frame_sample,
+    "embedding_quantize": similarity.embedding_quantize,
+    "doc_chunking": text.doc_chunking,
+    "join_left_outer": relational.join_left_outer,
+    "semantic_dedup": similarity.semantic_dedup,
+    "embedding_lsh_near_dup": similarity.embedding_lsh_near_dup,
+    "lang_id_heuristic": text.lang_id_heuristic,
+    "contamination_check": curation.contamination_check,
+    "multimodal_decode": multimodal.multimodal_decode,
+    "distinct_pairs": relational.distinct_pairs,
+    "python_udtf_word_expand": udfs.python_udtf_word_expand,
+    "streaming_dedup": streaming_dedup,
+    "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+    "knn_bruteforce": similarity.knn_bruteforce,
+    "tfidf_top_terms": text.tfidf_top_terms,
+    "repetition_stats": text.repetition_stats,
+    "simhash_dedup": dedup.simhash_dedup,
+    "embedding_dim_stats": similarity.embedding_dim_stats,
+    "sequence_packing_bpe": curation.sequence_packing_bpe,
+    "streaming_dynamic_session": streaming_dynamic_session,
+    "streaming_ss_left_outer_join": streaming_ss_left_outer_join,
+    "chunk_dedup": dedup.chunk_dedup,
+    "min_cost_supplier": advanced.min_cost_supplier,
+    "recursive_cte_order_chains": sql_surface.recursive_cte_order_chains,
+    "sole_supplier_orders": advanced.sole_supplier_orders,
+    "funnel_ordered_3step": windows.funnel_ordered_3step,
+    "window_lag_lead": advanced.window_lag_lead,
+    "variant_json": scalar_funcs.variant_json,
+    "session_window_agg": windows.session_window_agg,
+    "range_join_bucketed": relational.range_join_bucketed,
+    "corpus_dedup_report": dedup.corpus_dedup_report,
+    "promo_revenue_share": advanced.promo_revenue_share,
+    "computed_projection": relational.computed_projection,
+    "disjunctive_filter_parts": advanced.disjunctive_filter_parts,
+    "rollup_acctbal": relational.rollup_acctbal,
+    "global_topk": relational.global_topk,
+    "set_operations_all": relational.set_operations_all,
+    "collation_group": sql_surface.collation_group,
+    "date_interval_functions": scalar_funcs.date_interval_functions,
+    "math_trig_bits": scalar_funcs.math_trig_bits,
+    "try_arithmetic": scalar_funcs.try_arithmetic,
+    "explode_word_freq": scalar_funcs.explode_word_freq,
+    # -- end of driver window (50) -------------------------------------
     "join_shuffle_multiway": relational.join_shuffle_multiway,
     "join_full_outer": relational.join_full_outer,
     "join_anti": relational.join_anti,
@@ -939,11 +981,8 @@ QUERIES: dict[str, QueryFn] = {
     "conditional_functions": scalar_funcs.conditional_functions,
     "nested_struct_roundtrip": layout.nested_struct_roundtrip,
     "string_functions": scalar_funcs.string_functions,
-    # -- end of driver window (50) -------------------------------------
     "export_projection_filter": relational.export_projection_filter,
     "table_fingerprint": export_ops.table_fingerprint,
-    "computed_projection": relational.computed_projection,
-    "disjunctive_filter_parts": advanced.disjunctive_filter_parts,
     "pricing_summary": relational.pricing_summary,
     "join_broadcast_dims": relational.join_broadcast_dims,
     "join_null_safe": relational.join_null_safe,
@@ -954,16 +993,8 @@ QUERIES: dict[str, QueryFn] = {
     "join_range": relational.join_range,
     "orders_asof_dimension": advanced.orders_asof_dimension,
     "hll_sketch_users": sketches.hll_sketch_users,
-    "rollup_acctbal": relational.rollup_acctbal,
     "window_ntile_quartiles": windows.window_ntile_quartiles,
     "event_transitions": windows.event_transitions,
-    "global_topk": relational.global_topk,
-    "set_operations_all": relational.set_operations_all,
-    "collation_group": sql_surface.collation_group,
-    "date_interval_functions": scalar_funcs.date_interval_functions,
-    "math_trig_bits": scalar_funcs.math_trig_bits,
-    "try_arithmetic": scalar_funcs.try_arithmetic,
-    "explode_word_freq": scalar_funcs.explode_word_freq,
     "map_hof_functions": scalar_funcs.map_hof_functions,
     "pandas_grouped_agg": udfs.pandas_grouped_agg,
     "pandas_udaf_window": udfs.pandas_udaf_window,
@@ -1017,7 +1048,6 @@ QUERIES: dict[str, QueryFn] = {
     "python_stream_source_agg": python_stream_source_agg,
     "minhash_ml_pairs": ml_feature.minhash_ml_pairs,
     "lsh_band_sweep": dedup.lsh_band_sweep,
-    "corpus_dedup_report": dedup.corpus_dedup_report,
     "k_anonymity_check": advanced.k_anonymity_check,
     "knn_gemm": similarity.knn_gemm,
     "knn_recall_eval": similarity.knn_recall_eval,
@@ -1028,11 +1058,9 @@ QUERIES: dict[str, QueryFn] = {
     "rerank_cross_encoder": text.rerank_cross_encoder,
     "quality_retention_curve": text.quality_retention_curve,
     "tfidf_ml_features": ml_feature.tfidf_ml_features,
-    "promo_revenue_share": advanced.promo_revenue_share,
     "top_supplier_revenue": advanced.top_supplier_revenue,
     "multimodal_tile_near_dup": multimodal.multimodal_tile_near_dup,
     "mode_argmax": advanced.mode_argmax,
-    "range_join_bucketed": relational.range_join_bucketed,
     "window_percent_rank": windows.window_percent_rank,
     "cohort_retention": windows.cohort_retention,
     "window_range_frame": windows.window_range_frame,
@@ -1053,22 +1081,17 @@ QUERIES: dict[str, QueryFn] = {
     "zorder_scan_roundtrip": layout.zorder_scan_roundtrip,
     "lateral_topk_orders": sql_surface.lateral_topk_orders,
     "approx_topk_terms": sketches.approx_topk_terms,
-    "funnel_ordered_3step": windows.funnel_ordered_3step,
-    "window_lag_lead": advanced.window_lag_lead,
     "window_running_total": windows.window_running_total,
     "timeseries_gapfill": windows.timeseries_gapfill,
-    "variant_json": scalar_funcs.variant_json,
     "xml_functions": sql_surface.xml_functions,
     "streaming_stream_stream_join": streaming_stream_stream_join,
     "streaming_dedup_within_watermark": streaming_dedup_within_watermark,
-    "session_window_agg": windows.session_window_agg,
     "python_simple_stream_source_agg": python_simple_stream_source_agg,
     "knn_pq": similarity.knn_pq,
     "pii_scrub": text.pii_scrub,
     "pagerank_parts": graph.pagerank_parts,
     "bm25_scoring": text.bm25_scoring,
     "nation_market_share": advanced.nation_market_share,
-    "sole_supplier_orders": advanced.sole_supplier_orders,
     "streaming_late_data_drop": streaming_late_data_drop,
     "streaming_session_timeout": streaming_session_timeout,
     "dedup_components": dedup.dedup_components,
@@ -1083,42 +1106,10 @@ QUERIES: dict[str, QueryFn] = {
     "hybrid_search_rrf": text.hybrid_search_rrf,
     "token_pmi_top_pairs": text.token_pmi_top_pairs,
     "bfs_hops": graph.bfs_hops,
-    "join_left_outer": relational.join_left_outer,
-    "semantic_dedup": similarity.semantic_dedup,
-    "embedding_lsh_near_dup": similarity.embedding_lsh_near_dup,
-    "lang_id_heuristic": text.lang_id_heuristic,
-    "contamination_check": curation.contamination_check,
-    "multimodal_decode": multimodal.multimodal_decode,
-    "distinct_pairs": relational.distinct_pairs,
-    "python_udtf_word_expand": udfs.python_udtf_word_expand,
-    "streaming_dedup": streaming_dedup,
-    "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-    "knn_bruteforce": similarity.knn_bruteforce,
-    "tfidf_top_terms": text.tfidf_top_terms,
-    "repetition_stats": text.repetition_stats,
-    "union_snapshots": advanced.union_snapshots,
-    "embedding_quantize": similarity.embedding_quantize,
-    "doc_chunking": text.doc_chunking,
-    "approx_percentiles": relational.approx_percentiles,
-    "approx_count_distinct_users": relational.approx_count_distinct_users,
-    "array_agg_ordered": advanced.array_agg_ordered,
-    "dedup_incremental": dedup.dedup_incremental,
-    "embedding_near_dup": similarity.embedding_near_dup,
-    "multimodal_frame_sample": multimodal.multimodal_frame_sample,
-    "embedding_dim_stats": similarity.embedding_dim_stats,
-    "sequence_packing_bpe": curation.sequence_packing_bpe,
-    "streaming_dynamic_session": streaming_dynamic_session,
-    "streaming_ss_left_outer_join": streaming_ss_left_outer_join,
-    "chunk_dedup": dedup.chunk_dedup,
     "knn_ivf": similarity.knn_ivf,
-    "min_cost_supplier": advanced.min_cost_supplier,
     "pandas_udf_score": udfs.pandas_udf_score,
-    "simhash_dedup": dedup.simhash_dedup,
     "fuzzy_match_parts": entity.fuzzy_match_parts,
     "weighted_sample_sus": curation.weighted_sample_sus,
-    "recursive_cte_order_chains": sql_surface.recursive_cte_order_chains,
-    "frontier_order_chain": advanced.frontier_order_chain,
-    "multimodal_header_parse": multimodal.multimodal_header_parse,
 }
 
 
