@@ -1894,3 +1894,146 @@ def _corpus_dedup_report_oracle() -> str:
 
 
 _oracle("corpus_dedup_report", _corpus_dedup_report_oracle())
+
+
+# ---------------------------------------------------------------------------
+# E25/E27: exact substring duplicate spans (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better" — the exact-substring tier
+# the suffix-array pipeline computes, here as a distributed anchor-join)
+# ---------------------------------------------------------------------------
+
+# k-gram anchor width (tokens).  Spans shorter than SPAN_MIN_TOKENS are
+# noise at corpus scale (boilerplate phrases); the suffix-array paper uses
+# 50 BPE tokens — 12 whitespace tokens is the comparable bar on this
+# corpus's short synthetic docs.  SPAN_MAX_POSTING caps a gram's posting
+# list exactly like MAX_TILE_BUCKET / entity.MAX_BLOCK: a gram shared by
+# hundreds of documents is boilerplate, and the real shared spans of the
+# docs it joins surface through their OTHER (rarer) grams.
+SPAN_K = 5
+SPAN_MIN_TOKENS = 12
+SPAN_MAX_POSTING = 200
+
+
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal exact duplicated substring spans between document pairs.
+
+    MinHash/SimHash answer "are these documents similar?"; training-data
+    decontamination and copyright audits need the stronger "WHICH exact
+    passage is shared, where, and how long?" — the suffix-array
+    exact-substring tier.  Distributed shape (no suffix array needed):
+
+    1. Row-local: explode each doc into (pos, md5(k-gram)) anchors —
+       sequence + transform + explode, no shuffle.
+    2. Cap gram posting lists at SPAN_MAX_POSTING (boilerplate bound —
+       the hot-key rule every candidate generator in this engine obeys).
+    3. Anchor join on the 16-byte gram hash with doc_a < doc_b: the
+       banded equi-join, never an all-pairs product.
+    4. Diagonal run-length merge: anchors of one shared span lie on one
+       diagonal (pa - pb) at consecutive pa, so island id = pa - rank
+       over (pair, diagonal) windows; one groupBy emits (start_a,
+       start_b, span_tokens = run + K - 1) per maximal span.
+
+    A length-L shared passage yields L-K+1 consecutive anchors -> ONE
+    output row; a single-token edit splits the run into two islands
+    whose halves must clear SPAN_MIN_TOKENS separately (pinned by test).
+    Everything shuffles on gram hash then (pair, diagonal) — both
+    bounded keys at 100 TB.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    n_grams = F.size("toks") - F.lit(SPAN_K - 1)
+    grams = (
+        docs.filter(F.size("toks") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_grams - 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(
+                            F.concat_ws(
+                                " ", F.slice("toks", i + 1, SPAN_K)
+                            )
+                        ).alias("gh"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.pos", "g.gh")
+    )
+    sizes = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("c"))
+    capped = tracked_persist(
+        grams.join(sizes, "gh").filter(F.col("c") <= SPAN_MAX_POSTING)
+        .drop("c")
+    )
+    a = capped.select(
+        "gh", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa")
+    )
+    b = capped.select(
+        "gh", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    anchors = (
+        a.join(b, "gh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb")
+        .distinct()
+    )
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    w = Window.partitionBy(
+        "doc_a", "doc_b", F.col("pa") - F.col("pb")
+    ).orderBy("pa")
+    runs = anchors.select(
+        "doc_a", "doc_b", "pa", "pb", diag,
+        (F.col("pa") - F.row_number().over(w)).alias("isl"),
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(
+            F.min("pa").cast("int").alias("start_a"),
+            F.min("pb").cast("int").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(SPAN_K - 1))
+            .cast("int")
+            .alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= SPAN_MIN_TOKENS)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+    )
+
+
+_oracle(
+    "substring_dup_spans",
+    f"""
+    WITH t AS (
+        SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+    ), g AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(toks[i + 1 : i + {SPAN_K}], ' ')) AS gh
+        FROM t, UNNEST(generate_series(0, len(toks) - {SPAN_K})) AS u(i)
+        WHERE len(toks) >= {SPAN_K}
+    ), capped AS (
+        SELECT doc_id, pos, gh FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY gh) AS c FROM g
+        ) WHERE c <= {SPAN_MAX_POSTING}
+    ), anchors AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pa, b.pos AS pb
+        FROM capped a JOIN capped b ON a.gh = b.gh
+         AND a.doc_id < b.doc_id
+    ), runs AS (
+        SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+               pa - ROW_NUMBER() OVER (
+                   PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa
+               ) AS isl
+        FROM anchors
+    )
+    SELECT doc_a, doc_b,
+           CAST(MIN(pa) AS INTEGER) AS start_a,
+           CAST(MIN(pb) AS INTEGER) AS start_b,
+           CAST(COUNT(*) + {SPAN_K - 1} AS INTEGER) AS span_tokens
+    FROM runs
+    GROUP BY doc_a, doc_b, diag, isl
+    HAVING COUNT(*) + {SPAN_K - 1} >= {SPAN_MIN_TOKENS}
+    """,
+)

@@ -502,3 +502,39 @@ def test_ngram_oracle_zero_cap_means_disabled():
     uncapped = dedup._ngram_jaccard_oracle(max_posting=0)
     assert f"<= {dedup.NGRAM_DF_CAP}" in capped
     assert "QUALIFY" not in uncapped
+
+
+def test_substring_dup_spans_planted_and_split(spark, tmp_path):
+    """A shared 20-token run is ONE maximal span with exact start/len; a
+    single mid-span token edit splits it into two halves that must clear
+    SPAN_MIN_TOKENS independently (here: one does, one does not)."""
+    words = [f"w{i}" for i in range(40)]          # doc 0: tokens w0..w39
+    shared = words[5:25]                          # 20-token run
+    doc1 = ["x0", "x1", "x2"] + shared + ["y0"]   # run at pos 3
+    edited = list(shared)
+    edited[15] = "EDIT"                           # 15 + 5 = 12-token left half
+    doc2 = edited + ["z0", "z1"]
+    other = [f"q{i}" for i in range(30)]
+    spark.createDataFrame(
+        [
+            (0, " ".join(words)),
+            (1, " ".join(doc1)),
+            (2, " ".join(doc2)),
+            (3, " ".join(other)),
+        ],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        (r["doc_a"], r["doc_b"]): (r["start_a"], r["start_b"], r["span_tokens"])
+        for r in dedup.substring_dup_spans(spark, str(tmp_path)).collect()
+    }
+    # doc0 x doc1: one maximal 20-token span, starts (5, 3)
+    assert rows[(0, 1)] == (5, 3, 20)
+    # doc0 x doc2: the edit at shared-index 15 leaves a 15-token left half
+    # (>= 12, reported) and a 4-token right half (< K, no anchors at all)
+    assert rows[(0, 2)] == (5, 0, 15)
+    # doc1 x doc2 mirrors the same split at doc1's offset
+    assert rows[(1, 2)] == (3, 0, 15)
+    # the unrelated doc shares nothing
+    assert not any(3 in k for k in rows)
+    assert len(rows) == 3
