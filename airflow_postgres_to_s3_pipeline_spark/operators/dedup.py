@@ -2037,3 +2037,137 @@ _oracle(
     HAVING COUNT(*) + {SPAN_K - 1} >= {SPAN_MIN_TOKENS}
     """,
 )
+
+
+def substring_dup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dedup DECISION from the detected spans: keep-first
+    policy (the lower doc_id keeps its text; the higher doc_id's shared
+    spans are marked for removal), with overlapping removal intervals
+    merged by a distributed interval union.
+
+    The action tier on top of :func:`substring_dup_spans` — a curation
+    pipeline does not stop at "these passages are shared", it emits per
+    doc how many tokens to drop and how many survive.  Interval union is
+    the classic SQL island pattern, all inside (doc) windows: sort
+    intervals by (start, end), open a new island when start exceeds the
+    running MAX(end) of all preceding intervals, then one groupBy per
+    island — no driver-side merging, keys bounded by |documents|.
+
+    Output (one row per document, including clean ones):
+    (doc_id, n_tokens, n_dup_spans, n_dup_tokens, n_kept_tokens).
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    spans = substring_dup_spans(spark, sf_dir)
+    ivals = (
+        spans.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("start_b").alias("s"),
+            (F.col("start_b") + F.col("span_tokens")).alias("e"),
+        )
+        .distinct()
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("s", "e")
+    marked = ivals.select(
+        "doc_id", "s", "e",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("new_isl"),
+    )
+    islands = marked.select(
+        "doc_id", "s", "e", F.sum("new_isl").over(w_run).alias("isl")
+    )
+    merged = islands.groupBy("doc_id", "isl").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_dup_spans"),
+        F.sum(F.col("me") - F.col("ms")).cast("int").alias("n_dup_tokens"),
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_dup_tokens", F.lit(0)))
+            .alias("n_kept_tokens"),
+        )
+    )
+
+
+_oracle(
+    "substring_dup_trim",
+    f"""
+    WITH t AS (
+        SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+    ), g AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(toks[i + 1 : i + {SPAN_K}], ' ')) AS gh
+        FROM t, UNNEST(generate_series(0, len(toks) - {SPAN_K})) AS u(i)
+        WHERE len(toks) >= {SPAN_K}
+    ), capped AS (
+        SELECT doc_id, pos, gh FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY gh) AS c FROM g
+        ) WHERE c <= {SPAN_MAX_POSTING}
+    ), anchors AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pa, b.pos AS pb
+        FROM capped a JOIN capped b ON a.gh = b.gh
+         AND a.doc_id < b.doc_id
+    ), runs AS (
+        SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+               pa - ROW_NUMBER() OVER (
+                   PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa
+               ) AS isl
+        FROM anchors
+    ), spans AS (
+        SELECT doc_a, doc_b,
+               MIN(pa) AS start_a, MIN(pb) AS start_b,
+               COUNT(*) + {SPAN_K - 1} AS span_tokens
+        FROM runs
+        GROUP BY doc_a, doc_b, diag, isl
+        HAVING COUNT(*) + {SPAN_K - 1} >= {SPAN_MIN_TOKENS}
+    ), ivals AS (
+        SELECT DISTINCT doc_b AS doc_id, start_b AS s,
+               start_b + span_tokens AS e
+        FROM spans
+    ), marked AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), -1) THEN 1 ELSE 0 END AS new_isl
+        FROM ivals
+    ), islands AS (
+        SELECT doc_id, s, e,
+               SUM(new_isl) OVER (
+                   PARTITION BY doc_id ORDER BY s, e
+               ) AS isl
+        FROM marked
+    ), merged AS (
+        SELECT doc_id, isl, MIN(s) AS ms, MAX(e) AS me
+        FROM islands GROUP BY doc_id, isl
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS INTEGER) AS n_dup_spans,
+               CAST(SUM(me - ms) AS INTEGER) AS n_dup_tokens
+        FROM merged GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(str_split(d.text, ' ')) AS INTEGER) AS n_tokens,
+           COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+           COALESCE(p.n_dup_tokens, 0) AS n_dup_tokens,
+           CAST(len(str_split(d.text, ' ')) AS INTEGER)
+               - COALESCE(p.n_dup_tokens, 0) AS n_kept_tokens
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+)

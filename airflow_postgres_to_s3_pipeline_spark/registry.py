@@ -881,6 +881,7 @@ _MODULES = (
 # pytest regardless of driver coverage.
 QUERIES: dict[str, QueryFn] = {
     "substring_dup_spans": dedup.substring_dup_spans,
+    "substring_dup_trim": dedup.substring_dup_trim,
     "frontier_order_chain": advanced.frontier_order_chain,
     "multimodal_header_parse": multimodal.multimodal_header_parse,
     "union_snapshots": advanced.union_snapshots,
@@ -909,7 +910,6 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_dim_stats": similarity.embedding_dim_stats,
     "sequence_packing_bpe": curation.sequence_packing_bpe,
     "streaming_dynamic_session": streaming_dynamic_session,
-    "streaming_ss_left_outer_join": streaming_ss_left_outer_join,
     "min_cost_supplier": advanced.min_cost_supplier,
     "recursive_cte_order_chains": sql_surface.recursive_cte_order_chains,
     "sole_supplier_orders": advanced.sole_supplier_orders,
@@ -931,6 +931,7 @@ QUERIES: dict[str, QueryFn] = {
     "try_arithmetic": scalar_funcs.try_arithmetic,
     "explode_word_freq": scalar_funcs.explode_word_freq,
     # -- end of driver window (50) -------------------------------------
+    "streaming_ss_left_outer_join": streaming_ss_left_outer_join,
     "chunk_dedup": dedup.chunk_dedup,
     "join_shuffle_multiway": relational.join_shuffle_multiway,
     "join_full_outer": relational.join_full_outer,
@@ -1192,7 +1193,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "chunk_near_dedup", "dedup_incremental_minhash", "winnowing_dedup",
             "fuzzy_match_parts", "fuzzy_canonicalize_parts",
             "dedup_keep_best", "fuzzy_match_sorted_neighborhood",
-            "lsh_recall_eval", "lsh_band_sweep", "substring_dup_spans"),
+            "lsh_recall_eval", "lsh_band_sweep", "substring_dup_spans",
+            "substring_dup_trim"),
     "E26": ("knn_bruteforce", "embedding_norms", "embedding_near_dup",
             "embedding_quantize", "knn_ivf", "knn_ivf_fold", "knn_gemm",
             "semantic_dedup", "kmeans_embeddings", "embedding_lsh_near_dup",

@@ -538,3 +538,28 @@ def test_substring_dup_spans_planted_and_split(spark, tmp_path):
     # the unrelated doc shares nothing
     assert not any(3 in k for k in rows)
     assert len(rows) == 3
+
+
+def test_substring_dup_trim_merges_overlapping_intervals(spark, tmp_path):
+    """Keep-first policy: the highest doc_id's overlapping removal
+    intervals (from THREE different partners at different offsets) must
+    union into one merged island; lower ids keep their text."""
+    words = [f"w{i}" for i in range(40)]
+    doc0 = words                                   # 40 tokens, keeps all
+    doc1 = ["x0", "x1", "x2"] + words[5:25] + ["y0"]   # 24 toks, loses [3,23)
+    doc4 = ["b0", "b1"] + words[2:32]              # 32 toks; partners give
+    # intervals [2,32) (doc0), [5,25) (doc1) -> union = [2,32), 30 dup
+    spark.createDataFrame(
+        [(0, " ".join(doc0)), (1, " ".join(doc1)), (4, " ".join(doc4))],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_dup_spans"], r["n_dup_tokens"],
+            r["n_kept_tokens"],
+        )
+        for r in dedup.substring_dup_trim(spark, str(tmp_path)).collect()
+    }
+    assert rows[0] == (40, 0, 0, 40)        # doc_a everywhere: untouched
+    assert rows[1] == (24, 1, 20, 4)        # loses its shared run vs doc0
+    assert rows[4] == (32, 1, 30, 2)        # overlapping intervals merged
