@@ -1579,3 +1579,102 @@ def _rerank_oracle() -> str:
 
 
 _oracle("rerank_cross_encoder", _rerank_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth (Heaps' law) curve — tokenizer / corpus planning
+# ---------------------------------------------------------------------------
+
+VOCAB_BUCKETS = 10
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth across the corpus in doc_id order: per decile,
+    how many NEW word types appear and the cumulative vocabulary size —
+    the Heaps'-law curve a tokenizer-training budget is planned against
+    (does vocab saturate, or is more data still adding types?).
+
+    Distributed shape for "cumulative distinct", which has no direct
+    shuffle-friendly form: each type's FIRST bucket is min(bucket) per
+    token — one groupBy on the token (the only corpus-sized shuffle) —
+    after which new-type counts per bucket and the running totals live
+    on a <= VOCAB_BUCKETS-row frame.  The doc_id -> bucket mapping uses
+    a broadcast 1-row MAX(doc_id) aggregate (scalar collection
+    statistic, the scalar_subquery_threshold shape) and integer DIV so
+    both engines bucket identically at any id magnitude.  The final
+    cumulative sums run on the bucket frame only — a bounded
+    (<= VOCAB_BUCKETS rows) global window, whitelisted with that bound
+    in the plan lint.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = d.agg(F.max("doc_id").alias("_mx"))
+    bucketed = (
+        d.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(
+                f"CAST((doc_id * {VOCAB_BUCKETS}) DIV (_mx + 1) AS INT)"
+            ).alias("bucket"),
+            "text",
+        )
+    )
+    toks = bucketed.select(
+        "bucket", F.explode(F.split("text", " ")).alias("tok")
+    )
+    per_bucket_tokens = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("distinct_in_bucket"),
+    )
+    first_seen = toks.groupBy("tok").agg(F.min("bucket").alias("fb"))
+    new_types = first_seen.groupBy(F.col("fb").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_bucket_tokens.join(new_types, "bucket", "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            "distinct_in_bucket",
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn("vocab_size", F.sum("new_types").over(w))
+    )
+
+
+_oracle(
+    "vocab_growth_curve",
+    f"""
+    WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    b AS (
+        SELECT CAST((doc_id * {VOCAB_BUCKETS}) // (m + 1) AS INTEGER)
+                   AS bucket,
+               text
+        FROM documents, mx
+    ), toks AS (
+        SELECT bucket, UNNEST(str_split(text, ' ')) AS tok FROM b
+    ), pb AS (
+        SELECT bucket, COUNT(*) AS n_tokens,
+               COUNT(DISTINCT tok) AS distinct_in_bucket
+        FROM toks GROUP BY bucket
+    ), fs AS (
+        SELECT tok, MIN(bucket) AS fb FROM toks GROUP BY tok
+    ), nt AS (
+        SELECT fb AS bucket, COUNT(*) AS new_types FROM fs GROUP BY fb
+    )
+    SELECT pb.bucket, pb.n_tokens, pb.distinct_in_bucket,
+           COALESCE(nt.new_types, 0) AS new_types,
+           SUM(pb.n_tokens) OVER (
+               ORDER BY pb.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum_tokens,
+           SUM(COALESCE(nt.new_types, 0)) OVER (
+               ORDER BY pb.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS vocab_size
+    FROM pb LEFT JOIN nt ON pb.bucket = nt.bucket
+    """,
+)

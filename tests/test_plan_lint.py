@@ -42,6 +42,9 @@ from airflow_postgres_to_s3_pipeline_spark.plans import (
 #   scan for encoding, and the bounded query set onto the code stream for
 #   ADC scoring — both build sides are metadata-sized.
 ALLOWED_PRODUCT = {
+    "vocab_growth_curve",  # broadcasts the 1-row MAX(doc_id) aggregate
+    # onto the documents scan for decile bucketing — scalar collection
+    # statistic, the scalar_subquery_threshold shape
     "knn_pq",
     "knn_pq_fold",
     "knn_ivfpq",  # same metadata-sized broadcasts (codebook, centroids,
@@ -116,7 +119,10 @@ ALLOWED_PRODUCT = {
 #   frame (curation.py) — fixed bucket count.
 # - approx_topk_terms: row_number over the k-row sketch output
 #   (sketches.py) — k is the operator's parameter, not the corpus.
+# - vocab_growth_curve: cumulative sums over the decile frame
+#   (text.py) — <= VOCAB_BUCKETS (10) rows regardless of corpus size.
 ALLOWED_GLOBAL_WINDOW = {
+    "vocab_growth_curve",
     "quality_retention_curve",
     "hybrid_search_rrf",
     "rerank_cross_encoder",

@@ -196,3 +196,29 @@ def test_pii_scrub_redacts_and_matches_oracle(spark, tmp_path):
     want = {r[0]: (r[1], r[2], r[3])
             for r in _duck_on(out, ORACLES["pii_scrub"])}
     assert got == want
+
+
+def test_vocab_growth_curve_invariants(spark, sf_dir):
+    """Monotone cumulative vocab; decile new_types sum to the global
+    distinct-type count; cum_tokens ends at the corpus token total."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import text as t
+
+    rows = sorted(
+        t.vocab_growth_curve(spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in rows] == list(range(len(rows)))
+    vocab = [r["vocab_size"] for r in rows]
+    assert vocab == sorted(vocab)
+    assert all(
+        r["new_types"] <= r["distinct_in_bucket"] <= r["n_tokens"]
+        for r in rows
+    )
+    from airflow_postgres_to_s3_pipeline_spark.catalog import table
+    from pyspark.sql import functions as F
+
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    assert rows[-1]["vocab_size"] == toks.distinct().count()
+    assert rows[-1]["cum_tokens"] == toks.count()
