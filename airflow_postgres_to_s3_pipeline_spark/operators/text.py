@@ -1678,3 +1678,97 @@ _oracle(
     FROM pb LEFT JOIN nt ON pb.bucket = nt.bucket
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-document n-gram novelty — the "is this doc adding new content?"
+# curation signal (memorization/informativeness screening)
+# ---------------------------------------------------------------------------
+
+NOVELTY_K = 3
+
+
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty against everything EARLIER in the corpus
+    (doc_id order): the fraction of the doc's distinct k-grams whose
+    first corpus occurrence is this document.
+
+    A doc full of grams already seen in earlier docs is redundant even
+    when no single pair crosses a near-dup threshold — the long-tail
+    aggregate-duplication case Lee et al. flag, and the admission signal
+    incremental corpus construction sorts on.  Shape: distinct (doc,
+    gram) pairs row-local, then ONE shuffle on the gram hash to find
+    each gram's min doc_id, then a doc-keyed count — no pairwise
+    comparisons anywhere, so cost is linear in corpus grams at 100 TB.
+    novelty_ppm is an exact integer (1e6-scaled floor division), so the
+    output is bit-stable cross-engine.
+
+    Output: (doc_id, n_distinct_grams, n_novel_grams, novelty_ppm) for
+    every doc with >= NOVELTY_K tokens.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    n_grams = F.size("toks") - F.lit(NOVELTY_K - 1)
+    grams = (
+        docs.filter(F.size("toks") >= NOVELTY_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_grams - 1),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("toks", i + 1, NOVELTY_K))
+                    ),
+                )
+            ).alias("gh"),
+        )
+        .distinct()
+    )
+    first = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            ).alias("n_novel_grams"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_distinct_grams",
+        "n_novel_grams",
+        F.expr(
+            "CAST((n_novel_grams * 1000000) DIV n_distinct_grams AS BIGINT)"
+        ).alias("novelty_ppm"),
+    )
+
+
+_oracle(
+    "ngram_novelty_score",
+    f"""
+    WITH t AS (
+        SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+    ), g AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(toks[i + 1 : i + {NOVELTY_K}], ' ')) AS gh
+        FROM t, UNNEST(generate_series(0, len(toks) - {NOVELTY_K})) AS u(i)
+        WHERE len(toks) >= {NOVELTY_K}
+    ), f AS (
+        SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY gh
+    ), p AS (
+        SELECT g.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+               CAST(SUM(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel_grams
+        FROM g JOIN f ON g.gh = f.gh
+        GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_distinct_grams, n_novel_grams,
+           CAST((n_novel_grams * 1000000) // n_distinct_grams AS BIGINT)
+               AS novelty_ppm
+    FROM p
+    """,
+)

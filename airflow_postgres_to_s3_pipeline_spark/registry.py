@@ -883,6 +883,7 @@ QUERIES: dict[str, QueryFn] = {
     "substring_dup_spans": dedup.substring_dup_spans,
     "substring_dup_trim": dedup.substring_dup_trim,
     "vocab_growth_curve": text.vocab_growth_curve,
+    "ngram_novelty_score": text.ngram_novelty_score,
     "frontier_order_chain": advanced.frontier_order_chain,
     "multimodal_header_parse": multimodal.multimodal_header_parse,
     "union_snapshots": advanced.union_snapshots,
@@ -909,7 +910,6 @@ QUERIES: dict[str, QueryFn] = {
     "repetition_stats": text.repetition_stats,
     "simhash_dedup": dedup.simhash_dedup,
     "embedding_dim_stats": similarity.embedding_dim_stats,
-    "sequence_packing_bpe": curation.sequence_packing_bpe,
     "min_cost_supplier": advanced.min_cost_supplier,
     "recursive_cte_order_chains": sql_surface.recursive_cte_order_chains,
     "sole_supplier_orders": advanced.sole_supplier_orders,
@@ -931,6 +931,7 @@ QUERIES: dict[str, QueryFn] = {
     "try_arithmetic": scalar_funcs.try_arithmetic,
     "explode_word_freq": scalar_funcs.explode_word_freq,
     # -- end of driver window (50) -------------------------------------
+    "sequence_packing_bpe": curation.sequence_packing_bpe,
     "streaming_dynamic_session": streaming_dynamic_session,
     "streaming_ss_left_outer_join": streaming_ss_left_outer_join,
     "chunk_dedup": dedup.chunk_dedup,
@@ -1221,7 +1222,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
             "rerank_cross_encoder", "quality_retention_curve",
             "lang_stats", "doc_fingerprint", "text_normalize",
             "corpus_curation", "reading_level", "deterministic_sample",
-            "tfidf_ml_features", "vocab_growth_curve"),
+            "tfidf_ml_features", "vocab_growth_curve",
+            "ngram_novelty_score"),
     "E28": ("multimodal_decode", "multimodal_resize",
             "multimodal_frame_sample", "multimodal_partition_stats",
             "multimodal_audio_energy", "multimodal_tile_near_dup",

@@ -222,3 +222,24 @@ def test_vocab_growth_curve_invariants(spark, sf_dir):
     )
     assert rows[-1]["vocab_size"] == toks.distinct().count()
     assert rows[-1]["cum_tokens"] == toks.count()
+
+
+def test_ngram_novelty_planted(spark, tmp_path):
+    """First doc is 100% novel; a verbatim copy is 0% novel; a doc
+    sharing half its grams scores in between with exact integer ppm."""
+    from airflow_postgres_to_s3_pipeline_spark.operators import text as t
+
+    a = "a b c d e f"           # 4 distinct trigrams, all first-seen
+    c = "x y z a b c"           # trigrams: xyz, yza, zab, abc -> 3 novel, 1 seen
+    spark.createDataFrame(
+        [(0, a), (1, a), (2, c)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: (
+            r["n_distinct_grams"], r["n_novel_grams"], r["novelty_ppm"]
+        )
+        for r in t.ngram_novelty_score(spark, str(tmp_path)).collect()
+    }
+    assert rows[0] == (4, 4, 1_000_000)
+    assert rows[1] == (4, 0, 0)
+    assert rows[2] == (4, 3, 750_000)
