@@ -286,13 +286,30 @@ def _cap_buckets(banded: DataFrame, max_bucket: int,
 def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 32,
                         bands: int = 8, checkable: bool = False,
                         max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
-    """Band the signatures and self-join on (band, band_hash) buckets.
+    """Band the signatures and pair docs sharing a (band, band_hash) bucket.
 
-    The banded equi-join is the LSH trick that makes near-dedup scale: only
-    docs agreeing on a full band collide, so the join output is ~linear in
-    the number of true near-dups rather than quadratic in corpus size —
-    PROVIDED no bucket degenerates into a hub, which ``max_bucket``
-    enforces (see ``LSH_MAX_BUCKET`` for the measured failure mode).
+    The banded bucket collision is the LSH trick that makes near-dedup
+    scale: only docs agreeing on a full band collide, so the pair output
+    is ~linear in the number of true near-dups rather than quadratic in
+    corpus size — PROVIDED no bucket degenerates into a hub, which
+    ``max_bucket`` enforces (see ``LSH_MAX_BUCKET`` for the measured
+    failure mode).
+
+    Shape (r13 optimization, guide §2.4): each bucket collapses to ONE
+    (band, band_hash, sorted ids) row via collect_list (partially
+    aggregated map-side, so the exchange moves thin per-bucket rows), the
+    hub cap becomes a plain ``size(ids) <= max_bucket`` filter — no
+    window, no per-partition sort — and the C(b,2) pair expansion happens
+    INSIDE a higher-order function bounded by the cap, never through a
+    join.  This is the `_basket_sets` discipline from operators/graph.py
+    applied to the LSH band join: measured at sf0.1 (same-session A/B,
+    min-of-3, noop sink) window-cap+self-join 0.92s vs this path 0.51s
+    for the candidate stage, with the pair multiset identical (parity
+    asserted by test).  The HOF expansion is only safe WITH a cap —
+    uncapped, a hub bucket's C(b,2) pair structs would materialize inside
+    ONE row in one task — so ``max_bucket=0/None`` (the debug/eval
+    convention) keeps the distributed reference self-join, exactly like
+    ``graph._basket_pair_edges``.
 
     ``checkable=True`` keys the bands by the concatenated signature values
     (exactly mirrorable in SQL) instead of murmur3 — band equality is the
@@ -300,18 +317,43 @@ def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 32,
     shuffle, which is the right trade at 100 TB but opaque to the oracle.
     """
     banded = banded_keys(signatures, n_hashes, bands, checkable)
-    if max_bucket:
-        banded = _cap_buckets(banded, max_bucket)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if not max_bucket:
+        a = banded.alias("a")
+        b = banded.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct()
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    # a doc contributes exactly one row per band, so doc_ids are unique
+    # within a bucket and the sorted i<j expansion is exactly the
+    # self-join's doc_a < doc_b predicate (parity pinned by test)
+    buckets = banded.groupBy("band", "band_hash").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        buckets.filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= max_bucket)
+        )
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"),
+                F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
@@ -718,13 +760,19 @@ def connected_components(pairs: DataFrame, node_ids: DataFrame,
     if on_unconverged not in ("raise", "warn", "ignore"):
         raise ValueError(f"on_unconverged must be raise/warn/ignore, got {on_unconverged!r}")
     # The edge list feeds every iteration — persist it so the (possibly
-    # expensive) pair-generation pipeline upstream runs exactly once.
+    # expensive) pair-generation pipeline upstream runs exactly once, and
+    # hash-partition it on ``dst`` (each iteration's join key) so every
+    # iteration's neighbor join reuses that partitioning and only the thin
+    # label frame moves (the loop-invariant discipline of graph.bfs_hops /
+    # pagerank_parts — without it the distinct's (src, dst) partitioning
+    # forces a full edge re-shuffle per iteration; guide §2.4).
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
         .distinct()
+        .repartition("dst")
     )
     edges = tracked_persist(edges)
     labels = node_ids.select(
@@ -1039,13 +1087,17 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     pigeonhole guarantee degrades only for pairs ALL of whose agreeing
     chunks are hubs — md5-identical docs being the exact tier's job.
     """
-    # persist: the chunked self-join consumes the signatures twice.
+    # capped path: the bucket-collapse expansion consumes the signatures
+    # ONCE, so no persist barrier is needed (the r13 shape below); the
+    # uncapped self-join fallback consumes them twice and persists.
     if checkable:
-        sig = tracked_persist(simhash_signatures_md5(df, text_col, id_col))
+        sig = simhash_signatures_md5(df, text_col, id_col)
         chunk_bits, n_chunks = 15, 4
     else:
-        sig = tracked_persist(simhash_signatures(df, text_col, id_col))
+        sig = simhash_signatures(df, text_col, id_col)
         chunk_bits, n_chunks = 16, 4
+    if not max_bucket:
+        sig = tracked_persist(sig)
     mask = (1 << chunk_bits) - 1
     chunks = sig.select(
         "doc_id",
@@ -1065,24 +1117,60 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
         ).alias("ch"),
     ).select("doc_id", "simhash", F.col("ch.chunk_id").alias("chunk_id"), F.col("ch.chunk").alias("chunk"))
     if max_bucket:
-        chunks = _cap_buckets(chunks, max_bucket, keys=("chunk_id", "chunk"))
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        # bucket-collapse pair expansion (the lsh_candidate_pairs r13
+        # shape — see its docstring): one collect_list exchange, cap as a
+        # size filter, C(b,2) expansion row-local in a HOF bounded by the
+        # cap.  A doc contributes one row per chunk_id, so doc_ids are
+        # unique within a bucket and the sorted i<j expansion equals the
+        # self-join's doc_a < doc_b (sort_array on the struct orders by
+        # doc_id, its first field).  Uncapped falls back to the
+        # distributed self-join below, the module convention.
+        buckets = chunks.groupBy("chunk_id", "chunk").agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("ms")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+        ms = F.col("ms")
+        pair_structs = F.flatten(
+            F.transform(
+                ms,
+                lambda x, i: F.transform(
+                    F.slice(ms, i + F.lit(2), F.size(ms)),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("doc_a"),
+                        y["doc_id"].alias("doc_b"),
+                        x["simhash"].alias("sig_a"),
+                        y["simhash"].alias("sig_b"),
+                    ),
+                ),
+            )
         )
-        .distinct()
-    )
+        cand = (
+            buckets.filter(
+                (F.size("ms") >= 2) & (F.size("ms") <= max_bucket)
+            )
+            .select(F.explode(pair_structs).alias("p"))
+            .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
+            .distinct()
+        )
+    else:
+        a = chunks.alias("a")
+        b = chunks.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.chunk_id") == F.col("b.chunk_id"))
+                & (F.col("a.chunk") == F.col("b.chunk"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sig_a"),
+                F.col("b.simhash").alias("sig_b"),
+            )
+            .distinct()
+        )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return cand.select(
         "doc_a", "doc_b", hamming.alias("hamming")
@@ -1812,17 +1900,23 @@ def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated population; output is one row per source.
     """
     d = table(spark, sf_dir, "documents")
-    h = d.select(
-        "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("h")
-    )
-    dup_h = (
-        h.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
-        .select("h")
-    )
-    exact_member = h.join(dup_h, "h", "left_semi").select(
-        "doc_id", F.lit(1).alias("is_exact")
+    # exact membership as ONE window count over the 16-byte md5 key (r13
+    # optimization, guide §2.4): the r9-r12 shape scanned the corpus for
+    # the md5 pass, aggregated duplicated hashes, semi-joined the hash
+    # frame back to itself, then LEFT-joined the membership onto a THIRD
+    # corpus scan — two extra exchanges and one extra scan+md5 pass for
+    # a flag the window computes in place on the hash exchange itself.
+    wh = Window.partitionBy("h")
+    exact = (
+        d.select(
+            "doc_id", "source",
+            F.md5(F.col("text").cast("binary")).alias("h"),
+        )
+        .withColumn(
+            "is_exact",
+            F.when(F.count(F.lit(1)).over(wh) > 1, 1).otherwise(0),
+        )
+        .select("doc_id", "source", "is_exact")
     )
     pairs = minhash_lsh_pairs(
         d, shards=spark.sparkContext.defaultParallelism, checkable=True
@@ -1834,12 +1928,11 @@ def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.lit(1).alias("is_near"))
     )
     m = (
-        d.select("doc_id", "source")
-        .join(exact_member, "doc_id", "left")
+        exact
         .join(near_member, "doc_id", "left")
         .select(
             "source",
-            F.coalesce(F.col("is_exact"), F.lit(0)).alias("is_exact"),
+            "is_exact",
             F.coalesce(F.col("is_near"), F.lit(0)).alias("is_near"),
         )
     )

@@ -330,24 +330,31 @@ def pagerank_parts(spark: SparkSession, sf_dir: str,
     variant follows dedup.connected_components (scalar convergence
     action + localCheckpoint lineage cuts).
     """
-    edges = tracked_persist(_symmetric_edges(spark, sf_dir, max_basket))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    n_nodes = deg.count()  # scalar collection statistic
+    # The degree-weighted edge list is iteration-INVARIANT — build it in
+    # ONE pass and persist only it: the edge frame is hash-partitioned on
+    # src (every iteration's rank-join key, so only the thin rank frame
+    # moves per iteration — the bfs_hops discipline) and the degree rides
+    # along as a window count over that same partitioning, which replaces
+    # the r12 shape's separate edge persist + degree aggregate exchange +
+    # (edges x deg) join with zero extra exchanges (r13 optimization,
+    # guide §2.4: two operations keyed the same way share one exchange).
+    # The node universe and its count come off the persisted frame with a
+    # partial aggregate that reuses the src partitioning — no exchange.
+    from pyspark.sql import Window
+
+    wedges = tracked_persist(
+        _symmetric_edges(spark, sf_dir, max_basket)
+        .repartition("src")
+        .withColumn(
+            "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
+    )
+    nodes = wedges.select("src").distinct()
+    n_nodes = nodes.count()  # scalar collection statistic
     teleport = (PR_SCALE * (100 - PR_DAMP_NUM) // 100) // n_nodes
-    ranks = deg.select(
+    ranks = nodes.select(
         F.col("src").alias("node"),
         F.lit(PR_SCALE // n_nodes).cast("bigint").alias("r"),
-    )
-    # The (edges x deg) join is iteration-INVARIANT — precompute the
-    # degree-weighted edge list once and persist it, so each iteration
-    # pays exactly one join (ranks) + one aggregate, the minimal
-    # distributed PageRank step (previously the deg join re-ran per
-    # iteration: one extra pass over the corpus-sized edge list x
-    # iterations).  Hash-partitioned on src so every iteration's rank
-    # join reuses the partitioning and only the thin rank frame moves
-    # (same loop-invariant discipline as bfs_hops; ~25% faster at sf0.1).
-    wedges = tracked_persist(
-        edges.join(deg, "src").select("src", "dst", "deg").repartition("src")
     )
     for _ in range(iterations):
         contrib = (
@@ -764,7 +771,14 @@ def bfs_hops(spark: SparkSession, sf_dir: str,
         )
         if nxt.count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # plain union, NOT re-checkpointed: every hop's frontier is
+        # already an eagerly-materialized localCheckpoint, so the visited
+        # set is a union of at most max_hops materialized RDDs — shallow
+        # lineage, no recompute.  Re-checkpointing the union (the r7-r12
+        # shape) re-materialized the ENTIRE visited set once per hop:
+        # Θ(|V| x hops) extra row writes that the anti-join never needed
+        # (r13 optimization; guide §5 localCheckpoint note).
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
 

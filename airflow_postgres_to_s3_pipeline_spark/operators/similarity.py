@@ -615,7 +615,11 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str,
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
-    sig = tracked_persist(_lsh_band_signatures(spark, e, n_planes, n_bands))
+    # GEMM signature tier (bit-identical to the expression tier and the
+    # oracle — see _lsh_band_signatures_gemm; parity pinned by test)
+    sig = tracked_persist(
+        _lsh_band_signatures_gemm(spark, e, n_planes, n_bands)
+    )
     exploded = sig.select(
         "vec_id", F.posexplode("bands").alias("band_idx", "band_val")
     )
@@ -768,6 +772,70 @@ def _lsh_band_signatures(spark: SparkSession, e: DataFrame,
     return with_planes.select("vec_id", bands.alias("bands"))
 
 
+def _lsh_band_signatures_gemm(spark: SparkSession, e: DataFrame,
+                              n_planes: int = 24, n_bands: int = 4,
+                              dim: int = 64) -> DataFrame:
+    """``_lsh_band_signatures`` at GEMM speed — the index-build tier the
+    serving entries use (r13 optimization, guide §4.2).
+
+    The expression tier's sign bits are interpreted HOF folds:
+    n_planes x dim lambda steps per vector (1,536 at the 24x64 default),
+    CodegenFallback per element — the same class of cost the knn_ivf /
+    kmeans / PQ families already moved to numpy (ivf_assign_gemm,
+    pq_encode_gemm).  Here each Arrow batch computes the (chunk x planes)
+    dot-product matrix with DIMENSION-ORDERED accumulation —
+    ``acc += outer(A[:, j], W[:, j])`` for j in order — which replays the
+    HOF fold's exact fp64 op sequence ``(...(0 + v0*w0) + v1*w1)...``, so
+    every sign bit, and therefore every band value, is bit-identical to
+    the expression tier and to DuckDB's list_reduce (parity pinned by
+    tests/test_similarity.py).  The plane matrix is re-derived inside the
+    task from the same md5 rationals (hashlib md5 == Spark md5 == DuckDB
+    md5; (h % 20001 - 10000)/1e4 is the same exact double in any IEEE
+    engine) — a few KB recomputed once per task, nothing broadcast or
+    shipped per row.
+
+    Input must carry (vec_id, v); `_spread` protects the single-file
+    corpus from the one-task trap.  Output: (vec_id, bands) exactly like
+    the expression tier.
+    """
+    bits_per_band = n_planes // n_bands
+
+    def sign_bands(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        W = np.empty((n_planes, dim), dtype=np.float64)
+        for p in range(n_planes):
+            for j in range(dim):
+                h = hashlib.md5(f"{p}:{j}:plane".encode()).hexdigest()
+                W[p, j] = (int(h[:15], 16) % 20001 - 10000) / 10000.0
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(
+                    {"vec_id": pd.Series(dtype="int64"),
+                     "bands": pd.Series(dtype="object")}
+                )
+                continue
+            A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            acc = np.zeros((A.shape[0], n_planes))
+            for j in range(dim):
+                acc += np.multiply.outer(A[:, j], W[:, j])
+            bits = (acc >= 0).astype(np.int64)      # (n, planes)
+            bands = np.zeros((A.shape[0], n_bands), dtype=np.int64)
+            for b in range(n_bands):
+                for k in range(bits_per_band):
+                    bands[:, b] = bands[:, b] * 2 + bits[:, b * bits_per_band + k]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "bands": list(bands)}
+            )
+
+    return _spread(e.select("vec_id", "v")).mapInPandas(
+        sign_bands, "vec_id long, bands array<long>"
+    )
+
+
 def _embedding_lsh_oracle(max_bucket: int = LSH_MAX_BUCKET) -> str:
     """embedding_lsh_near_dup's oracle, parameterized on the bucket cap so
     the binding-cap parity test can run both engines at a cap that binds;
@@ -885,7 +953,7 @@ def embedding_incremental_dedup(spark: SparkSession, sf_dir: str,
         F.concat(F.col("vec_id").cast("string"), F.lit("-adm")).cast("binary")
     ).like("0%")
     sig = tracked_persist(
-        _lsh_band_signatures(spark, e, n_planes, n_bands).withColumn(
+        _lsh_band_signatures_gemm(spark, e, n_planes, n_bands).withColumn(
             "is_new", is_new
         )
     )

@@ -1133,34 +1133,44 @@ def winnowing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    # TWO materialization barriers, both mandatory (the repo-wide
-    # unmaterialized-HOF trap in a new costume):
-    # 1. the selected-fingerprint ARRAY must persist BEFORE exploding:
-    #    with it unmaterialized the whole query ran 341s vs 7.9s at
-    #    sf0.01 even though a SINGLE pass over the chain costs ~4s — the
-    #    md5 chain was re-evaluated many times across the Generate and
-    #    the downstream aggregate/join branches (persisting the postings
-    #    alone did NOT fix it: 340.7s — the barrier must sit below the
-    #    explode);
-    # 2. the thin (doc_id, fp) postings persist because the cap aggregate
-    #    and both join sides consume them.
-    # Both are released by the harness after the terminal consumer.
+    # One materialization barrier, mandatory (the repo-wide
+    # unmaterialized-HOF trap): the selected-fingerprint ARRAY must
+    # persist BEFORE exploding — with it unmaterialized the whole query
+    # ran 341s vs 7.9s at sf0.01 even though a SINGLE pass over the chain
+    # costs ~4s (the md5 chain re-evaluated across downstream branches).
+    # Released by the harness after the terminal consumer.
     seldf = tracked_persist(winnow_selected(d), corpus=True)
-    post = tracked_persist(
-        seldf.select("doc_id", F.explode("sel").alias("fp"))
+    post = seldf.select("doc_id", F.explode("sel").alias("fp"))
+    # Bucket-collapse pair expansion (the r13 lsh_candidate_pairs shape,
+    # guide §2.4): ONE collect_list exchange on fp builds each posting
+    # list, the df cap becomes a plain size filter (replacing the
+    # separate cap aggregate + two kept-joins + posting self-join of the
+    # r9-r12 shape), and the C(b,2) expansion is row-local inside a HOF
+    # bounded by the cap.  ``sel`` is array_distinct'ed per doc, so
+    # doc_ids are unique within a posting and the sorted i<j expansion
+    # equals the join's id_a < id_b pair multiset (parity pinned by the
+    # oracle and by test).  Measured at sf0.1 (same-session A/B,
+    # min-of-3, persisted inputs): 1.44s -> 0.67s for the pair stage.
+    # The posting frame is consumed once now, so its persist is gone too.
+    buckets = post.groupBy("fp").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
-    kept = (
-        post.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") <= WINNOW_DF_CAP)
-        .select("fp")
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
-    a = post.join(kept, "fp").select(F.col("doc_id").alias("id_a"), "fp")
-    b = post.join(kept, "fp").select(F.col("doc_id").alias("id_b"), "fp")
     return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        buckets.filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= WINNOW_DF_CAP)
+        )
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= WINNOW_PAIR_MIN)
     )

@@ -563,3 +563,49 @@ def test_substring_dup_trim_merges_overlapping_intervals(spark, tmp_path):
     assert rows[0] == (40, 0, 0, 40)        # doc_a everywhere: untouched
     assert rows[1] == (24, 1, 20, 4)        # loses its shared run vs doc0
     assert rows[4] == (32, 1, 30, 2)        # overlapping intervals merged
+
+
+def test_lsh_candidate_pairs_grouped_matches_selfjoin(spark, sf_dir):
+    """The r13 bucket-collapse pair expansion (capped path: collect_list
+    + size filter + HOF C(b,2) expansion) must emit exactly the self-join
+    reference's pair multiset when the cap does not bind — the two paths
+    share semantics by construction and this pins it on real data."""
+    from airflow_postgres_to_s3_pipeline_spark.catalog import table
+
+    d = table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures_md5(dedup.shingle_arrays(d))
+    grouped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(sig, checkable=True).collect()
+    }
+    selfjoin = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(
+            sig, checkable=True, max_bucket=0
+        ).collect()
+    }
+    assert grouped == selfjoin
+    assert grouped  # non-vacuous: the corpus plants near-dups
+
+
+def test_simhash_grouped_cand_matches_selfjoin(spark, sf_dir):
+    """Same parity pin for the SimHash chunk buckets: the capped
+    bucket-collapse path and the uncapped self-join fallback must agree
+    pair-for-pair (including the carried signatures, via hamming)."""
+    from airflow_postgres_to_s3_pipeline_spark.catalog import table
+
+    d = table(spark, sf_dir, "documents")
+    grouped = {
+        tuple(r)
+        for r in dedup.simhash_near_pairs(
+            d, checkable=True, max_hamming=10
+        ).collect()
+    }
+    selfjoin = {
+        tuple(r)
+        for r in dedup.simhash_near_pairs(
+            d, checkable=True, max_hamming=10, max_bucket=0
+        ).collect()
+    }
+    assert grouped == selfjoin
+    assert grouped

@@ -888,3 +888,28 @@ def test_embedding_exact_dedup_collapses_ieee_variants(spark, tmp_path):
         for r in similarity.embedding_exact_dedup(spark, out).collect()
     }
     assert got == {1: 2, 3: 1}
+
+
+def test_lsh_band_signatures_gemm_bit_identical(spark, sf_dir):
+    """The GEMM hyperplane-signature tier must be BIT-identical to the
+    expression tier: dimension-ordered numpy accumulation replays the HOF
+    fold's fp64 op sequence, and the task-local hashlib plane matrix is
+    the same md5 rational as the Spark expression (r13 optimization)."""
+    from airflow_postgres_to_s3_pipeline_spark.catalog import table
+    from airflow_postgres_to_s3_pipeline_spark.operators import (
+        similarity as S,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", S.to_double_array("embedding").alias("v")
+    )
+    expr = {
+        r["vec_id"]: tuple(r["bands"])
+        for r in S._lsh_band_signatures(spark, e).collect()
+    }
+    gemm = {
+        r["vec_id"]: tuple(r["bands"])
+        for r in S._lsh_band_signatures_gemm(spark, e).collect()
+    }
+    assert expr == gemm
+    assert expr
