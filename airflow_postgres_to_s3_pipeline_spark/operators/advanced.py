@@ -2085,8 +2085,14 @@ def frontier_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "ln", F.col("qty").alias("running_qty"))
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     acc = frontier
     for step in range(2, max_ln + 1):
+        # the empty-frontier probe rides the checkpoint action as an
+        # Observation metric — one driver job per step instead of two
+        # (r13 optimization, same as connected_components / bfs_hops)
+        obs = Observation()
         nxt = (
             li.filter(F.col("ln") == step)
             .join(
@@ -2100,9 +2106,10 @@ def frontier_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ln",
                 (F.col("_prev") + F.col("qty")).alias("running_qty"),
             )
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        if int(obs.get["n"]) == 0:
             break
         acc = acc.unionByName(nxt)
         frontier = nxt

@@ -775,7 +775,24 @@ def connected_components(pairs: DataFrame, node_ids: DataFrame,
         .repartition("dst")
     )
     edges = tracked_persist(edges)
-    labels = node_ids.select(
+    # The loop only ever RELABELS nodes that touch an edge — a node with
+    # no pair keeps cluster_id = doc_id by construction — so the label
+    # frame is restricted to edge endpoints (the duplicated population,
+    # typically orders of magnitude smaller than the corpus at scale) and
+    # the untouched singletons are unioned back once at the end (r13
+    # optimization; the SQL oracle already computes the closure this way).
+    # ``dst`` carries every endpoint (edges are symmetric), and its
+    # distinct reuses the persisted frame's dst partitioning — no
+    # exchange.  Eagerly checkpointed (a thin id frame) because the
+    # returned plan still references it AFTER the loop unpersists
+    # ``edges`` — without the cut, materializing the result would re-run
+    # the whole upstream pair-generation pipeline.
+    edge_nodes = (
+        edges.select(F.col("dst").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edge_nodes.select(
         F.col("doc_id"), F.col("doc_id").alias("cluster_id")
     )
     changed = 0
@@ -798,8 +815,22 @@ def connected_components(pairs: DataFrame, node_ids: DataFrame,
         # Materialize and cut lineage each round — without this the plan
         # doubles per iteration and the optimizer, not the data, becomes the
         # bottleneck.  (On a cluster use checkpoint() to reliable storage.)
-        updated = updated.localCheckpoint(eager=True)
-        changed = updated.filter(F.col("_changed")).limit(1).count()
+        # The convergence probe rides the SAME action as an Observation
+        # metric filled while the checkpoint materializes — one driver job
+        # per iteration instead of two (r13 optimization; the separate
+        # filter+count scan of the checkpointed frame is gone).  NULL
+        # ``_changed`` rows (no neighbor) are skipped by SUM exactly as the
+        # old filter skipped them.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        updated = updated.observe(
+            obs,
+            F.coalesce(
+                F.sum(F.col("_changed").cast("int")), F.lit(0)
+            ).alias("n_changed"),
+        ).localCheckpoint(eager=True)
+        changed = int(obs.get["n_changed"])
         labels = updated.drop("_changed")
         if changed == 0:
             break
@@ -816,7 +847,10 @@ def connected_components(pairs: DataFrame, node_ids: DataFrame,
             import warnings
 
             warnings.warn(msg, RuntimeWarning, stacklevel=2)
-    return labels
+    singletons = node_ids.join(edge_nodes, "doc_id", "left_anti").select(
+        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
+    )
+    return labels.unionByName(singletons)
 
 
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -758,7 +758,13 @@ def bfs_hops(spark: SparkSession, sf_dir: str,
     )
     visited = source.localCheckpoint(eager=True)
     frontier = visited
+    from pyspark.sql import Observation
+
     for hop in range(1, max_hops + 1):
+        # the empty-frontier probe rides the checkpoint action as an
+        # Observation metric — one driver job per hop instead of two
+        # (r13 optimization, same as connected_components)
+        obs = Observation()
         nxt = (
             edges.join(
                 frontier.select(F.col("node").alias("src")), "src"
@@ -767,9 +773,10 @@ def bfs_hops(spark: SparkSession, sf_dir: str,
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .select("node", F.lit(hop).cast("int").alias("hops"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if nxt.count() == 0:
+        if int(obs.get["n"]) == 0:
             break
         # plain union, NOT re-checkpointed: every hop's frontier is
         # already an eagerly-materialized localCheckpoint, so the visited

@@ -21,6 +21,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+# events-parquet footer schema per sf_dir (see read_events_stream)
+_EVENTS_SCHEMA_CACHE: dict[str, StructType] = {}
+
 def read_events_stream(spark: SparkSession, sf_dir: str,
                        max_files_per_trigger: int | None = None) -> DataFrame:
     """File-based streaming source over the events parquet (each file is a
@@ -35,11 +38,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     from airflow_postgres_to_s3_pipeline_spark.session import tune_runtime
 
     tune_runtime(spark)
-    batch_schema = (
-        spark.read.option("pathGlobFilter", "events*.parquet")
-        .parquet(sf_dir)
-        .schema
-    )
+    # The footer-schema probe is a file listing + footer read per call;
+    # entries that build several source streams (stream-stream joins read
+    # this twice) paid it repeatedly for metadata that cannot change
+    # within a session run over an immutable sf_dir — memoized per
+    # directory (schema metadata, not data: no result caching).
+    batch_schema = _EVENTS_SCHEMA_CACHE.get(sf_dir)
+    if batch_schema is None:
+        batch_schema = (
+            spark.read.option("pathGlobFilter", "events*.parquet")
+            .parquet(sf_dir)
+            .schema
+        )
+        _EVENTS_SCHEMA_CACHE[sf_dir] = batch_schema
     # The file stream source requires a directory path; pathGlobFilter
     # narrows the scan to the events table within the sf_dir.
     reader = spark.readStream.schema(batch_schema).option(
