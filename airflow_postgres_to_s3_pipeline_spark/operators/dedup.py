@@ -146,7 +146,102 @@ MERSENNE_P = 2147483647  # 2^31 - 1; the MinHash value space for the md5 tier
 
 def minhash_signatures_md5(shingles: DataFrame, n_hashes: int = 32) -> DataFrame:
     """MinHash signatures derived from ONE md5 per shingle — the
-    DuckDB-oracle-checkable tier.
+    DuckDB-oracle-checkable tier, served by the vectorized numpy kernel
+    (``_minhash_signatures_md5_np``; r13 optimization, guide §4.2).
+
+    The expression formulation (``minhash_signatures_md5_expr``) is kept
+    as the SQL-mirror reference: every value it produces is pure integer
+    arithmetic over md5 hex slices, so the numpy tier reproduces it
+    BIT-identically (hashlib md5 == Spark md5 == DuckDB md5; int64
+    add/mul/mod have no rounding) — pinned by
+    tests/test_dedup.py::test_minhash_signatures_np_matches_expr.
+    Measured at sf0.1: the signature pass over warm shingles dropped
+    ~1.0s -> ~0.2s (the 32 interpreted transform/array_min HOF passes
+    and the per-shingle conv(hex) pair were the cost — same class as the
+    hyperplane-LSH fold the GEMM tier replaced).
+    """
+    return _minhash_signatures_md5_np(shingles, n_hashes)
+
+
+def _minhash_signatures_md5_np(shingles: DataFrame,
+                               n_hashes: int = 32) -> DataFrame:
+    """Numpy kernel for the md5 MinHash tier: one mapInPandas pass that
+    computes, per shingle, the same (x1, x2) Kirsch-Mitzenmacher pair the
+    expression tier derives (md5 hex slices 1-15 / 16-30 -> int64 mod
+    p / mod p-1 + 1) and then all ``n_hashes`` slot minima with
+    vectorized segment-min (``np.minimum.reduceat``) instead of 32
+    interpreted array transforms.  Integer-exact, so bit-identical to
+    ``minhash_signatures_md5_expr`` and to the SQL oracles.
+
+    The per-slot candidate values are bounded by x1 + 31*x2 < 2^36, far
+    inside int64 — no overflow; ``%`` on non-negative int64 matches
+    Spark's ``pmod``-free ``%`` (both operands non-negative here).
+    Input rows always carry >= 1 shingle (``shingle_arrays`` filters
+    n >= k); an empty array would make the expression tier emit NULLs,
+    which this kernel has no row to mirror — guarded with an explicit
+    error rather than a silent drop.
+    """
+    out_schema = "doc_id long, " + ", ".join(
+        f"h{i} long" for i in range(n_hashes)
+    )
+    p = MERSENNE_P
+
+    def sign(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        md5 = hashlib.md5
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(
+                    {c: pd.Series(dtype="int64")
+                     for c in ["doc_id"] + [f"h{i}" for i in range(n_hashes)]}
+                )
+                continue
+            lists = pdf["shingles"].tolist()
+            lens = np.fromiter(
+                (len(sl) for sl in lists), dtype=np.int64, count=len(lists)
+            )
+            if (lens == 0).any():
+                raise ValueError(
+                    "minhash_signatures_md5: empty shingle array "
+                    "(callers must filter n_words >= k, as shingle_arrays "
+                    "does)"
+                )
+            total = int(lens.sum())
+            x1 = np.empty(total, dtype=np.int64)
+            x2 = np.empty(total, dtype=np.int64)
+            pos = 0
+            for sl in lists:
+                for s in sl:
+                    h = md5(s.encode("utf-8")).hexdigest()
+                    x1[pos] = int(h[:15], 16)
+                    x2[pos] = int(h[15:30], 16)
+                    pos += 1
+            x1 %= p
+            x2 %= p - 1
+            x2 += 1
+            offsets = np.zeros(len(lists), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            out = {"doc_id": pdf["doc_id"].to_numpy()}
+            for i in range(n_hashes):
+                out[f"h{i}"] = np.minimum.reduceat(
+                    (x1 + i * x2) % p, offsets
+                )
+            yield pd.DataFrame(out)
+
+    return shingles.select("doc_id", "shingles").mapInPandas(
+        sign, out_schema
+    )
+
+
+def minhash_signatures_md5_expr(shingles: DataFrame,
+                                n_hashes: int = 32) -> DataFrame:
+    """The md5 MinHash tier as pure Spark SQL expressions — the reference
+    formulation whose arithmetic the SQL oracles mirror line-by-line (and
+    the parity pin for the numpy kernel above).
 
     Kirsch-Mitzenmacher double hashing: take two DISJOINT 60-bit slices of
     the md5 (hex chars 1-15 and 16-30), derive x1 = a mod p and
@@ -1059,14 +1154,86 @@ def simhash_signatures_md5(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
                            bits: int = SIMHASH_MD5_BITS) -> DataFrame:
     """SimHash from md5-derived token hashes — the DuckDB-oracle-checkable
-    tier (same trick as ``minhash_signatures_md5``): token hash = first 60
-    bits of md5(token), so every step (hash, per-bit vote sums, sign
-    threshold, signature assembly) is bit-identical in any engine with md5
-    + 64-bit integers.  60 signature bits instead of 64 — four bits of
-    resolution traded for an exact SQL mirror.  Same row-local shape as the
-    xxhash64 tier: zero shuffles, the whole stage runs in the scan's map
-    phase.  Zero-token docs are dropped (they have no signature; the
-    xx tier keeps them at sig=0, which the SQL mirror cannot express).
+    tier, served by the vectorized numpy kernel (r13 optimization, guide
+    §4.2: the 60 per-bit HOF filter passes over every doc's token-hash
+    array were 2.4s of simhash_dedup's 2.9s at sf0.1; the kernel computes
+    the same votes with 60 ``np.add.reduceat`` segment sums at ~0.2s).
+    All integer arithmetic (md5 hex slice -> int64, counts, shifts), so
+    the signatures are BIT-identical to the expression tier
+    (``simhash_signatures_md5_expr``) and the SQL oracles — pinned by
+    tests/test_dedup.py::test_simhash_signatures_np_matches_expr.
+    """
+    return _simhash_signatures_md5_np(df, text_col, id_col, bits)
+
+
+def _simhash_signatures_md5_np(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id",
+                               bits: int = SIMHASH_MD5_BITS) -> DataFrame:
+    """Numpy kernel for the md5 SimHash tier: one mapInPandas pass that
+    tokenizes exactly like the expression tier (split on single spaces,
+    empty tokens dropped, zero-token docs omitted), hashes each token to
+    its 60-bit md5 prefix, and assembles the signature from vectorized
+    per-bit vote sums: v_i = 2 * count(bit i set) - n_tokens, bit i of
+    the signature = (v_i > 0).  Integer-exact, hence bit-identical to
+    ``simhash_signatures_md5_expr`` and the QUALIFY-mirrored oracles."""
+
+    def sign(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, toks, lens = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                tl = [t for t in (text or "").split(" ") if t]
+                if not tl:
+                    continue  # expression tier drops zero-token docs
+                ids.append(doc_id)
+                lens.append(len(tl))
+                toks.extend(tl)
+            if not ids:
+                yield pd.DataFrame(
+                    {"doc_id": pd.Series(dtype="int64"),
+                     "simhash": pd.Series(dtype="int64")}
+                )
+                continue
+            x = np.empty(len(toks), dtype=np.int64)
+            for i, t in enumerate(toks):
+                x[i] = int(md5(t.encode("utf-8")).hexdigest()[:15], 16)
+            lens_a = np.asarray(lens, dtype=np.int64)
+            offsets = np.zeros(len(lens_a), dtype=np.int64)
+            np.cumsum(lens_a[:-1], out=offsets[1:])
+            sig = np.zeros(len(lens_a), dtype=np.int64)
+            for i in range(bits):
+                set_counts = np.add.reduceat((x >> i) & 1, offsets)
+                # v_i = 2*set - n > 0  <=>  bit i of the signature
+                sig |= ((2 * set_counts - lens_a) > 0).astype(
+                    np.int64
+                ) << i
+            yield pd.DataFrame(
+                {"doc_id": np.asarray(ids, dtype=np.int64), "simhash": sig}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        sign, "doc_id long, simhash long"
+    )
+
+
+def simhash_signatures_md5_expr(df: DataFrame, text_col: str = "text",
+                                id_col: str = "doc_id",
+                                bits: int = SIMHASH_MD5_BITS) -> DataFrame:
+    """The md5 SimHash tier as pure Spark SQL expressions — the reference
+    formulation the SQL oracles mirror line-by-line (and the parity pin
+    for the numpy kernel above): token hash = first 60 bits of
+    md5(token), so every step (hash, per-bit vote sums, sign threshold,
+    signature assembly) is bit-identical in any engine with md5 + 64-bit
+    integers.  60 signature bits instead of 64 — four bits of resolution
+    traded for an exact SQL mirror.  Row-local (zero shuffles); the 60
+    per-bit HOF filters are the cost the numpy kernel removes.
+    Zero-token docs are dropped (they have no signature; the xxhash64
+    tier keeps them at sig=0, which the SQL mirror cannot express).
     """
     token_hashes = F.transform(
         F.filter(F.split(text_col, " "), lambda t: F.length(t) > 0),

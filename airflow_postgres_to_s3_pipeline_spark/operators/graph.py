@@ -295,6 +295,28 @@ _oracle(
 )
 
 
+ADJ_CHUNK = 1024
+"""Max neighbor-array length in the persisted adjacency lists that the
+iterative kernels (pagerank_parts, bfs_hops) probe per round.  Arrays are
+split row-locally (slice inside a transform — no extra exchange), so a
+hub vertex of degree d occupies ceil(d / ADJ_CHUNK) rows of <= 8 KB of
+int64 payload each instead of one d-element row: bounded rows at any
+scale, while the per-round probe side stays O(|V| + |E|/ADJ_CHUNK) rows
+instead of the flat edge list's |E|."""
+
+
+def _chunk_array(col, chunk: int = ADJ_CHUNK):
+    """Split an array column into an array of <= ``chunk``-element slices,
+    entirely row-locally.  Empty input arrays cannot occur at the call
+    sites (adjacency rows exist only for vertices with >= 1 edge)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chunks_minus_1 = F.floor((F.size(c) - 1) / F.lit(chunk)).cast("long")
+    return F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks_minus_1),
+        lambda i: F.slice(c, (i * chunk + 1).cast("int"), chunk),
+    )
+
+
 PR_ITERATIONS = 3
 PR_SCALE = 1_000_000_000  # ranks in nano-units
 PR_DAMP_NUM = 85          # damping 0.85 as an integer ratio
@@ -330,26 +352,32 @@ def pagerank_parts(spark: SparkSession, sf_dir: str,
     variant follows dedup.connected_components (scalar convergence
     action + localCheckpoint lineage cuts).
     """
-    # The degree-weighted edge list is iteration-INVARIANT — build it in
-    # ONE pass and persist only it: the edge frame is hash-partitioned on
-    # src (every iteration's rank-join key, so only the thin rank frame
-    # moves per iteration — the bfs_hops discipline) and the degree rides
-    # along as a window count over that same partitioning, which replaces
-    # the r12 shape's separate edge persist + degree aggregate exchange +
-    # (edges x deg) join with zero extra exchanges (r13 optimization,
-    # guide §2.4: two operations keyed the same way share one exchange).
-    # The node universe and its count come off the persisted frame with a
-    # partial aggregate that reuses the src partitioning — no exchange.
-    from pyspark.sql import Window
-
-    wedges = tracked_persist(
+    # The degree-annotated ADJACENCY list is iteration-INVARIANT — build
+    # it in ONE pass (one hash(src) exchange: the groupBy) and persist
+    # only it.  r13 second pass: the flat degree-weighted edge list made
+    # every iteration's rank join probe |E| cached rows; collapsing to
+    # per-vertex neighbor arrays shrinks the per-iteration probe side to
+    # |V| rows (the contribution explode happens AFTER the join, inside
+    # the matched rows), guide §2.3 "shuffle keys and metadata instead of
+    # payloads" applied to a cache scan.  deg is the FULL degree computed
+    # in the same aggregate; arrays are then split row-locally into
+    # <= ADJ_CHUNK-element chunks (zero extra exchanges) so one hub
+    # vertex cannot pin a multi-MB row at 100 TB.  The groupBy's
+    # hash(src) partitioning survives the chunk explode and the persist,
+    # so iterations that fall back to a shuffle join still move only the
+    # thin rank frame; the node universe and its count come off the
+    # persisted frame with a partial aggregate that reuses the src
+    # partitioning — no exchange.
+    adj = tracked_persist(
         _symmetric_edges(spark, sf_dir, max_basket)
-        .repartition("src")
-        .withColumn(
-            "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        .groupBy("src")
+        .agg(
+            F.collect_list("dst").alias("nbrs"),
+            F.count(F.lit(1)).alias("deg"),
         )
+        .select("src", "deg", F.explode(_chunk_array("nbrs")).alias("nbrs"))
     )
-    nodes = wedges.select("src").distinct()
+    nodes = adj.select("src").distinct()
     n_nodes = nodes.count()  # scalar collection statistic
     teleport = (PR_SCALE * (100 - PR_DAMP_NUM) // 100) // n_nodes
     ranks = nodes.select(
@@ -358,8 +386,11 @@ def pagerank_parts(spark: SparkSession, sf_dir: str,
     )
     for _ in range(iterations):
         contrib = (
-            wedges.join(ranks, wedges.src == ranks.node)
-            .select("dst", F.expr("r div deg").alias("w"))
+            adj.join(ranks, adj.src == ranks.node)
+            .select(
+                F.explode("nbrs").alias("dst"),
+                F.expr("r div deg").alias("w"),
+            )
             .groupBy("dst")
             .agg(F.sum("w").alias("s"))
         )
@@ -742,18 +773,30 @@ def bfs_hops(spark: SparkSession, sf_dir: str,
     nodes beyond max_hops are reported unreachable-within-bound by
     omission, exactly like the oracle).
 
-    The edge list — the loop-INVARIANT big side of every hop's join — is
-    hash-partitioned on ``src`` once before persisting, so each hop's
-    frontier join reuses that partitioning and only the (small) frontier
-    side moves; without it the edge table re-shuffles every hop (~12%
-    slower at sf0.1, and the gap scales with |E| x hops on a cluster).
+    The loop-INVARIANT big side of every hop's join is persisted as a
+    chunked ADJACENCY list, not a flat edge list (r13 second pass): the
+    flat layout made every hop scan |E| cached rows just to probe the
+    (tiny, broadcast) frontier — 2.4M rows per hop at sf0.1, measured as
+    the bulk of the per-hop cost.  Grouping to per-vertex neighbor
+    arrays (one hash(src) exchange at build, replacing the old
+    repartition) shrinks the per-hop probe side to ~|V| rows; the
+    neighbor expansion (explode) runs AFTER the join, so each hop's
+    explode touches only the frontier's own edges — per-hop work is
+    O(|V| scan + |frontier edges|), not O(|E|).  Arrays are split into
+    <= ADJ_CHUNK-element chunks row-locally so hub vertices cannot pin
+    huge rows (see ADJ_CHUNK); the groupBy's hash(src) partitioning
+    survives chunking and the persist, so at scale (frontier too big to
+    broadcast) the shuffle join still moves only the frontier side.
 
     Returns (node, hops) for every node reachable within max_hops.
     """
-    edges = tracked_persist(
-        _symmetric_edges(spark, sf_dir, max_basket).repartition("src")
+    adj = tracked_persist(
+        _symmetric_edges(spark, sf_dir, max_basket)
+        .groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
+        .select("src", F.explode(_chunk_array("nbrs")).alias("nbrs"))
     )
-    source = edges.agg(F.min("src").alias("node")).select(
+    source = adj.agg(F.min("src").alias("node")).select(
         "node", F.lit(0).cast("int").alias("hops")
     )
     visited = source.localCheckpoint(eager=True)
@@ -766,10 +809,10 @@ def bfs_hops(spark: SparkSession, sf_dir: str,
         # (r13 optimization, same as connected_components)
         obs = Observation()
         nxt = (
-            edges.join(
+            adj.join(
                 frontier.select(F.col("node").alias("src")), "src"
             )
-            .select(F.col("dst").alias("node"))
+            .select(F.explode("nbrs").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .select("node", F.lit(hop).cast("int").alias("hops"))

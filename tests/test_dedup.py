@@ -588,6 +588,63 @@ def test_lsh_candidate_pairs_grouped_matches_selfjoin(spark, sf_dir):
     assert grouped  # non-vacuous: the corpus plants near-dups
 
 
+def test_minhash_signatures_np_matches_expr(spark, sf_dir):
+    """The numpy MinHash kernel (mapInPandas, r13 optimization) must be
+    BIT-identical to the expression tier on real data: both derive every
+    slot as (x1 + i*x2) mod p from the same md5 hex slices, all integer
+    arithmetic, so any divergence is a kernel bug, not rounding."""
+    from airflow_postgres_to_s3_pipeline_spark.catalog import table
+
+    d = table(spark, sf_dir, "documents")
+    sh = dedup.shingle_arrays(d).persist()
+    got = {r["doc_id"]: tuple(r)[1:] for r in
+           dedup._minhash_signatures_md5_np(sh, 8).collect()}
+    want = {r["doc_id"]: tuple(r)[1:] for r in
+            dedup.minhash_signatures_md5_expr(sh, 8).collect()}
+    sh.unpersist()
+    assert got == want
+    assert got  # non-vacuous
+
+
+def test_minhash_signatures_np_rejects_empty_arrays(spark):
+    """An empty shingle array would silently diverge from the expression
+    tier (NULL slots); the kernel raises instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, ["a b c"]), (2, [])],
+        "doc_id long, shingles array<string>",
+    )
+    with pytest.raises(Exception, match="empty shingle array"):
+        dedup._minhash_signatures_md5_np(df, 4).collect()
+
+
+def test_simhash_signatures_np_matches_expr(spark, sf_dir):
+    """The numpy SimHash kernel must be bit-identical to the expression
+    tier on real data (same tokenization, same 60-bit md5 prefix, same
+    vote threshold), including dropping zero-token docs."""
+    from airflow_postgres_to_s3_pipeline_spark.catalog import table
+
+    d = table(spark, sf_dir, "documents")
+    got = {r["doc_id"]: r["simhash"]
+           for r in dedup._simhash_signatures_md5_np(d).collect()}
+    want = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash_signatures_md5_expr(d).collect()}
+    assert got == want
+    assert got
+
+
+def test_simhash_signatures_np_drops_zero_token_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in dedup._simhash_signatures_md5_np(df).collect()}
+    want = {r["doc_id"] for r in dedup.simhash_signatures_md5_expr(df).collect()}
+    assert got == want == {1}
+
+
 def test_simhash_grouped_cand_matches_selfjoin(spark, sf_dir):
     """Same parity pin for the SimHash chunk buckets: the capped
     bucket-collapse path and the uncapped self-join fallback must agree
