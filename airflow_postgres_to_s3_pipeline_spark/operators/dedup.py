@@ -1974,14 +1974,55 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str,
         "doc_a", "doc_b",
         F.lit(1).alias("is_truth"), F.lit(0).alias("is_cand"),
     )
+    # ONE fused candidate plan for every config (r13 optimization, guide
+    # §2.4): the per-config lsh_candidate_pairs calls each paid their own
+    # collect_list exchange + pair distinct (|grid| x 2 separately
+    # scheduled shuffle stages over bucket-thin rows).  Tagging the banded
+    # keys with their config and grouping on (bands, band, band_hash)
+    # computes every config's buckets in one exchange, and one distinct
+    # covers all configs — the `bands` tag keeps per-config pair sets
+    # disjoint, so this is exactly the union of the per-config distincts.
+    # The size-capped HOF pair expansion is lsh_candidate_pairs's capped
+    # path verbatim (the cap applies per (bands, band, band_hash) bucket,
+    # identical to each config's own run); the unchanged oracle pins the
+    # equivalence.
+    banded_all = None
     for b in band_grid:
-        cand = lsh_candidate_pairs(sig, n_hashes, b, checkable=True)
-        tagged = tagged.unionByName(
-            cand.select(
-                F.lit(b).alias("bands"), "doc_a", "doc_b",
-                F.lit(0).alias("is_truth"), F.lit(1).alias("is_cand"),
-            )
+        bk = banded_keys(sig, n_hashes, b, checkable=True).select(
+            F.lit(b).alias("bands"), "band", "band_hash", "doc_id"
         )
+        banded_all = bk if banded_all is None else banded_all.unionByName(bk)
+    buckets = banded_all.groupBy("bands", "band", "band_hash").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cand_all = (
+        buckets.filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= LSH_MAX_BUCKET)
+        )
+        .select("bands", F.explode(pair_structs).alias("p"))
+        .select(
+            "bands",
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+    tagged = tagged.unionByName(
+        cand_all.select(
+            "bands", "doc_a", "doc_b",
+            F.lit(0).alias("is_truth"), F.lit(1).alias("is_cand"),
+        )
+    )
     # per-config sentinel (bands, -1, -1, 0, 0): counts nothing, but
     # guarantees one output row per config even on a corpus with zero
     # true/candidate pairs — the one-row-per-config gate contract

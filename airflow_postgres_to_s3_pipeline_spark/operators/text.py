@@ -861,68 +861,127 @@ def _doc_tf(d: DataFrame) -> DataFrame:
     )
 
 
-def bm25_scoring(spark: SparkSession, sf_dir: str,
-                 tf: DataFrame | None = None) -> DataFrame:
-    """Okapi BM25 ranking of documents against a fixed query — the
-    retrieval-quality tier next to ``tfidf_top_terms``.
+def _query_bucket_counts() -> dict[int, int]:
+    """Hashing-trick bucket -> count for the fixed query terms, computed
+    driver-side: hashlib md5 == Spark md5 == DuckDB md5, and the
+    int(hex[:15], 16) % HASH_DIM arithmetic is exact in all three, so
+    these literals are engine-identical to the oracle's qb CTE."""
+    import hashlib
 
-    Pipeline: doc-term tf + per-doc length (one token shuffle), term df
-    (vocab-sized shuffle), 1-row avgdl broadcast, then score = sum over
-    query terms of idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)).
+    counts: dict[int, int] = {}
+    for t in BM25_QUERY_TERMS:
+        b = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % HASH_DIM
+        counts[b] = counts.get(b, 0) + 1
+    return counts
 
-    Determinism: idf is ln-rounded to 6 decimals (libm last-ulp rule);
-    each per-(doc,term) contribution is snapped to integer MICRO-points
-    before the per-document sum, so the final ranking key is exact int64
-    (same design as ngram_lm_score).  avgdl is an exact int-sum / count
-    division.  Ties break on doc_id.
 
-    Scale: the query-term filter lands BEFORE the scoring join, so the
-    joined frame is |query| rows per matching doc, not the full posting
-    list; df/avgdl are corpus-wide aggregates a real system would
-    checkpoint as collection statistics.
+def _bm25_doc_stats(d: DataFrame, with_dot: bool = False) -> DataFrame:
+    """Row-local per-doc retrieval statistics (r13 optimization, guide
+    §2.4/§8): every decision BM25 and the hashing-trick dense tier make
+    depends only on (dl, per-query-term tf[, dense dot]) — a handful of
+    ints per document — so compute them INSIDE the scan with array HOFs
+    and never shuffle anything corpus-sized.  Replaces the explode ->
+    groupBy(doc_id, term) tf stage plus its dl re-aggregation and
+    doc_id-keyed scoring join (3 corpus exchanges + 1 join at 100 TB).
+
+    Column semantics mirror the tf/dl chain exactly: ``dl`` counts
+    non-empty whitespace tokens (= SUM(tf)); ``tf{k}`` is query term k's
+    occurrence count (= its tf row, 0 when absent); ``dot`` is the
+    integer dense score SUM(dv * qv) over hash buckets (= per-token
+    lookup of the query-bucket counts, summed row-locally — dv regroups
+    exactly because integer addition is order-free).
     """
-    d = table(spark, sf_dir, "documents")
-    if tf is None:
-        tf = _doc_tf(d)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    n_docs = d.count()  # collection statistic (metadata-scale)
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = df_.filter(F.col("term").isin(*BM25_QUERY_TERMS)).select(
-        "term",
-        F.round(
+    toks = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    base = d.select("doc_id", toks.alias("_toks"))
+    cols = [F.col("doc_id"), F.size("_toks").alias("dl")]
+    for k, term in enumerate(BM25_QUERY_TERMS):
+        cols.append(
+            F.size(
+                F.filter("_toks", lambda w: w == F.lit(term))
+            ).alias(f"tf{k}")
+        )
+    if with_dot:
+        qb = _query_bucket_counts()
+        bucket = lambda t: (  # noqa: E731 — same md5 slice as the oracle
+            F.conv(F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10)
+            .cast("long") % HASH_DIM
+        )
+        points = F.transform("_toks", lambda t: _case_map(bucket(t), qb))
+        cols.append(
+            F.aggregate(
+                points,
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot")
+        )
+    return base.select(*cols)
+
+
+def _case_map(expr, mapping: dict[int, int]):
+    """CASE expr WHEN k THEN v ... ELSE 0 over a tiny literal dict."""
+    out = None
+    for k, v in mapping.items():
+        cond = expr == F.lit(k)
+        out = F.when(cond, F.lit(v)) if out is None else out.when(cond, F.lit(v))
+    return out.otherwise(F.lit(0)).cast("long")
+
+
+def _bm25_rank(stats: DataFrame) -> DataFrame:
+    """BM25 top-N from the row-local per-doc stats frame: ONE global
+    1-row aggregate (n_docs, Σdl, dl-count, per-term df) broadcast back,
+    per-doc micro-point scoring in place, TakeOrderedAndProject top-N.
+    Float sequence is identical to the r5-r12 join formulation (same
+    idf/avgdl doubles, same per-(doc,term) round-to-micro snap, integer
+    final sum), so results are bit-equal."""
+    n_terms = len(BM25_QUERY_TERMS)
+    g = stats.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum("dl").alias("_sum_dl"),
+        F.count(F.when(F.col("dl") > 0, F.lit(1))).alias("_n_dl"),
+        *[
+            F.sum(
+                F.when(F.col(f"tf{k}") > 0, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"_df{k}")
+            for k in range(n_terms)
+        ],
+    )
+    avgdl = F.col("_sum_dl").cast("double") / F.col("_n_dl")
+    contribs = []
+    for k in range(n_terms):
+        idf = F.round(
             F.log(
-                (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
+                (F.col("_n_docs").cast("double") - F.col(f"_df{k}") + F.lit(0.5))
+                / (F.col(f"_df{k}") + F.lit(0.5))
                 + F.lit(1.0)
             ),
             6,
-        ).alias("idf"),
-    )
-    avgdl = dl.agg(
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("_avgdl")
-    )
-    contrib = (
-        tf.filter(F.col("term").isin(*BM25_QUERY_TERMS))
-        .join(F.broadcast(idf), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(avgdl))
-        .select(
-            "doc_id",
-            F.round(
-                F.col("idf")
-                * (F.col("tf") * (BM25_K1 + 1.0))
-                / (
-                    F.col("tf")
-                    + BM25_K1
-                    * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("_avgdl"))
-                )
-                * F.lit(1000000.0)
-            ).cast("bigint").alias("c_micro"),
         )
-    )
+        tf_k = F.col(f"tf{k}")
+        contribs.append(
+            F.when(
+                tf_k > 0,
+                F.round(
+                    idf
+                    * (tf_k * (BM25_K1 + 1.0))
+                    / (
+                        tf_k
+                        + BM25_K1
+                        * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl)
+                    )
+                    * F.lit(1000000.0)
+                ).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    micro = contribs[0]
+    for c in contribs[1:]:
+        micro = micro + c
+    any_hit = F.col("tf0") > 0
+    for k in range(1, n_terms):
+        any_hit = any_hit | (F.col(f"tf{k}") > 0)
     return (
-        contrib.groupBy("doc_id")
-        .agg(F.sum("c_micro").alias("bm25_micro"))
+        stats.crossJoin(F.broadcast(g))
+        .filter(any_hit)
+        .select("doc_id", micro.alias("bm25_micro"))
         .select(
             "doc_id",
             "bm25_micro",
@@ -933,6 +992,37 @@ def bm25_scoring(spark: SparkSession, sf_dir: str,
         .orderBy(F.col("bm25_micro").desc(), F.col("doc_id").asc())
         .limit(BM25_TOP_N)
     )
+
+
+def bm25_scoring(spark: SparkSession, sf_dir: str,
+                 stats: DataFrame | None = None) -> DataFrame:
+    """Okapi BM25 ranking of documents against a fixed query — the
+    retrieval-quality tier next to ``tfidf_top_terms``.
+
+    Shape (r13 optimization, guide §2.4/§8): per-doc (dl, tf per query
+    term) are computed row-locally inside the scan (``_bm25_doc_stats``),
+    collection statistics (n_docs, avgdl, df) are ONE 1-row aggregate
+    broadcast back, and scoring + top-N happen in place — zero
+    corpus-wide exchanges, vs the r5-r12 chain's three (tf groupBy, dl
+    groupBy, df groupBy) plus a doc_id-keyed scoring join.  The thin
+    stats frame is persisted for its two consumers (the stats aggregate
+    and the scoring scan).
+
+    Determinism: idf is ln-rounded to 6 decimals (libm last-ulp rule);
+    each per-(doc,term) contribution is snapped to integer MICRO-points
+    before the per-document sum, so the final ranking key is exact int64
+    (same design as ngram_lm_score).  avgdl is an exact int-sum / count
+    division.  Ties break on doc_id.  Every float op replays the join
+    formulation's exact sequence, so results are bit-identical to the
+    unchanged SQL oracle.
+    """
+    from airflow_postgres_to_s3_pipeline_spark.cache import tracked_persist
+
+    if stats is None:
+        stats = tracked_persist(
+            _bm25_doc_stats(table(spark, sf_dir, "documents"))
+        )
+    return _bm25_rank(stats)
 
 
 def _bm25_cte_chain() -> str:
@@ -1349,11 +1439,12 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     The dense tier is honest about what the container can build: with no
     text-embedding model available, doc vectors are tf-weighted md5-hash
     buckets (the hashing trick — a real degenerate dense retriever), and
-    scoring is INTEGER dot product via a bucket equi-join with the <=3
-    query-bucket rows broadcast: no norms, no floats, so the ranking key
-    is exact int64.  A production deployment swaps in real embeddings +
-    the knn_* tiers; every downstream stage (per-list ranking, fusion
-    arithmetic, tie-breaks) is identical.
+    scoring is an INTEGER dot product computed row-locally (per-token
+    lookup of the <=3 query-bucket counts, summed inside the scan): no
+    norms, no floats, so the ranking key is exact int64.  A production
+    deployment swaps in real embeddings + the knn_* tiers; every
+    downstream stage (per-list ranking, fusion arithmetic, tie-breaks)
+    is identical.
 
     Determinism: both lists rank by (score desc, doc_id); RRF is summed
     integer micro-points 1_000_000 div (K + rank).  Scale shape: the two
@@ -1365,33 +1456,24 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_postgres_to_s3_pipeline_spark.cache import tracked_persist
 
     d = table(spark, sf_dir, "documents")
-    # ONE tokens->tf pass shared by both tiers (the lexical tier consumes
-    # it inside bm25_scoring via the tf= parameter); persisted because the
-    # two tiers are separate plan branches over the same frame
-    tf = tracked_persist(_doc_tf(d))
-
-    def bucket(col):
-        return (
-            F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10)
-            .cast("long") % HASH_DIM
-        )
-
-    doc_buckets = tf.groupBy(
-        "doc_id", bucket(F.col("term")).alias("b")
-    ).agg(F.sum("tf").alias("dv"))
-    q = spark.createDataFrame(
-        [(t,) for t in BM25_QUERY_TERMS], "term string"
-    ).groupBy(bucket(F.col("term")).alias("b")).agg(
-        F.count(F.lit(1)).alias("qv")
-    )
+    # ONE row-local tokenize pass shared by both tiers (r13 optimization,
+    # guide §2.4/§8): per-doc (dl, query-term tfs, dense dot) are computed
+    # inside the scan; the thin stats frame is persisted for its three
+    # consumers (stats aggregate, lexical scan, dense scan).  The r5-r12
+    # shape shuffled the full (doc_id, term, tf) table once for the
+    # persisted tf frame and again for the (doc_id, bucket) dense
+    # aggregation; the dense dot regroups exactly because it is an
+    # integer sum (dv * qv = per-token query-bucket hits).
+    stats = tracked_persist(_bm25_doc_stats(d, with_dot=True))
     dense = (
-        doc_buckets.join(F.broadcast(q), "b")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("dv") * F.col("qv")).alias("dot"))
+        stats.filter(F.col("dot") > 0)
+        .select("doc_id", "dot")
         .orderBy(F.col("dot").desc(), F.col("doc_id").asc())
         .limit(RRF_LIST_LEN)
     )
-    lex = bm25_scoring(spark, sf_dir, tf=tf).select("doc_id", "bm25_micro")
+    lex = bm25_scoring(spark, sf_dir, stats=stats).select(
+        "doc_id", "bm25_micro"
+    )
 
     def ranked(df, score, name):
         w = Window.orderBy(F.col(score).desc(), F.col("doc_id").asc())
@@ -1720,24 +1802,31 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     )
     n_grams = F.size("toks") - F.lit(NOVELTY_K - 1)
+    # r13 optimization (guide §2.4): per-doc gram dedup is ROW-LOCAL
+    # (array_distinct before the explode), so the old corpus-wide
+    # `.distinct()` exchange on (doc_id, gh) disappears; each gram's
+    # first_doc is a window MIN on the gh exchange itself instead of a
+    # separate aggregate + gram-frame re-join (one exchange + one join
+    # removed — 3 exchanges + SMJ -> 2 exchanges).
     grams = (
         docs.filter(F.size("toks") >= NOVELTY_K)
         .select(
             "doc_id",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), n_grams - 1),
-                    lambda i: F.md5(
-                        F.concat_ws(" ", F.slice("toks", i + 1, NOVELTY_K))
-                    ),
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), n_grams - 1),
+                        lambda i: F.md5(
+                            F.concat_ws(" ", F.slice("toks", i + 1, NOVELTY_K))
+                        ),
+                    )
                 )
             ).alias("gh"),
         )
-        .distinct()
     )
-    first = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    wg = Window.partitionBy("gh")
     per_doc = (
-        grams.join(first, "gh")
+        grams.withColumn("first_doc", F.min("doc_id").over(wg))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_distinct_grams"),
