@@ -86,6 +86,43 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# (abs_dir, name) -> row count, immutable driver testdata only (same
+# rule as _TABLE_CACHE): a test corpus rewritten in place must re-read.
+_ROWS_CACHE: dict[tuple[str, str], int] = {}
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of one testdata table from parquet FOOTER metadata
+    — a driver-side statistics read, no Spark job (r13 optimization: the
+    GEMM shard/stride derivations each paid a count() job per entry call
+    for a number the footer already stores).  Handles both a single
+    ``<name>.parquet`` file and a directory of part files (sums their
+    footers — the same bounded metadata pass any catalog statistic
+    collection performs at scale).  Equals COUNT(*) by parquet contract,
+    so every oracle that mirrors a count-derived parameter (adaptive
+    stride, derived k, eval-sample stride) stays bit-identical."""
+    import pyarrow.parquet as pq
+
+    abs_dir = os.path.abspath(sf_dir)
+    cacheable = (abs_dir + "/").startswith(_IMMUTABLE_ROOT)
+    if cacheable and (abs_dir, name) in _ROWS_CACHE:
+        return _ROWS_CACHE[(abs_dir, name)]
+    path = os.path.join(abs_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        n = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
+    else:
+        n = pq.ParquetFile(path).metadata.num_rows
+    if cacheable:
+        _ROWS_CACHE[(abs_dir, name)] = n
+    return n
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for Spark SQL queries.
 

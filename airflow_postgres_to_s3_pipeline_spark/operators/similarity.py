@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airflow_postgres_to_s3_pipeline_spark.cache import tracked_persist
-from airflow_postgres_to_s3_pipeline_spark.catalog import table
+from airflow_postgres_to_s3_pipeline_spark.catalog import table, table_rows
 from airflow_postgres_to_s3_pipeline_spark.functions.vector import (
     cosine_similarity,
     dot,
@@ -96,6 +96,30 @@ def _replicate_per_shard(df: DataFrame, n_shards: int) -> DataFrame:
             spark.range(n_shards).select(F.col("id").cast("int").alias("shard"))
         )
     )
+
+
+# rows per GEMM cogroup shard below which the per-task Python-worker /
+# Arrow round-trip costs more than the numpy kernel it feeds (the kernel
+# on a 256 x 64 fp64 chunk is sub-millisecond; a task round-trip is
+# ~20-30ms).  Only a lower bound on rows-per-shard — the shard count is
+# still capped at defaultParallelism, so big corpora keep every core busy.
+GEMM_SHARD_TARGET_ROWS = 256
+
+
+def _gemm_shards(spark: SparkSession, n_rows: int) -> int:
+    """Scale-adaptive cogroup shard count for the numpy GEMM tiers:
+    min(defaultParallelism, ceil(n_rows / GEMM_SHARD_TARGET_ROWS)).
+    At corpus scale this is defaultParallelism unchanged; on a small
+    corpus it stops the fixed 32-way salt from paying 32 Python-worker
+    round-trips per stage for sub-millisecond kernels (r13 measured at
+    sf0.1, 2,000 vectors: knn_ivfpq 4.35 -> 3.20s warm min with 8
+    shards).  Results are shard-independent — every kernel is row-local
+    with row-wise dimension-ordered accumulation, pinned by the
+    GEMM-vs-fold parity tests — so this is purely a scheduling knob.
+    The count() a caller feeds this is the same collection statistic the
+    adaptive-stride/derived-k paths already maintain."""
+    par = spark.sparkContext.defaultParallelism
+    return max(1, min(par, -(-n_rows // GEMM_SHARD_TARGET_ROWS)))
 
 
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -426,6 +450,9 @@ def knn_ivf(spark: SparkSession, sf_dir: str, n_probe: int = IVF_N_PROBE,
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
+    # collection statistic (stride + shard derivation) from the parquet
+    # footers — equals e.count() by parquet contract, zero Spark jobs
+    n_vecs = table_rows(sf_dir, "embeddings")
     if every is None:
         # default stride SCALES with the corpus (r12 sf1 probe: the
         # fixed-50 default made the fold tier's index build quadratic —
@@ -434,11 +461,11 @@ def knn_ivf(spark: SparkSession, sf_dir: str, n_probe: int = IVF_N_PROBE,
         # derives the identical stride in SQL (params CTE), so the
         # mirror holds at ANY scale factor; at the driver's sf0.001-0.1
         # the floor keeps every=50 — bit-identical to the old default.
-        every = _adaptive_every(e.count())
+        every = _adaptive_every(n_vecs)
     cents = _centroids(e, every)
     if assign_tier == "gemm":
         assigned = ivf_assign_gemm(
-            e, cents, spark.sparkContext.defaultParallelism
+            e, cents, _gemm_shards(spark, n_vecs)
         )
     else:
         assigned = ivf_assign(e, cents)
@@ -1454,7 +1481,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str,
     # a caller shrinking tile_elems caps per-task memory everywhere
     tile_elems = tile_elems if tile_elems is not None else SEMDEDUP_TILE_ELEMS
     if k is None:
-        k = semantic_dedup_k(e.count())
+        # footer-statistics row count (== e.count(); zero Spark jobs) —
+        # the oracle recomputes k from COUNT(*), identical by contract
+        k = semantic_dedup_k(table_rows(sf_dir, "embeddings"))
     centroids = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cluster_id"), F.col("v").alias("cv")
     )
@@ -1710,7 +1739,7 @@ def knn_gemm(spark: SparkSession, sf_dir: str,
         "vec_id", to_double_array("embedding").alias("v")
     )
     if n_shards is None:
-        n_shards = spark.sparkContext.defaultParallelism
+        n_shards = _gemm_shards(spark, table_rows(sf_dir, "embeddings"))
     corpus = _salt_shards(e, n_shards)
     q = _replicate_per_shard(
         e.filter(F.col("vec_id") < N_QUERIES)
@@ -2059,7 +2088,7 @@ def knn_pq(spark: SparkSession, sf_dir: str,
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
-    shards = spark.sparkContext.defaultParallelism
+    shards = _gemm_shards(spark, table_rows(sf_dir, "embeddings"))
     packed = _pq_codebook(e)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -2169,7 +2198,7 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str,
         "vec_id", to_double_array("embedding").alias("v")
     )
     cents = _centroids(e, every)
-    shards = spark.sparkContext.defaultParallelism
+    shards = _gemm_shards(spark, table_rows(sf_dir, "embeddings"))
     assigned = ivf_assign_gemm(e, cents, shards)
     packed = _pq_codebook(e)
     coded = pq_encode_gemm(assigned, packed, shards, carry=("centroid_id",))

@@ -913,3 +913,35 @@ def test_lsh_band_signatures_gemm_bit_identical(spark, sf_dir):
     }
     assert expr == gemm
     assert expr
+
+
+def test_gemm_shards_scale_adaptive(spark):
+    """Shard derivation: one shard per GEMM_SHARD_TARGET_ROWS rows,
+    capped at defaultParallelism, floored at 1 — so tiny corpora stop
+    paying a Python-worker round-trip per core while big corpora keep
+    every core busy (r13 optimization)."""
+    par = spark.sparkContext.defaultParallelism
+    tgt = similarity.GEMM_SHARD_TARGET_ROWS
+    assert similarity._gemm_shards(spark, 0) == 1
+    assert similarity._gemm_shards(spark, 1) == 1
+    assert similarity._gemm_shards(spark, tgt) == 1
+    assert similarity._gemm_shards(spark, tgt + 1) == min(par, 2)
+    assert similarity._gemm_shards(spark, tgt * par) == par
+    assert similarity._gemm_shards(spark, tgt * par * 100) == par
+
+
+def test_table_rows_matches_count(spark, sf_dir, tmp_path):
+    """Footer-statistics row count == COUNT(*) for both layouts: the
+    driver's single-file testdata and a Spark-written part-file
+    directory (r13: replaces per-entry count() jobs in the GEMM
+    shard/stride/derived-k derivations)."""
+    from airflow_postgres_to_s3_pipeline_spark.catalog import table_rows
+
+    n_spark = table(spark, sf_dir, "embeddings").count()
+    assert table_rows(sf_dir, "embeddings") == n_spark
+
+    out = str(tmp_path)
+    spark.range(123).selectExpr("id AS vec_id").repartition(3).write.parquet(
+        out + "/embeddings.parquet"
+    )
+    assert table_rows(out, "embeddings") == 123
