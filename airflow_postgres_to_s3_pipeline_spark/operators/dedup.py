@@ -837,11 +837,14 @@ def connected_components(pairs: DataFrame, node_ids: DataFrame,
     """Cluster ids via min-label propagation over an undirected pair graph.
 
     Each iteration joins every node's current label with its neighbors' and
-    keeps the minimum — after d iterations every node holds the minimum id
-    within distance d, so components of diameter <= max_iterations converge
-    (near-dup clusters are shallow; 6 hops covers them).  Per iteration: one
-    shuffle join on node id + one groupBy min.  Labels stay DataFrames — no
-    driver materialization, the loop shape runs unchanged at 100 TB.
+    keeps the minimum — after d propagation steps every node holds the
+    minimum id within distance d.  The initial labels are pre-seeded at
+    depth 1 (min of self and direct neighbors, computed on the edge
+    build's own exchange), so components of diameter <=
+    max_iterations + 1 converge (near-dup clusters are shallow; 6 hops
+    covers them).  Per iteration: one shuffle join on node id + one
+    groupBy min.  Labels stay DataFrames — no driver materialization,
+    the loop shape runs unchanged at 100 TB.
 
     If labels are still changing after ``max_iterations`` (a component with
     diameter > max_iterations, e.g. a long duplicate chain), the result
@@ -876,20 +879,27 @@ def connected_components(pairs: DataFrame, node_ids: DataFrame,
     # typically orders of magnitude smaller than the corpus at scale) and
     # the untouched singletons are unioned back once at the end (r13
     # optimization; the SQL oracle already computes the closure this way).
-    # ``dst`` carries every endpoint (edges are symmetric), and its
-    # distinct reuses the persisted frame's dst partitioning — no
-    # exchange.  Eagerly checkpointed (a thin id frame) because the
-    # returned plan still references it AFTER the loop unpersists
-    # ``edges`` — without the cut, materializing the result would re-run
-    # the whole upstream pair-generation pipeline.
-    edge_nodes = (
-        edges.select(F.col("dst").alias("doc_id"))
-        .distinct()
+    # The initial labels are SEEDED at propagation depth 1 — cluster_id =
+    # min(v, min neighbor id), exactly the frame the first loop round
+    # used to produce from identity labels — as one aggregate that reuses
+    # the persisted frame's dst partitioning (no exchange, no join;
+    # ``dst`` carries every endpoint because edges are symmetric), so
+    # shallow clusters (the common near-dup case) converge one full
+    # join+aggregate+checkpoint round earlier (r13, second pass).
+    # Eagerly checkpointed (a thin id frame) because the returned plan
+    # still references it AFTER the loop unpersists ``edges`` — without
+    # the cut, materializing the result would re-run the whole upstream
+    # pair-generation pipeline.
+    labels = (
+        edges.groupBy(F.col("dst").alias("doc_id"))
+        .agg(F.min("src").alias("_nbr_min"))
+        .select(
+            "doc_id",
+            F.least(F.col("doc_id"), F.col("_nbr_min")).alias("cluster_id"),
+        )
         .localCheckpoint(eager=True)
     )
-    labels = edge_nodes.select(
-        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
-    )
+    edge_nodes = labels.select("doc_id")
     changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
