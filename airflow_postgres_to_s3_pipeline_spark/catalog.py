@@ -110,9 +110,14 @@ def table_rows(sf_dir: str, name: str) -> int:
     path = os.path.join(abs_dir, f"{name}.parquet")
     if os.path.isdir(path):
         n = 0
-        for root, _dirs, files in os.walk(path):
+        for root, dirs, files in os.walk(path):
+            # mirror Spark's InMemoryFileIndex filtering: underscore/dot
+            # prefixed paths (_temporary, _SUCCESS, .staging) are metadata,
+            # not data — summing them would diverge from df.count() after
+            # an interrupted write (r13 ADVICE)
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             for f in files:
-                if f.endswith(".parquet"):
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
                     n += pq.ParquetFile(
                         os.path.join(root, f)
                     ).metadata.num_rows

@@ -378,6 +378,49 @@ def _cap_buckets(banded: DataFrame, max_bucket: int,
     )
 
 
+def _bucket_pair_expansion(banded: DataFrame, group_cols: tuple[str, ...],
+                           max_bucket: int,
+                           carry_cols: tuple[str, ...] = ()) -> DataFrame:
+    """The r13 bucket-collapse pair expansion, single-sourced (r13 ADVICE:
+    lsh_band_sweep carried a verbatim copy of lsh_candidate_pairs's capped
+    path, so a cap or expansion change could land in one site only): each
+    ``group_cols`` bucket collapses to ONE sorted-ids row via collect_list
+    (partially aggregated map-side), the hub cap is a plain
+    ``size(ids) <= max_bucket`` filter, and the C(b,2) expansion happens
+    row-locally in a HOF bounded by the cap.  ``carry_cols`` (a subset of
+    ``group_cols``, e.g. lsh_band_sweep's config tag) survive into the
+    output next to (doc_a, doc_b); output is distinct over carry + pair.
+
+    Only safe WITH a cap — uncapped, a hub bucket's C(b,2) pair structs
+    would materialize inside ONE row in one task; callers keep their
+    distributed self-join for the ``max_bucket=0/None`` convention."""
+    buckets = banded.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        buckets.filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= max_bucket)
+        )
+        .select(*carry_cols, F.explode(pairs).alias("p"))
+        .select(
+            *carry_cols,
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 32,
                         bands: int = 8, checkable: bool = False,
                         max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
@@ -429,28 +472,7 @@ def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 32,
     # a doc contributes exactly one row per band, so doc_ids are unique
     # within a bucket and the sorted i<j expansion is exactly the
     # self-join's doc_a < doc_b predicate (parity pinned by test)
-    buckets = banded.groupBy("band", "band_hash").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ids")
-    )
-    ids = F.col("ids")
-    pairs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    return (
-        buckets.filter(
-            (F.size("ids") >= 2) & (F.size("ids") <= max_bucket)
-        )
-        .select(F.explode(pairs).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"),
-                F.col("p.doc_b").alias("doc_b"))
-        .distinct()
-    )
+    return _bucket_pair_expansion(banded, ("band", "band_hash"), max_bucket)
 
 
 def jaccard3(n_inter, size_a, size_b):
@@ -1992,40 +2014,19 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str,
     # computes every config's buckets in one exchange, and one distinct
     # covers all configs — the `bands` tag keeps per-config pair sets
     # disjoint, so this is exactly the union of the per-config distincts.
-    # The size-capped HOF pair expansion is lsh_candidate_pairs's capped
-    # path verbatim (the cap applies per (bands, band, band_hash) bucket,
-    # identical to each config's own run); the unchanged oracle pins the
-    # equivalence.
+    # The size-capped HOF pair expansion is _bucket_pair_expansion — the
+    # SAME helper lsh_candidate_pairs's capped path uses (the cap applies
+    # per (bands, band, band_hash) bucket, identical to each config's own
+    # run); the unchanged oracle pins the equivalence.
     banded_all = None
     for b in band_grid:
         bk = banded_keys(sig, n_hashes, b, checkable=True).select(
             F.lit(b).alias("bands"), "band", "band_hash", "doc_id"
         )
         banded_all = bk if banded_all is None else banded_all.unionByName(bk)
-    buckets = banded_all.groupBy("bands", "band", "band_hash").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ids")
-    )
-    ids = F.col("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    cand_all = (
-        buckets.filter(
-            (F.size("ids") >= 2) & (F.size("ids") <= LSH_MAX_BUCKET)
-        )
-        .select("bands", F.explode(pair_structs).alias("p"))
-        .select(
-            "bands",
-            F.col("p.doc_a").alias("doc_a"),
-            F.col("p.doc_b").alias("doc_b"),
-        )
-        .distinct()
+    cand_all = _bucket_pair_expansion(
+        banded_all, ("bands", "band", "band_hash"), LSH_MAX_BUCKET,
+        carry_cols=("bands",),
     )
     tagged = tagged.unionByName(
         cand_all.select(

@@ -2197,7 +2197,13 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str,
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
-    cents = _centroids(e, every)
+    # the centroid frame is derived TWICE per knn_ivfpq call (replicated
+    # into the assign cogroup here, broadcast by _probe_cells) — each
+    # derivation re-scanning the embeddings parquet + re-running
+    # to_double_array for a corpus/every-row frame.  Persist the tiny
+    # frame once (r13 verdict task 4); released with the query's other
+    # tracked persists.
+    cents = tracked_persist(_centroids(e, every))
     shards = _gemm_shards(spark, table_rows(sf_dir, "embeddings"))
     assigned = ivf_assign_gemm(e, cents, shards)
     packed = _pq_codebook(e)

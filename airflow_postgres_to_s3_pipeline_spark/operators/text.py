@@ -891,7 +891,16 @@ def _bm25_doc_stats(d: DataFrame, with_dot: bool = False) -> DataFrame:
     lookup of the query-bucket counts, summed row-locally — dv regroups
     exactly because integer addition is order-free).
     """
-    toks = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    # NULL-guard (r13 ADVICE): F.split(NULL) is NULL and F.size(NULL) = -1,
+    # so a NULL-text doc would contribute dl=-1 to _sum_dl and silently
+    # bias avgdl; the pre-r13 explode chain simply produced no token rows
+    # for such docs.  COALESCE to "" gives dl=0 / tf=0 — same aggregate
+    # contribution as the old chain (testdata has no NULL texts, so this
+    # is robustness, not a result change).
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda w: F.length(w) > 0,
+    )
     base = d.select("doc_id", toks.alias("_toks"))
     cols = [F.col("doc_id"), F.size("_toks").alias("dl")]
     for k, term in enumerate(BM25_QUERY_TERMS):
@@ -1759,14 +1768,14 @@ _oracle(
     )
     SELECT pb.bucket, pb.n_tokens, pb.distinct_in_bucket,
            COALESCE(nt.new_types, 0) AS new_types,
-           SUM(pb.n_tokens) OVER (
+           CAST(SUM(pb.n_tokens) OVER (
                ORDER BY pb.bucket
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS cum_tokens,
-           SUM(COALESCE(nt.new_types, 0)) OVER (
+           ) AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(nt.new_types, 0)) OVER (
                ORDER BY pb.bucket
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS vocab_size
+           ) AS BIGINT) AS vocab_size
     FROM pb LEFT JOIN nt ON pb.bucket = nt.bucket
     """,
 )

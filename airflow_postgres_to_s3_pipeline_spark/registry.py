@@ -880,9 +880,49 @@ _MODULES = (
 # above; all are still locally verified by tools/check_oracles.py and
 # pytest regardless of driver coverage.
 QUERIES: dict[str, QueryFn] = {
+    "vocab_growth_curve": text.vocab_growth_curve,
+    "sequence_packing_bpe": curation.sequence_packing_bpe,
+    "streaming_dynamic_session": streaming_dynamic_session,
+    "streaming_ss_left_outer_join": streaming_ss_left_outer_join,
+    "chunk_dedup": dedup.chunk_dedup,
+    "knn_ivf": similarity.knn_ivf,
+    "pandas_udf_score": udfs.pandas_udf_score,
+    "fuzzy_match_parts": entity.fuzzy_match_parts,
+    "weighted_sample_sus": curation.weighted_sample_sus,
+    "bm25_scoring": text.bm25_scoring,
+    "nation_market_share": advanced.nation_market_share,
+    "streaming_late_data_drop": streaming_late_data_drop,
+    "streaming_session_timeout": streaming_session_timeout,
+    "dedup_components": dedup.dedup_components,
+    "winnowing_dedup": text.winnowing_dedup,
+    "bfs_hops": graph.bfs_hops,
+    "scd2_apply": advanced.scd2_apply,
+    "approx_topk_terms": sketches.approx_topk_terms,
+    "window_running_total": windows.window_running_total,
+    "xml_functions": sql_surface.xml_functions,
+    "python_simple_stream_source_agg": python_simple_stream_source_agg,
+    "mode_argmax": advanced.mode_argmax,
+    "window_percent_rank": windows.window_percent_rank,
+    "sql_scripting_threshold": sql_surface.sql_scripting_threshold,
+    "join_semi": relational.join_semi,
+    "asof_last_purchase": windows.asof_last_purchase,
+    "k_anonymity_check": advanced.k_anonymity_check,
+    "multimodal_tile_near_dup": multimodal.multimodal_tile_near_dup,
+    "customer_order_distribution": advanced.customer_order_distribution,
+    "dedup_exact": dedup.dedup_exact,
+    "large_volume_orders": advanced.large_volume_orders,
+    "cube_status_priority": relational.cube_status_priority,
+    "set_operations": relational.set_operations,
+    "filter_compound": relational.filter_compound,
+    "array_functions": scalar_funcs.array_functions,
+    "returned_item_revenue": advanced.returned_item_revenue,
+    "date_functions": scalar_funcs.date_functions,
+    "math_functions": scalar_funcs.math_functions,
+    "conditional_functions": scalar_funcs.conditional_functions,
+    "nested_struct_roundtrip": layout.nested_struct_roundtrip,
+    "string_functions": scalar_funcs.string_functions,
     "substring_dup_spans": dedup.substring_dup_spans,
     "substring_dup_trim": dedup.substring_dup_trim,
-    "vocab_growth_curve": text.vocab_growth_curve,
     "ngram_novelty_score": text.ngram_novelty_score,
     "frontier_order_chain": advanced.frontier_order_chain,
     "multimodal_header_parse": multimodal.multimodal_header_parse,
@@ -890,6 +930,7 @@ QUERIES: dict[str, QueryFn] = {
     "approx_percentiles": relational.approx_percentiles,
     "approx_count_distinct_users": relational.approx_count_distinct_users,
     "array_agg_ordered": advanced.array_agg_ordered,
+    # -- end of driver window (50) -------------------------------------
     "dedup_incremental": dedup.dedup_incremental,
     "embedding_near_dup": similarity.embedding_near_dup,
     "multimodal_frame_sample": multimodal.multimodal_frame_sample,
@@ -930,11 +971,6 @@ QUERIES: dict[str, QueryFn] = {
     "math_trig_bits": scalar_funcs.math_trig_bits,
     "try_arithmetic": scalar_funcs.try_arithmetic,
     "explode_word_freq": scalar_funcs.explode_word_freq,
-    # -- end of driver window (50) -------------------------------------
-    "sequence_packing_bpe": curation.sequence_packing_bpe,
-    "streaming_dynamic_session": streaming_dynamic_session,
-    "streaming_ss_left_outer_join": streaming_ss_left_outer_join,
-    "chunk_dedup": dedup.chunk_dedup,
     "join_shuffle_multiway": relational.join_shuffle_multiway,
     "join_full_outer": relational.join_full_outer,
     "join_anti": relational.join_anti,
@@ -944,7 +980,6 @@ QUERIES: dict[str, QueryFn] = {
     "count_distinct_agg": relational.count_distinct_agg,
     "heavy_hitters_terms": sketches.heavy_hitters_terms,
     "bitmap_distinct_orders": sketches.bitmap_distinct_orders,
-    "cube_status_priority": relational.cube_status_priority,
     "grouping_sets_agg": relational.grouping_sets_agg,
     "scalar_subquery_threshold": advanced.scalar_subquery_threshold,
     "correlated_agg_subquery": advanced.correlated_agg_subquery,
@@ -976,15 +1011,6 @@ QUERIES: dict[str, QueryFn] = {
     "part_cooccurrence_lift": graph.part_cooccurrence_lift,
     "streaming_session_window": streaming_session_window,
     "asof_join_pandas": windows.asof_join_pandas,
-    "set_operations": relational.set_operations,
-    "filter_compound": relational.filter_compound,
-    "array_functions": scalar_funcs.array_functions,
-    "returned_item_revenue": advanced.returned_item_revenue,
-    "date_functions": scalar_funcs.date_functions,
-    "math_functions": scalar_funcs.math_functions,
-    "conditional_functions": scalar_funcs.conditional_functions,
-    "nested_struct_roundtrip": layout.nested_struct_roundtrip,
-    "string_functions": scalar_funcs.string_functions,
     "export_projection_filter": relational.export_projection_filter,
     "table_fingerprint": export_ops.table_fingerprint,
     "pricing_summary": relational.pricing_summary,
@@ -992,7 +1018,6 @@ QUERIES: dict[str, QueryFn] = {
     "join_null_safe": relational.join_null_safe,
     "nation_volume_shipping": advanced.nation_volume_shipping,
     "local_supplier_volume": advanced.local_supplier_volume,
-    "customer_order_distribution": advanced.customer_order_distribution,
     "inactive_high_value_customers": advanced.inactive_high_value_customers,
     "join_range": relational.join_range,
     "orders_asof_dimension": advanced.orders_asof_dimension,
@@ -1007,7 +1032,6 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_stateful_running_totals": streaming_stateful_running_totals,
     "sessionize_events": windows.sessionize_events,
     "hypertable_rollup": windows.hypertable_rollup,
-    "dedup_exact": dedup.dedup_exact,
     "dedup_incremental_minhash": dedup.dedup_incremental_minhash,
     "winnowing_fingerprint": text.winnowing_fingerprint,
     "embedding_random_projection": similarity.embedding_random_projection,
@@ -1022,7 +1046,6 @@ QUERIES: dict[str, QueryFn] = {
     "triangle_count": graph.triangle_count,
     "dq_audit": advanced.dq_audit,
     "mad_outliers": advanced.mad_outliers,
-    "large_volume_orders": advanced.large_volume_orders,
     "orc_scan_roundtrip": layout.orc_scan_roundtrip,
     "json_functions": scalar_funcs.json_functions,
     "small_quantity_revenue": advanced.small_quantity_revenue,
@@ -1043,8 +1066,6 @@ QUERIES: dict[str, QueryFn] = {
     "epoch_shuffle_order": curation.epoch_shuffle_order,
     "multimodal_audio_energy": multimodal.multimodal_audio_energy,
     "key_skew_profile": advanced.key_skew_profile,
-    "join_semi": relational.join_semi,
-    "asof_last_purchase": windows.asof_last_purchase,
     "window_topk_per_customer": windows.window_topk_per_customer,
     "time_weighted_average": windows.time_weighted_average,
     "sql_udf_functions": sql_surface.sql_udf_functions,
@@ -1052,7 +1073,6 @@ QUERIES: dict[str, QueryFn] = {
     "python_stream_source_agg": python_stream_source_agg,
     "minhash_ml_pairs": ml_feature.minhash_ml_pairs,
     "lsh_band_sweep": dedup.lsh_band_sweep,
-    "k_anonymity_check": advanced.k_anonymity_check,
     "knn_gemm": similarity.knn_gemm,
     "knn_recall_eval": similarity.knn_recall_eval,
     "embedding_lsh_recall_eval": similarity.embedding_lsh_recall_eval,
@@ -1063,16 +1083,12 @@ QUERIES: dict[str, QueryFn] = {
     "quality_retention_curve": text.quality_retention_curve,
     "tfidf_ml_features": ml_feature.tfidf_ml_features,
     "top_supplier_revenue": advanced.top_supplier_revenue,
-    "multimodal_tile_near_dup": multimodal.multimodal_tile_near_dup,
-    "mode_argmax": advanced.mode_argmax,
-    "window_percent_rank": windows.window_percent_rank,
     "cohort_retention": windows.cohort_retention,
     "window_range_frame": windows.window_range_frame,
     "arrow_udf_tier": udfs.arrow_udf_tier,
     "arrow_group_normalize": udfs.arrow_group_normalize,
     "map_in_arrow_price_tier": udfs.map_in_arrow_price_tier,
     "python_udtf_polymorphic": udfs.python_udtf_polymorphic,
-    "sql_scripting_threshold": sql_surface.sql_scripting_threshold,
     "sql_pipe_syntax": sql_surface.sql_pipe_syntax,
     "recursive_order_chain": advanced.recursive_order_chain,
     "streaming_chained_windows": streaming_chained_windows,
@@ -1081,25 +1097,14 @@ QUERIES: dict[str, QueryFn] = {
     "knn_pq_fold": similarity.knn_pq_fold,
     "dedup_keep_best": dedup.dedup_keep_best,
     "bpe_token_count": curation.bpe_token_count,
-    "scd2_apply": advanced.scd2_apply,
     "zorder_scan_roundtrip": layout.zorder_scan_roundtrip,
     "lateral_topk_orders": sql_surface.lateral_topk_orders,
-    "approx_topk_terms": sketches.approx_topk_terms,
-    "window_running_total": windows.window_running_total,
     "timeseries_gapfill": windows.timeseries_gapfill,
-    "xml_functions": sql_surface.xml_functions,
     "streaming_stream_stream_join": streaming_stream_stream_join,
     "streaming_dedup_within_watermark": streaming_dedup_within_watermark,
-    "python_simple_stream_source_agg": python_simple_stream_source_agg,
     "knn_pq": similarity.knn_pq,
     "pii_scrub": text.pii_scrub,
     "pagerank_parts": graph.pagerank_parts,
-    "bm25_scoring": text.bm25_scoring,
-    "nation_market_share": advanced.nation_market_share,
-    "streaming_late_data_drop": streaming_late_data_drop,
-    "streaming_session_timeout": streaming_session_timeout,
-    "dedup_components": dedup.dedup_components,
-    "winnowing_dedup": text.winnowing_dedup,
     "chunk_near_dedup": dedup.chunk_near_dedup,
     "embedding_incremental_dedup": similarity.embedding_incremental_dedup,
     "knn_ivfpq": similarity.knn_ivfpq,
@@ -1109,11 +1114,6 @@ QUERIES: dict[str, QueryFn] = {
     "sequence_packing": curation.sequence_packing,
     "hybrid_search_rrf": text.hybrid_search_rrf,
     "token_pmi_top_pairs": text.token_pmi_top_pairs,
-    "bfs_hops": graph.bfs_hops,
-    "knn_ivf": similarity.knn_ivf,
-    "pandas_udf_score": udfs.pandas_udf_score,
-    "fuzzy_match_parts": entity.fuzzy_match_parts,
-    "weighted_sample_sus": curation.weighted_sample_sus,
 }
 
 

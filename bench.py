@@ -353,69 +353,129 @@ def main() -> int:
             per_query_regressions.sort(
                 key=lambda r: -r["vs_baseline_pct"]
             )
+            # cap the printed list to the worst 5: the driver's capture of
+            # this line is length-bounded, and BENCH_r12's round-over-round
+            # comparison was lost to a JSON line that outgrew it (r13
+            # verdict task — keep the contract line lean)
+            per_query_regressions = per_query_regressions[:5]
     except (OSError, ValueError):
         pass
 
+    # Diagnostics that are NOT part of the driver contract go to STDERR as
+    # their own JSON line: the driver's stdout capture is length-bounded
+    # (BENCH_r12's round-over-round comparison was lost when the growing
+    # contract line outran the 2000-char tail — r13 verdict task 2), so
+    # stdout carries exactly ONE lean JSON line and nothing after it.
+    # r13 and earlier printed queries_cold / per_query_regressions /
+    # eval_queries inline; their values live on in the old BENCH_r*.json
+    # files and, from r14 on, in this stderr line.
     print(
         json.dumps(
             {
-                "metric": "headline_query_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs_per_query": n_runs,
-                "queries_cold": cold,
-                # tier split: serving = per-batch production paths,
-                # eval = acceptance gates with deliberate exhaustive
-                # truth sides (registry.EVAL_TIERS)
-                "value_serving": total_serving,
-                "value_eval": total_eval,
-                "eval_queries": eval_queries,
-                "load_avg_at_start": load_avg,
-                # 5-min average alongside the 1-min gate value: a burst
-                # that just subsided shows low 1-min / high 5-min, so
-                # cross-round comparisons can spot borderline-idle runs.
-                # Sampled at gate-pass time — sampling here at print time
-                # would record the bench's OWN 4-minute 32-thread load
-                # (the first dual-load run read 0.08/4.51 that way on a
-                # provably idle host)
-                "load_avg_5m_at_start": load_avg_5m,
-                "idle_host": idle_host,
-                # the gate's threshold and the margin it passed with —
-                # a near-zero margin means the numbers likely ran ~5-10%
-                # hot vs a dual-idle host (r8: margin 0.23, ~6% hot)
-                "idle_threshold": round(_idle_threshold(), 2),
-                "idle_margin": round(
-                    _idle_threshold()
-                    - max(load_avg, load_avg_5m / LOAD5_IDLE_FRACTION),
-                    2,
-                ),
-                # idle-baseline adjudication fields (r10 verdict task 2):
-                # warm common-query total of the last truly-idle run, this
-                # run's % deviation from it, and the composite flag — set
-                # when the gate failed OR the warm total runs >10% over
-                # the idle baseline, i.e. "treat these numbers as hot"
-                "idle_baseline_common_total": baseline_common_total,
-                "vs_idle_baseline_pct": vs_idle_baseline_pct,
-                "hot_run_suspected": hot_run_suspected,
-                # entries whose warm-min deviation vs the idle baseline
-                # exceeds their recorded per-entry idle-swing band plus
-                # BAND_MARGIN_PCT — the mechanical noise-vs-real verdict
-                # for per-query deltas (empty = all inside their bands;
-                # only meaningful when the host epochs match)
-                "per_query_regressions": per_query_regressions,
-                # kernel + CPU-model hash: totals are only comparable
-                # within one host epoch (r11 verdict task 7).  When
-                # idle_baseline_host_epoch differs from host_epoch, the
-                # vs_idle_baseline_pct deviation is cross-epoch and NOT
-                # evidence of a plan regression.
-                "host_epoch": _host_epoch(),
-                "idle_baseline_host_epoch": baseline_host_epoch,
+                "bench_diagnostics": {
+                    "queries_cold": cold,
+                    "eval_queries": eval_queries,
+                    # entries whose warm-min deviation vs the idle
+                    # baseline exceeds their recorded per-entry idle-swing
+                    # band plus BAND_MARGIN_PCT — the mechanical
+                    # noise-vs-real verdict for per-query deltas (empty =
+                    # all inside their bands; only meaningful when the
+                    # host epochs match), capped to the worst 5
+                    "per_query_regressions": per_query_regressions,
+                    "idle_baseline_host_epoch": baseline_host_epoch,
+                }
             }
-        )
+        ),
+        file=sys.stderr,
+        flush=True,
+    )
+    print(
+        json.dumps(
+            contract_payload(
+                timings=timings,
+                sf=sf,
+                n_runs=n_runs,
+                total_serving=total_serving,
+                total_eval=total_eval,
+                load_avg=load_avg,
+                load_avg_5m=load_avg_5m,
+                idle_host=idle_host,
+                baseline_common_total=baseline_common_total,
+                vs_idle_baseline_pct=vs_idle_baseline_pct,
+                hot_run_suspected=hot_run_suspected,
+            )
+        ),
+        # the contract line must be the LAST stdout line (the driver's
+        # parser reads from the end; a buffered tail-flush after exit
+        # reordered r12's capture) — flush it explicitly
+        flush=True,
     )
     return 0
+
+
+def contract_payload(
+    *,
+    timings: dict[str, float],
+    sf: float | None,
+    n_runs: int,
+    total_serving: float,
+    total_eval: float,
+    load_avg: float,
+    load_avg_5m: float,
+    idle_host: bool,
+    baseline_common_total: float | None,
+    vs_idle_baseline_pct: float | None,
+    hot_run_suspected: bool,
+) -> dict:
+    """The driver-contract JSON line, and ONLY it — every other
+    measurement goes to the stderr diagnostics line.  Factored out so
+    tests/test_bench_contract.py can pin the serialized length under the
+    driver's tail capture."""
+    return {
+        "metric": "headline_query_total_runtime",
+        "value": round(total_serving + total_eval, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs_per_query": n_runs,
+        # tier split: serving = per-batch production paths, eval =
+        # acceptance gates with deliberate exhaustive truth sides
+        # (registry.EVAL_TIERS; names in the stderr diagnostics line)
+        "value_serving": total_serving,
+        "value_eval": total_eval,
+        "load_avg_at_start": load_avg,
+        # 5-min average alongside the 1-min gate value: a burst that just
+        # subsided shows low 1-min / high 5-min, so cross-round
+        # comparisons can spot borderline-idle runs.  Sampled at
+        # gate-pass time — sampling at print time would record the
+        # bench's OWN 4-minute 32-thread load (the first dual-load run
+        # read 0.08/4.51 that way on a provably idle host)
+        "load_avg_5m_at_start": load_avg_5m,
+        "idle_host": idle_host,
+        # the gate's threshold and the margin it passed with — a
+        # near-zero margin means the numbers likely ran ~5-10% hot vs a
+        # dual-idle host (r8: margin 0.23, ~6% hot)
+        "idle_threshold": round(_idle_threshold(), 2),
+        "idle_margin": round(
+            _idle_threshold()
+            - max(load_avg, load_avg_5m / LOAD5_IDLE_FRACTION),
+            2,
+        ),
+        # idle-baseline adjudication fields (r10 verdict task 2): warm
+        # common-query total of the last truly-idle run, this run's %
+        # deviation from it, and the composite flag — set when the gate
+        # failed OR the warm total runs >10% over the idle baseline,
+        # i.e. "treat these numbers as hot"
+        "idle_baseline_common_total": baseline_common_total,
+        "vs_idle_baseline_pct": vs_idle_baseline_pct,
+        "hot_run_suspected": hot_run_suspected,
+        # kernel + CPU-model hash: totals are only comparable within one
+        # host epoch (r11 verdict task 7).  When the stderr diagnostics'
+        # idle_baseline_host_epoch differs from host_epoch, the
+        # vs_idle_baseline_pct deviation is cross-epoch and NOT evidence
+        # of a plan regression.
+        "host_epoch": _host_epoch(),
+    }
 
 
 if __name__ == "__main__":

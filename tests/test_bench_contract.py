@@ -108,6 +108,38 @@ def test_scale_smoke_labels_are_section_gated():
     assert len(used) > 30  # the extraction itself must keep matching
 
 
+def test_contract_line_fits_driver_tail_capture():
+    """BENCH_r12's round-over-round comparison was lost because the JSON
+    contract line outgrew the driver's 2000-char stdout tail capture and
+    was stored truncated (r13 verdict task 2).  The line must stay under
+    the capture with headroom even at worst-case field widths; everything
+    else (queries_cold, per_query_regressions, ...) belongs on the stderr
+    diagnostics line."""
+    import json
+
+    payload = bench.contract_payload(
+        timings={q: 999.999 for q in bench.BENCH_QUERIES},
+        sf=0.1,
+        n_runs=3,
+        total_serving=99999.999,
+        total_eval=9999.999,
+        load_avg=99.99,
+        load_avg_5m=99.99,
+        idle_host=False,
+        baseline_common_total=99999.999,
+        vs_idle_baseline_pct=999.9,
+        hot_run_suspected=True,
+    )
+    line = json.dumps(payload)
+    assert len(line) < 1950, (
+        f"contract line is {len(line)} chars — the driver tail capture "
+        "is 2000; move fields to the stderr diagnostics line"
+    )
+    # the required driver-contract fields stay present
+    for field in ("metric", "value", "unit", "queries", "sf"):
+        assert field in payload
+
+
 def test_idle_baseline_carries_variance_bands():
     """r12 verdict task 6: per-query cold deltas were being adjudicated
     by hand (the five-run lsh_band_sweep study).  The idle baseline must

@@ -101,3 +101,27 @@ def test_null_safe_equality_operator(spark):
                                "a string, b string")
     got = df.select(F.col("a").eqNullSafe(F.col("b")).alias("eq")).collect()
     assert [r["eq"] for r in got] == [True, False, True]
+
+
+def test_bm25_doc_stats_null_text_contributes_zero_dl(spark):
+    """r13 ADVICE: F.split(NULL) -> NULL and F.size(NULL) = -1, so a
+    NULL-text doc fed dl=-1 into the BM25 collection stats and biased
+    avgdl; the pre-r13 explode chain produced no token rows for such
+    docs.  The null-guard must give dl=0 / tf=0 (the same aggregate
+    contribution as the old chain) and keep the doc out of the ranked
+    output (no query-term hits)."""
+    from airflow_postgres_to_s3_pipeline_spark.operators.text import (
+        _bm25_doc_stats,
+        _bm25_rank,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "join filter stream"), (2, None), (3, "")],
+        "doc_id bigint, text string",
+    )
+    stats = {r["doc_id"]: r.asDict() for r in _bm25_doc_stats(d).collect()}
+    assert stats[2]["dl"] == 0 and stats[3]["dl"] == 0
+    assert stats[2]["tf0"] == 0
+    assert stats[1]["dl"] == 3
+    ranked = _bm25_rank(_bm25_doc_stats(d)).collect()
+    assert [r["doc_id"] for r in ranked] == [1]

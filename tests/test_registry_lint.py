@@ -82,8 +82,17 @@ def test_window_matches_rotation_policy():
         "registry entries changed since the last rotation snapshot — "
         "re-run tools/rotate_window.py --snapshot"
     )
-    expected = rotate_window.select_window(snap["ledger"])
+    expected = rotate_window.select_window(
+        snap["ledger"], snap.get("prev_window", ())
+    )
     assert set(snap["window"]) == set(expected)
+    if "prev_window" in snap:
+        n_common = len(set(snap["window"]) & set(snap["prev_window"]))
+        assert n_common >= rotate_window.OVERLAP_COHORT, (
+            f"window overlap with previous round is {n_common} < "
+            f"{rotate_window.OVERLAP_COHORT} — the driver's round-over-round "
+            "comparison would be vacuous again (r13 PERF n_common=0)"
+        )
     actual = list(registry.QUERIES)[: registry.DRIVER_WINDOW]
     assert set(actual) == set(expected), (
         "driver window diverges from the pinned stalest-first selection: "

@@ -945,3 +945,21 @@ def test_table_rows_matches_count(spark, sf_dir, tmp_path):
         out + "/embeddings.parquet"
     )
     assert table_rows(out, "embeddings") == 123
+
+    # underscore/dot-prefixed paths are Spark metadata, not data: a
+    # leftover _temporary part from an interrupted write must not count
+    # (r13 ADVICE — mirror InMemoryFileIndex filtering)
+    import os
+    junk_dir = out + "/embeddings.parquet/_temporary/0"
+    os.makedirs(junk_dir)
+    spark.range(7).selectExpr("id AS vec_id").coalesce(1).write.parquet(
+        junk_dir + "/stage"
+    )
+    src_part = next(
+        f for f in os.listdir(junk_dir + "/stage") if f.endswith(".parquet")
+    )
+    os.rename(
+        junk_dir + "/stage/" + src_part,
+        out + "/embeddings.parquet/_hidden_copy.parquet",
+    )
+    assert table_rows(out, "embeddings") == 123

@@ -1,8 +1,12 @@
 """Local replica of the driver's correctness gate.
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` mirror on
-DuckDB over the same parquet, then compares row count, column names, and an
-order-insensitive value representation.  Run before committing:
+DuckDB over the same parquet, then compares row count, column names, an
+order-insensitive value representation, and (since r14) the oracle's planned
+column TYPES against the Spark schema — ``fetchall()`` values are type-blind
+(DuckDB HUGEINT and BIGINT both arrive as Python int), but the driver's hash
+is typed, so an uncast aggregate passes here and fails the driver (the r13
+``vocab_growth_curve`` regression).  Run before committing:
 
     python tools/check_oracles.py [sf_dir] [query ...]
 """
@@ -19,6 +23,9 @@ import duckdb
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from oracle_dtypes import normalize_duck, spark_to_duck  # noqa: E402
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -132,6 +139,20 @@ def main() -> int:
             failures.append(name)
             continue
         ok = True
+        # typed-hash guard: DESCRIBE the oracle and compare normalized type
+        # families against the Spark schema (oracle_dtypes holds the
+        # driver-calibrated rules: int widths collapse, HUGEINT does not)
+        spark_types = {f.name: f.dataType for f in df.schema.fields}
+        for col, dtype, *_ in con.execute(f"DESCRIBE {oracles[name]}").fetchall():
+            if col not in spark_types:
+                continue  # column-name divergence is reported below
+            want = spark_to_duck(spark_types[col])
+            if normalize_duck(dtype) != want:
+                print(
+                    f"FAIL  {name}: oracle type {col}={dtype} vs spark {want}"
+                    " (uncast aggregate? the driver's typed hash will reject it)"
+                )
+                ok = False
         if len(rows) != len(orows):
             print(f"FAIL  {name}: rowcount spark={len(rows)} duckdb={len(orows)}")
             ok = False

@@ -40,19 +40,44 @@ REPO = os.path.join(os.path.dirname(__file__), "..")
 
 
 def evidence_ledger() -> dict[str, int]:
-    """name -> last driver-green round (0 if never)."""
+    """name -> last driver-green round (0 if never).
+
+    Green requires the TYPED hash too (when present): r13's
+    vocab_growth_curve had rows_match=true / hash_match=false, and counting
+    that as green would rotate a failing entry OUT of the window exactly
+    when it must be re-tested.
+    """
     last: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
         with open(f) as fh:
             results = json.load(fh)
         for name, row in results.items():
-            if row.get("rows_match") and row.get("err") is None:
+            if (
+                row.get("rows_match")
+                and row.get("err") is None
+                and row.get("hash_match") is not False
+            ):
                 last[name] = max(last.get(name, 0), rnd)
     return {n: last.get(n, 0) for n in registry.QUERIES}
 
 
-def select_window(last: dict[str, int] | None = None) -> list[str]:
+OVERLAP_COHORT = 10
+
+
+def select_window(
+    last: dict[str, int] | None = None,
+    prev_window: list[str] | tuple[str, ...] = (),
+) -> list[str]:
+    """Stalest-first selection, with a deliberate overlap cohort.
+
+    ``prev_window`` is last rotation's window: at least OVERLAP_COHORT of
+    its members are kept in the new window so the driver's round-over-round
+    comparison always has ``n_common > 0`` (r13's 100% rotation made PERF's
+    correctness/perf deltas vacuous — 50 "dropped"/49 "new", all noise).
+    Cohort members are the stalest of the previous window, so they are
+    still the entries whose evidence ages first.
+    """
     last = last or evidence_ledger()
     order = {n: i for i, n in enumerate(registry.QUERIES)}
     key = lambda n: (last[n], order[n])  # noqa: E731
@@ -70,6 +95,17 @@ def select_window(last: dict[str, int] | None = None) -> list[str]:
         if sentinel not in seen:
             seen.add(sentinel)
             window.append(sentinel)
+    # Overlap cohort: top up with previous-window members (stalest first)
+    # until the intersection with the previous window reaches the target.
+    prev = [n for n in prev_window if n in order]
+    n_common = sum(1 for n in window if n in set(prev))
+    for n in sorted(prev, key=key):
+        if n_common >= OVERLAP_COHORT or len(window) >= registry.DRIVER_WINDOW:
+            break
+        if n not in seen:
+            seen.add(n)
+            window.append(n)
+            n_common += 1
     for n in sorted(registry.QUERIES, key=key):
         if len(window) >= registry.DRIVER_WINDOW:
             break
@@ -82,13 +118,17 @@ def select_window(last: dict[str, int] | None = None) -> list[str]:
 
 def main() -> None:
     last = evidence_ledger()
-    window = select_window(last)
+    # The pre-rotation window (current registry head) is the overlap source;
+    # it is pinned in the snapshot so the lint can replay the selection.
+    prev_window = list(registry.QUERIES)[: registry.DRIVER_WINDOW]
+    window = select_window(last, prev_window)
     if "--snapshot" in sys.argv:
         ages = sorted(last[n] for n in window)
         all_ages = sorted(last.values())
         out = {
             "ledger": last,
             "window": window,
+            "prev_window": prev_window,
             "window_median_round": ages[len(ages) // 2],
             "registry_median_round": all_ages[len(all_ages) // 2],
         }
