@@ -183,6 +183,46 @@ def _pairs_from_sets(baskets: DataFrame) -> DataFrame:
     )
 
 
+def _basket_pair_edges_sym(spark: SparkSession, sf_dir: str,
+                           max_basket: int = BASKET_CAP) -> DataFrame:
+    """BOTH orientations of every per-order co-purchase pair, duplicates
+    included — the multiset feed of the fused adjacency builds (r14): a
+    single ``groupBy(src).collect_set`` over this frame performs the
+    edge DEDUP, the DEGREE computation and the adjacency-list build in
+    ONE exchange, where the r13 kernels paid a distinct/groupBy(pa,pb)
+    exchange plus a second per-vertex exchange (and PageRank/BFS scanned
+    the basket expansion once per union branch).  Both directions are
+    emitted INSIDE the same HOF pass (2 x C(b,2) structs per basket,
+    bounded by the cap), so the upstream basket collapse is scanned
+    exactly once.  Uncapped falls back to the reference self-join,
+    symmetrized by union (the debug/eval convention)."""
+    if not max_basket:
+        half = _pairs_self_join(_baskets(spark, sf_dir, 0))
+        return half.unionAll(
+            half.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+        )
+    parts = F.col("parts")
+    sym = F.flatten(
+        F.transform(
+            parts,
+            lambda x, i: F.flatten(
+                F.transform(
+                    F.slice(parts, i + F.lit(2), F.size(parts)),
+                    lambda y: F.array(
+                        F.struct(x.alias("pa"), y.alias("pb")),
+                        F.struct(y.alias("pa"), x.alias("pb")),
+                    ),
+                )
+            ),
+        )
+    )
+    return (
+        _basket_sets(spark, sf_dir, max_basket)
+        .select(F.explode(sym).alias("e"))
+        .select(F.col("e.pa").alias("pa"), F.col("e.pb").alias("pb"))
+    )
+
+
 def _basket_sql(max_basket: int = BASKET_CAP) -> str:
     """The basket relation as a single SQL body (the ``b`` CTE of every
     graph oracle), QUALIFY-mirroring ``_baskets``; 0/None disables."""
@@ -368,14 +408,21 @@ def pagerank_parts(spark: SparkSession, sf_dir: str,
     # thin rank frame; the node universe and its count come off the
     # persisted frame with a partial aggregate that reuses the src
     # partitioning — no exchange.
+    # Fused adjacency build (r14, guide §2.4): ONE collect_set exchange
+    # over the both-directions pair multiset performs the edge dedup, the
+    # degree computation (deg = set size, equal to the old count over
+    # distinct edges) and the adjacency collapse together — the r13 shape
+    # paid _symmetric_edges' distinct exchange AND this groupBy's, and its
+    # union scanned the basket expansion once per direction branch.
     adj = tracked_persist(
-        _symmetric_edges(spark, sf_dir, max_basket)
-        .groupBy("src")
-        .agg(
-            F.collect_list("dst").alias("nbrs"),
-            F.count(F.lit(1)).alias("deg"),
+        _basket_pair_edges_sym(spark, sf_dir, max_basket)
+        .groupBy(F.col("pa").alias("src"))
+        .agg(F.sort_array(F.collect_set("pb")).alias("nbrs"))
+        .select(
+            "src",
+            F.size("nbrs").cast("long").alias("deg"),
+            F.explode(_chunk_array("nbrs")).alias("nbrs"),
         )
-        .select("src", "deg", F.explode(_chunk_array("nbrs")).alias("nbrs"))
     )
     nodes = adj.select("src").distinct()
     n_nodes = nodes.count()  # scalar collection statistic
@@ -521,18 +568,33 @@ def triangle_count(spark: SparkSession, sf_dir: str,
 
     Returns (l_partkey, n_triangles) for every part in >= 1 triangle.
     """
-    edges = (
-        _basket_pair_edges(spark, sf_dir, max_basket)
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= TRI_SUPPORT)
-        .select("pa", "pb")
-    )
-    if wedge_observation is not None:
-        return _triangles_from_edges(
-            edges, orient, wedge_observation, out_col="l_partkey"
+    if wedge_observation is not None or TRI_SUPPORT > 1:
+        # the support filter needs per-pair occurrence counts, which the
+        # fused collect_set adjacency cannot express — keep the deduped
+        # edge frame for that configuration (and for the wedge-join
+        # reference, whose orientation kernel consumes flat edges)
+        edges = (
+            _basket_pair_edges(spark, sf_dir, max_basket)
+            .groupBy("pa", "pb")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= TRI_SUPPORT)
+            .select("pa", "pb")
         )
-    return _triangles_edge_iterator(edges, orient, out_col="l_partkey")
+        if wedge_observation is not None:
+            return _triangles_from_edges(
+                edges, orient, wedge_observation, out_col="l_partkey"
+            )
+        return _triangles_edge_iterator(edges, orient, out_col="l_partkey")
+    # TRI_SUPPORT == 1: the support filter is a pure dedup, which the
+    # fused adjacency build performs inside its collect_set — feed the
+    # symmetric pair multiset straight in (r14: one exchange builds
+    # dedup + degree + adjacency; see _triangles_edge_iterator)
+    return _triangles_edge_iterator(
+        _basket_pair_edges_sym(spark, sf_dir, max_basket),
+        orient,
+        out_col="l_partkey",
+        sym_multiset=True,
+    )
 
 
 def _triangles_edge_iterator(
@@ -541,6 +603,7 @@ def _triangles_edge_iterator(
     out_col: str = "vertex",
     broadcast_adj: bool | None = None,
     contrib_mode: str = "single_pass",
+    sym_multiset: bool = False,
 ) -> DataFrame:
     """Edge-iterator triangle counting from an undirected (pa, pb) edge
     list: orient, build sorted out-neighbor arrays, intersect per edge.
@@ -548,6 +611,21 @@ def _triangles_edge_iterator(
     topological order, and the sink set of edge (source, middle) is
     exactly N+(source) ∩ N+(middle) — each triangle found once, the same
     triple the wedge-join reference emits.
+
+    Fused build (r14, guide §2.4 — "two operations keyed the same way can
+    share one exchange"): ONE ``groupBy(v).collect_set`` over the
+    symmetric pair multiset performs the edge dedup, the degree
+    computation and the undirected-adjacency build together, where the
+    r13 shape paid a (pa, pb) dedup exchange, a separate degree exchange
+    and TWO degree-attach joins.  Orientation is then ROW-LOCAL off that
+    persisted frame: explode the undirected arrays, attach the other
+    endpoint's degree with one (broadcast-gated) join of the thin
+    (v, deg) projection, and keep the low-(deg, id) -> high-(deg, id)
+    direction — the same tie rule as ``orient_edges_by_degree``, so the
+    oriented edge SET is identical and counts stay bit-equal (pinned by
+    the parity tests).  ``sym_multiset=True`` says ``edges`` is already
+    the both-directions multiset (``_basket_pair_edges_sym``), possibly
+    with duplicates; False symmetrizes an undirected pa<pb list first.
 
     contrib_mode (r13 A/B, docs/SCALE.md "triangle_count single-pass"):
     'union3' is the r7 shape — a 3-branch union re-selects the intersect
@@ -560,28 +638,59 @@ def _triangles_edge_iterator(
     aggregate.  Shuffle volume drops from 3|tri| rows to
     2|edges_with_triangles| + |tri|, and the join runs once.  Counts are
     bit-identical (pinned by tests/test_graph.py parity tests)."""
-    if orient == "degree":
-        edges = orient_edges_by_degree(edges)
-    elif orient != "id":
+    if orient not in ("degree", "id"):
         raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
-    edges = tracked_persist(edges)
-    if broadcast_adj is None:
-        est_bytes = edges.count() * TRI_ADJ_BYTES_PER_EDGE
-        broadcast_adj = est_bytes <= TRI_ADJ_BROADCAST_MAX_BYTES
-    adj = edges.groupBy(F.col("pa").alias("v")).agg(
-        F.sort_array(F.collect_list("pb")).alias("nbrs")
+    if not sym_multiset:
+        edges = edges.unionAll(
+            edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+        )
+    adj0 = tracked_persist(
+        edges.groupBy(F.col("pa").alias("v")).agg(
+            F.sort_array(F.collect_set("pb")).alias("un")
+        )
     )
-    if broadcast_adj:
-        # hint ONCE on the shared adjacency frame; a1/a2 are pure column
-        # renames of it, so both join sides canonicalize to the same
-        # broadcast exchange and Spark's ReuseExchange ships the relation
-        # a single time (the second side resolves to a ReusedExchange —
-        # pinned by test), instead of the r7 shape that built and shipped
-        # the same adjacency twice
-        adj = F.broadcast(adj)
-    a1 = adj.select(F.col("v").alias("pa"), F.col("nbrs").alias("na"))
+    if broadcast_adj is None:
+        # |E| off the persisted frame: sum of undirected degrees / 2 — a
+        # thin-row aggregate replacing the r13 edges.count() job
+        m = adj0.agg(F.sum(F.size("un")).alias("m")).first()["m"] or 0
+        est_bytes = (int(m) // 2) * TRI_ADJ_BYTES_PER_EDGE
+        broadcast_adj = est_bytes <= TRI_ADJ_BROADCAST_MAX_BYTES
+    ann = adj0.select(
+        "v", F.size("un").alias("_dv"), F.explode("un").alias("_u")
+    )
+    if orient == "degree":
+        degs = adj0.select(F.col("v").alias("_u"), F.size("un").alias("_du"))
+        if broadcast_adj:
+            degs = F.broadcast(degs)
+        keep = (F.col("_du") > F.col("_dv")) | (
+            (F.col("_du") == F.col("_dv")) & (F.col("_u") > F.col("v"))
+        )
+        oriented = ann.join(degs, "_u").filter(keep)
+    else:
+        oriented = ann.filter(F.col("_u") > F.col("v"))
+    oriented = oriented.select(F.col("v").alias("pa"), F.col("_u").alias("pb"))
+    # Persist the ORIENTED ADJACENCY (not the flat edge list): its explode
+    # IS the oriented edge list with N+(source) already attached, so the
+    # r13 shape's first adjacency join disappears entirely and only ONE
+    # adjacency broadcast exists by construction.  That matters beyond the
+    # saved probe pass: the r13 a1/a2 "shared" broadcast was only reused in
+    # the STATIC plan — at runtime AQE wraps each cache scan in its own
+    # TableCacheQueryStage and built/shipped the relation TWICE (verified
+    # on both the r13 and r14 shapes: two BroadcastQueryStage ids).
+    adj = tracked_persist(
+        oriented.groupBy(F.col("pa").alias("v")).agg(
+            F.sort_array(F.collect_list("pb")).alias("nbrs")
+        )
+    )
+    probe = adj.select(
+        F.col("v").alias("pa"),
+        F.col("nbrs").alias("na"),
+        F.explode("nbrs").alias("pb"),
+    )
     a2 = adj.select(F.col("v").alias("pb"), F.col("nbrs").alias("nb"))
-    joined = edges.join(a1, "pa").join(a2, "pb")
+    if broadcast_adj:
+        a2 = F.broadcast(a2)
+    joined = probe.join(a2, "pb")
     if contrib_mode == "single_pass":
         # materialize the intersect ONCE per row; the multi-reference of
         # `cs` below keeps CollapseProject from inlining (and thus
@@ -790,10 +899,12 @@ def bfs_hops(spark: SparkSession, sf_dir: str,
 
     Returns (node, hops) for every node reachable within max_hops.
     """
+    # fused adjacency build — same one-exchange dedup+collapse as
+    # pagerank_parts (r14); BFS needs no degree column
     adj = tracked_persist(
-        _symmetric_edges(spark, sf_dir, max_basket)
-        .groupBy("src")
-        .agg(F.collect_list("dst").alias("nbrs"))
+        _basket_pair_edges_sym(spark, sf_dir, max_basket)
+        .groupBy(F.col("pa").alias("src"))
+        .agg(F.sort_array(F.collect_set("pb")).alias("nbrs"))
         .select("src", F.explode(_chunk_array("nbrs")).alias("nbrs"))
     )
     source = adj.agg(F.min("src").alias("node")).select(

@@ -224,21 +224,37 @@ def test_adjacency_broadcast_byte_gate(spark, monkeypatch):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
-    # generous budget -> broadcast path, adjacency shipped once
+    # generous budget -> broadcast path, adjacency shipped once.  r14: the
+    # r13 shape relied on a1/a2 static exchange reuse that AQE did NOT
+    # honor at runtime (each cache scan gets its own TableCacheQueryStage,
+    # so the relation was built and shipped twice); the fused kernel keeps
+    # only ONE adjacency join by construction (the probe side carries
+    # N+(source) out of the adjacency explode), so the executed plan must
+    # contain exactly two broadcast stages total: the degree attach and
+    # the single adjacency join.
     monkeypatch.setattr(
         graph, "TRI_ADJ_BROADCAST_MAX_BYTES", 128 * 1024 * 1024
     )
     fast = graph._triangles_edge_iterator(_edge_df(spark, pairs))
-    fast.count()
-    plan = fast._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
-    assert "ReusedExchange" in plan, (
-        "adjacency broadcast was built twice — a1/a2 no longer share "
-        "one exchange"
-    )
     assert {
         (r["vertex"], r["n_triangles"]) for r in fast.collect()
     } == expected
+    final = fast._jdf.queryExecution().executedPlan().finalPhysicalPlan()
+
+    def count_stages(node, name):
+        n = 1 if name in node.getClass().getSimpleName() else 0
+        kids = [node.children().apply(i)
+                for i in range(node.children().size())]
+        if "QueryStageExec" in node.getClass().getSimpleName():
+            kids.append(node.plan())
+        return n + sum(count_stages(k, name) for k in kids)
+
+    n_broadcast_stages = count_stages(final, "BroadcastQueryStageExec")
+    assert n_broadcast_stages == 1, (
+        f"{n_broadcast_stages} broadcast stages executed — the adjacency "
+        "relation must materialize into exactly ONE broadcast (the degree "
+        "attach runs inside the adjacency cache's own materialization)"
+    )
 
 
 def _hub_basket_dir(spark, tmp_path):
