@@ -855,7 +855,8 @@ _oracle("dedup_incremental_minhash", _dedup_incremental_minhash_oracle())
 
 def connected_components(pairs: DataFrame, node_ids: DataFrame,
                          max_iterations: int = 6,
-                         on_unconverged: str = "raise") -> DataFrame:
+                         on_unconverged: str = "raise",
+                         include_singletons: bool = True) -> DataFrame:
     """Cluster ids via min-label propagation over an undirected pair graph.
 
     Each iteration joins every node's current label with its neighbors' and
@@ -876,6 +877,15 @@ def connected_components(pairs: DataFrame, node_ids: DataFrame,
 
     pairs: (doc_a, doc_b) edges; node_ids: (doc_id) universe.  Returns
     (doc_id, cluster_id) where cluster_id is the component's min doc_id.
+
+    ``include_singletons=False`` returns ONLY the edge-connected labels
+    (r14): every cluster of size > 1 consists entirely of edge endpoints,
+    so consumers that end in a ``cluster_size > 1`` filter
+    (dedup_components, dedup_keep_best) get identical results while
+    skipping the corpus-sized singleton anti-join + union and shrinking
+    every downstream aggregate/join from |corpus| to |edge nodes| rows —
+    at LLM-dedup scale the duplicated population is orders of magnitude
+    smaller than the corpus.  ``node_ids`` is ignored in that mode.
     """
     if on_unconverged not in ("raise", "warn", "ignore"):
         raise ValueError(f"on_unconverged must be raise/warn/ignore, got {on_unconverged!r}")
@@ -974,6 +984,8 @@ def connected_components(pairs: DataFrame, node_ids: DataFrame,
             import warnings
 
             warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    if not include_singletons:
+        return labels
     singletons = node_ids.join(edge_nodes, "doc_id", "left_anti").select(
         F.col("doc_id"), F.col("doc_id").alias("cluster_id")
     )
@@ -999,7 +1011,14 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # past convergence is skipped via the changed==0 break, so the extra
     # budget costs nothing on shallow cluster graphs); an adversarial
     # longer-than-10 chain raises instead of silently under-merging.
-    labels = connected_components(pairs, d.select("doc_id"), max_iterations=10)
+    # include_singletons=False: the final filter keeps only size>1
+    # clusters, whose members are all edge nodes — the corpus-sized
+    # singleton anti-join/union and their trip through this aggregate are
+    # pure waste (r14; the oracle already computes the closure edge-only).
+    labels = connected_components(
+        pairs, d.select("doc_id"), max_iterations=10,
+        include_singletons=False,
+    )
     return (
         labels.groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -1065,7 +1084,13 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         d, shards=spark.sparkContext.defaultParallelism, checkable=True
     ).select("doc_a", "doc_b")
-    labels = connected_components(pairs, d.select("doc_id"), max_iterations=10)
+    # edge-node labels only (see dedup_components): the size>1 filter
+    # makes singleton clusters unreachable, so the quality join and both
+    # cluster aggregates run over |edge nodes| rows, not |corpus| (r14)
+    labels = connected_components(
+        pairs, d.select("doc_id"), max_iterations=10,
+        include_singletons=False,
+    )
     quality = doc_quality(spark, sf_dir).select("doc_id", "quality_score")
     member = tracked_persist(labels.join(quality, "doc_id"))
     stats = member.groupBy("cluster_id").agg(
