@@ -647,9 +647,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ in the last ulp; ranking uses the rounded value + term as the
     deterministic tie-break.
     """
+    from airflow_postgres_to_s3_pipeline_spark.catalog import table_rows
+
     d = table(spark, sf_dir, "documents")
-    n_docs = d.count()  # scalar into the plan (metadata-scale, not data)
-    tf = _doc_tf(d)  # shared tokenize->tf stage (was an equivalent inline)
+    # collection statistic from the parquet footers — equals d.count() by
+    # parquet contract (the r13 table_rows pattern), zero Spark jobs
+    n_docs = table_rows(sf_dir, "documents")
+    # NOT persisted (r14 A/B): caching the corpus-sized (doc, term, tf)
+    # frame for its two consumers measured +27% vs recomputing the cheap
+    # tokenize+partial-agg subtree (0.99 -> 1.26s min-of-4 interleaved)
+    tf = _doc_tf(d)
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = df_.select(
         "term",
@@ -781,7 +788,14 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     mitigation.  The (T, V) totals are a 1-row broadcast.
     """
     d = table(spark, sf_dir, "documents")
-    tf = _doc_tf(d)  # the shared tokenize->tf stage (was a verbatim copy)
+    # NEITHER tf nor vocab is persisted (r14 A/Bs): caching the
+    # corpus-sized tf frame measured +39% and caching the thin vocab
+    # aggregate +17% vs plain recomputation of the cheap tokenize+agg
+    # subtrees at sf0.1 — the plan's three tf copies are cheaper than the
+    # materialization barrier here (cf. the minhash persists, whose
+    # REMOVAL was +55%: persist pays only above a much higher recompute
+    # cost)
+    tf = _doc_tf(d)
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     totals = vocab.agg(
         F.sum("cnt").alias("_t"), F.count(F.lit(1)).alias("_v")

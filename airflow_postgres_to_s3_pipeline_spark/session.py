@@ -78,6 +78,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Parameterised escape hatch for scale-dependent / JVM-static confs
+    # (e.g. spark.io.compression.codec=zstd on a real cluster): semicolon-
+    # separated k=v pairs.  Local default is EMPTY so the driver's bench
+    # stays comparable; production values are an env knob, not a code edit.
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if kv:
+            key, value = kv.split("=", 1)
+            builder = builder.config(key, value)
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
