@@ -2345,18 +2345,29 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = capped.select(
         "gh", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
     )
-    anchors = (
-        a.join(b, "gh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pa", "pb")
-        .distinct()
+    # No ``.distinct()`` on the anchor join (r14, guide §2.4): ``capped``
+    # holds exactly one row per (doc_id, pos) and gh is a FUNCTION of
+    # (doc_id, pos), so every joined (doc_a, doc_b, pa, pb) tuple
+    # identifies a unique pair of input rows — duplicates cannot exist,
+    # and the oracle's SELECT DISTINCT is the same no-op.  Dropping it
+    # removes a full exchange + two hash aggregates over the LARGEST
+    # intermediate of the query (uniqueness pinned by
+    # test_substring_dup_anchor_rows_unique_without_distinct).  ``diag``
+    # is projected BEFORE the window so the final groupBy
+    # (doc_a, doc_b, diag, isl) reuses the window's (doc_a, doc_b, diag)
+    # exchange — hash partitioning on a subset of the grouping keys
+    # already satisfies the aggregation's required distribution.
+    anchors = a.join(b, "gh").filter(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b", "pa", "pb",
+        (F.col("pa") - F.col("pb")).alias("diag"),
     )
-    diag = (F.col("pa") - F.col("pb")).alias("diag")
-    w = Window.partitionBy(
-        "doc_a", "doc_b", F.col("pa") - F.col("pb")
-    ).orderBy("pa")
+    # row_number is deterministic without a distinct upstream: within one
+    # (doc_a, doc_b, diag) partition pb = pa - diag, so pa values are
+    # unique (ties impossible) — same argument the oracle's ROW_NUMBER
+    # rests on.
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     runs = anchors.select(
-        "doc_a", "doc_b", "pa", "pb", diag,
+        "doc_a", "doc_b", "pa", "pb", "diag",
         (F.col("pa") - F.row_number().over(w)).alias("isl"),
     )
     return (

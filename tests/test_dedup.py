@@ -540,6 +540,30 @@ def test_substring_dup_spans_planted_and_split(spark, tmp_path):
     assert len(rows) == 3
 
 
+def test_substring_dup_anchor_rows_unique_without_distinct(spark, tmp_path):
+    """r14 pins the dropped anchor ``.distinct()``: anchor rows are unique
+    BY CONSTRUCTION (one ``capped`` row per (doc_id, pos), gh a function
+    of (doc_id, pos)), so removing the exchange must not change results
+    even in the dangerous case — the SAME passage repeated twice inside
+    one document (two capped rows sharing every gram hash).  A duplicate
+    anchor would inflate the island's COUNT(*) and lengthen
+    span_tokens."""
+    shared = [f"s{i}" for i in range(15)]          # 15-token shared run
+    doc_a = ["a0", "a1"] + shared + ["m0"] + shared  # run at pos 2 AND 18
+    doc_b = shared + ["t0", "t1"]                    # run at pos 0
+    spark.createDataFrame(
+        [(0, " ".join(doc_a)), (1, " ".join(doc_b))],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = sorted(
+        (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["span_tokens"])
+        for r in dedup.substring_dup_spans(spark, str(tmp_path)).collect()
+    )
+    # two distinct diagonals, one exact 15-token span each; any duplicated
+    # anchor row would report span_tokens > 15
+    assert rows == [(0, 1, 2, 0, 15), (0, 1, 18, 0, 15)]
+
+
 def test_substring_dup_trim_merges_overlapping_intervals(spark, tmp_path):
     """Keep-first policy: the highest doc_id's overlapping removal
     intervals (from THREE different partners at different offsets) must
