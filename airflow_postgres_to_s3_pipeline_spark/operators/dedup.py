@@ -89,6 +89,25 @@ _oracle(
 # E25: MinHash + LSH near-dedup (composition of built-in DataFrame ops)
 # ---------------------------------------------------------------------------
 
+def spread_input(df: DataFrame) -> DataFrame:
+    """Repartition to defaultParallelism ONLY when the input is narrower —
+    the single-file one-task trap: a corpus parquet under
+    maxPartitionBytes arrives as ONE partition, and every row-local HOF
+    below (shingling, gram explode, signature kernels) then runs on a
+    single core (measured r14: 6.6s of ngram_jaccard_pairs' 8.0s was the
+    single-task explode; embedding_near_dup measured the same class of
+    miss at 10x).  Conditional, so a pre-split real corpus — the 100 TB
+    arrival shape — skips the shuffle entirely: this is local-bench-only
+    parallelism, never an unconditional production exchange.  The
+    ``df.rdd.getNumPartitions()`` probe forces one physical-planning pass,
+    so call it once per query construction, never inside an iteration
+    loop (ADVICE r9).  Shared: ``similarity._spread`` delegates here."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 def shingle_arrays(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """Distinct word k-shingles per document as an array column — entirely
@@ -697,7 +716,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-joins — the surviving set is computed without materializing any
     pair list driver-side.
     """
-    d = table(spark, sf_dir, "documents")
+    # spread the single local file before the per-doc shingling below
+    # (see spread_input: conditional — local-bench-only parallelism)
+    d = spread_input(table(spark, sf_dir, "documents"))
     existing = d.filter(F.col("doc_id") < 400)
     incoming = d.filter(F.col("doc_id") >= 400)
 
@@ -807,7 +828,9 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str,
     pairs, which is pair-for-pair identical because banding and
     verification are per-pair deterministic.
     """
-    d = table(spark, sf_dir, "documents")
+    # spread the single local file before shingling (see spread_input:
+    # conditional — local-bench-only parallelism)
+    d = spread_input(table(spark, sf_dir, "documents"))
     sh = tracked_persist(shingle_arrays(d), corpus=True)
     sig = minhash_signatures_md5(sh)
     # The cap is computed over the UNION frame (existing + incoming), same
@@ -1560,21 +1583,75 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
     oracle (shingling mirrored with list_transform/UNNEST, the cap as a
     QUALIFY).
     """
-    d = table(spark, sf_dir, "documents")
+    # spread the single local parquet file across cores before the
+    # row-local shingling HOF (see spread_input: conditional, a pre-split
+    # corpus skips it; without it the whole corpus shingled in ONE scan
+    # task — measured r14: 6.6s of this entry's 8.0s)
+    d = spread_input(table(spark, sf_dir, "documents"))
     sh = shingle(d, "text", "doc_id", k=3)
     langs = d.select(F.col("doc_id"), F.col("lang"))
     sh = sh.join(langs, "doc_id")
     if max_posting:
-        sh = _cap_buckets(sh, max_posting, keys=("lang", "shingle"))
-    sizes = sh.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("set_size"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("lang"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("lang"), "shingle")
-    inter = (
-        sa.join(sb, ["lang", "shingle"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+        # r14 bucket collapse (guide §2.4, the r13 LSH-band treatment on
+        # the exact posting join): each (lang, shingle) posting collapses
+        # to ONE sorted-ids row via collect_list (partially aggregated
+        # map-side), the df cap becomes a plain size filter — no window,
+        # no per-partition sort — and the C(df,2) intersection pairs
+        # expand row-locally in a HOF bounded by the cap instead of
+        # through the self-join (which re-sorted the full posting table
+        # twice for its SMJ).  A doc appears at most once per posting
+        # (shingle() explodes array_distinct), so the sorted i<j
+        # expansion is exactly the join's doc_a < doc_b predicate and the
+        # per-pair row count is unchanged — n_inter is the same multiset
+        # (pinned by test_ngram_binding_cap_matches_oracle and the hub
+        # test).  Set sizes re-derive from the SAME collapsed frame
+        # (explode of ids), so the two consumers share one exchange
+        # subtree (ReuseExchange / AQE stage reuse — the exchange carries
+        # identical columns for both).  Only safe WITH a cap: uncapped, a
+        # hub posting's C(df,2) pair structs would materialize inside ONE
+        # row in one task (the _bucket_pair_expansion rule).
+        buckets = sh.groupBy("lang", "shingle").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ids")
+        ).filter(F.size("ids") <= max_posting)
+        sizes = (
+            buckets.select(F.explode("ids").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("set_size"))
+        )
+        ids = F.col("ids")
+        pair_structs = F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + F.lit(2), F.size(ids)),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
+        inter = (
+            buckets.filter(F.size("ids") >= 2)
+            .select(F.explode(pair_structs).alias("p"))
+            .select(
+                F.col("p.doc_a").alias("doc_a"),
+                F.col("p.doc_b").alias("doc_b"),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        # uncapped debug/eval convention: keep the distributed reference
+        # self-join (see the HOF hub rule above)
+        sizes = sh.groupBy("doc_id", "lang").agg(
+            F.count(F.lit(1)).alias("set_size")
+        )
+        sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("lang"), "shingle")
+        sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("lang"), "shingle")
+        inter = (
+            sa.join(sb, ["lang", "shingle"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
     return (
@@ -2310,7 +2387,9 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything shuffles on gram hash then (pair, diagonal) — both
     bounded keys at 100 TB.
     """
-    docs = table(spark, sf_dir, "documents").select(
+    # spread the single local file before the per-doc gram explode (see
+    # spread_input: conditional — local-bench-only parallelism)
+    docs = spread_input(table(spark, sf_dir, "documents")).select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     )
     n_grams = F.size("toks") - F.lit(SPAN_K - 1)

@@ -139,10 +139,15 @@ def minhash_ml_pairs(spark: SparkSession, sf_dir: str,
 
     from airflow_postgres_to_s3_pipeline_spark.operators.dedup import (
         shingle_arrays,
+        spread_input,
         verify_jaccard,
     )
 
-    d = table(spark, sf_dir, "documents")
+    # spread the single local file before shingling + HashingTF (see
+    # dedup.spread_input: conditional — local-bench-only parallelism;
+    # without it the whole MLlib feature pipeline ran in ONE scan task,
+    # 22.1s -> 5.9s at sf0.1)
+    d = spread_input(table(spark, sf_dir, "documents"))
     sh = shingle_arrays(d, "text", "doc_id", k=3)
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 16, binary=True

@@ -33,6 +33,7 @@ from airflow_postgres_to_s3_pipeline_spark.functions.vector import (
 from airflow_postgres_to_s3_pipeline_spark.operators.dedup import (
     LSH_MAX_BUCKET,
     _cap_buckets,
+    spread_input,
 )
 
 ORACLES: dict[str, str] = {}
@@ -67,11 +68,10 @@ def _spread(df: DataFrame) -> DataFrame:
     single task; embedding_near_dup measured that class of miss at 10x:
     52s -> 5s).  Conditional so already-wide inputs (per-iteration Lloyd
     calls on a repartitioned frame, GEMM-salted shards) don't pay a
-    useless full shuffle per call."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
-    return df
+    useless full shuffle per call.  Single definition lives in
+    ``dedup.spread_input`` (r14: the text-side consumers gained the same
+    guard); this alias keeps the similarity-module callsites stable."""
+    return spread_input(df)
 
 
 def _salt_shards(df: DataFrame, n_shards: int) -> DataFrame:
